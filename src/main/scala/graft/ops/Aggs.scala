@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{Decl, Dsl, Pack, Tables}
+import graft.Dsl.{d4, dec, frac}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.2 "Aggregations").
+  *
+  * All double measures are cast to decimal(18,6) before aggregation so
+  * Spark and DuckDB compute bit-identical sums (addition order
+  * independent), then final outputs to decimal(18,4).
+  */
+object Aggs extends Pack {
+
+  /** TPC-H Q1-shaped pricing summary — also the flagship `entry`. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d4(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        d4(sum(dec(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)"))).as("sum_disc_price"),
+        d4(sum(dec(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)")
+          * (lit(1) + frac(col("l_tax"))).cast("decimal(7,6)"))).as("sum_charge"),
+        d4(sum(dec(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6)) * CAST(1 + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(7,6))), 4) AS DECIMAL(18,4)) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // import spark.implicits._ replacement: build Columns via functions.col
+  private def $(name: String) = col(name)
+
+  def decls: Seq[Decl] = Seq(
+    Decl("q_agg_group", q1, Some(q1Sql)),
+
+    Decl("q_agg_global", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.agg(
+        d4(sum(dec($("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        d4(min(dec($("l_quantity")))).as("min_qty"),
+        d4(max(dec($("l_quantity")))).as("max_qty"),
+        d4(sum(dec($("l_discount"))) / count($("l_discount"))).as("avg_disc"))
+    }, Some(
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_price,
+        |  COUNT(*) AS n_rows,
+        |  CAST(ROUND(MIN(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS min_qty,
+        |  CAST(ROUND(MAX(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS max_qty,
+        |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc
+        |FROM lineitem""".stripMargin)),
+
+    Decl("q_agg_distinct", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.groupBy($("l_returnflag"))
+        .agg(
+          countDistinct($("l_orderkey")).as("n_orders"),
+          countDistinct($("l_partkey"), $("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_cond", (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      o.groupBy($("o_orderpriority"))
+        .agg(
+          sum(when($("o_orderstatus") === "F", lit(1)).otherwise(lit(0))).as("n_f"),
+          d4(sum(when($("o_totalprice") > 100000, dec($("o_totalprice"))).otherwise(lit(0)))).as("big_total"),
+          count(when($("o_orderstatus") === "O", lit(1))).as("n_open"))
+        .orderBy($("o_orderpriority").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 4) AS DECIMAL(18,4)) AS big_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
+  )
+}
