@@ -94,5 +94,122 @@ object Aggs extends Pack {
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_rollup", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .rollup($("o_orderstatus"), $("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          d4(sum(dec($("o_totalprice")))).as("total"))
+        .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+          |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_cube", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .cube($("o_orderstatus"), $("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          d4(sum(dec($("o_totalprice")))).as("total"))
+        .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_gsets", (spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_pri,
+          |  COUNT(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+          |  g_status ASC NULLS FIRST, g_pri ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+        |  g_status ASC NULLS FIRST, g_pri ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_stats", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(
+          d4(round(stddev_samp($("l_quantity")), 4)).as("sd_qty"),
+          d4(round(var_samp($("l_quantity")), 4)).as("var_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(18,4)) AS sd_qty,
+          |  CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_percentile", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(
+          d4(round(expr("percentile(l_quantity, 0.5)"), 4)).as("median_qty"),
+          d4(round(expr("percentile(l_extendedprice, 0.9)"), 4)).as("p90_price"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS median_qty,
+          |  CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_agg_collect", (spark, dir) =>
+      Tables(spark, dir, "nation")
+        .groupBy($("n_regionkey"))
+        .agg(
+          sort_array(collect_list($("n_name"))).as("names"),
+          sort_array(collect_set($("n_regionkey"))).as("keys"))
+        .orderBy($("n_regionkey").asc_nulls_first),
+      Some(
+        """SELECT n_regionkey,
+          |  list_sort(list(n_name)) AS names,
+          |  list_sort(list(DISTINCT n_regionkey)) AS keys
+          |FROM nation GROUP BY n_regionkey
+          |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)),
+
+    // Deterministic first/last per group: the orderer (o_orderkey) is
+    // unique, so min_by/max_by ties cannot occur.
+    Decl("q_agg_firstlast", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy($("o_custkey"))
+        .agg(
+          min_by($("o_totalprice"), $("o_orderkey")).as("first_price"),
+          max_by($("o_totalprice"), $("o_orderkey")).as("last_price"),
+          min($("o_orderkey")).as("first_key"))
+        .orderBy($("o_custkey").asc_nulls_first),
+      Some(
+        """SELECT o_custkey,
+          |  ARG_MIN(o_totalprice, o_orderkey) AS first_price,
+          |  ARG_MAX(o_totalprice, o_orderkey) AS last_price,
+          |  MIN(o_orderkey) AS first_key
+          |FROM orders GROUP BY o_custkey
+          |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // Approx distinct: engine-side only (HLL sketches differ between
+    // engines); ScalaTest asserts relative error vs exact count.
+    Decl("q_agg_hll", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(
+          approx_count_distinct($("l_orderkey")).as("approx_orders"),
+          countDistinct($("l_orderkey")).as("exact_orders"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      None),
   )
 }

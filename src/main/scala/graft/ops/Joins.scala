@@ -1,7 +1,239 @@
 package graft.ops
 
-import graft.{Decl, Pack}
+import graft.{Decl, Pack, Tables}
+import graft.Dsl.{d4, dec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Join operators (SURVEY.md §2.2 "Joins").
+  *
+  * Scale notes (100 TB design):
+  *  - equi joins rely on Catalyst/AQE to pick broadcast vs SMJ; dims
+  *    (region/nation/customer at TPC-H ratios) broadcast automatically,
+  *    `q_join_broadcast` pins the hint explicitly.
+  *  - the theta join first shrinks the build side to its distinct key
+  *    values (a few dozen rows) so the non-equi condition runs as a
+  *    broadcast nested loop over a tiny side, never M×N shuffle.
+  *  - the as-of join is the union+window formulation: one shuffle on
+  *    the key, one sort, O(n) state — no per-row range probe. This is
+  *    the plan that survives 1000 executors.
+  *  - the interval join equi-buckets time so Spark gets a hash join on
+  *    (bucket) with the exact overlap predicate applied residually —
+  *    avoiding the quadratic cross product.
+  */
 object Joins extends Pack {
-  def decls: Seq[Decl] = Seq()
+
+  private def lit1(c: String) = col(c)
+
+  def decls: Seq[Decl] = Seq(
+
+    Decl("q_join_inner", (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val c = Tables(spark, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey").asc_nulls_first, col("o_custkey").asc_nulls_first,
+          col("c_name").asc_nulls_first, col("o_totalprice").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST,
+        |  c_name ASC NULLS FIRST, o_totalprice ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_left", (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_name").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first, col("o_totalprice").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST,
+        |  o_orderkey ASC NULLS FIRST, o_totalprice ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_right", (spark, dir) => {
+      val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+      val c = Tables(spark, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("o_totalprice").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |  RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_full", (spark, dir) => {
+      val hi = Tables(spark, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("k"), col("o_orderkey"))
+      val poor = Tables(spark, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("ck"), col("c_name"))
+      hi.join(poor, hi("k") === poor("ck"), "full")
+        .select(col("k"), col("o_orderkey"), col("ck"), col("c_name"))
+        .orderBy(col("k").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("ck").asc_nulls_first, col("c_name").asc_nulls_first)
+    }, Some(
+      """SELECT k, o_orderkey, ck, c_name
+        |FROM (SELECT o_custkey AS k, o_orderkey FROM orders WHERE o_totalprice > 250000) h
+        |FULL JOIN (SELECT c_custkey AS ck, c_name FROM customer WHERE c_acctbal < 0) p
+        |  ON k = ck
+        |ORDER BY k ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  ck ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_semi", (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_name").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_anti", (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_name").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_cross", (spark, dir) => {
+      val r = Tables(spark, dir, "region").select(col("r_name"))
+      val s = Tables(spark, dir, "supplier").select(col("s_name"))
+      r.crossJoin(s)
+        .orderBy(col("r_name").asc_nulls_first, col("s_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_name, s_name FROM region CROSS JOIN supplier
+        |ORDER BY r_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin)),
+
+    // Non-equi band join: build side reduced to DISTINCT p_size (tiny)
+    // so Catalyst broadcasts it; aggregation keeps output bounded.
+    Decl("q_join_theta", (spark, dir) => {
+      val sizes = Tables(spark, dir, "part").select(col("p_size")).distinct()
+      val li = Tables(spark, dir, "lineitem")
+      li.join(broadcast(sizes),
+          col("l_quantity") >= col("p_size") && col("l_quantity") < col("p_size") + 5)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n_li"), d4(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("p_size").asc_nulls_first)
+    }, Some(
+      """SELECT p_size, COUNT(*) AS n_li,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem JOIN (SELECT DISTINCT p_size FROM part) p
+        |  ON l_quantity >= p_size AND l_quantity < p_size + 5
+        |GROUP BY p_size
+        |ORDER BY p_size ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_multi", (spark, dir) => {
+      val r = Tables(spark, dir, "region")
+      val n = Tables(spark, dir, "nation")
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          d4(sum(dec(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("r_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_join_broadcast", (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val n = Tables(spark, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          d4(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
+
+    // As-of join, union+window formulation: emit signups and purchases
+    // into one keyed stream, sort by (ts, kind) within user, and carry
+    // the last-seen signup ts forward. One shuffle, one sort, O(1)
+    // state per row — the 100 TB plan (no per-row range probe).
+    Decl("q_join_asof", (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+      val sig = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("event_id"), col("ts").as("sig_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("timestamp_ntz").as("sig_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sig.unionByName(pur)
+        .withColumn("asof_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_signup_ts"))
+        .orderBy(col("event_id").asc_nulls_first, col("user_id").asc_nulls_first,
+          col("ts").asc_nulls_first, col("asof_signup_ts").asc_nulls_first)
+    }, Some(
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT MAX(s.ts) FROM events s
+        |   WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |     AND s.ts <= p.ts) AS asof_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id ASC NULLS FIRST, p.user_id ASC NULLS FIRST,
+        |  p.ts ASC NULLS FIRST, asof_signup_ts ASC NULLS FIRST""".stripMargin)),
+
+    // Interval-overlap self join on 10-minute event windows. Spark side
+    // equi-buckets time (explode each interval into the 10-min buckets
+    // it spans) so the join is hash-partitioned on bucket; the exact
+    // overlap predicate runs residually and duplicates from multi-bucket
+    // spans are dropped before aggregation.
+    Decl("q_join_interval", (spark, dir) => {
+      val winUs = 600000000L // 10 min in µs
+      val ev = Tables(spark, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("event_type"), col("ts_us"))
+      val bucketed = ev.withColumn("bucket",
+        explode(sequence(expr(s"ts_us div $winUs"), expr(s"(ts_us + $winUs) div $winUs"))))
+      val a = bucketed.select(col("bucket"), col("event_id").as("id_a"),
+        col("event_type").as("type_a"), col("ts_us").as("ts_a"))
+      val b = bucketed.select(col("bucket"), col("event_id").as("id_b"),
+        col("event_type").as("type_b"), col("ts_us").as("ts_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b") &&
+          col("ts_a") < col("ts_b") + winUs && col("ts_b") < col("ts_a") + winUs)
+        .select(col("id_a"), col("id_b"), col("type_a"), col("type_b")).distinct()
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)
+    }, Some(
+      """SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND epoch_us(a.ts) < epoch_us(b.ts) + 600000000
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
+        |GROUP BY type_a, type_b
+        |ORDER BY type_a ASC NULLS FIRST, type_b ASC NULLS FIRST""".stripMargin)),
+  )
 }

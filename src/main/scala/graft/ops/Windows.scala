@@ -1,7 +1,171 @@
 package graft.ops
 
-import graft.{Decl, Pack}
+import graft.{Decl, Pack, Tables}
+import graft.Dsl.{d4, dec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Window functions (SURVEY.md §2.2 "Window functions").
+  *
+  * Determinism: every window ORDER BY ends in a unique key
+  * (o_orderkey) so frames are total; RANGE frames are value-bounded
+  * and therefore tie-insensitive by construction.
+  *
+  * Scale: one shuffle per distinct partitionBy key set; all eight
+  * queries partition on a column with enough cardinality to spread
+  * (o_custkey / o_orderstatus+priority) — no global single-partition
+  * window except where the final ORDER BY already requires one.
+  */
 object Windows extends Pack {
-  def decls: Seq[Decl] = Seq()
+
+  private val byCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  def decls: Seq[Decl] = Seq(
+
+    Decl("q_win_rownum", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .withColumn("rn", row_number().over(byCust))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("rn").asc_nulls_first),
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+          |FROM orders
+          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+          |  rn ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_rank", (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      Tables(spark, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"), col("drnk"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("o_totalprice").asc_nulls_first, col("rnk").asc_nulls_first,
+          col("drnk").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |FROM orders
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST, rnk ASC NULLS FIRST, drnk ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_ntile", (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables(spark, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("quartile"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("quartile").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderstatus, o_orderkey,
+        |  NTILE(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        |FROM orders
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  quartile ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_pctcume", (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables(spark, dir, "orders")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("pr"), col("cd"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("pr").asc_nulls_first, col("cd").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderstatus, o_orderkey,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS cd
+        |FROM orders
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  pr ASC NULLS FIRST, cd ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_laglead", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1, 0.0).over(byCust))
+        .withColumn("next_key", lead(col("o_orderkey"), 1, -1L).over(byCust))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("prev_price").asc_nulls_first, col("next_key").asc_nulls_first),
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  LAG(o_totalprice, 1, 0.0) OVER w AS prev_price,
+          |  LEAD(o_orderkey, 1, -1) OVER w AS next_key
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+          |  prev_price ASC NULLS FIRST, next_key ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_frame_rows", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .withColumn("running_total",
+          d4(sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("running_total").asc_nulls_first),
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS running_total
+          |FROM orders
+          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+          |  running_total ASC NULLS FIRST""".stripMargin)),
+
+    // Value-range frame: all orders within 10000 of the current price
+    // (below), per status. Tie-insensitive because the frame is defined
+    // by values, not positions.
+    Decl("q_win_frame_range", (spark, dir) => {
+      val over = "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC " +
+        "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"
+      Tables(spark, dir, "orders")
+        .withColumn("n_near", expr(s"COUNT(*) $over"))
+        .withColumn("near_sum",
+          expr(s"CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) $over, 4) AS DECIMAL(18,4))"))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          col("n_near"), col("near_sum"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("o_totalprice").asc_nulls_first, col("n_near").asc_nulls_first,
+          col("near_sum").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_near,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 4) AS DECIMAL(18,4)) AS near_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST, n_near ASC NULLS FIRST,
+        |  near_sum ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_win_firstlast", (spark, dir) => {
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_key"), col("last_key"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("first_key").asc_nulls_first, col("last_key").asc_nulls_first)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  first_key ASC NULLS FIRST, last_key ASC NULLS FIRST""".stripMargin)),
+  )
 }
