@@ -1,7 +1,179 @@
 package graft.ops
 
-import graft.{Decl, Pack}
+import graft.{Decl, Pack, Tables}
+import graft.Dsl.d4
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** LLM-data-pipeline operators (SURVEY.md §2.2 `ext`, BASELINE.json
+  * north star): dedup, similarity search, text analysis, n-grams,
+  * multimodal columns.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash-groupBy (one shuffle on a 256-bit digest —
+  *    uniform, skew-free by construction)
+  *  - near-dup = MinHash + LSH banding: k=16 signatures, 4 bands × 4
+  *    rows; candidate generation is an equi-join on (band, band_hash)
+  *    so cost is Σ|bucket|², never O(n²) — the standard way to keep
+  *    100 TB near-dup tractable
+  *  - similarity = brute-force cosine against a small broadcast query
+  *    set (the exact baseline); an LSH/IVF prune is the scale path for
+  *    query sets that don't fit a broadcast
+  */
 object LlmOps extends Pack {
-  def decls: Seq[Decl] = Seq()
+
+  /** Words of `text` (empty tokens dropped). */
+  private def words(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), w => w =!= "")
+
+  def decls: Seq[Decl] = Seq(
+
+    Decl("q_llm_exactdedup", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("h").asc_nulls_first, col("keeper").asc_nulls_first,
+          col("n_copies").asc_nulls_first),
+      Some(
+        """SELECT sha256(lower(trim(text))) AS h,
+          |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+          |FROM documents
+          |GROUP BY h HAVING COUNT(*) > 1
+          |ORDER BY h ASC NULLS FIRST, keeper ASC NULLS FIRST,
+          |  n_copies ASC NULLS FIRST""".stripMargin)),
+
+    // MinHash + LSH banding near-dup candidates. Deterministic (seeded
+    // xxhash64 family) but engine-specific hashes → no SQL oracle;
+    // DedupSpec asserts planted duplicates are found.
+    Decl("q_llm_minhash", (spark, dir) => minhashPairs(spark, dir), None),
+
+    Decl("q_llm_simsearch", (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val norm = (c: org.apache.spark.sql.Column) =>
+        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first,
+          col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    ROUND(
+        |      list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(e.e, x -> x * x)))), 6) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM sims)
+        |SELECT q_id, rk, vec_id, sim FROM ranked WHERE rk <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rk ASC NULLS FIRST,
+        |  vec_id ASC NULLS FIRST, sim ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_llm_textstats", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).as("n_words"),
+          d4(sum(length(col("text")).cast("decimal(18,6)")) / count(lit(1))).as("avg_chars"),
+          sum(size(filter(col("ws"), w => w === "the" || w === "a"))).as("n_stopwords"),
+          sum(when(col("n_chars") === length(col("text")), 1).otherwise(0)).as("n_chars_ok"))
+        .orderBy(col("lang").asc_nulls_first),
+      Some(
+        """SELECT lang,
+          |  COUNT(*) AS n_docs,
+          |  SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_words,
+          |  CAST(ROUND(SUM(CAST(length(text) AS DECIMAL(18,6))) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_chars,
+          |  SUM(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))) AS n_stopwords,
+          |  SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_chars_ok
+          |FROM documents
+          |GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_llm_ngram", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("bigram", explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+          .otherwise(array())))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("lang").asc_nulls_first, col("bigram").asc_nulls_first,
+          col("n").asc_nulls_first),
+      Some(
+        """SELECT lang, bigram, COUNT(*) AS n FROM (
+          |  SELECT lang,
+          |    unnest(list_transform(generate_series(1, len(ws) - 1),
+          |      i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          |  FROM (SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          |        FROM documents))
+          |GROUP BY lang, bigram HAVING COUNT(*) >= 20
+          |ORDER BY lang ASC NULLS FIRST, bigram ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
+    // Multimodal column: opaque binary payload + typed metadata struct,
+    // exercised through an encode→store→decode round trip. The decode
+    // step for real image/audio bytes would be a mapInPandas/Arrow UDF
+    // on a cluster with codec libs; here the payload is the utf-8 text
+    // itself (deterministic stand-in), the plumbing is real.
+    Decl("q_llm_multimodal", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("meta", map(
+          lit("lang"), col("lang"), lit("source"), col("source")))
+        .withColumn("asset", struct(col("doc_id"), col("payload"), col("meta")))
+        .select(
+          col("doc_id"),
+          length(col("asset.payload")).as("payload_bytes"),
+          (decode(col("asset.payload"), "UTF-8") === col("text")).as("roundtrip_ok"),
+          element_at(col("asset.meta"), "lang").as("meta_lang"))
+        .orderBy(col("doc_id").asc_nulls_first, col("payload_bytes").asc_nulls_first),
+      None),
+  )
+
+  /** MinHash/LSH candidate pairs: k=16 seeded xxhash64 min-signatures,
+    * banded 4×4; equi-join on (band, band_hash).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("ws", words(lower(col("text"))))
+      .filter(size(col("ws")) >= 3)
+    val shingled = docs.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2))))).as("shingle"))
+    val sigCols = (0 until 16).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val sigs = shingled.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
 }
