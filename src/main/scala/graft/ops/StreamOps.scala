@@ -1,7 +1,251 @@
 package graft.ops
 
-import graft.{Decl, Pack}
+import graft.{Decl, Pack, Tables}
+import graft.Dsl.d4
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.time.LocalDateTime
 
+/** Structured Streaming operators (SURVEY.md §2.2 "Streaming").
+  *
+  * Each declared query executes a REAL streaming query: events replay
+  * through a MemoryStream into a memory sink, and the function returns
+  * the sink table. Window/dedup/join results are batch-equivalent, so
+  * the tumble/slide/dedup/join/sink/watermark queries still carry a
+  * DuckDB oracle; session/stateful are engine-self-checked.
+  *
+  * Scale notes: all stateful ops key their state by a high-cardinality
+  * column (window start / user_id / event_id), which is exactly the
+  * state partitioning Structured Streaming shards across executors;
+  * watermarks bound state size for 100 TB/day streams.
+  */
 object StreamOps extends Pack {
-  def decls: Seq[Decl] = Seq()
+
+  case class Ev(event_id: Long, ts: LocalDateTime, user_id: Long,
+      event_type: String, value: Double)
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay events through `build` (a streaming transform) into a
+    * memory sink; returns the materialized sink table.
+    */
+  private def streamed(spark: SparkSession, dir: String,
+      mode: OutputMode, twice: Boolean = false)(
+      build: Dataset[Ev] => DataFrame): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ms = MemoryStream[Ev]
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val q = build(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+      if (twice) { ms.addData(evs); q.processAllAvailable() }
+      // sentinel far past every real event: advances the watermark so
+      // append-mode windows flush deterministically
+      ms.addData(Seq(Ev(-1L, LocalDateTime.of(2030, 1, 1, 0, 0), -1L, "__sentinel", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    Decl("q_str_tumble", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Complete()) { ds =>
+        ds.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            d4(sum(col("value").cast("decimal(18,6)"))).as("total"))
+      }.filter(col("event_type") =!= "__sentinel")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("win_start").asc_nulls_first, col("event_type").asc_nulls_first,
+          col("n").asc_nulls_first, col("total").asc_nulls_first),
+      Some(
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+          |  COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+          |FROM events
+          |GROUP BY win_start, event_type
+          |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST,
+          |  n ASC NULLS FIRST, total ASC NULLS FIRST""".stripMargin)),
+
+    Decl("q_str_slide", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Complete()) { ds =>
+        ds.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }.filter(col("event_type") =!= "__sentinel")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start").asc_nulls_first, col("event_type").asc_nulls_first,
+          col("n").asc_nulls_first),
+      Some(
+        """SELECT win_start, event_type, COUNT(*) AS n FROM (
+          |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+          |                 time_bucket(INTERVAL '5 minutes', ts)]) AS win_start,
+          |         event_type
+          |  FROM events)
+          |GROUP BY win_start, event_type
+          |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST,
+          |  n ASC NULLS FIRST""".stripMargin)),
+
+    // Session windows (5-minute gap) per user. Streamed in append mode
+    // with a watermark; the sentinel closes the final sessions.
+    Decl("q_str_session", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Append()) { ds =>
+        // watermarks require TIMESTAMP (not NTZ); session is UTC so the
+        // values are identical — cast in, cast the window bounds back out
+        ds.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 minute")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }.filter(col("user_id") =!= -1L)
+        .select(col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+          col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+          col("user_id"), col("n_events"))
+        .orderBy(col("user_id").asc_nulls_first, col("sess_start").asc_nulls_first,
+          col("sess_end").asc_nulls_first, col("n_events").asc_nulls_first),
+      Some(
+        """WITH marked AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+          |islands AS (
+          |  SELECT user_id, ts,
+          |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM marked)
+          |SELECT MIN(ts) AS sess_start,
+          |  MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+          |  user_id, COUNT(*) AS n_events
+          |FROM islands GROUP BY user_id, island
+          |ORDER BY user_id ASC NULLS FIRST, sess_start ASC NULLS FIRST,
+          |  sess_end ASC NULLS FIRST, n_events ASC NULLS FIRST""".stripMargin)),
+
+    // Watermark + late-data semantics: append-mode tumbling count whose
+    // windows only emit once the 10-minute watermark passes; the
+    // sentinel closes all real windows, so the emitted set equals the
+    // batch result (no late data in a single ordered replay).
+    Decl("q_str_watermark", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Append()) { ds =>
+        ds.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }.filter(col("event_type") =!= "__sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start").asc_nulls_first, col("event_type").asc_nulls_first,
+          col("n").asc_nulls_first),
+      Some(
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+          |  COUNT(*) AS n
+          |FROM events
+          |GROUP BY win_start, event_type
+          |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST,
+          |  n ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming dropDuplicates: the event stream is replayed TWICE;
+    // keyed state dedups the second pass, so the sink equals one copy.
+    Decl("q_str_dedup", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Append(), twice = true) { ds =>
+        ds.dropDuplicates("event_id").toDF()
+      }.filter(col("event_type") =!= "__sentinel")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("n").asc_nulls_first),
+      Some(
+        """SELECT event_type, COUNT(*) AS n FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
+    // Arbitrary stateful processing: per-user running totals kept in
+    // GroupState, exact decimal accumulation (merge-order independent).
+    Decl("q_str_stateful", (spark, dir) =>
+      streamed(spark, dir, OutputMode.Update()) { ds =>
+        import ds.sparkSession.implicits._
+        ds.groupByKey(_.user_id)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (uid: Long, evs: Iterator[Ev], st: GroupState[(Long, String)]) =>
+              val (n0, s0) = st.getOption.getOrElse((0L, "0"))
+              var n = n0
+              var s = BigDecimal(s0)
+              evs.foreach { e =>
+                n += 1
+                s += BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              }
+              st.update((n, s.toString))
+              (uid, n, s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toString)
+          }
+          .toDF("user_id", "n_events", "total_value")
+      }.filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        // update mode emits one row per user per batch: keep the final
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("total_value"), col("n_events")).cast("decimal(18,4)").as("total_value"))
+        .orderBy(col("user_id").asc_nulls_first, col("n_events").asc_nulls_first),
+      Some(
+        """SELECT user_id, COUNT(*) AS n_events,
+          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total_value
+          |FROM events GROUP BY user_id
+          |ORDER BY user_id ASC NULLS FIRST, n_events ASC NULLS FIRST""".stripMargin)),
+
+    // Stream-static join: streaming events against the static customer
+    // dim (broadcast by Catalyst — no state needed on the static side).
+    Decl("q_str_joinstatic", (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      streamed(spark, dir, OutputMode.Append()) { ds =>
+        ds.join(cust, ds("user_id") === cust("c_custkey"), "inner")
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("event_type"))
+      }.groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("event_type").asc_nulls_first,
+          col("n").asc_nulls_first)
+    }, Some(
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type <> '__sentinel'
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment ASC NULLS FIRST, event_type ASC NULLS FIRST,
+        |  n ASC NULLS FIRST""".stripMargin)),
+
+    // foreachBatch sink: each micro-batch lands as parquet (the same
+    // staging→commit seam the catalog's writer uses); the declared
+    // result reads the sink back.
+    Decl("q_str_sink", (spark, dir) => {
+      import spark.implicits._
+      val out = s"/tmp/graft_sink_${Math.abs(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val evs = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val ms = MemoryStream[Ev]
+      val q = ms.toDS().writeStream
+        .foreachBatch { (batch: Dataset[Ev], id: Long) =>
+          batch.write.mode("append").parquet(out): Unit
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(evs.size / 2 + 1).foreach { half =>
+          ms.addData(half); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(out)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("n").asc_nulls_first)
+    }, Some(
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+  )
 }
