@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Udx,
     ops.LlmOps,
     ops.StreamOps,
+    ops.CatalogOps,
   )
 
   private lazy val allDecls: Seq[Decl] = {

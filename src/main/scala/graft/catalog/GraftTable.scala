@@ -1,0 +1,215 @@
+package graft.catalog
+
+import graft.meta._
+import java.util
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.GraftFilterShim
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** A table of the relative-location format, exposed through Spark's
+  * DSv2 `Table` API.
+  *
+  * Reads: the snapshot's (driver-pruned) file list is handed to
+  * Spark's vectorized parquet source (`ParquetTable`), so predicate
+  * pushdown, column pruning, and whole-stage codegen all apply —
+  * the engine-native analog of the reference serving Spark scans
+  * through `RelativeFileIO.newInputFile` (RelativeFileIO.java:64-66).
+  *
+  * Writes: `V1Write`/`InsertableRelation` stages parquet under the
+  * table location, collects per-file stats, and commits through the
+  * OCC protocol in [[TableOps]] (the reference's commit path,
+  * HadoopRelativeTableOperations.java:144-180).
+  *
+  * `pinnedSnapshot` implements `VERSION AS OF` time travel over the
+  * snapshot list (README.md:67-108).
+  */
+class GraftTable(
+    val catalogName: String,
+    val ident: Identifier,
+    val ops: TableOps,
+    val meta: TableMeta,
+    val metaVersion: Int,
+    val pinnedSnapshot: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def sparkSession = org.apache.spark.sql.SparkSession.active
+
+  override def name(): String =
+    (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  override def schema(): StructType = TableMeta.schemaToSpark(meta.schema)
+
+  override def partitioning(): Array[Transform] =
+    meta.spec.fields.map { pf =>
+      val src = meta.schema.fields.find(_.id == pf.sourceId)
+        .map(_.name).getOrElse(pf.name)
+      pf.transform match {
+        case "identity" => Expressions.identity(src)
+        case "days" => Expressions.days(src)
+        case t if t.startsWith("bucket[") =>
+          Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
+        case _ => Expressions.identity(src)
+      }
+    }.toArray
+
+  override def properties(): util.Map[String, String] =
+    (meta.properties ++ Map(
+      "location" -> meta.location,
+      "format" -> "graft/parquet",
+      "current-snapshot-id" -> meta.currentSnapshotId.map(_.toString).getOrElse("none"))).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  def readSnapshot: Option[Snapshot] =
+    pinnedSnapshot.flatMap(meta.snapshot).orElse(meta.currentSnapshot)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this, info)
+}
+
+/** ScanBuilder that (1) prunes the snapshot file list on pushed
+  * predicates vs per-file min/max bounds — the driver-side file
+  * skipping the reference's metadata enables (SURVEY §4) — and
+  * (2) delegates the surviving files to ParquetScanBuilder so parquet
+  * row-group pushdown and column pruning still happen below us.
+  */
+class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private val spark = org.apache.spark.sql.SparkSession.active
+  private var pushedExprs: Seq[Expression] = Nil
+  private var pushedPreds: Array[Predicate] = Array.empty
+  private var required: StructType = table.schema()
+
+  private def allFiles: Seq[DataFile] =
+    table.readSnapshot.map(_.files).getOrElse(Nil)
+
+  private def mkDelegate(files: Seq[DataFile]): ScanBuilder = {
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    ParquetTable(table.name(), spark, options, paths,
+      Some(table.schema()), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    // compute residuals + pushed predicates on a throwaway delegate;
+    // the real (pruned) delegate is built at build() time
+    val probe = mkDelegate(allFiles)
+    val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+    pushedPreds = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+    residual
+  }
+
+  override def pushedFilters: Array[Predicate] = pushedPreds
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val v1 = pushedExprs.flatMap(e => GraftFilterShim.translate(e))
+    val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
+    val delegate = mkDelegate(pruned)
+    delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(required)
+    delegate.build()
+  }
+
+  /** Conservative min/max file skipping: keep the file unless a bound
+    * proves the predicate can never match. String-encoded bounds are
+    * compared numerically when the column is numeric, else
+    * lexicographically (ISO dates/timestamps sort correctly).
+    */
+  private def keepFile(f: DataFile, filter: Filter): Boolean = {
+    def cmp(col: String, v: Any): Option[(Int, Int)] = // (cmp(min,v), cmp(max,v))
+      for {
+        mn <- f.minBound.get(col)
+        mx <- f.maxBound.get(col)
+        cn <- compareBound(col, mn, v)
+        cx <- compareBound(col, mx, v)
+      } yield (cn, cx)
+    filter match {
+      case EqualTo(a, v) => cmp(a, v).forall { case (mn, mx) => mn <= 0 && mx >= 0 }
+      case GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)
+      case LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
+      case In(a, vs) => vs.exists(v => cmp(a, v).forall { case (mn, mx) => mn <= 0 && mx >= 0 })
+      case And(l, r) => keepFile(f, l) && keepFile(f, r)
+      case Or(l, r) => keepFile(f, l) || keepFile(f, r)
+      case _ => true
+    }
+  }
+
+  /** compare stored bound (string) against the filter value; None = incomparable */
+  private def compareBound(col: String, bound: String, v: Any): Option[Int] = v match {
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float | _: java.math.BigDecimal) =>
+      scala.util.Try(BigDecimal(bound).compare(BigDecimal(n.toString))).toOption
+    case s: String => Some(bound.compareTo(s))
+    case d: java.sql.Date => Some(bound.compareTo(d.toString))
+    case t: java.sql.Timestamp => Some(bound.compareTo(t.toString.stripSuffix(".0")))
+    case t: java.time.LocalDateTime => Some(bound.compareTo(
+      t.toString.replace('T', ' ')))
+    case _ => None
+  }
+}
+
+class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: DataFrame, _: Boolean) =>
+        Writer.append(table, data, overwrite)
+  }
+}
+
+/** In-memory metadata tables (`t$snapshots` / `t$files` / `t$history`)
+  * — the analog of the Iceberg metadata tables the reference enables
+  * (SURVEY §2.2 q_meta_snapshots). Served via the public V1Scan
+  * fallback; rows are tiny driver-side metadata.
+  */
+class MemTable(tblName: String, sch: StructType, rows: Seq[Row])
+  extends Table with SupportsRead {
+  override def name(): String = tblName
+  override def schema(): StructType = sch
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = sch
+      override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+        new MemRelation(ctx, sch, rows).asInstanceOf[T]
+    }
+}
+
+class MemRelation(ctx: SQLContext, sch: StructType, rows: Seq[Row])
+  extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = sch
+  override def buildScan(): RDD[Row] = ctx.sparkContext.parallelize(rows, 1)
+}

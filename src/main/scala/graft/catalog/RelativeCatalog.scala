@@ -1,0 +1,334 @@
+package graft.catalog
+
+import graft.meta._
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** Warehouse-relative DSv2 catalog — the Spark-native re-expression of
+  * the reference's `HadoopRelativeCatalog` (SURVEY §2.1 C1–C11):
+  *
+  *  - a table is a directory whose `metadata/` holds
+  *    `v<N>.metadata.json` (ref HadoopRelativeCatalog.java:41-43,
+  *    isTableDir :126-141); any other directory is a namespace
+  *    (ref :341-343)
+  *  - table locations are forced to the relative `ns…/name` path;
+  *    a user-supplied location is rejected (ref :378-396,
+  *    defaultWarehouseLocation :203-210)
+  *  - dropTable deletes data+metadata (purge semantics, ref :213-236);
+  *    dropNamespace refuses non-empty without CASCADE (ref :300-316)
+  *  - renameTable is supported as an atomic directory move — parity
+  *    with the JDBC variant (JdbcRelativeCatalog.java:247-284); the
+  *    Hadoop variant refuses (:239-241) only because generic
+  *    object stores lack atomic rename
+  *  - `t$snapshots` / `t$files` / `t$history` serve the metadata
+  *    tables; loadTable(ident, version) resolves time travel over the
+  *    snapshot list (README.md:67-108)
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.<name> = graft.catalog.RelativeCatalog
+  *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
+  * }}}
+  */
+class RelativeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires a 'warehouse' option"))
+    Files.createDirectories(Paths.get(warehouse))
+  }
+
+  override def name(): String = catName
+
+  // ---- helpers -----------------------------------------------------
+
+  private def dirOf(parts: Seq[String]): Path =
+    parts.foldLeft(Paths.get(warehouse))(_.resolve(_))
+
+  private def isTableDir(p: Path): Boolean = {
+    val md = p.resolve("metadata")
+    Files.isDirectory(md) && Files.list(md).iterator().asScala.exists { f =>
+      val n = f.getFileName.toString
+      n.startsWith("v") && n.endsWith(".metadata.json")
+    }
+  }
+
+  private def tableLocation(ident: Identifier): String =
+    (ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def opsFor(ident: Identifier) = new TableOps(warehouse, tableLocation(ident))
+
+  // ---- namespaces (C1–C5) -----------------------------------------
+
+  override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit = {
+    val d = dirOf(ns.toSeq)
+    if (Files.isDirectory(d)) throw new NamespaceAlreadyExistsException(ns)
+    Files.createDirectories(d)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Seq.empty).map(n => Array(n)).toArray
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.nonEmpty && !namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    childNamespaces(ns.toSeq).map(n => ns :+ n).toArray
+  }
+
+  private def childNamespaces(parent: Seq[String]): Seq[String] = {
+    val d = dirOf(parent)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean = {
+    val d = dirOf(ns.toSeq)
+    Files.isDirectory(d) && !isTableDir(d)
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map("location" -> ns.mkString("/")).asJava
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are not persisted by the path-based catalog " +
+        "(ref HadoopRelativeCatalog.java:319-328)")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val d = dirOf(ns.toSeq)
+    if (!namespaceExists(ns)) return false
+    val empty = !Files.list(d).iterator().asScala.exists(_ => true)
+    if (!empty && !cascade) throw new NonEmptyNamespaceException(ns)
+    deleteRecursively(d)
+    true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  // ---- tables (C6–C11) --------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = dirOf(ns.toSeq)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(ns)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(ns, p.getFileName.toString)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(dirOf(ident.namespace().toSeq :+ ident.name()))
+
+  override def loadTable(ident: Identifier): Table = {
+    // metadata tables: ns.table$snapshots / $files / $history
+    val n = ident.name()
+    if (n.contains("$")) {
+      val (base, metaKind) = (n.substring(0, n.indexOf('$')), n.substring(n.indexOf('$') + 1))
+      return metadataTable(Identifier.of(ident.namespace(), base), metaKind)
+    }
+    val ops = opsFor(ident)
+    ops.refresh() match {
+      case Some((v, meta)) => new GraftTable(catName, ident, ops, meta, v)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** Time travel: `VERSION AS OF <v>` — v is a snapshot id or a
+    * sequence number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ops = opsFor(ident)
+    val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
+    val wanted = Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(s"bad version: $version"))
+    val snap = meta.snapshot(wanted)
+      .orElse(meta.snapshots.find(_.sequenceNumber == wanted))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $version in ${ident.name()}"))
+    new GraftTable(catName, ident, ops, meta, v, Some(snap.snapshotId))
+  }
+
+  /** Time travel: `TIMESTAMP AS OF` (µs since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val ops = opsFor(ident)
+    val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
+    val tsMs = timestampMicros / 1000
+    val snap = meta.snapshots.filter(_.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs in ${ident.name()}"))
+    new GraftTable(catName, ident, ops, meta, v, Some(snap.snapshotId))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    // custom locations would embed absolute paths → reject, exactly as
+    // the reference does (HadoopRelativeCatalog.java:387-395)
+    require(!props.contains("location"),
+      "custom table locations are not supported: the table path is always " +
+        "<warehouse>/<namespace…>/<table> so metadata stays relocatable")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+
+    val schemaDef = TableMeta.schemaFromSpark(schema)
+    val byName = schemaDef.fields.map(f => f.name -> f.id).toMap
+    val specFields = partitions.toList.zipWithIndex.map { case (t, i) =>
+      val ref = t.references().head.fieldNames().mkString(".")
+      val srcId = byName.getOrElse(ref,
+        throw new IllegalArgumentException(s"unknown partition column $ref"))
+      val (tname, pname) = t.name() match {
+        case "identity" => ("identity", ref)
+        case "days" => ("days", s"${ref}_day")
+        case "bucket" => (s"bucket[${t.arguments()(0)}]", s"${ref}_bucket")
+        case other => throw new IllegalArgumentException(s"unsupported transform $other")
+      }
+      PartField(srcId, 1000 + i, pname, tname)
+    }
+    val now = System.currentTimeMillis()
+    val meta = TableMeta(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = tableLocation(ident),
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = now,
+      lastColumnId = schemaDef.fields.map(_.id).maxOption.getOrElse(0),
+      currentSchemaId = 0,
+      schemas = List(schemaDef),
+      defaultSpecId = 0,
+      partitionSpecs = List(PartSpec(0, specFields)),
+      lastPartitionId = if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max,
+      defaultSortOrderId = 0,
+      sortOrders = List(SortOrderDef(0, Nil)),
+      properties = props - "owner" - "provider",
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      refs = Map.empty)
+    val ops = opsFor(ident)
+    ops.commit(0, meta)
+    new GraftTable(catName, ident, ops, meta, 1)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ops = opsFor(ident)
+    val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
+    var fields = meta.schema.fields
+    var lastId = meta.lastColumnId
+    var props = meta.properties
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        props = props + (sp.property() -> sp.value())
+      case rp: TableChange.RemoveProperty =>
+        props = props - rp.property()
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1, "nested adds not supported")
+        lastId += 1
+        fields = fields :+ FieldDef(lastId, ac.fieldNames()(0),
+          ac.dataType().json, !ac.isNullable)
+      case rc: TableChange.RenameColumn =>
+        // id-based rename: the field keeps its id (schema evolution as
+        // in the reference's id-keyed schemas, README.md:30-51)
+        fields = fields.map(f =>
+          if (f.name == rc.fieldNames()(0)) f.copy(name = rc.newName()) else f)
+      case dc: TableChange.DeleteColumn =>
+        fields = fields.filterNot(_.name == dc.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported change: $other")
+    }
+    val newSchemaId = meta.currentSchemaId + 1
+    val next = meta.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = lastId,
+      currentSchemaId = newSchemaId,
+      schemas = meta.schemas :+ SchemaDef(newSchemaId, fields),
+      properties = props)
+    ops.commit(v, next)
+    new GraftTable(catName, ident, ops, next, v + 1)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirOf(ident.namespace().toSeq :+ ident.name())
+    if (!isTableDir(d)) return false
+    deleteRecursively(d) // includes data: purge semantics (ref C8)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
+    val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace().nonEmpty && !namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the stored location must track the new path: rewrite + commit
+    val ops = new TableOps(warehouse, tableLocation(newIdent))
+    val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(newIdent))
+    val prefixOld = tableLocation(oldIdent)
+    val prefixNew = tableLocation(newIdent)
+    def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
+    ops.commit(v, meta.copy(
+      location = prefixNew,
+      snapshots = meta.snapshots.map(s => s.copy(files = s.files.map(f => f.copy(path = remap(f.path))))),
+      metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile)))))
+  }
+
+  // ---- metadata tables --------------------------------------------
+
+  private def metadataTable(ident: Identifier, kind: String): Table = {
+    val ops = opsFor(ident)
+    val (_, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
+    kind match {
+      case "snapshots" =>
+        val sch = StructType(Seq(
+          StructField("sequence_number", LongType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("timestamp_ms", LongType),
+          StructField("operation", StringType),
+          StructField("total_records", LongType),
+          StructField("total_data_files", LongType)))
+        val rows = meta.snapshots.sortBy(_.sequenceNumber).map(s => Row(
+          s.sequenceNumber, s.snapshotId, s.parentId.map(Long.box).orNull,
+          s.timestampMs, s.operation,
+          s.files.map(_.records).sum, s.files.size.toLong))
+        new MemTable(s"${ident.name()}$$snapshots", sch, rows)
+      case "files" =>
+        val sch = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("record_count", LongType),
+          StructField("file_size_in_bytes", LongType)))
+        val rows = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+          .map(f => Row(f.path, f.records, f.bytes))
+        new MemTable(s"${ident.name()}$$files", sch, rows)
+      case "history" =>
+        val sch = StructType(Seq(
+          StructField("made_current_at_ms", LongType),
+          StructField("snapshot_id", LongType)))
+        val rows = meta.snapshotLog.map(e => Row(e.timestampMs, e.snapshotId))
+        new MemTable(s"${ident.name()}$$history", sch, rows)
+      case other => throw new NoSuchTableException(ident)
+    }
+  }
+}

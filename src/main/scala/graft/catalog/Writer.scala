@@ -1,0 +1,128 @@
+package graft.catalog
+
+import graft.meta._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Append/overwrite writer: stage parquet → collect per-file stats →
+  * OCC commit with retry (the Spark-native equivalent of the
+  * reference's insert flow, SURVEY §3.2: executors write bytes at
+  * absolute paths, metadata records relative paths, the driver
+  * commits v(N+1) with atomic rename and retries on conflict).
+  */
+object Writer {
+
+  def append(table: GraftTable, data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val meta = table.meta
+    val schema = TableMeta.schemaToSpark(meta.schema)
+    val warehouse = table.ops.warehouse
+    val tableAbs = RelPaths.absolutize(warehouse, meta.location)
+
+    // align column order/types to the table schema
+    val aligned = data.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+    // cluster rows by the partition spec so files are partition-local
+    // (identity/days transforms), then apply the table sort order
+    val specExprs = meta.spec.fields.flatMap { pf =>
+      meta.schema.fields.find(_.id == pf.sourceId).map { src =>
+        pf.transform match {
+          case "days" => datediff(col(src.name).cast("date"),
+            lit("1970-01-01").cast("date"))
+          case t if t.startsWith("bucket[") =>
+            pmod(hash(col(src.name)), lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
+          case _ => col(src.name)
+        }
+      }
+    }
+    val clustered = if (specExprs.nonEmpty) aligned.repartition(specExprs: _*) else aligned
+    val sortCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+      .map(_.fields).getOrElse(Nil).flatMap { sf =>
+        meta.schema.fields.find(_.id == sf.sourceId).map { src =>
+          if (sf.direction == "desc") col(src.name).desc else col(src.name).asc
+        }
+      }
+    val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
+
+    val stagingRel = s"${meta.location}/data/${java.util.UUID.randomUUID()}"
+    val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
+    sorted.write.mode("errorifexists").parquet(stagingAbs)
+
+    // one metadata-collection pass: per-file record counts + min/max
+    // bounds for every boundable primitive column (drives file skipping)
+    val boundable = schema.fields.filter(f => f.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
+           _: FloatType | _: StringType | _: DateType | _: TimestampType |
+           _: TimestampNTZType | _: DecimalType => true
+      case _ => false
+    })
+    val statAggs = count(lit(1)).as("__n") +:
+      boundable.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__max_${f.name}")))
+    val stats = spark.read.schema(schema).parquet(stagingAbs)
+      .groupBy(input_file_name().as("__file"))
+      .agg(statAggs.head, statAggs.tail.toIndexedSeq: _*)
+      .collect()
+
+    val newFiles = stats.map { r =>
+      val fileAbs = r.getAs[String]("__file").replaceFirst("^file:(//)?", "")
+      val mins = boundable.flatMap(f =>
+        Option(r.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap
+      val maxs = boundable.flatMap(f =>
+        Option(r.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap
+      DataFile(
+        path = RelPaths.relativize(warehouse, fileAbs),
+        records = r.getAs[Long]("__n"),
+        bytes = scala.util.Try(Files.size(Paths.get(fileAbs))).getOrElse(0L),
+        minBound = mins, maxBound = maxs)
+    }.toList
+
+    // OCC commit loop (ref HadoopRelativeTableOperations.java:144-180;
+    // Iceberg retries on CommitFailedException with a refreshed base)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (baseV, baseMeta) = table.ops.refresh()
+        .getOrElse(throw new IllegalStateException(s"table ${table.name()} vanished"))
+      val now = System.currentTimeMillis()
+      val snapId = now * 1000 + scala.util.Random.nextInt(1000)
+      val prevFiles = if (overwrite) Nil
+        else baseMeta.currentSnapshot.map(_.files).getOrElse(Nil)
+      val addedRecords = newFiles.map(_.records).sum
+      val snap = Snapshot(
+        snapshotId = snapId,
+        parentId = baseMeta.currentSnapshotId,
+        sequenceNumber = baseMeta.lastSequenceNumber + 1,
+        timestampMs = now,
+        operation = if (overwrite) "overwrite" else "append",
+        summary = Map(
+          "added-data-files" -> newFiles.size.toString,
+          "added-records" -> addedRecords.toString,
+          "added-files-size" -> newFiles.map(_.bytes).sum.toString,
+          "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
+          "total-data-files" -> (prevFiles.size + newFiles.size).toString),
+        files = prevFiles ++ newFiles)
+      val next = baseMeta.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        lastUpdatedMs = now,
+        currentSnapshotId = Some(snapId),
+        snapshots = baseMeta.snapshots :+ snap,
+        snapshotLog = baseMeta.snapshotLog :+ SnapshotLogEntry(now, snapId),
+        metadataLog = baseMeta.metadataLog :+
+          MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
+        refs = baseMeta.refs + ("main" -> Ref(snapId, "branch")))
+      try {
+        table.ops.commit(baseV, next)
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 => // refresh + retry
+      }
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Table-format metadata model — a faithful simplified analog of the
+  * reference's committed metadata.json (see /root/reference/README.md:23-109):
+  * schemas keyed by schema-id with field-ids and last-column-id
+  * (README.md:30-51), partition specs (52-57), sort orders (58-62),
+  * snapshots + refs + snapshot-log/metadata-log (67-108), and — the
+  * reference's one semantic change — every embedded path is RELATIVE
+  * to the warehouse root (README.md:21-27,96,105-108) so a warehouse
+  * can be relocated without rewriting metadata.
+  *
+  * Simplification vs Iceberg: each snapshot embeds its data-file list
+  * (path, record count, per-column min/max, partition values) instead
+  * of a manifest-list/manifest avro chain. At 100 TB the file list
+  * would be chunked into side manifests (O(files) metadata still, but
+  * loaded lazily per partition-prune) — noted in SURVEY §7.
+  */
+final case class FieldDef(id: Int, name: String, dataType: String, required: Boolean)
+
+final case class SchemaDef(schemaId: Int, fields: List[FieldDef])
+
+/** transform: "identity" | "days" | "bucket[N]" (source by field id,
+  * mirroring Iceberg's id-based resolution). */
+final case class PartField(sourceId: Int, fieldId: Int, name: String, transform: String)
+
+final case class PartSpec(specId: Int, fields: List[PartField])
+
+final case class SortField(sourceId: Int, direction: String, nullOrder: String)
+
+final case class SortOrderDef(orderId: Int, fields: List[SortField])
+
+/** One data file owned by a snapshot. `path` is warehouse-relative.
+  * `partition` maps partition-field name → string-encoded value;
+  * `bounds` maps column name → (min, max) string-encoded, used for
+  * driver-side file skipping. */
+final case class DataFile(
+    path: String,
+    records: Long,
+    bytes: Long,
+    partition: Map[String, String] = Map.empty,
+    minBound: Map[String, String] = Map.empty,
+    maxBound: Map[String, String] = Map.empty)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    operation: String, // append | overwrite | delete | replace
+    summary: Map[String, String],
+    files: List[DataFile])
+
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+
+final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
+
+final case class Ref(snapshotId: Long, refType: String) // branch | tag
+
+final case class TableMeta(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String, // RELATIVE to warehouse root
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: List[SchemaDef],
+    defaultSpecId: Int,
+    partitionSpecs: List[PartSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: List[SortOrderDef],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: List[Snapshot],
+    snapshotLog: List[SnapshotLogEntry],
+    metadataLog: List[MetadataLogEntry],
+    refs: Map[String, Ref]) {
+
+  def schema: SchemaDef = schemas.find(_.schemaId == currentSchemaId)
+    .getOrElse(throw new IllegalStateException(s"schema $currentSchemaId missing"))
+
+  def spec: PartSpec = partitionSpecs.find(_.specId == defaultSpecId)
+    .getOrElse(PartSpec(0, Nil))
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+}
+
+object TableMeta {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def toJson(m: TableMeta): String = Serialization.writePretty(m)
+
+  def fromJson(s: String): TableMeta =
+    JsonMethods.parse(s).extract[TableMeta]
+
+  /** Spark StructType ⇄ our id-carrying schema. */
+  def schemaFromSpark(st: org.apache.spark.sql.types.StructType, firstId: Int = 1): SchemaDef =
+    SchemaDef(0, st.fields.toList.zipWithIndex.map { case (f, i) =>
+      FieldDef(firstId + i, f.name, f.dataType.json, !f.nullable)
+    })
+
+  def schemaToSpark(s: SchemaDef): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.DataType.fromJson(f.dataType), !f.required)
+    })
+}
+
+/** Relative⇄absolute path mapping (spec: the reference's
+  * RelativeFileIO.java:31-40 — prefix with the warehouse root unless
+  * already absolute; strip the root prefix when relativizing).
+  */
+object RelPaths {
+  private def norm(warehouse: String): String =
+    if (warehouse.endsWith("/")) warehouse else warehouse + "/"
+
+  def absolutize(warehouse: String, location: String): String =
+    if (location.startsWith("/") || location.contains("://")) location
+    else norm(warehouse) + location
+
+  def relativize(warehouse: String, location: String): String = {
+    val w = norm(warehouse)
+    if (location.startsWith(w)) location.substring(w.length) else location
+  }
+}

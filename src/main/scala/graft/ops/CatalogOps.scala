@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end catalog flows through the DSv2 `RelativeCatalog` —
+  * the README demo (CREATE / INSERT / SELECT, reference README.md:13-19)
+  * plus time travel and the snapshots metadata table, each verified
+  * against a DuckDB oracle over the SOURCE parquet (so the whole
+  * create→write→commit→scan path must round-trip correctly to pass).
+  */
+object CatalogOps extends Pack {
+
+  /** One catalog per sf dir (Spark caches catalog instances by name). */
+  private def cat(spark: SparkSession, dir: String): String = {
+    val name = s"graft${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", s"/tmp/graft_wh_$name")
+    name
+  }
+
+  private def freshNs(spark: SparkSession, c: String, ns: String): Unit = {
+    spark.sql(s"DROP NAMESPACE IF EXISTS $c.$ns CASCADE")
+    spark.sql(s"CREATE NAMESPACE $c.$ns")
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    // CREATE TABLE + INSERT INTO + SELECT — the reference's README demo
+    // flow (C6/C12 + scan), aggregated so the oracle checks the data
+    // actually round-tripped through parquet + snapshot commit.
+    Decl("q_sink_insert", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_rt")
+      spark.sql(s"CREATE TABLE $c.demo_rt.nat (n_nationkey INT, n_name STRING, n_regionkey INT)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      spark.sql(s"INSERT INTO $c.demo_rt.nat SELECT * FROM nation_src")
+      spark.sql(
+        s"""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+           |FROM $c.demo_rt.nat
+           |GROUP BY n_regionkey
+           |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)),
+
+    // Two commits, then VERSION AS OF over the snapshot chain
+    // (README.md:67-108): v1 sees only the first insert.
+    Decl("q_scan_timetravel", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_tt")
+      spark.sql(s"CREATE TABLE $c.demo_tt.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_tt.cust SELECT c_custkey, c_mktsegment FROM customer_src WHERE c_custkey % 2 = 0")
+      spark.sql(s"INSERT INTO $c.demo_tt.cust SELECT c_custkey, c_mktsegment FROM customer_src WHERE c_custkey % 2 = 1")
+      spark.sql(
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM $c.demo_tt.cust VERSION AS OF 1) AS v1_rows,
+           |  (SELECT COUNT(*) FROM $c.demo_tt.cust) AS v2_rows""".stripMargin)
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS v1_rows,
+        |  (SELECT COUNT(*) FROM customer) AS v2_rows""".stripMargin)),
+
+    // Snapshots metadata table (q_meta_snapshots): stable columns only
+    // (ids/timestamps are generation-dependent).
+    Decl("q_meta_snapshots", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ms")
+      spark.sql(s"CREATE TABLE $c.demo_ms.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_ms.reg SELECT * FROM region_src WHERE r_regionkey < 3")
+      spark.sql(s"INSERT INTO $c.demo_ms.reg SELECT * FROM region_src WHERE r_regionkey >= 3")
+      spark.sql(
+        s"""SELECT sequence_number, operation, total_records
+           |FROM $c.demo_ms.`reg$$snapshots`
+           |ORDER BY sequence_number ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT CAST(1 AS BIGINT) AS sequence_number, 'append' AS operation,
+        |  (SELECT COUNT(*) FROM region WHERE r_regionkey < 3) AS total_records
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', (SELECT COUNT(*) FROM region)
+        |ORDER BY sequence_number ASC NULLS FIRST""".stripMargin)),
+
+    // Identity-partitioned table: the scan with a partition predicate
+    // must produce the same rows (file pruning is plan-level; the
+    // PruningSpec test asserts the file count shrinks too).
+    Decl("q_scan_prune", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_pr")
+      spark.sql(s"CREATE TABLE $c.demo_pr.cust (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_pr.cust SELECT c_custkey, c_nationkey, c_acctbal FROM customer_src")
+      spark.sql(
+        s"""SELECT c_custkey, c_nationkey, c_acctbal
+           |FROM $c.demo_pr.cust
+           |WHERE c_nationkey IN (3, 7)
+           |ORDER BY c_custkey ASC NULLS FIRST, c_nationkey ASC NULLS FIRST,
+           |  c_acctbal ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer WHERE c_nationkey IN (3, 7)
+        |ORDER BY c_custkey ASC NULLS FIRST, c_nationkey ASC NULLS FIRST,
+        |  c_acctbal ASC NULLS FIRST""".stripMargin)),
+
+    // INSERT OVERWRITE (truncate-capability write path).
+    Decl("q_sink_overwrite", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ow")
+      spark.sql(s"CREATE TABLE $c.demo_ow.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_ow.reg SELECT * FROM region_src")
+      spark.sql(s"INSERT OVERWRITE $c.demo_ow.reg SELECT * FROM region_src WHERE r_regionkey < 2")
+      spark.sql(
+        s"""SELECT r_regionkey, r_name FROM $c.demo_ow.reg
+           |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
+        |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
+  )
+}
