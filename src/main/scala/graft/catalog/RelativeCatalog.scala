@@ -58,9 +58,15 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(Paths.get(warehouse))(_.resolve(_))
 
+  /** Files.list with the stream closed (long-lived driver safety). */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def isTableDir(p: Path): Boolean = {
     val md = p.resolve("metadata")
-    Files.isDirectory(md) && Files.list(md).iterator().asScala.exists { f =>
+    Files.isDirectory(md) && listDir(md).exists { f =>
       val n = f.getFileName.toString
       n.startsWith("v") && n.endsWith(".metadata.json")
     }
@@ -90,9 +96,9 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
   private def childNamespaces(parent: Seq[String]): Seq[String] = {
     val d = dirOf(parent)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
+    else listDir(d)
       .filter(p => Files.isDirectory(p) && !isTableDir(p))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).sorted
   }
 
   override def namespaceExists(ns: Array[String]): Boolean = {
@@ -113,15 +119,14 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val d = dirOf(ns.toSeq)
     if (!namespaceExists(ns)) return false
-    val empty = !Files.list(d).iterator().asScala.exists(_ => true)
+    val empty = listDir(d).isEmpty
     if (!empty && !cascade) throw new NonEmptyNamespaceException(ns)
     deleteRecursively(d)
     true
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -130,7 +135,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val d = dirOf(ns.toSeq)
     if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(ns)
-    Files.list(d).iterator().asScala
+    listDir(d)
       .filter(p => Files.isDirectory(p) && isTableDir(p))
       .map(p => Identifier.of(ns, p.getFileName.toString)).toArray
   }
@@ -274,7 +279,12 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    // RENAME TO may arrive catalog-qualified — strip our own name
+    val newIdent =
+      if (rawNewIdent.namespace().headOption.contains(name()))
+        Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
+      else rawNewIdent
     val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
     val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)

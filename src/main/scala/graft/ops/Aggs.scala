@@ -207,7 +207,7 @@ object Aggs extends Pack {
       Tables(spark, dir, "lineitem")
         .groupBy($("l_returnflag"))
         .agg(
-          approx_count_distinct($("l_orderkey")).as("approx_orders"),
+          approx_count_distinct($("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct($("l_orderkey")).as("exact_orders"))
         .orderBy($("l_returnflag").asc_nulls_first),
       None),

@@ -154,8 +154,12 @@ object LlmOps extends Pack {
   /** MinHash/LSH candidate pairs: k=16 seeded xxhash64 min-signatures,
     * banded 4×4; equi-join on (band, band_hash).
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsDf(Tables(spark, dir, "documents"))
+
+  /** Same pipeline over any (doc_id, text) DataFrame. */
+  def minhashPairsDf(input: DataFrame): DataFrame = {
+    val docs = input
       .withColumn("ws", words(lower(col("text"))))
       .filter(size(col("ws")) >= 3)
     val shingled = docs.select(col("doc_id"),

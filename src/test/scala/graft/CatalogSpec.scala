@@ -1,0 +1,163 @@
+package graft
+
+import graft.catalog.{CommitFailedException, TableOps}
+import graft.meta.TableMeta
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog/commit-protocol behavior (SURVEY §5.2): DDL round-trips,
+  * the warehouse RELOCATION test (the reference's raison d'être,
+  * README.md:112), commit conflicts, version-hint crash recovery,
+  * and id-based schema evolution.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def mkCatalog(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_test_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("namespace + table DDL round-trip, relative location invariant") {
+    val wh = freshDir("ddl")
+    mkCatalog("tc1", wh)
+    spark.sql("CREATE NAMESPACE tc1.ns1")
+    spark.sql("CREATE NAMESPACE tc1.ns1.sub")
+    assert(spark.sql("SHOW NAMESPACES IN tc1").collect().map(_.getString(0)).contains("ns1"))
+    spark.sql("CREATE TABLE tc1.ns1.t (id BIGINT, data STRING)")
+    assert(spark.sql("SHOW TABLES IN tc1.ns1").collect().map(_.getString(1)).contains("t"))
+    spark.sql("INSERT INTO tc1.ns1.t VALUES (1, 'Pizza'), (2, 'Pasta')")
+    assert(spark.sql("SELECT * FROM tc1.ns1.t").count() == 2)
+
+    // metadata must contain only warehouse-relative paths (README.md:27)
+    val metaJson = Files.readString(
+      Paths.get(wh, "ns1", "t", "metadata", "v2.metadata.json"))
+    val meta = TableMeta.fromJson(metaJson)
+    assert(meta.location == "ns1/t")
+    assert(meta.snapshots.flatMap(_.files).nonEmpty)
+    meta.snapshots.flatMap(_.files).foreach(f => assert(f.path.startsWith("ns1/t/")))
+
+    // custom locations are rejected (ref HadoopRelativeCatalog.java:387-395)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE tc1.ns1.bad (id INT) LOCATION '/tmp/elsewhere'")
+    }
+    assert(e.getMessage.toLowerCase.contains("location"))
+
+    // drop refuses non-empty namespace without cascade
+    intercept[Exception] { spark.sql("DROP NAMESPACE tc1.ns1") }
+    spark.sql("DROP NAMESPACE tc1.ns1 CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN tc1").collect().map(_.getString(0)).contains("ns1"))
+  }
+
+  test("warehouse relocation: mv the directory, re-read unchanged (README.md:112)") {
+    val whA = freshDir("relocA")
+    val whB = freshDir("relocB")
+    mkCatalog("tcA", whA)
+    spark.sql("CREATE NAMESPACE tcA.m")
+    spark.sql("CREATE TABLE tcA.m.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO tcA.m.t SELECT id, id * 1.5 FROM range(1000)")
+    val before = spark.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM tcA.m.t").collect()(0)
+
+    Files.move(Paths.get(whA), Paths.get(whB))
+
+    mkCatalog("tcB", whB)
+    val after = spark.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM tcB.m.t").collect()(0)
+    assert(before == after)
+    // and the moved table stays writable
+    spark.sql("INSERT INTO tcB.m.t VALUES (10000, 1.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM tcB.m.t").collect()(0).getLong(0) == 1001)
+  }
+
+  test("concurrent commit: one writer wins, loser gets CommitFailedException") {
+    val wh = freshDir("occ")
+    mkCatalog("tcC", wh)
+    spark.sql("CREATE NAMESPACE tcC.c")
+    spark.sql("CREATE TABLE tcC.c.t (id BIGINT)")
+    val ops1 = new TableOps(wh, "c/t")
+    val ops2 = new TableOps(wh, "c/t")
+    val (v1, m1) = ops1.refresh().get
+    val (v2, m2) = ops2.refresh().get
+    assert(v1 == v2)
+    ops1.commit(v1, m1.copy(lastUpdatedMs = 1L))
+    intercept[CommitFailedException] {
+      ops2.commit(v2, m2.copy(lastUpdatedMs = 2L))
+    }
+    // loser retries on refreshed base and succeeds
+    val (v3, m3) = ops2.refresh().get
+    assert(v3 == v1 + 1)
+    ops2.commit(v3, m3.copy(lastUpdatedMs = 3L))
+  }
+
+  test("version-hint corruption recovers via directory scan (ref :302-337)") {
+    val wh = freshDir("hint")
+    mkCatalog("tcH", wh)
+    spark.sql("CREATE NAMESPACE tcH.h")
+    spark.sql("CREATE TABLE tcH.h.t (id BIGINT)")
+    spark.sql("INSERT INTO tcH.h.t VALUES (1), (2)")
+    val ops = new TableOps(wh, "h/t")
+    assert(ops.findVersion() == 2)
+    Files.writeString(ops.versionHintFile, "not-a-number")
+    assert(ops.findVersion() == 2)
+    Files.delete(ops.versionHintFile)
+    assert(ops.findVersion() == 2)
+    // hint pointing past the newest version is ignored too
+    Files.writeString(ops.versionHintFile, "99")
+    assert(ops.findVersion() == 2)
+  }
+
+  test("schema evolution: add/rename keep field ids, old files read as null") {
+    val wh = freshDir("evo")
+    mkCatalog("tcE", wh)
+    spark.sql("CREATE NAMESPACE tcE.e")
+    spark.sql("CREATE TABLE tcE.e.t (id BIGINT, a STRING)")
+    spark.sql("INSERT INTO tcE.e.t VALUES (1, 'x')")
+    spark.sql("ALTER TABLE tcE.e.t ADD COLUMN b DOUBLE")
+    spark.sql("INSERT INTO tcE.e.t VALUES (2, 'y', 2.5)")
+    val rows = spark.sql("SELECT id, a, b FROM tcE.e.t ORDER BY id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.5)
+    val meta = new TableOps(wh, "e/t").refresh().get._2
+    assert(meta.schema.fields.map(f => f.name -> f.id).toMap ==
+      Map("id" -> 1, "a" -> 2, "b" -> 3))
+    spark.sql("ALTER TABLE tcE.e.t RENAME COLUMN a TO a2")
+    val meta2 = new TableOps(wh, "e/t").refresh().get._2
+    assert(meta2.schema.fields.find(_.name == "a2").get.id == 2)
+  }
+
+  test("rename table moves the directory and rewrites stored locations") {
+    val wh = freshDir("ren")
+    mkCatalog("tcR", wh)
+    spark.sql("CREATE NAMESPACE tcR.r")
+    spark.sql("CREATE TABLE tcR.r.old (id BIGINT)")
+    spark.sql("INSERT INTO tcR.r.old VALUES (7)")
+    spark.sql("ALTER TABLE tcR.r.old RENAME TO tcR.r.renamed")
+    assert(spark.sql("SELECT id FROM tcR.r.renamed").collect()(0).getLong(0) == 7)
+    val meta = new TableOps(wh, "r/renamed").refresh().get._2
+    assert(meta.location == "r/renamed")
+    meta.snapshots.flatMap(_.files).foreach(f => assert(f.path.startsWith("r/renamed/")))
+    assert(!Files.exists(Paths.get(wh, "r", "old")))
+  }
+
+  test("time travel reads historic snapshots; metadata tables list them") {
+    val wh = freshDir("tt")
+    mkCatalog("tcT", wh)
+    spark.sql("CREATE NAMESPACE tcT.t")
+    spark.sql("CREATE TABLE tcT.t.t (id BIGINT)")
+    spark.sql("INSERT INTO tcT.t.t SELECT id FROM range(10)")
+    spark.sql("INSERT INTO tcT.t.t SELECT id FROM range(10, 30)")
+    assert(spark.sql("SELECT COUNT(*) FROM tcT.t.t VERSION AS OF 1").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcT.t.t").collect()(0).getLong(0) == 30)
+    val snaps = spark.sql("SELECT sequence_number, operation, total_records FROM tcT.t.`t$snapshots` ORDER BY 1").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "append", 10L), (2L, "append", 30L)))
+    assert(spark.sql("SELECT COUNT(*) FROM tcT.t.`t$files`").collect()(0).getLong(0) >= 1)
+    assert(spark.sql("SELECT COUNT(*) FROM tcT.t.`t$history`").collect()(0).getLong(0) == 2)
+  }
+}

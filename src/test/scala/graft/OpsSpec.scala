@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.LlmOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-self-checked operators (the SURVEY §2 rows without a DuckDB
+  * oracle): approx distinct error, MinHash recall on planted dups,
+  * multimodal round-trip, file pruning effectiveness.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% of exact (q_agg_hll)") {
+    val rows = SparkEntry.queries("q_agg_hll")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("minhash candidates find planted exact and near duplicates") {
+    // plant duplicates: copy 10 docs verbatim (ids +10000) and 10 docs
+    // with one word altered (ids +20000); exact copies share every band
+    // bucket by construction, near-copies should be caught by ≥1 band
+    val base = Tables(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    val exactCopies = base.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val nearCopies = base.select((col("doc_id") + 20000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+", "changedword").as("text"))
+    val corpus = base.unionByName(exactCopies).unionByName(nearCopies)
+    val candidates = LlmOps.minhashPairsDf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missedExact = (0L until 10L).map(i => (i, i + 10000)).toSet -- candidates
+    assert(missedExact.isEmpty, s"minhash missed exact dups: $missedExact")
+    val nearFound = (0L until 10L).count(i => candidates.contains((i, i + 20000)))
+    assert(nearFound >= 8, s"minhash found only $nearFound/10 near dups")
+  }
+
+  test("multimodal payload round-trips byte-exactly") {
+    val rows = SparkEntry.queries("q_llm_multimodal")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")))
+  }
+
+  test("partition-bounded scan prunes data files (SURVEY §4 file skipping)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // build the partitioned demo table (AQE off so the 150-row insert
+    // isn't coalesced into a single file), then compare pruned counts
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries("q_scan_prune")(spark, TestSpark.sf).collect()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val catName = s"graft${Integer.toHexString(TestSpark.sf.hashCode).takeRight(6)}"
+    val cat = spark.sessionState.catalogManager.catalog(catName)
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val tbl = cat.loadTable(Identifier.of(Array("demo_pr"), "cust"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val total = tbl.readSnapshot.get.files.size
+    assert(total > 1, s"expected multiple files, got $total")
+
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val builder = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val df = spark.table(s"$catName.demo_pr.cust").filter(col("c_nationkey") === 3)
+    val exprs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case e: org.apache.spark.sql.catalyst.expressions.EqualTo => e })
+    // drive the builder directly with the catalyst predicate
+    builder.pushFilters(exprs.toSeq)
+    val scan = builder.build()
+    val scanned = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .fileIndex.inputFiles.length
+    assert(scanned < total, s"pruning did not reduce files: $scanned of $total")
+    // and the pruned scan still returns exactly the right rows
+    val expected = Tables(spark, TestSpark.sf, "customer")
+      .filter(col("c_nationkey") === 3).count()
+    assert(df.count() == expected)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
