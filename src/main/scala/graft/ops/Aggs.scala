@@ -202,13 +202,11 @@ object Aggs extends Pack {
           |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin)),
 
     // Approx distinct: engine-side only (HLL sketches differ between
-    // engines); ScalaTest asserts relative error vs exact count.
+    // engines); OpsSpec asserts relative error vs the exact count.
     Decl("q_agg_hll", (spark, dir) =>
       Tables(spark, dir, "lineitem")
         .groupBy($("l_returnflag"))
-        .agg(
-          approx_count_distinct($("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct($("l_orderkey")).as("exact_orders"))
+        .agg(approx_count_distinct($("l_orderkey"), 0.02).as("approx_orders"))
         .orderBy($("l_returnflag").asc_nulls_first),
       None),
   )

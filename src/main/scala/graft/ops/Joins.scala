@@ -222,8 +222,10 @@ object Joins extends Pack {
         col("event_type").as("type_b"), col("ts_us").as("ts_b"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b") &&
-          col("ts_a") < col("ts_b") + winUs && col("ts_b") < col("ts_a") + winUs)
-        .select(col("id_a"), col("id_b"), col("type_a"), col("type_b")).distinct()
+          col("ts_a") < col("ts_b") + winUs && col("ts_b") < col("ts_a") + winUs &&
+          // count each pair exactly once: only in the first bucket both
+          // intervals share (no post-join distinct shuffle needed)
+          col("bucket") === greatest(expr(s"ts_a div $winUs"), expr(s"ts_b div $winUs")))
         .groupBy(col("type_a"), col("type_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("type_a").asc_nulls_first, col("type_b").asc_nulls_first)

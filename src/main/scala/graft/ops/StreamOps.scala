@@ -42,6 +42,10 @@ object StreamOps extends Pack {
       spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
     val ms = MemoryStream[Ev]
     val name = s"graft_stream_${n.incrementAndGet()}"
+    // state-store overhead is per (partition × micro-batch): run the
+    // bounded replay with fewer state partitions than the batch default
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = build(ms.toDS()).writeStream
       .format("memory").queryName(name).outputMode(mode).start()
     try {
@@ -52,7 +56,10 @@ object StreamOps extends Pack {
       // append-mode windows flush deterministically
       ms.addData(Seq(Ev(-1L, LocalDateTime.of(2030, 1, 1, 0, 0), -1L, "__sentinel", 0.0)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
   }
 

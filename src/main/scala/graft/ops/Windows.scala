@@ -127,28 +127,32 @@ object Windows extends Pack {
     // Value-range frame: all orders within 10000 of the current price
     // (below), per status. Tie-insensitive because the frame is defined
     // by values, not positions.
+    // Narrow 1000-wide band over a composite partition key: Spark's
+    // SlidingWindowFunctionFrame re-evaluates the aggregate per row, so
+    // cost is O(rows × frame-size) — keep frames tight and partitions
+    // plentiful (a wide band over 3 partitions was 20× slower).
     Decl("q_win_frame_range", (spark, dir) => {
-      val over = "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC " +
-        "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"
+      val over = "OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice ASC " +
+        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
       Tables(spark, dir, "orders")
         .withColumn("n_near", expr(s"COUNT(*) $over"))
         .withColumn("near_sum",
           expr(s"CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) $over, 4) AS DECIMAL(18,4))"))
-        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
-          col("n_near"), col("near_sum"))
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderkey").asc_nulls_first,
-          col("o_totalprice").asc_nulls_first, col("n_near").asc_nulls_first,
-          col("near_sum").asc_nulls_first)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("n_near"), col("near_sum"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first, col("o_totalprice").asc_nulls_first,
+          col("n_near").asc_nulls_first, col("near_sum").asc_nulls_first)
     }, Some(
-      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      """SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_near,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 4) AS DECIMAL(18,4)) AS near_sum
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
-        |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
-        |  o_totalprice ASC NULLS FIRST, n_near ASC NULLS FIRST,
-        |  near_sum ASC NULLS FIRST""".stripMargin)),
+        |WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice ASC
+        |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+        |  o_orderkey ASC NULLS FIRST, o_totalprice ASC NULLS FIRST,
+        |  n_near ASC NULLS FIRST, near_sum ASC NULLS FIRST""".stripMargin)),
 
     Decl("q_win_firstlast", (spark, dir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

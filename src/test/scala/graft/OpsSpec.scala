@@ -13,13 +13,16 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("approx_count_distinct within 5% of exact (q_agg_hll)") {
-    val rows = SparkEntry.queries("q_agg_hll")(spark, TestSpark.sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+    val approxRows = SparkEntry.queries("q_agg_hll")(spark, TestSpark.sf).collect()
+    assert(approxRows.nonEmpty)
+    val exact = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    approxRows.foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
     }
   }
 
