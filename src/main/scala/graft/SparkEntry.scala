@@ -20,6 +20,7 @@ object SparkEntry {
     ops.ScalarFns,
     ops.Udx,
     ops.LlmOps,
+    ops.LlmOps2,
     ops.StreamOps,
     ops.CatalogOps,
   )

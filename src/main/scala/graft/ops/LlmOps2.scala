@@ -1,0 +1,288 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import graft.functions.Fingerprints
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended LLM-pipeline operators: the rest of the dedup family
+  * (SimHash, n-gram Jaccard, embedding-cosine), IVF/LSH-bucketed ANN,
+  * language-ID, quality scoring, token counting, and document
+  * fingerprinting via native codegen expressions.
+  *
+  * Scale notes: every near-dup variant goes through a blocking key
+  * (band hash / LSH bucket / fingerprint) so candidate generation is
+  * an equi-join, never an O(n²) cross product; scoring/ID/token ops
+  * are single-pass narrow transformations.
+  */
+object LlmOps2 extends Pack {
+
+  private def words(c: Column) = filter(split(c, " "), w => w =!= "")
+
+  /** 64-bit SimHash from word hashes: per-bit ±1 vote, one pass. */
+  def simhashPairsDf(input: DataFrame): DataFrame = {
+    val wordHash = input
+      .withColumn("ws", words(lower(col("text"))))
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sigs = wordHash.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sh = sigs.select(col("doc_id"), simhash.as("simhash"))
+    // block on 4×16-bit chunks (near-dups agree on ≥1 chunk w.h.p.)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("band"), expr(s"(simhash >> ${16 * i}) & 65535").as("chunk"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .distinct()
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first,
+        col("hamming").asc_nulls_first)
+  }
+
+  /** LSH-bucketed approximate top-k cosine (the scale path when the
+    * query set can't broadcast against every vector): 6 fixed random
+    * hyperplanes → 64 buckets; queries multi-probe their bucket plus
+    * all hamming-1 neighbors.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+    def bucketOf(e: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lits = array(p.map(lit).toIndexedSeq: _*)
+        val dot = aggregate(zip_with(e, lits, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", bucketOf(col("e")))
+    // multi-probe: own bucket + all hamming-1 and hamming-2 neighbors
+    val masks = 0 +: (0 until 6).map(1 << _) ++:
+      (for (i <- 0 until 6; j <- i + 1 until 6) yield (1 << i) | (1 << j))
+    val probes = masks.map(m => col("bucket").bitwiseXOR(lit(m)))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(array(probes: _*)).as("bucket"))
+    val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val norm = (c: Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first,
+        col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)
+  }
+
+  def decls: Seq[Decl] = Seq(
+
+    Decl("q_llm_simhash", (spark, dir) =>
+      simhashPairsDf(Tables(spark, dir, "documents")), None),
+
+    Decl("q_llm_simsearch_ivf", (spark, dir) => ivfTopK(spark, dir), None),
+
+    // Trigram Jaccard over consecutive doc pairs (deterministic pair
+    // source keeps the oracle O(n)).
+    Decl("q_llm_jaccard", (spark, dir) => {
+      val tri = Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .withColumn("ws", words(lower(col("text"))))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("tri"))
+      val a = tri.select(col("doc_id").as("doc_a"), col("tri").as("ta"))
+      val b = tri.select(col("doc_id").as("doc_b"), col("tri").as("tb"))
+      a.join(b, col("doc_a") + 1 === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))), 6).as("jaccard"))
+        .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first,
+          col("jaccard").asc_nulls_first)
+    }, Some(
+      """WITH tri AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |        FROM documents WHERE doc_id < 200)
+        |  WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE)
+        |    / len(list_distinct(a.tri || b.tri)), 6) AS jaccard
+        |FROM tri a JOIN tri b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST,
+        |  jaccard ASC NULLS FIRST""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (bounded id range; at scale the
+    // same computation runs behind the LSH bucketing of ivfTopK).
+    Decl("q_llm_embdup", (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val a = emb.select(col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("e").as("eb"))
+      val dot = aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val norm = (c: Column) =>
+        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", round(dot / (norm(col("ea")) * norm(col("eb"))), 6))
+        .filter(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a").asc_nulls_first, col("id_b").asc_nulls_first,
+          col("cos").asc_nulls_first)
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(
+        |    list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+        |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |    list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+        |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.9
+        |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST, cos ASC NULLS FIRST""".stripMargin)),
+
+    // n-gram/stopword heuristic language ID. (The corpus labels are
+    // synthetic, so the heuristic's value is its determinism — the
+    // oracle re-states the identical decision function.)
+    Decl("q_llm_langid", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", words(lower(col("text"))))
+        .withColumn("stop_ratio",
+          size(filter(col("ws"), w => w.isin("the", "a", "of", "and"))).cast("double") /
+            size(col("ws")))
+        .withColumn("avg_wlen", length(col("text")).cast("double") / size(col("ws")))
+        .withColumn("pred",
+          when(col("stop_ratio") >= 0.08, "en")
+            .when(col("avg_wlen") >= 5.8, "de")
+            .when(col("stop_ratio") >= 0.04, "es")
+            .otherwise("zz"))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("stop_ratio")), 4).cast("decimal(10,4)").as("avg_stop_ratio"))
+        .orderBy(col("pred").asc_nulls_first),
+      Some(
+        """SELECT pred, COUNT(*) AS n_docs,
+          |  CAST(ROUND(AVG(stop_ratio), 4) AS DECIMAL(10,4)) AS avg_stop_ratio
+          |FROM (
+          |  SELECT
+          |    CASE WHEN stop_ratio >= 0.08 THEN 'en'
+          |         WHEN avg_wlen >= 5.8 THEN 'de'
+          |         WHEN stop_ratio >= 0.04 THEN 'es'
+          |         ELSE 'zz' END AS pred, stop_ratio
+          |  FROM (
+          |    SELECT
+          |      CAST(len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          |        / len(ws) AS stop_ratio,
+          |      CAST(length(text) AS DOUBLE) / len(ws) AS avg_wlen
+          |    FROM (SELECT text, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+          |          FROM documents)))
+          |GROUP BY pred
+          |ORDER BY pred ASC NULLS FIRST""".stripMargin)),
+
+    // Quality scoring: length + stopword-density blend, banded.
+    Decl("q_llm_quality", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("ws", words(lower(col("text"))))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("stop_ratio",
+          size(filter(col("ws"), w => w.isin("the", "a", "of", "and"))).cast("double") /
+            col("n_words"))
+        .withColumn("score", round(
+          least(col("n_words") / 200.0, lit(1.0)) * 0.5 +
+            least(col("stop_ratio") * 12.5, lit(1.0)) * 0.5, 6))
+        .withColumn("band",
+          when(col("score") >= 0.8, "high").when(col("score") >= 0.5, "mid").otherwise("low"))
+        .select(col("doc_id"), col("n_words"), col("score"), col("band"))
+        .orderBy(col("doc_id").asc_nulls_first, col("n_words").asc_nulls_first,
+          col("score").asc_nulls_first, col("band").asc_nulls_first),
+      Some(
+        """SELECT doc_id, n_words,
+          |  ROUND(LEAST(n_words / 200.0, 1.0) * 0.5
+          |      + LEAST(stop_ratio * 12.5, 1.0) * 0.5, 6) AS score,
+          |  CASE WHEN ROUND(LEAST(n_words / 200.0, 1.0) * 0.5
+          |      + LEAST(stop_ratio * 12.5, 1.0) * 0.5, 6) >= 0.8 THEN 'high'
+          |       WHEN ROUND(LEAST(n_words / 200.0, 1.0) * 0.5
+          |      + LEAST(stop_ratio * 12.5, 1.0) * 0.5, 6) >= 0.5 THEN 'mid'
+          |       ELSE 'low' END AS band
+          |FROM (
+          |  SELECT doc_id, len(ws) AS n_words,
+          |    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS DOUBLE)
+          |      / len(ws) AS stop_ratio
+          |  FROM (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+          |        FROM documents))
+          |ORDER BY doc_id ASC NULLS FIRST, n_words ASC NULLS FIRST,
+          |  score ASC NULLS FIRST, band ASC NULLS FIRST""".stripMargin)),
+
+    // Token counting: whitespace tokens, a BPE-ish regex tokenizer,
+    // and the chars/4 heuristic.
+    Decl("q_llm_tokens", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(words(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_re_tokens"),
+          expr("(length(text) + 3) div 4").as("est_tokens"))
+        .orderBy(col("doc_id").asc_nulls_first, col("n_ws_tokens").asc_nulls_first),
+      Some(
+        """SELECT doc_id,
+          |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+          |  (length(text) + 3) // 4 AS est_tokens
+          |FROM documents
+          |ORDER BY doc_id ASC NULLS FIRST, n_ws_tokens ASC NULLS FIRST""".stripMargin)),
+
+    // Native-expression document fingerprints (whole-stage codegen).
+    Decl("q_llm_fingerprint", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          Fingerprints.text_fingerprint(lower(trim(col("text")))).as("fp"),
+          Fingerprints.winnow_fingerprint(lower(trim(col("text"))), 16).as("winnow_fp"))
+        .orderBy(col("doc_id").asc_nulls_first, col("fp").asc_nulls_first), None),
+
+    // Multimodal feature extraction: binary payloads through a typed
+    // mapPartitions (the batch shape a real decoder plugs into; the
+    // codec itself is a deterministic stand-in — this container has no
+    // image/audio libs).
+    Decl("q_llm_mmfeatures", (spark, dir) => {
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            // stubbed "decode + featurize": 4 deterministic moments of
+            // the byte stream standing in for a real embedding
+            val n = payload.length.max(1)
+            val mean = payload.map(_.toInt & 0xff).sum.toDouble / n
+            val mx = if (payload.isEmpty) 0.0 else (payload.map(_.toInt & 0xff).max).toDouble
+            val mn = if (payload.isEmpty) 0.0 else (payload.map(_.toInt & 0xff).min).toDouble
+            (id, Array(n.toDouble, mean, mn, mx), n)
+          }
+        }
+        .toDF("doc_id", "features", "n_bytes")
+        .orderBy(col("doc_id").asc_nulls_first, col("n_bytes").asc_nulls_first)
+    }, None),
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.Fingerprints
+import graft.ops.LlmOps2
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Llm2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("simhash finds planted near-duplicates with small hamming distance") {
+    val base = Tables(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    val nearCopies = base.select((col("doc_id") + 20000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+", "changedword").as("text"))
+    val pairs = LlmOps2.simhashPairsDf(base.unionByName(nearCopies)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val found = (0L until 10L).count(i => pairs.exists(p => p._1 == i && p._2 == i + 20000))
+    // simhash is the coarse/cheap variant: one changed word in a short
+    // doc can flip >12 bits — minhash is the high-recall path (10/10)
+    assert(found >= 6, s"simhash caught only $found/10 near dups; pairs=${pairs.length}")
+    pairs.filter(p => p._2 - p._1 == 20000L).foreach { case (_, _, d) =>
+      assert(d <= 12)
+    }
+  }
+
+  test("ivf/LSH top-k recall vs exact brute force") {
+    val exact = SparkEntry.queries("q_llm_simsearch")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = LlmOps2.ivfTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall too low (${approx.size} approx rows)")
+  }
+
+  test("fingerprint expressions: equal text = equal fp, codegen matches interpreted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different document body here"),
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), Fingerprints.text_fingerprint(col("t")).as("fp"),
+        Fingerprints.winnow_fingerprint(col("t"), 16).as("wfp"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    // interpreted (eval) path must agree with the codegen path
+    val fpInterp = graft.functions.TextFingerprint(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "the quick brown fox jumps over the lazy dog"))).eval(null)
+    assert(fpInterp == rows(1L)._1)
+  }
+
+  test("fingerprints of the documents table are stable keys for exact dedup") {
+    val df = SparkEntry.queries("q_llm_fingerprint")(spark, TestSpark.sf)
+    val byFp = df.groupBy(col("fp")).count()
+    // every doc got a fingerprint; count preserved
+    assert(byFp.agg(sum(col("count"))).collect()(0).getLong(0) ==
+      Tables(spark, TestSpark.sf, "documents").count())
+  }
+
+  test("multimodal mapPartitions features are deterministic and complete") {
+    val a = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
+    val b = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
+    assert(a.length == Tables(spark, TestSpark.sf, "documents").count())
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 4 && f.head == r.getAs[Int]("n_bytes").toDouble)
+    }
+  }
+}
