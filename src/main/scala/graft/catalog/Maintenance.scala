@@ -1,0 +1,62 @@
+package graft.catalog
+
+import graft.meta.RelPaths
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance — the C16 bulk-IO analogs (RelativeFileIO.java
+  * deleteFiles/listPrefix/deletePrefix) put to their real use:
+  * snapshot expiry (Iceberg's expire_snapshots) and small-file
+  * compaction (rewrite_data_files).
+  */
+object Maintenance {
+
+  /** Drop all but the newest `keepLast` snapshots, then delete data
+    * files that no surviving snapshot references. Returns the number
+    * of files deleted. Metadata-only commit + physical delete AFTER
+    * the commit point, so a crash mid-delete leaves only harmless
+    * orphans (never a broken table).
+    */
+  def expireSnapshots(ops: TableOps, keepLast: Int): Int = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val kept = meta.snapshots.sortBy(_.sequenceNumber).takeRight(keepLast)
+      if (kept.size == meta.snapshots.size) return 0
+      val keptIds = kept.map(_.snapshotId).toSet
+      val keptFiles = kept.flatMap(_.files.map(_.path)).toSet
+      val orphans = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+        .flatMap(_.files.map(_.path)).distinct.filterNot(keptFiles)
+      val next = meta.copy(
+        lastUpdatedMs = System.currentTimeMillis(),
+        snapshots = kept,
+        snapshotLog = meta.snapshotLog.filter(e => keptIds(e.snapshotId)))
+      try {
+        ops.commit(v, next)
+        orphans.foreach(p =>
+          Files.deleteIfExists(Paths.get(RelPaths.absolutize(ops.warehouse, p))))
+        return orphans.size
+      } catch {
+        case _: CommitFailedException if attempts < 10 => // refresh + retry
+      }
+    }
+    0
+  }
+
+  /** Rewrite the current snapshot into `targetFiles` files (an
+    * `overwrite` snapshot — old files stay readable for time travel
+    * until expireSnapshots reclaims them).
+    */
+  def compact(spark: SparkSession, table: GraftTable, targetFiles: Int = 1): Unit = {
+    val files = table.readSnapshot.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) return
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val df = spark.read
+      .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
+      .parquet(paths: _*)
+      .coalesce(targetFiles)
+    Writer.append(table, df, overwrite = true)
+  }
+}

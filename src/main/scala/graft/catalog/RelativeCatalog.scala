@@ -38,7 +38,7 @@ import scala.util.Try
   *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
   * }}}
   */
-class RelativeCatalog extends TableCatalog with SupportsNamespaces {
+class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
   private var catName: String = _
   var warehouse: String = _
@@ -302,6 +302,76 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces {
       location = prefixNew,
       snapshots = meta.snapshots.map(s => s.copy(files = s.files.map(f => f.copy(path = remap(f.path))))),
       metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile)))))
+  }
+
+  // ---- views (C10, path-based analog of the JDBC catalog's view
+  // records, JdbcRelativeCatalog.java:157-201,476-547) ---------------
+
+  private def viewFile(ident: Identifier): Path =
+    dirOf(ident.namespace().toSeq).resolve(s"${ident.name()}.view.json")
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val d = dirOf(ns)
+    if (!Files.isDirectory(d)) Array.empty
+    else listDir(d).filter(p => p.getFileName.toString.endsWith(".view.json"))
+      .map(p => Identifier.of(ns.toArray,
+        p.getFileName.toString.stripSuffix(".view.json"))).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = Files.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftView(ViewDef.fromJson(Files.readString(viewFile(ident))))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    // a table with the same name wins — the reference's JDBC catalog
+    // guards this clash both ways (JdbcRelativeCatalog.java:674-691)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val d = ViewDef(ident.name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace().toList, info.schema().json,
+      info.queryColumnNames().toList, info.columnAliases().toList,
+      info.columnComments().toList.map(c => if (c == null) "" else c),
+      info.properties().asScala.toMap)
+    Files.writeString(viewFile(ident), ViewDef.toJson(d))
+    new GraftView(d)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val d0 = ViewDef.fromJson(Files.readString(viewFile(ident)))
+    val d = changes.foldLeft(d0) {
+      case (d, sp: ViewChange.SetProperty) =>
+        d.copy(properties = d.properties + (sp.property() -> sp.value()))
+      case (d, rp: ViewChange.RemoveProperty) =>
+        d.copy(properties = d.properties - rp.property())
+      case (d, _) => d
+    }
+    Files.writeString(viewFile(ident), ViewDef.toJson(d))
+    new GraftView(d)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    val newIdent =
+      if (rawNewIdent.namespace().headOption.contains(name()))
+        Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
+      else rawNewIdent
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    val d = ViewDef.fromJson(Files.readString(viewFile(oldIdent)))
+    Files.writeString(viewFile(newIdent), ViewDef.toJson(d.copy(name = newIdent.name())))
+    Files.delete(viewFile(oldIdent))
   }
 
   // ---- metadata tables --------------------------------------------

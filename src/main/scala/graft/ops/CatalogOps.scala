@@ -104,6 +104,58 @@ object CatalogOps extends Pack {
         |ORDER BY c_custkey ASC NULLS FIRST, c_nationkey ASC NULLS FIRST,
         |  c_acctbal ASC NULLS FIRST""".stripMargin)),
 
+    // Maintenance: 3 append snapshots → compact (overwrite snapshot) →
+    // expire old snapshots (orphan files physically deleted) → data
+    // must still match 3× the source.
+    Decl("q_cat_compact", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cp")
+      spark.sql(s"CREATE TABLE $c.demo_cp.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      (1 to 3).foreach(_ =>
+        spark.sql(s"INSERT INTO $c.demo_cp.reg SELECT * FROM region_src"))
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_cp"), "reg")
+      val tbl = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      graft.catalog.Maintenance.compact(spark, tbl, targetFiles = 1)
+      graft.catalog.Maintenance.expireSnapshots(tbl.ops, keepLast = 1)
+      spark.sql(
+        s"""SELECT r_regionkey, COUNT(*) AS n FROM $c.demo_cp.reg
+           |GROUP BY r_regionkey
+           |ORDER BY r_regionkey ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT r_regionkey, CAST(3 AS BIGINT) AS n FROM region
+        |ORDER BY r_regionkey ASC NULLS FIRST""".stripMargin)),
+
+    // Views (C10): persisted through the V2 ViewCatalog API (Spark
+    // 4.1's CREATE VIEW DDL only routes to the session catalog, so the
+    // SQL surface is API-driven here); the stored definition is loaded
+    // back and executed.
+    Decl("q_cat_view", (spark, dir) => {
+      import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_vw")
+      spark.sql(s"CREATE TABLE $c.demo_vw.nat (n_nationkey INT, n_name STRING, n_regionkey INT)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      spark.sql(s"INSERT INTO $c.demo_vw.nat SELECT * FROM nation_src")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = Identifier.of(Array("demo_vw"), "big_regions")
+      val sql =
+        s"""SELECT n_regionkey, COUNT(*) AS n FROM $c.demo_vw.nat
+           |GROUP BY n_regionkey
+           |ORDER BY n_regionkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin
+      if (!cata.viewExists(ident))
+        cata.createView(new ViewInfo(ident, sql, c, Array("demo_vw"),
+          spark.sql(sql).schema, Array("n_regionkey", "n"),
+          Array.empty[String], Array.empty[String],
+          new java.util.HashMap[String, String]()))
+      spark.sql(cata.loadView(ident).query())
+    }, Some(
+      """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
     // INSERT OVERWRITE (truncate-capability write path).
     Decl("q_sink_overwrite", (spark, dir) => {
       val c = cat(spark, dir)

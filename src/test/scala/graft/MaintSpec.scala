@@ -1,0 +1,76 @@
+package graft
+
+import graft.catalog.{Maintenance, TableOps}
+import graft.meta.RelPaths
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Maintenance (expire/compact — C16 analogs) and the ViewCatalog API
+  * round-trip (C10).
+  */
+class MaintSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("compact + expire: fewer files, fewer snapshots, orphans deleted, data intact") {
+    val wh = "/tmp/graft_test_maint"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcM", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcM.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcM.m")
+    spark.sql("CREATE TABLE tcM.m.t (id BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO tcM.m.t SELECT id FROM range(${i * 100}, ${i * 100 + 100})"))
+
+    val cat = spark.sessionState.catalogManager.catalog("tcM")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def table = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+    val filesBefore = table.readSnapshot.get.files
+    assert(filesBefore.size >= 4)
+    assert(table.meta.snapshots.size == 4)
+
+    Maintenance.compact(spark, table, targetFiles = 1)
+    val afterCompact = table
+    assert(afterCompact.readSnapshot.get.files.size == 1)
+    assert(spark.sql("SELECT COUNT(*), SUM(id) FROM tcM.m.t").collect()(0)
+      .toSeq == Seq(400L, (0L until 400L).sum))
+
+    val ops = new TableOps(wh, "m/t")
+    val deleted = Maintenance.expireSnapshots(ops, keepLast = 1)
+    assert(deleted == filesBefore.size, s"expected ${filesBefore.size} orphans, deleted $deleted")
+    filesBefore.foreach(f =>
+      assert(!Files.exists(Paths.get(RelPaths.absolutize(wh, f.path))), s"orphan ${f.path} survived"))
+    val metaAfter = ops.refresh().get._2
+    assert(metaAfter.snapshots.size == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM tcM.m.t").collect()(0).getLong(0) == 400)
+  }
+
+  test("view catalog API: create/load/list/rename/drop round-trip") {
+    val wh = "/tmp/graft_test_views"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcV", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcV.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcV.v")
+    val cat = spark.sessionState.catalogManager.catalog("tcV")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val ident = Identifier.of(Array("v"), "myview")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    cat.createView(new ViewInfo(ident, "SELECT 1 AS x", "tcV", Array("v"),
+      schema, Array("x"), Array.empty, Array.empty, new java.util.HashMap[String, String]()))
+    assert(cat.viewExists(ident))
+    val v = cat.loadView(ident)
+    assert(v.query() == "SELECT 1 AS x" && v.schema() == schema)
+    assert(cat.listViews("v").map(_.name()).toSeq == Seq("myview"))
+    // view file is warehouse-relative → relocates with the warehouse
+    assert(Files.exists(Paths.get(wh, "v", "myview.view.json")))
+    cat.renameView(ident, Identifier.of(Array("v"), "renamed"))
+    assert(!cat.viewExists(ident))
+    assert(cat.loadView(Identifier.of(Array("v"), "renamed")).query() == "SELECT 1 AS x")
+    assert(cat.dropView(Identifier.of(Array("v"), "renamed")))
+    assert(cat.listViews("v").isEmpty)
+  }
+}
