@@ -43,7 +43,7 @@ class GraftTable(
     val meta: TableMeta,
     val metaVersion: Int,
     val pinnedSnapshot: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def sparkSession = org.apache.spark.sql.SparkSession.active
 
@@ -83,6 +83,33 @@ class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)
+
+  /** Copy-on-write DELETE (the reference enables Iceberg row-level
+    * DML, SURVEY §1.4): files the predicate provably cannot touch
+    * (min/max bounds) are carried over untouched; only possibly-
+    * matching files are read back, filtered, and rewritten. At 100 TB
+    * the carryover set is the overwhelming majority — this is the
+    * property that makes COW deletes affordable.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => Writer.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = sparkSession
+    val files = readSnapshot.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) return
+    val (affected, untouched) = files.partition(f =>
+      filters.forall(FilePruning.keepFile(f, _)))
+    if (affected.isEmpty) return
+    val cond = filters.flatMap(Writer.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val remaining = spark.read.schema(schema())
+      .parquet(affected.map(f => RelPaths.absolutize(ops.warehouse, f.path)): _*)
+      .filter(!cond)
+    Writer.append(this, remaining, overwrite = true,
+      operation = "delete", carryover = untouched)
+  }
 }
 
 /** ScanBuilder that (1) prunes the snapshot file list on pushed
@@ -135,12 +162,19 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
     delegate.build()
   }
 
-  /** Conservative min/max file skipping: keep the file unless a bound
-    * proves the predicate can never match. String-encoded bounds are
-    * compared numerically when the column is numeric, else
-    * lexicographically (ISO dates/timestamps sort correctly).
-    */
-  private def keepFile(f: DataFile, filter: Filter): Boolean = {
+  private def keepFile(f: DataFile, filter: Filter): Boolean =
+    FilePruning.keepFile(f, filter)
+}
+
+/** Conservative min/max file skipping: keep the file unless a bound
+  * proves the predicate can never match. String-encoded bounds are
+  * compared numerically when the column is numeric, else
+  * lexicographically (ISO dates/timestamps sort correctly). Shared by
+  * the scan builder and the copy-on-write DELETE path (which uses it
+  * to carry over files the predicate provably cannot touch).
+  */
+object FilePruning {
+  def keepFile(f: DataFile, filter: Filter): Boolean = {
     def cmp(col: String, v: Any): Option[(Int, Int)] = // (cmp(min,v), cmp(max,v))
       for {
         mn <- f.minBound.get(col)

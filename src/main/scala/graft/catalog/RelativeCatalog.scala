@@ -269,7 +269,31 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       schemas = meta.schemas :+ SchemaDef(newSchemaId, fields),
       properties = props)
     ops.commit(v, next)
-    new GraftTable(catName, ident, ops, next, v + 1)
+    val table = new GraftTable(catName, ident, ops, next, v + 1)
+
+    // RENAME COLUMN: existing files still carry the old name, and our
+    // scan resolves by name (the id-keyed metadata is the source of
+    // truth, but the parquet footers aren't) → rewrite data under the
+    // new name so reads stay correct. Iceberg proper avoids this with
+    // field-id-based parquet resolution; the rewrite keeps the same
+    // user-visible semantics.
+    val renames = changes.collect { case rc: TableChange.RenameColumn =>
+      rc.fieldNames()(0) -> rc.newName() }
+    if (renames.nonEmpty && next.currentSnapshot.exists(_.files.nonEmpty)) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val renameMap = renames.toMap
+      val oldSchema = TableMeta.schemaToSpark(
+        meta.schemas.find(_.schemaId == meta.currentSchemaId).get)
+      val paths = next.currentSnapshot.get.files
+        .map(f => RelPaths.absolutize(warehouse, f.path))
+      val renamed = spark.read.schema(oldSchema).parquet(paths: _*)
+        .select(oldSchema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .as(renameMap.getOrElse(f.name, f.name))).toIndexedSeq: _*)
+      Writer.append(table, renamed, overwrite = true, operation = "replace")
+      return loadTable(ident)
+    }
+    table
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -15,7 +15,35 @@ import scala.jdk.CollectionConverters._
   */
 object Writer {
 
-  def append(table: GraftTable, data: DataFrame, overwrite: Boolean): Unit = {
+  /** Translate a v1 source Filter to a Column predicate (used by the
+    * COW delete path); None = untranslatable → canDeleteWhere false.
+    */
+  def filterToColumn(f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
+      operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil): Unit = {
     val spark = data.sparkSession
     val meta = table.meta
     val schema = TableMeta.schemaToSpark(meta.schema)
@@ -92,7 +120,7 @@ object Writer {
         .getOrElse(throw new IllegalStateException(s"table ${table.name()} vanished"))
       val now = System.currentTimeMillis()
       val snapId = now * 1000 + scala.util.Random.nextInt(1000)
-      val prevFiles = if (overwrite) Nil
+      val prevFiles = if (overwrite) carryover.toList
         else baseMeta.currentSnapshot.map(_.files).getOrElse(Nil)
       val addedRecords = newFiles.map(_.records).sum
       val snap = Snapshot(
@@ -100,7 +128,7 @@ object Writer {
         parentId = baseMeta.currentSnapshotId,
         sequenceNumber = baseMeta.lastSequenceNumber + 1,
         timestampMs = now,
-        operation = if (overwrite) "overwrite" else "append",
+        operation = Option(operation).getOrElse(if (overwrite) "overwrite" else "append"),
         summary = Map(
           "added-data-files" -> newFiles.size.toString,
           "added-records" -> addedRecords.toString,

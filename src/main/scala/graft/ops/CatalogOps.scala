@@ -104,6 +104,29 @@ object CatalogOps extends Pack {
         |ORDER BY c_custkey ASC NULLS FIRST, c_nationkey ASC NULLS FIRST,
         |  c_acctbal ASC NULLS FIRST""".stripMargin)),
 
+    // Row-level DELETE: copy-on-write rewrite of only the files the
+    // predicate can touch (min/max carryover for the rest).
+    Decl("q_cat_delete", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_del")
+      spark.sql(s"CREATE TABLE $c.demo_del.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_del.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
+      spark.sql(s"DELETE FROM $c.demo_del.cust WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'")
+      spark.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS bal
+           |FROM $c.demo_del.cust
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS bal
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // Maintenance: 3 append snapshots → compact (overwrite snapshot) →
     // expire old snapshots (orphan files physically deleted) → data
     // must still match 3× the source.

@@ -129,6 +129,34 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE tcE.e.t RENAME COLUMN a TO a2")
     val meta2 = new TableOps(wh, "e/t").refresh().get._2
     assert(meta2.schema.fields.find(_.name == "a2").get.id == 2)
+    // data written before the rename must read back under the new name
+    val renamed = spark.sql("SELECT id, a2 FROM tcE.e.t ORDER BY id").collect()
+    assert(renamed.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("copy-on-write DELETE rewrites only files the predicate can touch") {
+    val wh = freshDir("del")
+    mkCatalog("tcD", wh)
+    spark.sql("CREATE NAMESPACE tcD.d")
+    spark.sql("CREATE TABLE tcD.d.t (id BIGINT, v STRING)")
+    // two disjoint id ranges in two separate snapshots → distinct files
+    spark.sql("INSERT INTO tcD.d.t SELECT id, 'low' FROM range(0, 100)")
+    spark.sql("INSERT INTO tcD.d.t SELECT id, 'high' FROM range(1000, 1100)")
+    val cat = spark.sessionState.catalogManager.catalog("tcD")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    def files = cat.loadTable(Identifier.of(Array("d"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    val before = files.map(_.path).toSet
+    spark.sql("DELETE FROM tcD.d.t WHERE id >= 1000 AND id < 1050")
+    val after = files
+    // the low-range files must be carried over byte-identical
+    val lowBefore = before.filter(_.nonEmpty)
+    assert(after.map(_.path).toSet.intersect(lowBefore).nonEmpty,
+      "delete rewrote files it could not touch")
+    assert(spark.sql("SELECT COUNT(*) FROM tcD.d.t").collect()(0).getLong(0) == 150)
+    assert(spark.sql("SELECT COUNT(*) FROM tcD.d.t WHERE v = 'low'").collect()(0).getLong(0) == 100)
   }
 
   test("rename table moves the directory and rewrites stored locations") {
