@@ -1,0 +1,296 @@
+package graft.catalog
+
+import graft.meta.TableMeta
+import java.nio.file.{Files, Paths}
+import java.sql.{Connection, DriverManager, SQLException}
+import java.util
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** JDBC-backed variant of the relative catalog — the analog of the
+  * reference's `JdbcRelativeCatalog` (SURVEY §2.1): data and metadata
+  * FILES are laid out exactly like the path catalog (all warehouse-
+  * relative), but the source of truth for namespaces, table listings,
+  * and the current-metadata pointer is an RDBMS:
+  *
+  *  - bootstrap DDL creates the catalog + namespace-properties tables
+  *    if missing (ref JdbcRelativeCatalog.java:119-155)
+  *  - commits CAS the pointer row
+  *    (`UPDATE … SET metadata_location=? WHERE metadata_location=?`) —
+  *    losers see 0 updated rows → CommitFailedException and retry
+  *  - namespaces are property rows with an `exists` marker
+  *    (ref :297-311); namespace properties ARE persisted (C5,
+  *    ref :405-457), unlike the path catalog
+  *  - renameTable is a guarded UPDATE; a primary-key violation maps to
+  *    TableAlreadyExists (ref :247-284)
+  *
+  * Default store is embedded Derby under the warehouse; any JDBC url
+  * works via the `uri` option.
+  */
+class JdbcRelativeCatalog extends RelativeCatalog {
+
+  private var conn: Connection = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    super.initialize(name, options)
+    val uri = Option(options.get("uri"))
+      .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
+    conn = DriverManager.getConnection(uri)
+    bootstrap()
+  }
+
+  private def bootstrap(): Unit = synchronized {
+    def tryDdl(sql: String): Unit =
+      try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => /* exists */ }
+    tryDdl(
+      """CREATE TABLE graft_tables (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  table_namespace VARCHAR(255) NOT NULL,
+        |  table_name VARCHAR(255) NOT NULL,
+        |  metadata_location VARCHAR(4000),
+        |  previous_metadata_location VARCHAR(4000),
+        |  PRIMARY KEY (catalog_name, table_namespace, table_name))""".stripMargin)
+    tryDdl(
+      """CREATE TABLE graft_namespace_properties (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  namespace VARCHAR(255) NOT NULL,
+        |  property_key VARCHAR(255) NOT NULL,
+        |  property_value VARCHAR(4000),
+        |  PRIMARY KEY (catalog_name, namespace, property_key))""".stripMargin)
+  }
+
+  private def withStmt[A](sql: String)(bind: java.sql.PreparedStatement => Unit)(
+      run: java.sql.PreparedStatement => A): A = synchronized {
+    val ps = conn.prepareStatement(sql)
+    try { bind(ps); run(ps) } finally ps.close()
+  }
+
+  private def queryList[A](sql: String, args: String*)(f: java.sql.ResultSet => A): Seq[A] =
+    withStmt(sql)(ps => args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) }) { ps =>
+      val rs = ps.executeQuery()
+      val out = scala.collection.mutable.ListBuffer.empty[A]
+      while (rs.next()) out += f(rs)
+      rs.close()
+      out.toSeq
+    }
+
+  private def update(sql: String, args: String*): Int =
+    withStmt(sql)(ps => args.zipWithIndex.foreach { case (a, i) => ps.setString(i + 1, a) })(
+      _.executeUpdate())
+
+  private def nsKey(ns: Seq[String]): String = ns.mkString("/")
+
+  /** Pointer-CAS table operations: metadata files keep the vN naming,
+    * but currency is the DB row, not version-hint.text. */
+  class JdbcTableOps(location: String, nsStr: String, tblName: String)
+    extends TableOps(warehouse, location) {
+
+    private def pointer: Option[String] =
+      queryList(
+        "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+        name(), nsStr, tblName)(_.getString(1)).headOption
+
+    private def versionOf(loc: String): Int =
+      loc.split("/").last.stripPrefix("v")
+        .stripSuffix(".metadata.json").takeWhile(_.isDigit).toInt
+
+    override def findVersion(): Int = pointer.map(versionOf).getOrElse(0)
+
+    override def refresh(): Option[(Int, TableMeta)] = pointer.map { loc =>
+      val v = versionOf(loc)
+      (v, TableMeta.fromJson(Files.readString(
+        Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))))
+    }
+
+    override def commit(base: Int, meta: TableMeta): Int = {
+      require(!meta.location.startsWith("/") && !meta.location.contains("://"),
+        s"table location must be warehouse-relative: ${meta.location}")
+      Files.createDirectories(metadataDir)
+      // unique filename per attempt: a losing committer must only ever
+      // delete its OWN file, never the winner's
+      val unique = s"v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
+      val target = metadataDir.resolve(unique)
+      Files.writeString(target, TableMeta.toJson(meta))
+      val newLoc = s"$location/metadata/$unique"
+      val prevLoc = pointer.orNull
+      if (base != 0 && (prevLoc == null || versionOf(prevLoc) != base)) {
+        Files.deleteIfExists(target)
+        throw new CommitFailedException(s"stale base $base for $nsStr.$tblName")
+      }
+      val changed =
+        if (base == 0) {
+          try update(
+            "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location) VALUES (?,?,?,?,NULL)",
+            name(), nsStr, tblName, newLoc)
+          catch { case e: SQLException =>
+            Files.deleteIfExists(target)
+            throw new CommitFailedException(s"create race: ${e.getMessage}")
+          }
+        } else update(
+          "UPDATE graft_tables SET metadata_location=?, previous_metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND metadata_location=?",
+          newLoc, prevLoc, name(), nsStr, tblName, prevLoc)
+      // (CAS: 0 rows changed = another writer moved the pointer first)
+      if (changed != 1) {
+        Files.deleteIfExists(target)
+        throw new CommitFailedException(
+          s"concurrent update to $nsStr.$tblName (pointer CAS failed)")
+      }
+      base + 1
+    }
+  }
+
+  override protected def opsFor(ident: Identifier): TableOps =
+    new JdbcTableOps(tableLocation(ident), nsKey(ident.namespace().toSeq), ident.name())
+
+  // ---- namespaces: rows, not directories ---------------------------
+
+  override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
+    update(
+      "INSERT INTO graft_namespace_properties (catalog_name, namespace, property_key, property_value) VALUES (?,?,?,?)",
+      name(), nsKey(ns.toSeq), "exists", "true")
+    metadata.asScala.foreach { case (k, v) =>
+      update(
+        "INSERT INTO graft_namespace_properties (catalog_name, namespace, property_key, property_value) VALUES (?,?,?,?)",
+        name(), nsKey(ns.toSeq), k, v)
+    }
+    Files.createDirectories(dirOf(ns.toSeq))
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    queryList(
+      "SELECT 1 FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
+      name(), nsKey(ns.toSeq))(_ => 1).nonEmpty ||
+      queryList(
+        "SELECT 1 FROM graft_tables WHERE catalog_name=? AND table_namespace=?",
+        name(), nsKey(ns.toSeq))(_ => 1).nonEmpty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fromProps = queryList(
+      "SELECT DISTINCT namespace FROM graft_namespace_properties WHERE catalog_name=?",
+      name())(_.getString(1))
+    val fromTables = queryList(
+      "SELECT DISTINCT table_namespace FROM graft_tables WHERE catalog_name=?",
+      name())(_.getString(1))
+    (fromProps ++ fromTables).distinct.sorted
+      .map(_.split("/").toArray.take(1)).distinct.toArray
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val prefix = nsKey(ns.toSeq) + "/"
+    queryList(
+      "SELECT DISTINCT namespace FROM graft_namespace_properties WHERE catalog_name=?",
+      name())(_.getString(1))
+      .filter(_.startsWith(prefix))
+      .map(s => ns :+ s.stripPrefix(prefix).split("/")(0)).distinct.toArray
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    queryList(
+      "SELECT property_key, property_value FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
+      name(), nsKey(ns.toSeq))(rs => rs.getString(1) -> rs.getString(2))
+      .filterNot(_._1 == "exists").toMap
+      .updated("location", nsKey(ns.toSeq)).asJava
+  }
+
+  /** Namespace properties persist in the JDBC store (C5 — the Hadoop
+    * variant refuses, ref :319-328; the JDBC variant diffs into
+    * insert/update/delete, ref :405-457). */
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    changes.foreach {
+      case s: NamespaceChange.SetProperty =>
+        val n = update(
+          "UPDATE graft_namespace_properties SET property_value=? WHERE catalog_name=? AND namespace=? AND property_key=?",
+          s.value(), name(), nsKey(ns.toSeq), s.property())
+        if (n == 0) update(
+          "INSERT INTO graft_namespace_properties (catalog_name, namespace, property_key, property_value) VALUES (?,?,?,?)",
+          name(), nsKey(ns.toSeq), s.property(), s.value())
+      case r: NamespaceChange.RemoveProperty =>
+        update(
+          "DELETE FROM graft_namespace_properties WHERE catalog_name=? AND namespace=? AND property_key=?",
+          name(), nsKey(ns.toSeq), r.property())
+      case _ =>
+    }
+  }
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    val tables = listTables(ns)
+    if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
+    tables.foreach(dropTable)
+    update("DELETE FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
+      name(), nsKey(ns.toSeq))
+    deleteRecursively(dirOf(ns.toSeq))
+    true
+  }
+
+  // ---- tables ------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] =
+    queryList(
+      "SELECT table_name FROM graft_tables WHERE catalog_name=? AND table_namespace=?",
+      name(), nsKey(ns.toSeq))(rs => Identifier.of(ns, rs.getString(1))).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    queryList(
+      "SELECT 1 FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+      name(), nsKey(ident.namespace().toSeq), ident.name())(_ => 1).nonEmpty
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val n = update(
+      "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+      name(), nsKey(ident.namespace().toSeq), ident.name())
+    if (n == 1) {
+      deleteRecursively(dirOf(ident.namespace().toSeq :+ ident.name()))
+      true
+    } else false
+  }
+
+  /** Guarded catalog-row UPDATE; PK violation → AlreadyExists
+    * (ref JdbcRelativeCatalog.java:247-284). The data directory moves
+    * with it and embedded relative paths are rewritten. */
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    val newIdent =
+      if (rawNewIdent.namespace().headOption.contains(name()))
+        Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
+      else rawNewIdent
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
+    val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
+    Files.createDirectories(to.getParent)
+    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val prefixOld = tableLocation(oldIdent)
+    val prefixNew = tableLocation(newIdent)
+    def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
+    try {
+      // rewrite the metadata under the moved directory
+      val loc = queryList(
+        "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+        name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name())(_.getString(1)).head
+      val metaPath = Paths.get(graft.meta.RelPaths.absolutize(warehouse, remap(loc)))
+      val meta = TableMeta.fromJson(Files.readString(metaPath))
+      Files.writeString(metaPath, TableMeta.toJson(meta.copy(
+        location = prefixNew,
+        snapshots = meta.snapshots.map(s =>
+          s.copy(files = s.files.map(f => f.copy(path = remap(f.path))))),
+        metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile))))))
+      val n = update(
+        "UPDATE graft_tables SET table_namespace=?, table_name=?, metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+        nsKey(newIdent.namespace().toSeq), newIdent.name(), remap(loc),
+        name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name())
+      if (n != 1) throw new IllegalStateException("rename row update failed")
+    } catch {
+      case e: SQLException =>
+        Files.move(to, from, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        throw new TableAlreadyExistsException(newIdent)
+    }
+  }
+}

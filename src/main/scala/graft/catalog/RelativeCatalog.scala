@@ -40,7 +40,7 @@ import scala.util.Try
   */
 class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
-  private var catName: String = _
+  protected var catName: String = _
   var warehouse: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -55,16 +55,16 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 
   // ---- helpers -----------------------------------------------------
 
-  private def dirOf(parts: Seq[String]): Path =
+  protected def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(Paths.get(warehouse))(_.resolve(_))
 
   /** Files.list with the stream closed (long-lived driver safety). */
-  private def listDir(p: Path): Seq[Path] = {
+  protected def listDir(p: Path): Seq[Path] = {
     val st = Files.list(p)
     try st.iterator().asScala.toSeq finally st.close()
   }
 
-  private def isTableDir(p: Path): Boolean = {
+  protected def isTableDir(p: Path): Boolean = {
     val md = p.resolve("metadata")
     Files.isDirectory(md) && listDir(md).exists { f =>
       val n = f.getFileName.toString
@@ -72,10 +72,10 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     }
   }
 
-  private def tableLocation(ident: Identifier): String =
+  protected def tableLocation(ident: Identifier): String =
     (ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  private def opsFor(ident: Identifier) = new TableOps(warehouse, tableLocation(ident))
+  protected def opsFor(ident: Identifier) = new TableOps(warehouse, tableLocation(ident))
 
   // ---- namespaces (C1–C5) -----------------------------------------
 
@@ -125,7 +125,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     true
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  protected def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
@@ -209,6 +209,19 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       }
       PartField(srcId, 1000 + i, pname, tname)
     }
+    // optional write-time sort order, e.g.
+    //   TBLPROPERTIES ('sort-order' = 'l_shipdate asc, l_orderkey desc')
+    // (README.md:58-62 — the reference's metadata carries sort orders;
+    // our writer applies them with sortWithinPartitions)
+    val byNameAll = schemaDef.fields.map(f => f.name -> f.id).toMap
+    val sortFields = props.get("sort-order").map(_.split(",").toList.map { part =>
+      val tokens = part.trim.split("\\s+")
+      val fid = byNameAll.getOrElse(tokens(0),
+        throw new IllegalArgumentException(s"unknown sort column ${tokens(0)}"))
+      SortField(fid,
+        if (tokens.length > 1 && tokens(1).equalsIgnoreCase("desc")) "desc" else "asc",
+        "nulls-first")
+    }).getOrElse(Nil)
     val now = System.currentTimeMillis()
     val meta = TableMeta(
       formatVersion = 2,
@@ -222,8 +235,9 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       defaultSpecId = 0,
       partitionSpecs = List(PartSpec(0, specFields)),
       lastPartitionId = if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max,
-      defaultSortOrderId = 0,
-      sortOrders = List(SortOrderDef(0, Nil)),
+      defaultSortOrderId = if (sortFields.isEmpty) 0 else 1,
+      sortOrders = List(SortOrderDef(0, Nil)) ++
+        (if (sortFields.nonEmpty) List(SortOrderDef(1, sortFields)) else Nil),
       properties = props - "owner" - "provider",
       currentSnapshotId = None,
       snapshots = Nil,
@@ -400,7 +414,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 
   // ---- metadata tables --------------------------------------------
 
-  private def metadataTable(ident: Identifier, kind: String): Table = {
+  protected def metadataTable(ident: Identifier, kind: String): Table = {
     val ops = opsFor(ident)
     val (_, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
     kind match {

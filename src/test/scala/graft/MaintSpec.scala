@@ -48,6 +48,37 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcM.m.t").collect()(0).getLong(0) == 400)
   }
 
+  test("days() partition transform + sort-order property shape the written files") {
+    val wh = "/tmp/graft_test_days"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcDay", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcDay.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcDay.d")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql(
+        """CREATE TABLE tcDay.d.ev (ts TIMESTAMP_NTZ, user_id BIGINT)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES ('sort-order' = 'user_id asc')""".stripMargin)
+      Tables(spark, TestSpark.sf, "events").createOrReplaceTempView("ev_src")
+      spark.sql("INSERT INTO tcDay.d.ev SELECT ts, user_id FROM ev_src")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(spark.sql("SELECT COUNT(*) FROM tcDay.d.ev").collect()(0).getLong(0) ==
+      Tables(spark, TestSpark.sf, "events").count())
+    val cat = spark.sessionState.catalogManager.catalog("tcDay")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val tbl = cat.loadTable(Identifier.of(Array("d"), "ev"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(tbl.partitioning().map(_.toString).toSeq == Seq("days(ts)"))
+    assert(tbl.meta.sortOrders.exists(_.fields.nonEmpty))
+    val files = tbl.readSnapshot.get.files
+    assert(files.size > 1)
+    // day-clustered writes → per-file ts ranges must not all overlap:
+    // distinct (min-day) values across files should be > 1
+    val minDays = files.flatMap(_.minBound.get("ts")).map(_.take(10)).distinct
+    assert(minDays.size > 1, s"files not day-clustered: $minDays")
+  }
+
   test("view catalog API: create/load/list/rename/drop round-trip") {
     val wh = "/tmp/graft_test_views"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
