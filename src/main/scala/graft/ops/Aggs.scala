@@ -201,6 +201,30 @@ object Aggs extends Pack {
           |FROM orders GROUP BY o_custkey
           |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin)),
 
+    // Skew-aware two-phase aggregation: salt the (few, heavy) group
+    // keys across 16 partial groups, partially aggregate, then merge.
+    // Same result as a direct groupBy — but at 100 TB a 3-value key
+    // would otherwise hash 1/3 of the table into one reducer; the salt
+    // spreads the partial work across the cluster.
+    Decl("q_agg_salted", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.withColumn("salt", pmod(xxhash64($("l_orderkey"), $("l_linenumber")), lit(16)))
+        .groupBy($("l_returnflag"), $("salt"))
+        .agg(
+          sum(dec($("l_quantity"))).as("pq"),
+          count(lit(1)).as("pn"))
+        .groupBy($("l_returnflag"))
+        .agg(
+          d4(sum($("pq"))).as("sum_qty"),
+          sum($("pn")).as("n_rows"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // Approx distinct: engine-side only (HLL sketches differ between
     // engines); OpsSpec asserts relative error vs the exact count.
     Decl("q_agg_hll", (spark, dir) =>

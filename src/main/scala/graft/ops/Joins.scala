@@ -174,6 +174,29 @@ object Joins extends Pack {
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
 
+    // Co-located join: both sides pre-partitioned on the join key with
+    // the same partitioning, so the join itself adds NO extra exchange
+    // (Spark reuses the children's hash partitioning). This is the
+    // repartition/bucketing pattern for repeatedly-joined big tables.
+    Decl("q_join_colocated", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(col("l_orderkey"))
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(col("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          d4(sum(dec(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // As-of join, union+window formulation: emit signups and purchases
     // into one keyed stream, sort by (ts, kind) within user, and carry
     // the last-seen signup ts forward. One shuffle, one sort, O(1)
