@@ -23,7 +23,10 @@ object Maintenance {
       attempts += 1
       val (v, meta) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
-      val kept = meta.snapshots.sortBy(_.sequenceNumber).takeRight(keepLast)
+      // ref-pinned snapshots (tags/branches) are never expired
+      val pinned = meta.refs.values.map(_.snapshotId).toSet
+      val kept = (meta.snapshots.sortBy(_.sequenceNumber).takeRight(keepLast) ++
+        meta.snapshots.filter(s => pinned(s.snapshotId))).distinct
       if (kept.size == meta.snapshots.size) return 0
       val keptIds = kept.map(_.snapshotId).toSet
       val keptFiles = kept.flatMap(_.files.map(_.path)).toSet
@@ -43,6 +46,32 @@ object Maintenance {
       }
     }
     0
+  }
+
+  /** Create (or move) a named ref — `tag` pins a snapshot forever,
+    * `branch` tracks it until moved (README.md:67-75 `refs`). Readable
+    * through `VERSION AS OF '<name>'`.
+    */
+  def createRef(ops: TableOps, refName: String, refType: String = "tag",
+      snapshotId: Option[Long] = None): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val sid = snapshotId.orElse(meta.currentSnapshotId)
+        .getOrElse(throw new IllegalStateException("table has no snapshot"))
+      require(meta.snapshot(sid).isDefined, s"unknown snapshot $sid")
+      try {
+        ops.commit(v, meta.copy(
+          lastUpdatedMs = System.currentTimeMillis(),
+          refs = meta.refs + (refName -> graft.meta.Ref(sid, refType))))
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 =>
+      }
+    }
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (an

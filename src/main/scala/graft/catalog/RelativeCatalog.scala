@@ -157,18 +157,21 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     }
   }
 
-  /** Time travel: `VERSION AS OF <v>` — v is a snapshot id or a
-    * sequence number. */
+  /** Time travel: `VERSION AS OF <v>` — v is a snapshot id, a sequence
+    * number, or a named ref (branch/tag, README.md:67-103). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ops = opsFor(ident)
     val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
-    val wanted = Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(s"bad version: $version"))
-    val snap = meta.snapshot(wanted)
-      .orElse(meta.snapshots.find(_.sequenceNumber == wanted))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no snapshot $version in ${ident.name()}"))
-    new GraftTable(catName, ident, ops, meta, v, Some(snap.snapshotId))
+    val snap = Try(version.toLong).toOption match {
+      case Some(wanted) =>
+        meta.snapshot(wanted)
+          .orElse(meta.snapshots.find(_.sequenceNumber == wanted))
+      case None =>
+        meta.refs.get(version).flatMap(r => meta.snapshot(r.snapshotId))
+    }
+    val resolved = snap.getOrElse(throw new IllegalArgumentException(
+      s"no snapshot or ref '$version' in ${ident.name()}"))
+    new GraftTable(catName, ident, ops, meta, v, Some(resolved.snapshotId))
   }
 
   /** Time travel: `TIMESTAMP AS OF` (µs since epoch). */

@@ -224,13 +224,19 @@ object StreamOps extends Pack {
         |ORDER BY c_mktsegment ASC NULLS FIRST, event_type ASC NULLS FIRST,
         |  n ASC NULLS FIRST""".stripMargin)),
 
-    // foreachBatch sink: each micro-batch lands as parquet (the same
-    // staging→commit seam the catalog's writer uses); the declared
-    // result reads the sink back.
+    // foreachBatch sink into a CATALOG table: every micro-batch is one
+    // OCC-committed append snapshot — the reference's commit protocol
+    // (C12) as the sink-side transaction model. The declared result
+    // reads the committed table back through the catalog.
     Decl("q_str_sink", (spark, dir) => {
       import spark.implicits._
-      val out = s"/tmp/graft_sink_${Math.abs(dir.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val cname = s"graftsink${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.sink CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.sink")
+      spark.sql(s"CREATE TABLE $cname.sink.ev " +
+        "(event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE)")
       val evs = Tables(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[Ev].collect().toSeq
@@ -239,7 +245,7 @@ object StreamOps extends Pack {
       val ms = MemoryStream[Ev]
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: Dataset[Ev], id: Long) =>
-          batch.write.mode("append").parquet(out): Unit
+          batch.writeTo(s"$cname.sink.ev").append()
         }
         .outputMode(OutputMode.Append()).start()
       try {
@@ -247,7 +253,7 @@ object StreamOps extends Pack {
           ms.addData(half); q.processAllAvailable()
         }
       } finally q.stop()
-      spark.read.parquet(out)
+      spark.table(s"$cname.sink.ev")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("n").asc_nulls_first)
     }, Some(

@@ -79,6 +79,40 @@ class MaintSpec extends AnyFunSuite {
     assert(minDays.size > 1, s"files not day-clustered: $minDays")
   }
 
+  test("tags pin snapshots: readable via VERSION AS OF name, survive expiry") {
+    val wh = "/tmp/graft_test_refs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRef", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRef.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRef.r")
+    spark.sql("CREATE TABLE tcRef.r.t (id BIGINT)")
+    spark.sql("INSERT INTO tcRef.r.t SELECT id FROM range(10)")
+    val ops = new TableOps(wh, "r/t")
+    Maintenance.createRef(ops, "v1_release", "tag")
+    spark.sql("INSERT INTO tcRef.r.t SELECT id FROM range(10, 50)")
+    spark.sql("INSERT INTO tcRef.r.t SELECT id FROM range(50, 60)")
+    assert(spark.sql("SELECT COUNT(*) FROM tcRef.r.t VERSION AS OF 'v1_release'")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRef.r.t").collect()(0).getLong(0) == 60)
+    // expiry keeps the tagged snapshot alive
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRef.r.t VERSION AS OF 'v1_release'")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRef.r.t").collect()(0).getLong(0) == 60)
+  }
+
+  test("CTAS through the catalog") {
+    val wh = "/tmp/graft_test_ctas"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCt", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCt.c")
+    spark.sql("CREATE TABLE tcCt.c.src (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO tcCt.c.src SELECT id, id * 2.0 FROM range(100)")
+    spark.sql("CREATE TABLE tcCt.c.dst AS SELECT id, v FROM tcCt.c.src WHERE id < 40")
+    assert(spark.sql("SELECT COUNT(*) FROM tcCt.c.dst").collect()(0).getLong(0) == 40)
+  }
+
   test("view catalog API: create/load/list/rename/drop round-trip") {
     val wh = "/tmp/graft_test_views"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
