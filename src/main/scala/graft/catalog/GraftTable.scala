@@ -43,7 +43,15 @@ class GraftTable(
     val meta: TableMeta,
     val metaVersion: Int,
     val pinnedSnapshot: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO (and non-metadata DELETE) via group-based
+    * copy-on-write — see [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info)
 
   private def sparkSession = org.apache.spark.sql.SparkSession.active
 

@@ -80,8 +80,16 @@ object Writer {
     val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
     sorted.write.mode("errorifexists").parquet(stagingAbs)
 
-    // one metadata-collection pass: per-file record counts + min/max
-    // bounds for every boundable primitive column (drives file skipping)
+    val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
+    commitSnapshot(table, newFiles, overwrite, operation, carryover)
+  }
+
+  /** One metadata-collection pass over freshly staged parquet: per-file
+    * record counts + min/max bounds for every boundable primitive
+    * column (drives file skipping).
+    */
+  def collectStats(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+      warehouse: String, stagingAbs: String): List[DataFile] = {
     val boundable = schema.fields.filter(f => f.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
            _: FloatType | _: StringType | _: DateType | _: TimestampType |
@@ -97,7 +105,7 @@ object Writer {
       .agg(statAggs.head, statAggs.tail.toIndexedSeq: _*)
       .collect()
 
-    val newFiles = stats.map { r =>
+    stats.map { r =>
       val fileAbs = r.getAs[String]("__file").replaceFirst("^file:(//)?", "")
       val mins = boundable.flatMap(f =>
         Option(r.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap
@@ -109,9 +117,13 @@ object Writer {
         bytes = scala.util.Try(Files.size(Paths.get(fileAbs))).getOrElse(0L),
         minBound = mins, maxBound = maxs)
     }.toList
+  }
 
-    // OCC commit loop (ref HadoopRelativeTableOperations.java:144-180;
-    // Iceberg retries on CommitFailedException with a refreshed base)
+  /** OCC commit loop (ref HadoopRelativeTableOperations.java:144-180;
+    * Iceberg retries on CommitFailedException with a refreshed base).
+    */
+  def commitSnapshot(table: GraftTable, newFiles: List[DataFile],
+      overwrite: Boolean, operation: String, carryover: Seq[DataFile]): Unit = {
     var attempts = 0
     var done = false
     while (!done) {

@@ -127,6 +127,60 @@ object CatalogOps extends Pack {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // Row-level UPDATE via group-based copy-on-write (ReplaceData).
+    Decl("q_cat_update", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_up")
+      spark.sql(s"CREATE TABLE $c.demo_up.ord (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_up.ord SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders_src")
+      spark.sql(s"UPDATE $c.demo_up.ord SET o_totalprice = o_totalprice * 1.1 WHERE o_orderstatus = 'F'")
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |FROM $c.demo_up.ord
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |        THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // MERGE INTO: matched rows updated, unmatched inserted (COW).
+    Decl("q_cat_merge", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mg")
+      spark.sql(s"CREATE TABLE $c.demo_mg.cust (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_mg.cust SELECT c_custkey, c_acctbal, c_mktsegment FROM customer_src WHERE c_custkey % 3 <> 0")
+      spark.sql(
+        s"""MERGE INTO $c.demo_mg.cust t
+           |USING (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer_src WHERE c_custkey % 2 = 0) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1000
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.c_custkey, s.c_acctbal, s.c_mktsegment)""".stripMargin)
+      spark.sql(
+        s"""SELECT c_custkey, CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS bal
+           |FROM $c.demo_mg.cust
+           |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+        |src AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |merged AS (
+        |  SELECT b.c_custkey,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN b.c_acctbal + 1000 ELSE b.c_acctbal END AS bal
+        |  FROM base b LEFT JOIN src s ON b.c_custkey = s.c_custkey
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_acctbal FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey))
+        |SELECT c_custkey, CAST(ROUND(CAST(bal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS bal
+        |FROM merged
+        |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)),
+
     // Maintenance: 3 append snapshots → compact (overwrite snapshot) →
     // expire old snapshots (orphan files physically deleted) → data
     // must still match 3× the source.

@@ -135,6 +135,30 @@ class CatalogSpec extends AnyFunSuite {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("copy-on-write MERGE carries over files the ON-condition cannot touch") {
+    val wh = freshDir("mrg")
+    mkCatalog("tcMg", wh)
+    spark.sql("CREATE NAMESPACE tcMg.m")
+    spark.sql("CREATE TABLE tcMg.m.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcMg.m.t SELECT id, 'low' FROM range(0, 100)")
+    spark.sql("INSERT INTO tcMg.m.t SELECT id, 'high' FROM range(1000, 1100)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcMg")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def files = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files.map(_.path).toSet
+    val before = files
+    spark.sql(
+      """MERGE INTO tcMg.m.t t
+        |USING (SELECT id FROM range(1000, 1010)) s
+        |ON t.id = s.id AND t.id >= 1000
+        |WHEN MATCHED THEN UPDATE SET v = 'merged'""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMg.m.t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMg.m.t").collect()(0).getLong(0) == 200)
+    // low-range files must survive byte-identical
+    assert(files.intersect(before).nonEmpty, "merge rewrote files it could not touch")
+  }
+
   test("copy-on-write DELETE rewrites only files the predicate can touch") {
     val wh = freshDir("del")
     mkCatalog("tcD", wh)
