@@ -183,20 +183,21 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
   */
 object FilePruning {
   def keepFile(f: DataFile, filter: Filter): Boolean = {
-    def cmp(col: String, v: Any): Option[(Int, Int)] = // (cmp(min,v), cmp(max,v))
-      for {
-        mn <- f.minBound.get(col)
-        mx <- f.maxBound.get(col)
-        cn <- compareBound(col, mn, v)
-        cx <- compareBound(col, mx, v)
-      } yield (cn, cx)
+    // one-sided bounds are allowed (over-long string upper bounds are
+    // dropped at write time): each side prunes independently
+    def cmpMin(col: String, v: Any): Option[Int] =
+      f.minBound.get(col).flatMap(compareBound(col, _, v))
+    def cmpMax(col: String, v: Any): Option[Int] =
+      f.maxBound.get(col).flatMap(compareBound(col, _, v))
+    def mayContain(col: String, v: Any): Boolean =
+      cmpMin(col, v).forall(_ <= 0) && cmpMax(col, v).forall(_ >= 0)
     filter match {
-      case EqualTo(a, v) => cmp(a, v).forall { case (mn, mx) => mn <= 0 && mx >= 0 }
-      case GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
-      case GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)
-      case LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
-      case LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
-      case In(a, vs) => vs.exists(v => cmp(a, v).forall { case (mn, mx) => mn <= 0 && mx >= 0 })
+      case EqualTo(a, v) => mayContain(a, v)
+      case GreaterThan(a, v) => cmpMax(a, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpMax(a, v).forall(_ >= 0)
+      case LessThan(a, v) => cmpMin(a, v).forall(_ < 0)
+      case LessThanOrEqual(a, v) => cmpMin(a, v).forall(_ <= 0)
+      case In(a, vs) => vs.exists(v => mayContain(a, v))
       case And(l, r) => keepFile(f, l) && keepFile(f, r)
       case Or(l, r) => keepFile(f, l) || keepFile(f, r)
       case _ => true

@@ -107,10 +107,16 @@ object Writer {
 
     stats.map { r =>
       val fileAbs = r.getAs[String]("__file").replaceFirst("^file:(//)?", "")
+      // long string bounds would embed whole documents into
+      // metadata.json: a 64-char PREFIX stays a valid lower bound;
+      // an over-long upper bound is dropped (conservative: the file
+      // is simply never skipped on that column's upper side)
       val mins = boundable.flatMap(f =>
-        Option(r.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap
+        Option(r.getAs[String](s"__min_${f.name}")).map(v =>
+          f.name -> (if (v.length > 64) v.substring(0, 64) else v))).toMap
       val maxs = boundable.flatMap(f =>
-        Option(r.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap
+        Option(r.getAs[String](s"__max_${f.name}")).filter(_.length <= 64)
+          .map(f.name -> _)).toMap
       DataFile(
         path = RelPaths.relativize(warehouse, fileAbs),
         records = r.getAs[Long]("__n"),
