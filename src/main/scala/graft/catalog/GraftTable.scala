@@ -204,15 +204,21 @@ object FilePruning {
     }
   }
 
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+
   /** compare stored bound (string) against the filter value; None = incomparable */
   private def compareBound(col: String, bound: String, v: Any): Option[Int] = v match {
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float | _: java.math.BigDecimal) =>
       scala.util.Try(BigDecimal(bound).compare(BigDecimal(n.toString))).toOption
     case s: String => Some(bound.compareTo(s))
     case d: java.sql.Date => Some(bound.compareTo(d.toString))
-    case t: java.sql.Timestamp => Some(bound.compareTo(t.toString.stripSuffix(".0")))
-    case t: java.time.LocalDateTime => Some(bound.compareTo(
-      t.toString.replace('T', ' ')))
+    case t: java.sql.Timestamp =>
+      Some(bound.compareTo(tsFmt.format(t.toInstant)))
+    case t: java.time.LocalDateTime =>
+      Some(bound.compareTo(t.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+    case t: java.time.Instant => Some(bound.compareTo(tsFmt.format(t)))
     case _ => None
   }
 }

@@ -160,7 +160,7 @@ class GraftDataWriter(path: String, conf: Configuration,
     }
     new B(new Path(path))
       .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
       .build()
   }
 

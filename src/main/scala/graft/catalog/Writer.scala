@@ -78,7 +78,7 @@ object Writer {
 
     val stagingRel = s"${meta.location}/data/${java.util.UUID.randomUUID()}"
     val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
-    sorted.write.mode("errorifexists").parquet(stagingAbs)
+    sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
     commitSnapshot(table, newFiles, overwrite, operation, carryover)
@@ -96,10 +96,17 @@ object Writer {
            _: TimestampNTZType | _: DecimalType => true
       case _ => false
     })
+    // timestamps use a FIXED-WIDTH encoding so lexicographic bound
+    // compare == chronological (a trimmed fraction would not sort)
+    def enc(f: org.apache.spark.sql.types.StructField) = f.dataType match {
+      case _: TimestampType | _: TimestampNTZType =>
+        (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      case _ => (c: org.apache.spark.sql.Column) => c.cast("string")
+    }
     val statAggs = count(lit(1)).as("__n") +:
       boundable.flatMap(f => Seq(
-        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"__max_${f.name}")))
+        enc(f)(min(col(f.name))).as(s"__min_${f.name}"),
+        enc(f)(max(col(f.name))).as(s"__max_${f.name}")))
     val stats = spark.read.schema(schema).parquet(stagingAbs)
       .groupBy(input_file_name().as("__file"))
       .agg(statAggs.head, statAggs.tail.toIndexedSeq: _*)
