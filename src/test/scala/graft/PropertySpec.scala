@@ -1,0 +1,85 @@
+package graft
+
+import graft.catalog.TableOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Remaining SURVEY §5.3/§5.4 properties: commit version monotonicity,
+  * dedup idempotence, top-k ⊆ sorted prefix, and a
+  * flatMapGroupsWithState stream-vs-batch equivalence.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("commit versions are strictly monotonic across writers") {
+    val wh = "/tmp/graft_test_mono"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcMono", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcMono.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcMono.p")
+    spark.sql("CREATE TABLE tcMono.p.t (id BIGINT)")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    (1 to 8).foreach { i =>
+      spark.sql(s"INSERT INTO tcMono.p.t VALUES ($i)")
+      seen += new TableOps(wh, "p/t").refresh().get._1
+    }
+    assert(seen.toSeq == seen.toSeq.sorted && seen.distinct.size == seen.size)
+    val meta = new TableOps(wh, "p/t").refresh().get._2
+    assert(meta.snapshots.map(_.sequenceNumber) == (1L to 8L).toList)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("q_llm_exactdedup")(spark, TestSpark.sf)
+    // dedup of already-deduped keepers finds nothing further
+    val keepers = Tables(spark, TestSpark.sf, "documents")
+      .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val again = keepers.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(again.count() == 0)
+    assert(once.count() >= 0) // query itself evaluates
+  }
+
+  test("top-k is a prefix of the global sort") {
+    val topk = SparkEntry.queries("q_topk")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sorted = Tables(spark, TestSpark.sf, "orders")
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(topk.size).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk == sorted)
+  }
+
+  test("flatMapGroupsWithState stream equals batch aggregation") {
+    import spark.implicits._
+    case class E(user_id: Long, value: Double)
+    val evs = Tables(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("value")).as[(Long, Double)].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)],
+         st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = st.getOption.getOrElse(0L) + it.size
+          st.update(n)
+          Iterator.single((uid, n))
+      }
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    try { ms.addData(evs); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("fmgws").groupBy(col("user_id"))
+      .agg(max(col("n")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables(spark, TestSpark.sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
