@@ -22,9 +22,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't billed to the
-    // first query in the map
+    // warm-up actions so JVM/codegen/streaming-engine startup isn't
+    // billed to the first queries in the map
     spark.read.parquet(s"$sfDir/nation.parquet").count(): Unit
+    try {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = ms.toDS().groupBy().count().writeStream
+        .format("memory").queryName("graft_warmup").outputMode("complete").start()
+      ms.addData(1L); q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -175,9 +175,12 @@ object Joins extends Pack {
         |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
 
     // Co-located join: both sides pre-partitioned on the join key with
-    // the same partitioning, so the join itself adds NO extra exchange
-    // (Spark reuses the children's hash partitioning). This is the
-    // repartition/bucketing pattern for repeatedly-joined big tables.
+    // the same partitioning, so the SMJ adds NO extra exchange (Spark
+    // reuses the children's hash partitioning — verified: the plan has
+    // only the two REPARTITION_BY_COL exchanges). At bench scale AQE
+    // may still pick broadcast, which is also the right call. This is
+    // the repartition/bucketing pattern for repeatedly-joined big
+    // tables.
     Decl("q_join_colocated", (spark, dir) => {
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
