@@ -84,11 +84,119 @@ object Writer {
     commitSnapshot(table, newFiles, overwrite, operation, carryover)
   }
 
-  /** One metadata-collection pass over freshly staged parquet: per-file
-    * record counts + min/max bounds for every boundable primitive
-    * column (drives file skipping).
+  /** Per-file record counts + min/max bounds for every boundable
+    * primitive column (drives file skipping) — read from the parquet
+    * FOOTERS the write already produced, so committing never re-reads
+    * the data (a 2× read amplification at 100 TB ingest otherwise).
+    * Falls back to a Spark aggregation pass if a footer can't serve.
     */
   def collectStats(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+      warehouse: String, stagingAbs: String): List[DataFile] =
+    try collectStatsFromFooters(schema, warehouse, stagingAbs)
+    catch {
+      case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"footer stats failed (${e.getMessage}); falling back to scan")
+        collectStatsByScan(spark, schema, warehouse, stagingAbs)
+    }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+
+  def collectStatsFromFooters(schema: StructType, warehouse: String,
+      stagingAbs: String): List[DataFile] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val boundableNames = schema.fields.map(_.name).toSet
+    val files = java.nio.file.Files.walk(Paths.get(stagingAbs)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+      .toList
+    files.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val records = blocks.map(_.getRowCount).sum
+        val mins = scala.collection.mutable.Map.empty[String, String]
+        val maxs = scala.collection.mutable.Map.empty[String, String]
+        val dropped = scala.collection.mutable.Set.empty[String]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val path = c.getPath.toArray
+          if (path.length == 1 && boundableNames(path(0))) {
+            val name = path(0)
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue || st.isEmpty) dropped += name
+            else {
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+              def encode(v: AnyRef): Option[String] = (v, ann) match {
+                case (b: Binary, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                  Some(b.toStringUsingUTF8)
+                case (i: Integer, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                  Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+                case (l: java.lang.Long, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  Some(tsFmt.format(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(l.longValue, 1000000L),
+                    Math.floorMod(l.longValue, 1000000L) * 1000L)))
+                case (n @ (_: Integer | _: java.lang.Long | _: java.lang.Double |
+                           _: java.lang.Float), null) => Some(n.toString)
+                case (n @ (_: Integer | _: java.lang.Long),
+                      _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) => Some(n.toString)
+                case _ => None // decimals/other: no bound (conservative)
+              }
+              (encode(st.genericGetMin.asInstanceOf[AnyRef]),
+               encode(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(mn), Some(mx)) =>
+                  mins(name) = minOf(mins.get(name), mn, schema, name)
+                  maxs(name) = maxOf(maxs.get(name), mx, schema, name)
+                case _ => dropped += name
+              }
+            }
+          }
+        }
+        dropped.foreach { n => mins.remove(n); maxs.remove(n) }
+        DataFile(
+          path = RelPaths.relativize(warehouse, p.toString),
+          records = records,
+          bytes = scala.util.Try(Files.size(p)).getOrElse(0L),
+          minBound = mins.toMap.map { case (k, v) =>
+            k -> (if (v.length > 64) v.substring(0, 64) else v) },
+          maxBound = maxs.toMap.filter(_._2.length <= 64))
+      } finally reader.close()
+    }
+  }
+
+  /** order-aware merge of string-encoded bounds: numeric columns
+    * compare numerically, everything else lexicographically */
+  private def isNumeric(schema: StructType, name: String): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: DecimalType => true
+      case _ => false
+    })
+
+  private def minOf(cur: Option[String], v: String, schema: StructType, name: String): String =
+    cur match {
+      case None => v
+      case Some(c) =>
+        if (isNumeric(schema, name))
+          scala.util.Try(if (BigDecimal(v) < BigDecimal(c)) v else c).getOrElse(Seq(v, c).min)
+        else Seq(v, c).min
+    }
+
+  private def maxOf(cur: Option[String], v: String, schema: StructType, name: String): String =
+    cur match {
+      case None => v
+      case Some(c) =>
+        if (isNumeric(schema, name))
+          scala.util.Try(if (BigDecimal(v) > BigDecimal(c)) v else c).getOrElse(Seq(v, c).max)
+        else Seq(v, c).max
+    }
+
+  def collectStatsByScan(spark: org.apache.spark.sql.SparkSession, schema: StructType,
       warehouse: String, stagingAbs: String): List[DataFile] = {
     val boundable = schema.fields.filter(f => f.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
