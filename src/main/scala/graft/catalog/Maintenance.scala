@@ -74,6 +74,40 @@ object Maintenance {
     }
   }
 
+  /** Write-audit-publish: append `df` to a named BRANCH — `main` (and
+    * every reader not asking for the branch) is untouched until
+    * [[fastForward]] publishes it.
+    */
+  def appendToBranch(table: GraftTable, df: org.apache.spark.sql.DataFrame,
+      branch: String): Unit =
+    Writer.append(table, df, overwrite = false, branch = Some(branch))
+
+  /** Publish a branch: point `main` (the current snapshot) at the
+    * branch head.
+    */
+  def fastForward(ops: TableOps, branch: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val head = meta.refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch $branch")).snapshotId
+      val now = System.currentTimeMillis()
+      try {
+        ops.commit(v, meta.copy(
+          lastUpdatedMs = now,
+          currentSnapshotId = Some(head),
+          snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, head),
+          refs = meta.refs + ("main" -> graft.meta.Ref(head, "branch"))))
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 =>
+      }
+    }
+  }
+
   /** Rewrite the current snapshot into `targetFiles` files (an
     * `overwrite` snapshot — old files stay readable for time travel
     * until expireSnapshots reclaims them).

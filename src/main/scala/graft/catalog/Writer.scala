@@ -43,7 +43,8 @@ object Writer {
   }
 
   def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
-      operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil): Unit = {
+      operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil,
+      branch: Option[String] = None): Unit = {
     val spark = data.sparkSession
     val meta = table.meta
     val schema = TableMeta.schemaToSpark(meta.schema)
@@ -81,7 +82,7 @@ object Writer {
     sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
-    commitSnapshot(table, newFiles, overwrite, operation, carryover)
+    commitSnapshot(table, newFiles, overwrite, operation, carryover, branch)
   }
 
   /** Per-file record counts + min/max bounds for every boundable
@@ -244,7 +245,8 @@ object Writer {
     * Iceberg retries on CommitFailedException with a refreshed base).
     */
   def commitSnapshot(table: GraftTable, newFiles: List[DataFile],
-      overwrite: Boolean, operation: String, carryover: Seq[DataFile]): Unit = {
+      overwrite: Boolean, operation: String, carryover: Seq[DataFile],
+      branch: Option[String] = None): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -253,12 +255,17 @@ object Writer {
         .getOrElse(throw new IllegalStateException(s"table ${table.name()} vanished"))
       val now = System.currentTimeMillis()
       val snapId = now * 1000 + scala.util.Random.nextInt(1000)
+      // branch writes (write-audit-publish) chain off the BRANCH head
+      // and leave `main`/current untouched until fast-forward
+      val baseSnap = branch.flatMap(b => baseMeta.refs.get(b))
+        .flatMap(r => baseMeta.snapshot(r.snapshotId))
+        .orElse(baseMeta.currentSnapshot)
       val prevFiles = if (overwrite) carryover.toList
-        else baseMeta.currentSnapshot.map(_.files).getOrElse(Nil)
+        else baseSnap.map(_.files).getOrElse(Nil)
       val addedRecords = newFiles.map(_.records).sum
       val snap = Snapshot(
         snapshotId = snapId,
-        parentId = baseMeta.currentSnapshotId,
+        parentId = baseSnap.map(_.snapshotId),
         sequenceNumber = baseMeta.lastSequenceNumber + 1,
         timestampMs = now,
         operation = Option(operation).getOrElse(if (overwrite) "overwrite" else "append"),
@@ -269,15 +276,24 @@ object Writer {
           "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
           "total-data-files" -> (prevFiles.size + newFiles.size).toString),
         files = prevFiles ++ newFiles)
-      val next = baseMeta.copy(
-        lastSequenceNumber = snap.sequenceNumber,
-        lastUpdatedMs = now,
-        currentSnapshotId = Some(snapId),
-        snapshots = baseMeta.snapshots :+ snap,
-        snapshotLog = baseMeta.snapshotLog :+ SnapshotLogEntry(now, snapId),
-        metadataLog = baseMeta.metadataLog :+
-          MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
-        refs = baseMeta.refs + ("main" -> Ref(snapId, "branch")))
+      val next = branch match {
+        case Some(b) => baseMeta.copy(
+          lastSequenceNumber = snap.sequenceNumber,
+          lastUpdatedMs = now,
+          snapshots = baseMeta.snapshots :+ snap,
+          metadataLog = baseMeta.metadataLog :+
+            MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
+          refs = baseMeta.refs + (b -> Ref(snapId, "branch")))
+        case None => baseMeta.copy(
+          lastSequenceNumber = snap.sequenceNumber,
+          lastUpdatedMs = now,
+          currentSnapshotId = Some(snapId),
+          snapshots = baseMeta.snapshots :+ snap,
+          snapshotLog = baseMeta.snapshotLog :+ SnapshotLogEntry(now, snapId),
+          metadataLog = baseMeta.metadataLog :+
+            MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
+          refs = baseMeta.refs + ("main" -> Ref(snapId, "branch")))
+      }
       try {
         table.ops.commit(baseV, next)
         done = true

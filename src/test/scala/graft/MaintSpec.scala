@@ -101,6 +101,62 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcRef.r.t").collect()(0).getLong(0) == 60)
   }
 
+  test("write-audit-publish: branch writes stay invisible until fast-forward") {
+    val wh = "/tmp/graft_test_wap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcWap", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcWap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcWap.w")
+    spark.sql("CREATE TABLE tcWap.w.t (id BIGINT)")
+    spark.sql("INSERT INTO tcWap.w.t SELECT id FROM range(100)")
+    val cat = spark.sessionState.catalogManager.catalog("tcWap")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("w"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    // stage 2 audit batches on a branch
+    import spark.implicits._
+    Maintenance.appendToBranch(tbl, (100L until 150L).toDF("id"), "audit")
+    Maintenance.appendToBranch(tbl, (150L until 200L).toDF("id"), "audit")
+    // main untouched; branch readable; audit chain is cumulative
+    assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 100)
+    assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 200)
+    // publish
+    Maintenance.fastForward(new TableOps(wh, "w/t"), "audit")
+    assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 200)
+  }
+
+  test("streaming upsert (CDC): foreachBatch MERGE INTO per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = "/tmp/graft_test_cdc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdc", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdc.c")
+    spark.sql("CREATE TABLE tcCdc.c.state (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO tcCdc.c.state SELECT id, 0.0 FROM range(10)")
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDS().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.createOrReplaceTempView("cdc_batch")
+        batch.sparkSession.sql(
+          """MERGE INTO tcCdc.c.state t USING cdc_batch s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin): Unit
+      }.start()
+    try {
+      ms.addData(Seq((1L, 10.0), (20L, 20.0))); q.processAllAvailable()
+      ms.addData(Seq((1L, 11.0), (21L, 21.0))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id, v FROM tcCdc.c.state ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 12)
+    assert(rows(1L) == 11.0 && rows(20L) == 20.0 && rows(21L) == 21.0 && rows(0L) == 0.0)
+  }
+
   test("CTAS through the catalog") {
     val wh = "/tmp/graft_test_ctas"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
