@@ -132,6 +132,7 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     val newFiles =
       if (written.isEmpty) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, stagingAbs)
+        .filter(_.records > 0)
     Writer.commitSnapshot(table, newFiles, overwrite = true,
       operation = operation, carryover = carryover())
   }

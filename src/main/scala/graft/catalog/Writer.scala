@@ -82,6 +82,7 @@ object Writer {
     sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
+      .filter(_.records > 0)
     commitSnapshot(table, newFiles, overwrite, operation, carryover, branch)
   }
 

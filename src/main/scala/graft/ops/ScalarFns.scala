@@ -248,6 +248,18 @@ object ScalarFns extends Pack {
           |FROM part
           |ORDER BY p_partkey ASC NULLS FIRST, name_md5 ASC NULLS FIRST""".stripMargin)),
 
+    // Spark-specific hash fns (seeded xxhash64 / crc32): values are
+    // engine-defined, so no SQL oracle — OpsSpec asserts determinism.
+    Decl("q_fn_hash_engine", (spark, dir) =>
+      Tables(spark, dir, "part")
+        .select(
+          col("p_partkey"),
+          xxhash64(col("p_name")).as("name_xxh"),
+          crc32(col("p_name").cast("binary")).as("name_crc"),
+          hash(col("p_name"), col("p_brand")).as("row_hash"))
+        .orderBy(col("p_partkey").asc_nulls_first, col("name_xxh").asc_nulls_first),
+      None),
+
     Decl("q_fn_struct", (spark, dir) =>
       Tables(spark, dir, "part")
         .withColumn("s", struct(col("p_partkey").as("key"), col("p_name").as("nm"),

@@ -83,6 +83,12 @@ class OpsSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("engine hash functions are deterministic across runs") {
+    val a = SparkEntry.queries("q_fn_hash_engine")(spark, TestSpark.sf).collect().map(_.toString)
+    val b = SparkEntry.queries("q_fn_hash_engine")(spark, TestSpark.sf).collect().map(_.toString)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
