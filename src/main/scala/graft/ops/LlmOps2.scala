@@ -88,10 +88,45 @@ object LlmOps2 extends Pack {
         col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)
   }
 
+  /** Connected components over candidate pairs by iterative min-label
+    * propagation (pure DataFrame ops — each round is one join+agg, and
+    * label count shrinks monotonically; converges in O(log n) rounds
+    * for real dup clusters). Returns (doc_id, group) where group is
+    * the smallest doc_id in the component — the canonical survivor.
+    */
+  def duplicateGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 15) {
+      rounds += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.alias("n").join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group"))
+      .orderBy(col("doc_id").asc_nulls_first, col("group").asc_nulls_first)
+  }
+
   def decls: Seq[Decl] = Seq(
 
     Decl("q_llm_simhash", (spark, dir) =>
       simhashPairsDf(Tables(spark, dir, "documents")), None),
+
+    // Duplicate clusters from MinHash candidates; canonical keeper =
+    // min doc_id per component. Engine-only (hash-derived pairs).
+    Decl("q_llm_dupgroups", (spark, dir) =>
+      duplicateGroups(LlmOps.minhashPairs(spark, dir)), None),
 
     Decl("q_llm_simsearch_ivf", (spark, dir) => ivfTopK(spark, dir), None),
 

@@ -62,6 +62,16 @@ class Llm2Spec extends AnyFunSuite {
       Tables(spark, TestSpark.sf, "documents").count())
   }
 
+  test("duplicate clustering groups transitive chains under one canonical id") {
+    import spark.implicits._
+    // chain: 1-2, 2-3, 3-4 plus isolated pair 10-11 → components {1,2,3,4}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val groups = LlmOps2.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(groups(_) == 1L))
+    assert(Seq(10L, 11L).forall(groups(_) == 10L))
+  }
+
   test("multimodal mapPartitions features are deterministic and complete") {
     val a = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
     val b = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
