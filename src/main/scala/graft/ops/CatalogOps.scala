@@ -115,13 +115,13 @@ object CatalogOps extends Pack {
       spark.sql(s"DELETE FROM $c.demo_del.cust WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'")
       spark.sql(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS bal
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
            |FROM $c.demo_del.cust
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
     }, Some(
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS bal
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
         |FROM customer
         |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING')
         |GROUP BY c_mktsegment
@@ -137,14 +137,14 @@ object CatalogOps extends Pack {
       spark.sql(s"UPDATE $c.demo_up.ord SET o_totalprice = o_totalprice * 1.1 WHERE o_orderstatus = 'F'")
       spark.sql(
         s"""SELECT o_orderstatus, COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
            |FROM $c.demo_up.ord
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
     }, Some(
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F'
-        |        THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |        THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
@@ -164,7 +164,7 @@ object CatalogOps extends Pack {
            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
            |  VALUES (s.c_custkey, s.c_acctbal, s.c_mktsegment)""".stripMargin)
       spark.sql(
-        s"""SELECT c_custkey, CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS bal
+        s"""SELECT c_custkey, CAST(CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
            |FROM $c.demo_mg.cust
            |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)
     }, Some(
@@ -177,7 +177,7 @@ object CatalogOps extends Pack {
         |  UNION ALL
         |  SELECT s.c_custkey, s.c_acctbal FROM src s
         |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey))
-        |SELECT c_custkey, CAST(ROUND(CAST(bal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS bal
+        |SELECT c_custkey, CAST(CAST(ROUND(CAST(bal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM merged
         |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)),
 

@@ -77,7 +77,7 @@ object StreamOps extends Pack {
       Some(
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
           |  COUNT(*) AS n,
-          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+          |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
           |FROM events
           |GROUP BY win_start, event_type
           |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST,
@@ -196,11 +196,11 @@ object StreamOps extends Pack {
         .groupBy(col("user_id"))
         // update mode emits one row per user per batch: keep the final
         .agg(max(col("n_events")).as("n_events"),
-          max_by(col("total_value"), col("n_events")).cast("decimal(18,4)").as("total_value"))
+          max_by(col("total_value"), col("n_events")).cast("decimal(18,4)").cast("double").as("total_value"))
         .orderBy(col("user_id").asc_nulls_first, col("n_events").asc_nulls_first),
       Some(
         """SELECT user_id, COUNT(*) AS n_events,
-          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total_value
+          |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
           |FROM events GROUP BY user_id
           |ORDER BY user_id ASC NULLS FIRST, n_events ASC NULLS FIRST""".stripMargin)),
 

@@ -60,13 +60,13 @@ object Udx extends Pack {
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(wavg(col("l_extendedprice"), col("l_quantity"))
-          .cast("decimal(18,4)").as("wavg_price"))
+          .cast("decimal(18,4)").cast("double").as("wavg_price"))
         .orderBy(col("l_returnflag").asc_nulls_first)
     }, Some(
       """SELECT l_returnflag,
-        |  CAST(ROUND(
+        |  CAST(CAST(ROUND(
         |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(9,6)))
-        |      / SUM(CAST(l_quantity AS DECIMAL(9,6))), 4) AS DECIMAL(18,4)) AS wavg_price
+        |      / SUM(CAST(l_quantity AS DECIMAL(9,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
