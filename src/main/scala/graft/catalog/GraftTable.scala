@@ -109,14 +109,20 @@ class GraftTable(
     val (affected, untouched) = files.partition(f =>
       filters.forall(FilePruning.keepFile(f, _)))
     if (affected.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val cond = filters.flatMap(Writer.filterToColumn)
       .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
+      .getOrElse(lit(true))
+    // SQL DELETE keeps rows the predicate does NOT match; a NULL
+    // predicate is "not matched", so it must map to keep (not drop):
+    // a bare !cond is NULL for those rows and the filter would
+    // silently delete them
     val remaining = spark.read.schema(schema())
       .parquet(affected.map(f => RelPaths.absolutize(ops.warehouse, f.path)): _*)
-      .filter(!cond)
+      .filter(!coalesce(cond, lit(false)))
     Writer.append(this, remaining, overwrite = true,
-      operation = "delete", carryover = untouched)
+      operation = "delete", carryover = untouched,
+      validateFrom = Some(readSnapshot.map(_.snapshotId)))
   }
 }
 

@@ -120,6 +120,7 @@ object Maintenance {
       .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
       .parquet(paths: _*)
       .coalesce(targetFiles)
-    Writer.append(table, df, overwrite = true)
+    Writer.append(table, df, overwrite = true,
+      validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
   }
 }

@@ -134,7 +134,8 @@ class GraftBatchWrite(table: GraftTable, operation: String,
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, stagingAbs)
         .filter(_.records > 0)
     Writer.commitSnapshot(table, newFiles, overwrite = true,
-      operation = operation, carryover = carryover())
+      operation = operation, carryover = carryover(),
+      validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -8,6 +8,14 @@ import scala.util.Try
 
 class CommitFailedException(msg: String) extends RuntimeException(msg)
 
+/** A concurrent commit changed files an in-flight row-level operation
+  * (DELETE/UPDATE/MERGE/compact) had read — retrying would lose its
+  * update, so the operation must fail (Iceberg validation semantics).
+  * Deliberately NOT a [[CommitFailedException]]: the OCC retry loop
+  * must not swallow it.
+  */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Metadata refresh / OCC commit / crash recovery for one table —
   * the Spark-native analog of the reference's table operations
   * (HadoopRelativeTableOperations.java):

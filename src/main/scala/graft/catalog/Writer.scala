@@ -44,7 +44,8 @@ object Writer {
 
   def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
       operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil,
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      validateFrom: Option[Option[Long]] = None): Unit = {
     val spark = data.sparkSession
     val meta = table.meta
     val schema = TableMeta.schemaToSpark(meta.schema)
@@ -83,7 +84,7 @@ object Writer {
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
       .filter(_.records > 0)
-    commitSnapshot(table, newFiles, overwrite, operation, carryover, branch)
+    commitSnapshot(table, newFiles, overwrite, operation, carryover, branch, validateFrom)
   }
 
   /** Per-file record counts + min/max bounds for every boundable
@@ -244,10 +245,20 @@ object Writer {
 
   /** OCC commit loop (ref HadoopRelativeTableOperations.java:144-180;
     * Iceberg retries on CommitFailedException with a refreshed base).
+    *
+    * `validateFrom` (overwrite ops only) is the snapshot id the
+    * operation's SCAN was based on (`Some(None)` = table was empty at
+    * read). When the refreshed base has moved past it, a concurrent
+    * commit landed mid-operation: files it ADDED are merged into the
+    * carryover (snapshot-isolation semantics — concurrent appends
+    * survive a racing DELETE/UPDATE/MERGE/compact); files it REMOVED
+    * that this operation had read mean the two operations overlapped →
+    * CommitConflictException (never silently lose the other update).
     */
   def commitSnapshot(table: GraftTable, newFiles: List[DataFile],
       overwrite: Boolean, operation: String, carryover: Seq[DataFile],
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      validateFrom: Option[Option[Long]] = None): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -261,8 +272,26 @@ object Writer {
       val baseSnap = branch.flatMap(b => baseMeta.refs.get(b))
         .flatMap(r => baseMeta.snapshot(r.snapshotId))
         .orElse(baseMeta.currentSnapshot)
-      val prevFiles = if (overwrite) carryover.toList
-        else baseSnap.map(_.files).getOrElse(Nil)
+      val prevFiles =
+        if (!overwrite) baseSnap.map(_.files).getOrElse(Nil)
+        else validateFrom match {
+          case Some(expected) if baseSnap.map(_.snapshotId) != expected =>
+            val readFiles = expected match {
+              case Some(id) => baseMeta.snapshot(id).getOrElse(
+                throw new CommitConflictException(
+                  s"snapshot $id read by '$operation' was expired mid-operation")).files
+              case None => Nil
+            }
+            val readPaths = readFiles.map(_.path).toSet
+            val curFiles = baseSnap.map(_.files).getOrElse(Nil)
+            val removed = readPaths -- curFiles.map(_.path).toSet
+            if (removed.nonEmpty)
+              throw new CommitConflictException(
+                s"conflicting concurrent operation removed ${removed.size} " +
+                s"file(s) read by '$operation' (e.g. ${removed.head})")
+            carryover.toList ++ curFiles.filterNot(f => readPaths(f.path))
+          case _ => carryover.toList
+        }
       val addedRecords = newFiles.map(_.records).sum
       val snap = Snapshot(
         snapshotId = snapId,

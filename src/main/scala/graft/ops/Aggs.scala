@@ -89,7 +89,7 @@ object Aggs extends Pack {
         .orderBy($("o_orderpriority").asc_nulls_first)
     }, Some(
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS big_total,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
         |FROM orders GROUP BY o_orderpriority

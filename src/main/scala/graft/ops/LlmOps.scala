@@ -101,10 +101,10 @@ object LlmOps extends Pack {
       Some(
         """SELECT lang,
           |  COUNT(*) AS n_docs,
-          |  SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_words,
+          |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_words,
           |  CAST(CAST(ROUND(SUM(CAST(length(text) AS DECIMAL(18,6))) / COUNT(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars,
-          |  SUM(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))) AS n_stopwords,
-          |  SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_chars_ok
+          |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))) AS BIGINT) AS n_stopwords,
+          |  CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_ok
           |FROM documents
           |GROUP BY lang
           |ORDER BY lang ASC NULLS FIRST""".stripMargin)),

@@ -91,10 +91,10 @@ object ScalarFns extends Pack {
           ceil(col("p_retailprice")).as("ceiled"),
           floor(col("p_retailprice")).as("floored"),
           pow(col("p_size"), 2).cast("long").as("size_sq"),
-          round(sqrt(col("p_size")), 6).cast("decimal(18,6)").as("size_sqrt"),
-          round(exp(col("p_size") / 100.0), 6).cast("decimal(18,6)").as("e_small"),
-          round(log(col("p_retailprice")), 6).cast("decimal(18,6)").as("ln_price"),
-          round(log10(col("p_retailprice")), 6).cast("decimal(18,6)").as("log10_price"),
+          round(sqrt(col("p_size")), 6).cast("decimal(18,6)").cast("double").as("size_sqrt"),
+          round(exp(col("p_size") / 100.0), 6).cast("decimal(18,6)").cast("double").as("e_small"),
+          round(log(col("p_retailprice")), 6).cast("decimal(18,6)").cast("double").as("ln_price"),
+          round(log10(col("p_retailprice")), 6).cast("decimal(18,6)").cast("double").as("log10_price"),
           pmod(col("p_partkey"), lit(7)).as("key_mod"),
           signum(col("p_retailprice") - 1000).cast("int").as("sgn"),
           greatest(col("p_size"), lit(10)).as("gr"),

@@ -183,6 +183,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcD.d.t WHERE v = 'low'").collect()(0).getLong(0) == 100)
   }
 
+  test("DELETE keeps rows where the predicate column is NULL") {
+    val wh = freshDir("delnull")
+    mkCatalog("tcDN", wh)
+    spark.sql("CREATE NAMESPACE tcDN.d")
+    spark.sql("CREATE TABLE tcDN.d.t (id BIGINT, c BIGINT)")
+    spark.sql("INSERT INTO tcDN.d.t VALUES (1, 5), (2, NULL), (3, 7), (4, 5)")
+    spark.sql("DELETE FROM tcDN.d.t WHERE c = 5")
+    val remaining = spark.sql("SELECT id FROM tcDN.d.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(remaining == Seq(2L, 3L), "rows with NULL predicate must survive a DELETE")
+  }
+
+  test("DELETE racing a concurrent append keeps the appended rows; racing a rewrite fails") {
+    val wh = freshDir("race")
+    mkCatalog("tcRc", wh)
+    spark.sql("CREATE NAMESPACE tcRc.r")
+    spark.sql("CREATE TABLE tcRc.r.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcRc.r.t SELECT id, 'orig' FROM range(0, 100)")
+    val cat = spark.sessionState.catalogManager.catalog("tcRc")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    def load() = cat.loadTable(Identifier.of(Array("r"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+    // the delete's table handle is FROZEN at the pre-append snapshot …
+    val frozen = load()
+    // … then an append lands before the delete commits
+    spark.sql("INSERT INTO tcRc.r.t SELECT id, 'late' FROM range(1000, 1010)")
+    frozen.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("id", 50L)))
+    // snapshot isolation: delete applied AND the racing append survives
+    assert(spark.sql("SELECT COUNT(*) FROM tcRc.r.t").collect()(0).getLong(0) == 60)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRc.r.t WHERE v = 'late'")
+      .collect()(0).getLong(0) == 10)
+
+    // a racing operation that REWRITES files this delete read must conflict
+    val frozen2 = load()
+    spark.sql("DELETE FROM tcRc.r.t WHERE id >= 50 AND id < 60")
+    intercept[graft.catalog.CommitConflictException] {
+      frozen2.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("v", "orig")))
+    }
+  }
+
   test("rename table moves the directory and rewrites stored locations") {
     val wh = freshDir("ren")
     mkCatalog("tcR", wh)
