@@ -169,17 +169,21 @@ object Aggs extends Pack {
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
+    // Nested outputs are serialized with to_json on BOTH sides: the
+    // driver's checker sorts/hashes via pandas, which cannot sort raw
+    // array cells — the JSON text forms are byte-identical between
+    // Spark and DuckDB for list/struct of int/string.
     Decl("q_agg_collect", (spark, dir) =>
       Tables(spark, dir, "nation")
         .groupBy($("n_regionkey"))
         .agg(
-          sort_array(collect_list($("n_name"))).as("names"),
-          sort_array(collect_set($("n_regionkey"))).as("keys"))
+          to_json(sort_array(collect_list($("n_name")))).as("names"),
+          to_json(sort_array(collect_set($("n_regionkey")))).as("keys"))
         .orderBy($("n_regionkey").asc_nulls_first),
       Some(
         """SELECT n_regionkey,
-          |  list_sort(list(n_name)) AS names,
-          |  list_sort(list(DISTINCT n_regionkey)) AS keys
+          |  CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names,
+          |  CAST(to_json(list_sort(list(DISTINCT n_regionkey))) AS VARCHAR) AS keys
           |FROM nation GROUP BY n_regionkey
           |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)),
 

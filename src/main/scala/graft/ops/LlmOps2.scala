@@ -299,7 +299,10 @@ object LlmOps2 extends Pack {
     // Multimodal feature extraction: binary payloads through a typed
     // mapPartitions (the batch shape a real decoder plugs into; the
     // codec itself is a deterministic stand-in — this container has no
-    // image/audio libs).
+    // image/audio libs). Output is scalar columns (the feature vector's
+    // moments) so the driver's pandas-based checker can sort and hash
+    // it; the fixture text is ASCII so the DuckDB oracle recomputes the
+    // byte moments from character codes.
     Decl("q_llm_mmfeatures", (spark, dir) => {
       import spark.implicits._
       Tables(spark, dir, "documents")
@@ -307,17 +310,28 @@ object LlmOps2 extends Pack {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
-            // stubbed "decode + featurize": 4 deterministic moments of
+            // stubbed "decode + featurize": deterministic moments of
             // the byte stream standing in for a real embedding
             val n = payload.length.max(1)
-            val mean = payload.map(_.toInt & 0xff).sum.toDouble / n
-            val mx = if (payload.isEmpty) 0.0 else (payload.map(_.toInt & 0xff).max).toDouble
-            val mn = if (payload.isEmpty) 0.0 else (payload.map(_.toInt & 0xff).min).toDouble
-            (id, Array(n.toDouble, mean, mn, mx), n)
+            val codes = payload.map(_.toInt & 0xff)
+            val mean = BigDecimal(codes.sum.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val mx = if (payload.isEmpty) 0.0 else codes.max.toDouble
+            val mn = if (payload.isEmpty) 0.0 else codes.min.toDouble
+            (id, payload.length, mean, mn, mx)
           }
         }
-        .toDF("doc_id", "features", "n_bytes")
+        .toDF("doc_id", "n_bytes", "mean_byte", "min_byte", "max_byte")
         .orderBy(col("doc_id").asc_nulls_first, col("n_bytes").asc_nulls_first)
-    }, None),
+    }, Some(
+      """SELECT doc_id, length(text) AS n_bytes,
+        |  ROUND(CAST(list_sum(codes) AS DOUBLE) / GREATEST(len(codes), 1), 6) AS mean_byte,
+        |  CAST(list_min(codes) AS DOUBLE) AS min_byte,
+        |  CAST(list_max(codes) AS DOUBLE) AS max_byte
+        |FROM (SELECT doc_id, text,
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> unicode(substr(text, i, 1))) AS codes
+        |      FROM documents)
+        |ORDER BY doc_id ASC NULLS FIRST, n_bytes ASC NULLS FIRST""".stripMargin)),
   )
 }

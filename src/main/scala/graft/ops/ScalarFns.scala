@@ -170,25 +170,25 @@ object ScalarFns extends Pack {
         .withColumn("arr", sequence(lit(1L), (pmod(col("p_size"), lit(10)) + 3).cast("long")))
         .select(
           col("p_partkey"),
-          col("arr"),
+          to_json(col("arr")).as("arr"),
           size(col("arr")).as("n"),
           array_contains(col("arr"), 5).as("has5"),
-          sort_array(array_distinct(concat(col("arr"), col("arr")))).as("dedup"),
-          slice(col("arr"), 2, 3).as("sl"),
-          flatten(array(col("arr"), array(lit(99L)))).as("flat"),
-          transform(col("arr"), x => x * 2).as("doubled"),
-          filter(col("arr"), x => x > 4).as("big"),
+          to_json(sort_array(array_distinct(concat(col("arr"), col("arr"))))).as("dedup"),
+          to_json(slice(col("arr"), 2, 3)).as("sl"),
+          to_json(flatten(array(col("arr"), array(lit(99L))))).as("flat"),
+          to_json(transform(col("arr"), x => x * 2)).as("doubled"),
+          to_json(filter(col("arr"), x => x > 4)).as("big"),
           aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"))
         .orderBy(col("p_partkey").asc_nulls_first, col("n").asc_nulls_first),
       Some(
         """SELECT p_partkey,
-          |  arr, len(arr) AS n,
+          |  CAST(to_json(arr) AS VARCHAR) AS arr, len(arr) AS n,
           |  list_contains(arr, 5) AS has5,
-          |  list_sort(list_distinct(arr || arr)) AS dedup,
-          |  arr[2:4] AS sl,
-          |  flatten([arr, [99]]) AS flat,
-          |  list_transform(arr, x -> x * 2) AS doubled,
-          |  list_filter(arr, x -> x > 4) AS big,
+          |  CAST(to_json(list_sort(list_distinct(arr || arr))) AS VARCHAR) AS dedup,
+          |  CAST(to_json(arr[2:4]) AS VARCHAR) AS sl,
+          |  CAST(to_json(flatten([arr, [99]])) AS VARCHAR) AS flat,
+          |  CAST(to_json(list_transform(arr, x -> x * 2)) AS VARCHAR) AS doubled,
+          |  CAST(to_json(list_filter(arr, x -> x > 4)) AS VARCHAR) AS big,
           |  CAST(list_sum(arr) AS BIGINT) AS total
           |FROM (SELECT p_partkey, generate_series(1, ((p_size % 10) + 10) % 10 + 3) AS arr FROM part)
           |ORDER BY p_partkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
@@ -198,16 +198,16 @@ object ScalarFns extends Pack {
         .withColumn("m", map(lit("size"), col("p_size"), lit("twice"), col("p_size") * 2))
         .select(
           col("p_partkey"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          to_json(map_keys(col("m"))).as("ks"),
+          to_json(map_values(col("m"))).as("vs"),
           element_at(col("m"), "size").as("v_size"),
           element_at(col("m"), "twice").as("v_twice"),
           size(col("m")).as("card"))
         .orderBy(col("p_partkey").asc_nulls_first, col("v_size").asc_nulls_first),
       Some(
         """SELECT p_partkey,
-          |  map_keys(m) AS ks,
-          |  map_values(m) AS vs,
+          |  CAST(to_json(map_keys(m)) AS VARCHAR) AS ks,
+          |  CAST(to_json(map_values(m)) AS VARCHAR) AS vs,
           |  m['size'][1] AS v_size,
           |  m['twice'][1] AS v_twice,
           |  CAST(cardinality(m) AS INT) AS card
@@ -268,13 +268,13 @@ object ScalarFns extends Pack {
           col("p_partkey"),
           col("s").getField("nm").as("s_name"),
           col("s").getField("deep").getField("sz").as("s_size"),
-          col("s"))
+          to_json(col("s")).as("s"))
         .orderBy(col("p_partkey").asc_nulls_first, col("s_name").asc_nulls_first),
       Some(
         """SELECT p_partkey,
           |  s.nm AS s_name,
           |  s.deep.sz AS s_size,
-          |  s
+          |  CAST(to_json(s) AS VARCHAR) AS s
           |FROM (SELECT p_partkey,
           |        struct_pack(key := p_partkey, nm := p_name,
           |          deep := struct_pack(sz := p_size)) AS s

@@ -78,8 +78,11 @@ class Llm2Spec extends AnyFunSuite {
     assert(a.length == Tables(spark, TestSpark.sf, "documents").count())
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     a.foreach { r =>
-      val f = r.getSeq[Double](r.fieldIndex("features"))
-      assert(f.length == 4 && f.head == r.getAs[Int]("n_bytes").toDouble)
+      val n = r.getAs[Int]("n_bytes")
+      val mn = r.getAs[Double]("min_byte")
+      val mx = r.getAs[Double]("max_byte")
+      val mean = r.getAs[Double]("mean_byte")
+      assert(n > 0 && mn <= mean && mean <= mx)
     }
   }
 }
