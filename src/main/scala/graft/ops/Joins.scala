@@ -119,13 +119,22 @@ object Joins extends Pack {
       """SELECT r_name, s_name FROM region CROSS JOIN supplier
         |ORDER BY r_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin)),
 
-    // Non-equi band join: build side reduced to DISTINCT p_size (tiny)
-    // so Catalyst broadcasts it; aggregation keeps output bounded.
+    // Non-equi band join re-expressed as an equi-join on width-5
+    // quantity buckets plus a residual predicate: each band
+    // [p_size, p_size+5) overlaps at most two buckets, so the build
+    // side is exploded to its bucket keys and the probe is a plain
+    // hash join — no nested-loop, and the plan survives a build side
+    // too large to broadcast (same trick as q_join_interval below).
     Decl("q_join_theta", (spark, dir) => {
       val sizes = Tables(spark, dir, "part").select(col("p_size")).distinct()
+        .select(col("p_size"), explode(array(
+          floor(col("p_size") / 5), floor(col("p_size") / 5) + 1)).as("qb"))
+        .distinct()
       val li = Tables(spark, dir, "lineitem")
-      li.join(broadcast(sizes),
-          col("l_quantity") >= col("p_size") && col("l_quantity") < col("p_size") + 5)
+        .withColumn("qb", floor(col("l_quantity") / 5))
+      li.join(broadcast(sizes), Seq("qb"))
+        .filter(col("l_quantity") >= col("p_size") &&
+          col("l_quantity") < col("p_size") + 5)
         .groupBy(col("p_size"))
         .agg(count(lit(1)).as("n_li"), d4(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("p_size").asc_nulls_first)

@@ -38,13 +38,23 @@ object LlmOps2 extends Pack {
         struct(lit(i).as("band"), expr(s"(simhash >> ${16 * i}) & 65535").as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    // Dedup without a distinct() shuffle: a pair sharing k chunks would
+    // surface k times, so keep it only from its FIRST shared chunk —
+    // when the joined band is b, every earlier band's chunks must
+    // differ. The check reads both simhashes already in-row.
+    def chunk(side: String, i: Int) =
+      expr(s"shiftright($side.simhash, ${16 * i}) & 65535")
+    val earlierShared = (1 until 4).map { b =>
+      col("x.band") === b &&
+        (0 until b).map(i => chunk("x", i) === chunk("y", i)).reduce(_ || _)
+    }.reduce(_ || _)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(!earlierShared)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= 12)
-      .distinct()
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first,
         col("hamming").asc_nulls_first)
   }
@@ -95,25 +105,33 @@ object LlmOps2 extends Pack {
     * the smallest doc_id in the component — the canonical survivor.
     */
   def duplicateGroups(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager) truncates lineage each round — without it
+    // the plan doubles in depth per iteration and pins every superseded
+    // label set in memory, which is fatal at cluster scale.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 15) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+      // Carry the previous label in-row so convergence needs a cheap
+      // filter over the checkpointed result, not a self-join.
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      changed = next.alias("n").join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+        .localCheckpoint()
+      changed = stepped.filter(col("label") < col("old_label")).count()
+      labels.unpersist(blocking = false)
+      labels = stepped.select(col("id"), col("label"))
     }
+    // The converged labels are checkpointed, so the edge blocks can go.
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("group"))
       .orderBy(col("doc_id").asc_nulls_first, col("group").asc_nulls_first)
   }
