@@ -2,19 +2,29 @@ package graft.ops
 
 import graft.{Decl, Pack, Tables}
 import graft.Dsl.d4
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.nio.file.{Files, Path, Paths}
 import java.time.LocalDateTime
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming operators (SURVEY.md §2.2 "Streaming").
   *
   * Each declared query executes a REAL streaming query: events replay
-  * through a MemoryStream into a memory sink, and the function returns
-  * the sink table. Window/dedup/join results are batch-equivalent, so
-  * the tumble/slide/dedup/join/sink/watermark queries still carry a
-  * DuckDB oracle; session/stateful are engine-self-checked.
+  * through a parquet FILE-SOURCE stream (spark.readStream.parquet) into
+  * a memory sink, and the function returns the materialized sink table.
+  * Window/dedup/join results are batch-equivalent, so the tumble/slide/
+  * dedup/join/sink/watermark queries still carry a DuckDB oracle;
+  * session/stateful are engine-self-checked.
+  *
+  * The replay payload never touches the driver: events are normalized
+  * once per sf-dir by a distributed batch write, each query's stream
+  * source directory is populated with HARDLINKS to those part files,
+  * and replay waves / the watermark sentinel arrive as new files picked
+  * up by the file source — exactly how a production file-drop ingest
+  * works. At 100 TB the same plan streams from object storage with
+  * `maxFilesPerTrigger` pacing; nothing here is driver-resident.
   *
   * Scale notes: all stateful ops key their state by a high-cardinality
   * column (window start / user_id / event_id), which is exactly the
@@ -27,40 +37,83 @@ object StreamOps extends Pack {
       event_type: String, value: Double)
 
   private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val evCols =
+    Seq(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  // Normalized replay payloads, written once per JVM (distributed batch
+  // writes, no driver materialization) and hardlinked per query.
+  private val normCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Events with µs timestamps + fixed column order, as ≥2 parquet part
+    * files (so multi-wave replays have real file boundaries). */
+  private def eventsSrc(spark: SparkSession, dir: String): String =
+    normCache.getOrElseUpdate(s"events:$dir", {
+      val out = Files.createTempDirectory("graft_stream_events").toString
+      // explicit-count repartition: AQE leaves REPARTITION_BY_NUM alone,
+      // so the file count is stable
+      Tables(spark, dir, "events").select(evCols: _*)
+        .repartition(4).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** One-row sentinel far past every real event: linked in as the LAST
+    * file so its micro-batch advances the watermark and append-mode
+    * windows flush deterministically. */
+  private def sentinelSrc(spark: SparkSession): String =
+    normCache.getOrElseUpdate("sentinel", {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_stream_sentinel").toString
+      Seq(Ev(-1L, LocalDateTime.of(2030, 1, 1, 0, 0), -1L, "__sentinel", 0.0))
+        .toDS().coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Hardlink every part file of `from` into `dst` under a wave-unique
+    * name; the file source sees them as new input. */
+  private def linkWave(dst: Path, from: String, wave: String): Unit =
+    Files.list(Paths.get(from)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.createLink(dst.resolve(s"$wave-${p.getFileName}"), p))
+
+  private def rmTree(p: Path): Unit =
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
 
   /** Replay events through `build` (a streaming transform) into a
-    * memory sink; returns the materialized sink table.
+    * memory sink; returns the materialized sink table. The sink's temp
+    * view is dropped before returning (result is localCheckpoint-ed
+    * first), so suite runs don't accumulate sink state.
     */
   private def streamed(spark: SparkSession, dir: String,
       mode: OutputMode, twice: Boolean = false)(
       build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
-    val evs = Tables(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect().toSeq
-    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
-      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
-    val ms = MemoryStream[Ev]
+    val src = Files.createTempDirectory("graft_stream_src")
+    linkWave(src, eventsSrc(spark, dir), "w0")
     val name = s"graft_stream_${n.incrementAndGet()}"
     // state-store overhead is per (partition × micro-batch): run the
     // bounded replay with fewer state partitions than the batch default
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = build(ms.toDS()).writeStream
+    val stream = spark.readStream.schema(Encoders.product[Ev].schema)
+      .parquet(src.toString).as[Ev]
+    val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode(mode).start()
     try {
-      ms.addData(evs)
       q.processAllAvailable()
-      if (twice) { ms.addData(evs); q.processAllAvailable() }
-      // sentinel far past every real event: advances the watermark so
-      // append-mode windows flush deterministically
-      ms.addData(Seq(Ev(-1L, LocalDateTime.of(2030, 1, 1, 0, 0), -1L, "__sentinel", 0.0)))
+      if (twice) { linkWave(src, eventsSrc(spark, dir), "w1"); q.processAllAvailable() }
+      linkWave(src, sentinelSrc(spark), "zz-sentinel")
       q.processAllAvailable()
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    spark.table(name)
+    // materialize the (already aggregated/bounded) result off the sink,
+    // then release the sink + replay hardlinks
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    rmTree(src)
+    out
   }
 
   def decls: Seq[Decl] = Seq(
@@ -237,22 +290,27 @@ object StreamOps extends Pack {
       spark.sql(s"CREATE NAMESPACE $cname.sink")
       spark.sql(s"CREATE TABLE $cname.sink.ev " +
         "(event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE)")
-      val evs = Tables(spark, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .as[Ev].collect().toSeq
-      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
-        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
-      val ms = MemoryStream[Ev]
-      val q = ms.toDS().writeStream
+      // two replay waves = two micro-batches = two OCC-committed append
+      // snapshots; the feed is a parquet file-source stream (hardlinked
+      // part files), so nothing table-sized ever crosses the driver
+      val norm = eventsSrc(spark, dir)
+      val parts = Files.list(Paths.get(norm)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      val (waveA, waveB) = parts.splitAt(parts.size / 2 max 1)
+      val src = Files.createTempDirectory("graft_stream_src")
+      waveA.foreach(p => Files.createLink(src.resolve(s"w0-${p.getFileName}"), p))
+      val q = spark.readStream.schema(Encoders.product[Ev].schema)
+        .parquet(src.toString).as[Ev].writeStream
         .foreachBatch { (batch: Dataset[Ev], id: Long) =>
           batch.writeTo(s"$cname.sink.ev").append()
         }
         .outputMode(OutputMode.Append()).start()
       try {
-        evs.grouped(evs.size / 2 + 1).foreach { half =>
-          ms.addData(half); q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
+        q.processAllAvailable()
       } finally q.stop()
+      rmTree(src)
       spark.table(s"$cname.sink.ev")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("n").asc_nulls_first)
