@@ -92,37 +92,78 @@ class GraftTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)
 
-  /** Copy-on-write DELETE (the reference enables Iceberg row-level
-    * DML, SURVEY §1.4): files the predicate provably cannot touch
-    * (min/max bounds) are carried over untouched; only possibly-
-    * matching files are read back, filtered, and rewritten. At 100 TB
-    * the carryover set is the overwhelming majority — this is the
-    * property that makes COW deletes affordable.
+  /** DELETE (the reference enables Iceberg row-level DML, SURVEY §1.4)
+    * in one of two modes, selected by the `write.delete.mode` table
+    * property:
+    *
+    *  - `copy-on-write` (default): files the predicate provably cannot
+    *    touch (min/max bounds) are carried over untouched; only
+    *    possibly-matching files are read back, filtered, and
+    *    rewritten. At 100 TB the carryover set is the overwhelming
+    *    majority — the property that makes COW deletes affordable.
+    *  - `merge-on-read`: NO data file is rewritten. Matching rows'
+    *    (file, position) pairs are written as a position-delete file
+    *    ([[Mor]]); scans subtract them; compaction applies them. A
+    *    trickle DELETE on a 100 TB table costs O(matched rows), not a
+    *    whole-file rewrite per touched file.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => Writer.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = sparkSession
-    val files = readSnapshot.map(_.files).getOrElse(Nil)
+    val snap = readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) return
     val (affected, untouched) = files.partition(f =>
       filters.forall(FilePruning.keepFile(f, _)))
     if (affected.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cond = filters.flatMap(Writer.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-    // SQL DELETE keeps rows the predicate does NOT match; a NULL
-    // predicate is "not matched", so it must map to keep (not drop):
-    // a bare !cond is NULL for those rows and the filter would
-    // silently delete them
-    val remaining = spark.read.schema(schema())
-      .parquet(affected.map(f => RelPaths.absolutize(ops.warehouse, f.path)): _*)
-      .filter(!coalesce(cond, lit(false)))
-    Writer.append(this, remaining, overwrite = true,
-      operation = "delete", carryover = untouched,
-      validateFrom = Some(readSnapshot.map(_.snapshotId)))
+    val affectedAbs = affected.map(f => RelPaths.absolutize(ops.warehouse, f.path))
+    val liveDeletes = snap.map(_.deleteFiles).getOrElse(Nil)
+
+    if (meta.properties.get("write.delete.mode").contains("merge-on-read")) {
+      // rows matching the predicate → (relative file path, row ordinal),
+      // staged as a position-delete parquet; NULL predicate = not matched.
+      // Already-deleted rows are excluded so re-deleting is idempotent.
+      val annotated = Mor.withPositions(
+        spark.read.schema(schema()).parquet(affectedAbs: _*), ops.warehouse)
+      val matches = Mor.subtract(spark, annotated, ops.warehouse, liveDeletes)
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__gf").as("file_path"), col("__gp").as("pos"))
+      val stagingRel = s"${meta.location}/deletes/${java.util.UUID.randomUUID()}"
+      val stagingAbs = RelPaths.absolutize(ops.warehouse, stagingRel)
+      matches.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+      val delFiles = Writer.collectStats(spark, Mor.deleteSchema, ops.warehouse, stagingAbs)
+        .filter(_.records > 0)
+      if (delFiles.isEmpty) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
+        return
+      }
+      try Writer.commitSnapshot(this, Nil, overwrite = false,
+        operation = "delete", carryover = Nil,
+        newDeletes = delFiles, mustExist = affected.map(_.path).toSet)
+      catch {
+        case e: Throwable =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+          throw e
+      }
+    } else {
+      // SQL DELETE keeps rows the predicate does NOT match; a NULL
+      // predicate is "not matched", so it must map to keep (not drop):
+      // a bare !cond is NULL for those rows and the filter would
+      // silently delete them
+      val remaining = Mor.applyDeletes(spark,
+          spark.read.schema(schema()).parquet(affectedAbs: _*),
+          ops.warehouse, liveDeletes)
+        .filter(!coalesce(cond, lit(false)))
+      Writer.append(this, remaining, overwrite = true,
+        operation = "delete", carryover = untouched,
+        validateFrom = Some(snap.map(_.snapshotId)))
+    }
   }
 }
 
@@ -144,6 +185,9 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
   private def allFiles: Seq[DataFile] =
     table.readSnapshot.map(_.files).getOrElse(Nil)
 
+  private def liveDeletes: Seq[DataFile] =
+    table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
+
   private def mkDelegate(files: Seq[DataFile]): ScanBuilder = {
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     ParquetTable(table.name(), spark, options, paths,
@@ -153,12 +197,20 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
-    // compute residuals + pushed predicates on a throwaway delegate;
-    // the real (pruned) delegate is built at build() time
-    val probe = mkDelegate(allFiles)
-    val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
-    pushedPreds = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
-    residual
+    if (liveDeletes.nonEmpty) {
+      // merge-on-read scan: report every predicate residual (Spark
+      // re-filters above the V1 relation); the translated subset is
+      // still applied INSIDE the relation's plan so parquet row-group
+      // pushdown happens below the anti-join
+      filters
+    } else {
+      // compute residuals + pushed predicates on a throwaway delegate;
+      // the real (pruned) delegate is built at build() time
+      val probe = mkDelegate(allFiles)
+      val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+      pushedPreds = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+      residual
+    }
   }
 
   override def pushedFilters: Array[Predicate] = pushedPreds
@@ -169,15 +221,59 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val v1 = pushedExprs.flatMap(e => GraftFilterShim.translate(e))
     val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
-    val delegate = mkDelegate(pruned)
-    delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
-    delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-      .pruneColumns(required)
-    delegate.build()
+    if (liveDeletes.nonEmpty)
+      new MorScan(table, required, pruned, liveDeletes, v1)
+    else {
+      val delegate = mkDelegate(pruned)
+      delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+      delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(required)
+      delegate.build()
+    }
   }
 
   private def keepFile(f: DataFile, filter: Filter): Boolean =
     FilePruning.keepFile(f, filter)
+}
+
+/** Merge-on-read scan: the pruned data files MINUS the snapshot's
+  * position deletes, served through the V1Scan fallback. The inner
+  * plan is a full Catalyst DataFrame — vectorized parquet scan (with
+  * the translated predicates applied below the join, so row-group
+  * pushdown still happens), then a broadcast/shuffle anti-join on
+  * (file, pos) ([[Mor.deleteSet]] chooses), then the pruned
+  * projection. Every predicate was reported residual, so Spark
+  * re-applies the full filter set above — the inner application is
+  * purely for scan efficiency.
+  */
+class MorScan(table: GraftTable, required: StructType, files: Seq[DataFile],
+    deletes: Seq[DataFile], filters: Seq[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new MorRelation(ctx, table, required, files, deletes, filters).asInstanceOf[T]
+}
+
+class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
+    files: Seq[DataFile], deletes: Seq[DataFile], filters: Seq[Filter])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val w = table.ops.warehouse
+    if (files.isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
+    val paths = files.map(f => RelPaths.absolutize(w, f.path))
+    val data = spark.read.schema(table.schema()).parquet(paths: _*)
+    val alive = Mor.applyDeletes(spark, data, w, deletes)
+    val filtered = filters.flatMap(Writer.filterToColumn)
+      .foldLeft(alive)(_.filter(_))
+    filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*).rdd
+  }
 }
 
 /** Conservative min/max file skipping: keep the file unless a bound

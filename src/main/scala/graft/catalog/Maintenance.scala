@@ -29,9 +29,10 @@ object Maintenance {
         meta.snapshots.filter(s => pinned(s.snapshotId))).distinct
       if (kept.size == meta.snapshots.size) return 0
       val keptIds = kept.map(_.snapshotId).toSet
-      val keptFiles = kept.flatMap(_.files.map(_.path)).toSet
+      val keptFiles = kept.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
       val orphans = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
-        .flatMap(_.files.map(_.path)).distinct.filterNot(keptFiles)
+        .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+        .distinct.filterNot(keptFiles)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),
         snapshots = kept,
@@ -110,17 +111,23 @@ object Maintenance {
 
   /** Rewrite the current snapshot into `targetFiles` files (an
     * `overwrite` snapshot — old files stay readable for time travel
-    * until expireSnapshots reclaims them).
+    * until expireSnapshots reclaims them). Position deletes are APPLIED
+    * by the rewrite and cleared from the new snapshot — compaction is
+    * the copy-on-write settlement path for merge-on-read deletes.
     */
   def compact(spark: SparkSession, table: GraftTable, targetFiles: Int = 1): Unit = {
-    val files = table.readSnapshot.map(_.files).getOrElse(Nil)
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) return
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    val df = spark.read
-      .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
-      .parquet(paths: _*)
+    val df = Mor.applyDeletes(spark,
+        spark.read
+          .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
+          .parquet(paths: _*),
+        table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil))
       .coalesce(targetFiles)
     Writer.append(table, df, overwrite = true,
-      validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
+      validateFrom = Some(snap.map(_.snapshotId)),
+      clearDeletes = true)
   }
 }

@@ -71,12 +71,31 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     required = requiredSchema
 
   override def build(): Scan = {
-    val files = table.readSnapshot.map(_.files).getOrElse(Nil)
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
     val v1 = exprs.flatMap(e => GraftFilterShim.translate(e))
     val (affected, untouched) = files.partition(f =>
       v1.forall(FilePruning.keepFile(f, _)))
     op.carryover = untouched
-    val paths = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val paths =
+      if (deletes.isEmpty) affectedAbs
+      else {
+        // merge-on-read table: the rewrite must not resurrect deleted
+        // rows, but the row-level planner can't serve a V1 fallback
+        // scan (GroupBasedRowLevelOperationScanPlanning never wraps
+        // V1Scans) — so materialize the delete-applied affected rows
+        // to a scratch dir and scan that through the regular
+        // vectorized delegate. Cost is one extra copy of the AFFECTED
+        // files only (the carryover majority is untouched).
+        val scratch = Files.createTempDirectory("graft_mor_rewrite")
+        Mor.applyDeletes(spark,
+            spark.read.schema(table.schema()).parquet(affectedAbs: _*),
+            table.ops.warehouse, deletes)
+          .write.mode("overwrite").parquet(scratch.toString)
+        Seq(scratch.toString)
+      }
     val delegate = ParquetTable(table.name(), spark, options, paths,
       Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
     delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
@@ -133,9 +152,15 @@ class GraftBatchWrite(table: GraftTable, operation: String,
       if (written.isEmpty) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, stagingAbs)
         .filter(_.records > 0)
-    Writer.commitSnapshot(table, newFiles, overwrite = true,
+    // a conflicted commit must not leak the staged rewrite as orphans
+    try Writer.commitSnapshot(table, newFiles, overwrite = true,
       operation = operation, carryover = carryover(),
       validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
+    catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+        throw e
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

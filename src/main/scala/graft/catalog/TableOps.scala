@@ -86,9 +86,9 @@ class TableOps(val warehouse: String, val tableLocation: String) {
     // the metadata file, or a warehouse move would break the table.
     require(!meta.location.startsWith("/") && !meta.location.contains("://"),
       s"table location must be warehouse-relative: ${meta.location}")
-    meta.snapshots.flatMap(_.files).foreach { f =>
+    meta.snapshots.flatMap(s => s.files ++ s.deleteFiles).foreach { f =>
       require(!f.path.startsWith("/") && !f.path.contains("://"),
-        s"data file path must be warehouse-relative: ${f.path}")
+        s"data/delete file path must be warehouse-relative: ${f.path}")
     }
 
     Files.createDirectories(metadataDir)

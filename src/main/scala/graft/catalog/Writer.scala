@@ -45,7 +45,8 @@ object Writer {
   def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
       operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil,
       branch: Option[String] = None,
-      validateFrom: Option[Option[Long]] = None): Unit = {
+      validateFrom: Option[Option[Long]] = None,
+      clearDeletes: Boolean = false): Unit = {
     val spark = data.sparkSession
     val meta = table.meta
     val schema = TableMeta.schemaToSpark(meta.schema)
@@ -84,7 +85,15 @@ object Writer {
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
       .filter(_.records > 0)
-    commitSnapshot(table, newFiles, overwrite, operation, carryover, branch, validateFrom)
+    // a conflicted (or retry-exhausted) commit must not leak its staged
+    // rewrite output as orphan files
+    try commitSnapshot(table, newFiles, overwrite, operation, carryover, branch,
+      validateFrom, clearDeletes = clearDeletes)
+    catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+        throw e
+    }
   }
 
   /** Per-file record counts + min/max bounds for every boundable
@@ -249,16 +258,30 @@ object Writer {
     * `validateFrom` (overwrite ops only) is the snapshot id the
     * operation's SCAN was based on (`Some(None)` = table was empty at
     * read). When the refreshed base has moved past it, a concurrent
-    * commit landed mid-operation: files it ADDED are merged into the
-    * carryover (snapshot-isolation semantics — concurrent appends
-    * survive a racing DELETE/UPDATE/MERGE/compact); files it REMOVED
-    * that this operation had read mean the two operations overlapped →
-    * CommitConflictException (never silently lose the other update).
+    * commit landed mid-operation. Validation is scoped to the files
+    * this operation actually scanned-and-rewrote (read snapshot minus
+    * its carryover): only a concurrent removal of one of THOSE is a
+    * conflict. Everything else merges — concurrent appends survive,
+    * and carryover files a concurrent compact rewrote are represented
+    * by their current replacements (we rebase onto the current file
+    * set instead of resurrecting the stale carryover entries).
+    *
+    * Merge-on-read params: `newDeletes` appends position-delete files;
+    * `mustExist` (MOR delete) is the set of data files the new delete
+    * positions reference — if a concurrent rewrite removed one, those
+    * deleted rows live on in a rewritten file the positions can't
+    * name → conflict. A concurrent delete-file addition during a COW
+    * rewrite is likewise a conflict (rewritten rows would dodge it).
+    * `clearDeletes` (compaction / INSERT OVERWRITE) drops all carried
+    * delete files — they were applied or their targets truncated.
     */
   def commitSnapshot(table: GraftTable, newFiles: List[DataFile],
       overwrite: Boolean, operation: String, carryover: Seq[DataFile],
       branch: Option[String] = None,
-      validateFrom: Option[Option[Long]] = None): Unit = {
+      validateFrom: Option[Option[Long]] = None,
+      newDeletes: List[DataFile] = Nil,
+      mustExist: Set[String] = Set.empty,
+      clearDeletes: Boolean = false): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -272,26 +295,42 @@ object Writer {
       val baseSnap = branch.flatMap(b => baseMeta.refs.get(b))
         .flatMap(r => baseMeta.snapshot(r.snapshotId))
         .orElse(baseMeta.currentSnapshot)
+      val baseFiles = baseSnap.map(_.files).getOrElse(Nil)
+      val baseDeletes = baseSnap.map(_.deleteFiles).getOrElse(Nil)
       val prevFiles =
-        if (!overwrite) baseSnap.map(_.files).getOrElse(Nil)
-        else validateFrom match {
+        if (!overwrite) {
+          val gone = mustExist -- baseFiles.map(_.path).toSet
+          if (gone.nonEmpty)
+            throw new CommitConflictException(
+              s"concurrent operation rewrote ${gone.size} data file(s) referenced " +
+              s"by this '$operation''s position deletes (e.g. ${gone.head})")
+          baseFiles
+        } else validateFrom match {
           case Some(expected) if baseSnap.map(_.snapshotId) != expected =>
-            val readFiles = expected match {
-              case Some(id) => baseMeta.snapshot(id).getOrElse(
-                throw new CommitConflictException(
-                  s"snapshot $id read by '$operation' was expired mid-operation")).files
-              case None => Nil
-            }
-            val readPaths = readFiles.map(_.path).toSet
-            val curFiles = baseSnap.map(_.files).getOrElse(Nil)
-            val removed = readPaths -- curFiles.map(_.path).toSet
-            if (removed.nonEmpty)
+            val readSnap = expected.map(id => baseMeta.snapshot(id).getOrElse(
               throw new CommitConflictException(
-                s"conflicting concurrent operation removed ${removed.size} " +
-                s"file(s) read by '$operation' (e.g. ${removed.head})")
-            carryover.toList ++ curFiles.filterNot(f => readPaths(f.path))
+                s"snapshot $id read by '$operation' was expired mid-operation")))
+            val readPaths = readSnap.map(_.files).getOrElse(Nil).map(_.path).toSet
+            val affected = readPaths -- carryover.map(_.path).toSet
+            val curPaths = baseFiles.map(_.path).toSet
+            val removedAffected = affected -- curPaths
+            if (removedAffected.nonEmpty)
+              throw new CommitConflictException(
+                s"conflicting concurrent operation removed ${removedAffected.size} " +
+                s"file(s) rewritten by '$operation' (e.g. ${removedAffected.head})")
+            val readDeletes = readSnap.map(_.deleteFiles).getOrElse(Nil).map(_.path).toSet
+            if (affected.nonEmpty && baseDeletes.exists(d => !readDeletes(d.path)))
+              throw new CommitConflictException(
+                s"concurrent position-delete committed while '$operation' was " +
+                "rewriting rows; retrying would lose the delete")
+            baseFiles.filterNot(f => affected(f.path))
           case _ => carryover.toList
         }
+      // INSERT OVERWRITE (truncate: no scan snapshot) replaces all data,
+      // so carried delete files could reference nothing — drop them
+      val prevDeletes =
+        if (clearDeletes || (overwrite && validateFrom.isEmpty)) Nil else baseDeletes
+      val allDeletes = prevDeletes ++ newDeletes
       val addedRecords = newFiles.map(_.records).sum
       val snap = Snapshot(
         snapshotId = snapId,
@@ -303,9 +342,13 @@ object Writer {
           "added-data-files" -> newFiles.size.toString,
           "added-records" -> addedRecords.toString,
           "added-files-size" -> newFiles.map(_.bytes).sum.toString,
+          "added-delete-files" -> newDeletes.size.toString,
+          "added-position-deletes" -> newDeletes.map(_.records).sum.toString,
+          "total-position-deletes" -> allDeletes.map(_.records).sum.toString,
           "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
           "total-data-files" -> (prevFiles.size + newFiles.size).toString),
-        files = prevFiles ++ newFiles)
+        files = prevFiles ++ newFiles,
+        deleteFiles = allDeletes)
       val next = branch match {
         case Some(b) => baseMeta.copy(
           lastSequenceNumber = snap.sequenceNumber,

@@ -51,7 +51,14 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String, // append | overwrite | delete | replace
     summary: Map[String, String],
-    files: List[DataFile])
+    files: List[DataFile],
+    // merge-on-read POSITION-delete files (ref README.md:89-90
+    // `total-position-deletes`): parquet of (file_path STRING, pos
+    // BIGINT) with file_path warehouse-RELATIVE; scans subtract them
+    // via an anti-join. Entries referencing rewritten (absent) data
+    // files are inert and reclaimed at compaction. Default keeps
+    // pre-MOR metadata.json readable.
+    deleteFiles: List[DataFile] = Nil)
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 

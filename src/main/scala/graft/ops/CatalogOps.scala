@@ -127,6 +127,34 @@ object CatalogOps extends Pack {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // Merge-on-read DELETE: position-delete files committed instead of
+    // rewriting data files (two trickle deletes stack), applied by the
+    // scan as an anti-join. CatalogSpec proves the data files stay
+    // byte-identical; this oracle row proves the subtraction is right.
+    Decl("q_cat_delete_mor", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mor")
+      spark.sql(s"CREATE TABLE $c.demo_mor.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_mor.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src WHERE c_custkey % 2 = 0")
+      spark.sql(s"INSERT INTO $c.demo_mor.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src WHERE c_custkey % 2 = 1")
+      spark.sql(s"DELETE FROM $c.demo_mor.cust WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'")
+      spark.sql(s"DELETE FROM $c.demo_mor.cust WHERE c_custkey <= 50")
+      spark.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |FROM $c.demo_mor.cust
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING') AND NOT (c_custkey <= 50)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // Row-level UPDATE via group-based copy-on-write (ReplaceData).
     Decl("q_cat_update", (spark, dir) => {
       val c = cat(spark, dir)

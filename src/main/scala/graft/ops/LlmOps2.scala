@@ -99,12 +99,16 @@ object LlmOps2 extends Pack {
   }
 
   /** Connected components over candidate pairs by iterative min-label
-    * propagation (pure DataFrame ops — each round is one join+agg, and
-    * label count shrinks monotonically; converges in O(log n) rounds
-    * for real dup clusters). Returns (doc_id, group) where group is
-    * the smallest doc_id in the component — the canonical survivor.
+    * propagation WITH pointer jumping (pure DataFrame ops). Each round
+    * is: (1) label ← min over neighbors' labels, (2) label ← label's
+    * label (pointer doubling). Step 1 alone moves a label one hop per
+    * round — diameter-bounded, so a chain-shaped component of length d
+    * needs d rounds; step 2 halves the remaining chain depth each
+    * round, giving true O(log n) convergence for ANY component shape.
+    * Returns (doc_id, group) where group is the smallest doc_id in the
+    * component — the canonical survivor.
     */
-  def duplicateGroups(pairs: DataFrame): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // localCheckpoint (eager) truncates lineage each round — without it
     // the plan doubles in depth per iteration and pins every superseded
     // label set in memory, which is fatal at cluster scale.
@@ -116,16 +120,33 @@ object LlmOps2 extends Pack {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 15) {
+    while (changed > 0) {
       rounds += 1
+      // 50 pointer-doubling rounds cover components of ~2^50 nodes; if
+      // we're still moving labels past that, something is wrong with
+      // the labels themselves — fail loudly, never return a partial
+      // clustering as if it had converged.
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"duplicateGroups did not converge after $maxRounds rounds " +
+          s"($changed labels still moving)")
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // Carry the previous label in-row so convergence needs a cheap
       // filter over the checkpointed result, not a self-join.
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
+      // pointer jumping: label ← label-of-label (labels are node ids,
+      // so the self-join always resolves; coalesce guards the root,
+      // whose label is itself and needs no jump)
+      val jump = propagated.select(col("id").as("jid"), col("label").as("jlabel"))
+      val stepped = propagated.join(jump, propagated("label") === jump("jid"), "left")
+        .select(col("id"), col("old_label"),
+          coalesce(col("jlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      propagated.unpersist(blocking = false)
       changed = stepped.filter(col("label") < col("old_label")).count()
       labels.unpersist(blocking = false)
       labels = stepped.select(col("id"), col("label"))
@@ -332,11 +353,14 @@ object LlmOps2 extends Pack {
             // the byte stream standing in for a real embedding
             val n = payload.length.max(1)
             val codes = payload.map(_.toInt & 0xff)
-            val mean = BigDecimal(codes.sum.toDouble / n)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // Long sum (an Int sum overflows past ~8.4 MB of high
+            // bytes); round exactly like the oracle's ROUND(x, 6) —
+            // same double product, half-up on positive values
+            val sum = codes.foldLeft(0L)(_ + _)
+            val mean = Math.round(sum.toDouble / n * 1e6).toDouble / 1e6
             val mx = if (payload.isEmpty) 0.0 else codes.max.toDouble
             val mn = if (payload.isEmpty) 0.0 else codes.min.toDouble
-            (id, payload.length, mean, mn, mx)
+            (id, payload.length.toLong, mean, mn, mx)
           }
         }
         .toDF("doc_id", "n_bytes", "mean_byte", "min_byte", "max_byte")

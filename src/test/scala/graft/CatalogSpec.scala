@@ -241,6 +241,80 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(wh, "r", "old")))
   }
 
+  test("merge-on-read DELETE: data files byte-identical, deletes stack, compact settles") {
+    val wh = freshDir("morspec")
+    mkCatalog("tcMor", wh)
+    spark.sql("CREATE NAMESPACE tcMor.m")
+    spark.sql("CREATE TABLE tcMor.m.t (id BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcMor.m.t SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100)")
+    spark.sql("INSERT INTO tcMor.m.t SELECT id, 'c' FROM range(100, 150)")
+
+    def tbl = {
+      val cata = spark.sessionState.catalogManager.catalog("tcMor")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      cata.invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "t"))
+      cata.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable]
+    }
+    def sha(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(Files.readAllBytes(Paths.get(wh, p))))
+    }
+    val before = tbl.readSnapshot.get.files.map(f => f.path -> sha(f.path)).toMap
+    assert(before.nonEmpty)
+
+    // trickle DELETE #1: no data file may be rewritten or even touched
+    spark.sql("DELETE FROM tcMor.m.t WHERE id < 10")
+    val snap1 = tbl.readSnapshot.get
+    assert(snap1.operation == "delete")
+    assert(snap1.files.map(f => f.path -> sha(f.path)).toMap == before,
+      "MOR delete must leave every data file byte-identical")
+    assert(snap1.deleteFiles.nonEmpty)
+    assert(snap1.summary("total-position-deletes").toLong == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t").collect()(0).getLong(0) == 140)
+
+    // trickle DELETE #2 stacks on top (still no rewrite), and filters
+    // through the MOR scan still see the right rows
+    spark.sql("DELETE FROM tcMor.m.t WHERE id >= 145")
+    val snap2 = tbl.readSnapshot.get
+    assert(snap2.files.map(f => f.path -> sha(f.path)).toMap == before)
+    assert(snap2.deleteFiles.size > snap1.deleteFiles.size)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t WHERE grp = 'a'").collect()(0).getLong(0) == 45)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t").collect()(0).getLong(0) == 135)
+
+    // deleting already-deleted rows is a no-op commit (idempotent)
+    val v = tbl.metaVersion
+    spark.sql("DELETE FROM tcMor.m.t WHERE id < 5")
+    assert(tbl.metaVersion == v, "re-delete of deleted rows must not commit")
+
+    // COW UPDATE over a MOR table must not resurrect deleted rows
+    spark.sql("UPDATE tcMor.m.t SET grp = 'z' WHERE id = 20")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t").collect()(0).getLong(0) == 135)
+    assert(spark.sql("SELECT grp FROM tcMor.m.t WHERE id = 20").collect()(0).getString(0) == "z")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t WHERE id < 10").collect()(0).getLong(0) == 0)
+
+    // time travel: pre-delete snapshot sees all 150 rows; the snapshot
+    // between the two deletes applies only the first delete's files
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t VERSION AS OF 2").collect()(0).getLong(0) == 150)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t VERSION AS OF 3").collect()(0).getLong(0) == 140)
+
+    // compaction applies the deletes for real and clears them
+    graft.catalog.Maintenance.compact(spark, tbl, targetFiles = 1)
+    val snap3 = tbl.readSnapshot.get
+    assert(snap3.deleteFiles.isEmpty, "compact must settle position deletes")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t").collect()(0).getLong(0) == 135)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMor.m.t WHERE id < 10").collect()(0).getLong(0) == 0)
+
+    // pre-MOR metadata (no deleteFiles field) still parses
+    val legacy = """{"snapshotId":1,"parentId":null,"sequenceNumber":1,
+      "timestampMs":0,"operation":"append","summary":{},"files":[]}"""
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(JsonMethods.parse(legacy).extract[graft.meta.Snapshot].deleteFiles.isEmpty)
+  }
+
   test("time travel reads historic snapshots; metadata tables list them") {
     val wh = freshDir("tt")
     mkCatalog("tcT", wh)

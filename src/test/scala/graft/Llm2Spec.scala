@@ -72,13 +72,28 @@ class Llm2Spec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(groups(_) == 10L))
   }
 
+  test("duplicate clustering converges on deep chains via pointer jumping") {
+    import spark.implicits._
+    // a 200-node path: one-hop min propagation needs ~200 rounds, so a
+    // 10-round budget proves pointer doubling is doing the work
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val groups = LlmOps2.duplicateGroups(pairs, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 200 && groups.values.forall(_ == 0L))
+    // and cap exhaustion fails loudly instead of returning a partial
+    // clustering as if it had converged
+    assertThrows[IllegalStateException] {
+      LlmOps2.duplicateGroups(pairs, maxRounds = 1).collect()
+    }
+  }
+
   test("multimodal mapPartitions features are deterministic and complete") {
     val a = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
     val b = SparkEntry.queries("q_llm_mmfeatures")(spark, TestSpark.sf).collect()
     assert(a.length == Tables(spark, TestSpark.sf, "documents").count())
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     a.foreach { r =>
-      val n = r.getAs[Int]("n_bytes")
+      val n = r.getAs[Long]("n_bytes")
       val mn = r.getAs[Double]("min_byte")
       val mx = r.getAs[Double]("max_byte")
       val mean = r.getAs[Double]("mean_byte")
