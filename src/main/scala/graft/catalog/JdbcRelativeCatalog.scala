@@ -33,13 +33,55 @@ class JdbcRelativeCatalog extends RelativeCatalog {
 
   private var conn: Connection = _
 
+  /** Catalog-store schema version (ref JdbcRelativeCatalog.java:52,
+    * 157-190): V0 has no view support; V1 adds a `record_type`
+    * discriminator column to the catalog table (rows are 'TABLE' or
+    * 'VIEW'; NULL = legacy V0 table row). Existing stores migrate IN
+    * PLACE — but only when the user opts in with the catalog option
+    * `schema-version=V1`; a V1 column found in the store wins
+    * regardless of the option.
+    */
+  private var schemaVersion: String = "V0"
+
+  private def isV1: Boolean = schemaVersion == "V1"
+
+  private val viewUnsupportedMsg =
+    "JDBC relative catalog is initialized without view support. To " +
+      "auto-migrate the database's schema and enable view support, set " +
+      "the catalog option schema-version=V1"
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     super.initialize(name, options)
     val uri = Option(options.get("uri"))
       .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
     conn = DriverManager.getConnection(uri)
     bootstrap()
+    migrateSchemaIfRequired(Option(options.get("schema-version")))
   }
+
+  /** Probe for the V1 `record_type` column (Derby folds unquoted
+    * identifiers to upper case); add it in place when the catalog opts
+    * in (ref JdbcRelativeCatalog.java:157-190 updateSchemaIfRequired).
+    */
+  private def migrateSchemaIfRequired(requested: Option[String]): Unit = synchronized {
+    val rs = conn.getMetaData.getColumns(null, null, "GRAFT_TABLES", "RECORD_TYPE")
+    val present = try rs.next() finally rs.close()
+    if (present) schemaVersion = "V1"
+    else if (requested.exists(_.equalsIgnoreCase("V1"))) {
+      val st = conn.createStatement()
+      try st.execute("ALTER TABLE graft_tables ADD COLUMN record_type VARCHAR(5)")
+      finally st.close()
+      schemaVersion = "V1"
+    }
+    // else: stay V0; view operations will refuse with a pointer to the
+    // migration switch (ref VIEW_WARNING_LOG_MESSAGE)
+  }
+
+  /** Appended to table-row lookups so V1 stores never resolve a VIEW
+    * row as a table; V0 stores have no such column. NULL record_type
+    * (a pre-migration row) is a table. */
+  private def tableRowCond: String =
+    if (isV1) " AND (record_type IS NULL OR record_type='TABLE')" else ""
 
   private def bootstrap(): Unit = synchronized {
     def tryDdl(sql: String): Unit =
@@ -90,7 +132,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
 
     private def pointer: Option[String] =
       queryList(
-        "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+        "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,
         name(), nsStr, tblName)(_.getString(1)).headOption
 
     private def versionOf(loc: String): Int =
@@ -101,7 +143,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
 
     override def refresh(): Option[(Int, TableMeta)] = pointer.map { loc =>
       val v = versionOf(loc)
-      (v, TableMeta.fromJson(Files.readString(
+      (v, parseMeta(readMetadataString(
         Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))))
     }
 
@@ -113,20 +155,30 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       // delete its OWN file, never the winner's
       val unique = s"v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
       val target = metadataDir.resolve(unique)
-      Files.writeString(target, TableMeta.toJson(meta))
+      val (json, newManifests) = spillAndSerialize(meta)
+      def loseCleanup(): Unit = {
+        Files.deleteIfExists(target)
+        newManifests.foreach(Files.deleteIfExists(_))
+      }
+      Files.writeString(target, json)
       val newLoc = s"$location/metadata/$unique"
       val prevLoc = pointer.orNull
       if (base != 0 && (prevLoc == null || versionOf(prevLoc) != base)) {
-        Files.deleteIfExists(target)
+        loseCleanup()
         throw new CommitFailedException(s"stale base $base for $nsStr.$tblName")
       }
       val changed =
         if (base == 0) {
-          try update(
-            "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location) VALUES (?,?,?,?,NULL)",
-            name(), nsStr, tblName, newLoc)
+          try {
+            if (isV1) update(
+              "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'TABLE')",
+              name(), nsStr, tblName, newLoc)
+            else update(
+              "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location) VALUES (?,?,?,?,NULL)",
+              name(), nsStr, tblName, newLoc)
+          }
           catch { case e: SQLException =>
-            Files.deleteIfExists(target)
+            loseCleanup()
             throw new CommitFailedException(s"create race: ${e.getMessage}")
           }
         } else update(
@@ -134,7 +186,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
           newLoc, prevLoc, name(), nsStr, tblName, prevLoc)
       // (CAS: 0 rows changed = another writer moved the pointer first)
       if (changed != 1) {
-        Files.deleteIfExists(target)
+        loseCleanup()
         throw new CommitFailedException(
           s"concurrent update to $nsStr.$tblName (pointer CAS failed)")
       }
@@ -223,8 +275,11 @@ class JdbcRelativeCatalog extends RelativeCatalog {
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(ns)) return false
     val tables = listTables(ns)
-    if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
+    val views = if (isV1) listViews(ns.toIndexedSeq: _*) else Array.empty[Identifier]
+    if ((tables.nonEmpty || views.nonEmpty) && !cascade)
+      throw new NonEmptyNamespaceException(ns)
     tables.foreach(dropTable)
+    views.foreach(dropView)
     update("DELETE FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
       name(), nsKey(ns.toSeq))
     deleteRecursively(dirOf(ns.toSeq))
@@ -235,17 +290,26 @@ class JdbcRelativeCatalog extends RelativeCatalog {
 
   override def listTables(ns: Array[String]): Array[Identifier] =
     queryList(
-      "SELECT table_name FROM graft_tables WHERE catalog_name=? AND table_namespace=?",
+      "SELECT table_name FROM graft_tables WHERE catalog_name=? AND table_namespace=?" + tableRowCond,
       name(), nsKey(ns.toSeq))(rs => Identifier.of(ns, rs.getString(1))).toArray
 
   override def tableExists(ident: Identifier): Boolean =
     queryList(
-      "SELECT 1 FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+      "SELECT 1 FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,
       name(), nsKey(ident.namespace().toSeq), ident.name())(_ => 1).nonEmpty
+
+  /** A view with the same name blocks table creation in V1 stores
+    * (ref ViewAwareTableBuilder, JdbcRelativeCatalog.java:674-692). */
+  override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table = {
+    if (isV1 && viewExists(ident)) throw new TableAlreadyExistsException(ident)
+    super.createTable(ident, schema, partitions, properties)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val n = update(
-      "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+      "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,
       name(), nsKey(ident.namespace().toSeq), ident.name())
     if (n == 1) {
       deleteRecursively(dirOf(ident.namespace().toSeq :+ ident.name()))
@@ -263,6 +327,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       else rawNewIdent
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (isV1 && viewExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
     val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
     Files.createDirectories(to.getParent)
@@ -271,7 +336,10 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     val prefixNew = tableLocation(newIdent)
     def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
     try {
-      // rewrite the metadata under the moved directory
+      // rewrite the metadata under the moved directory (raw parse —
+      // spilled prefixes stay spilled; their chunk files are remapped
+      // in place below)
+      RelativeCatalog.remapManifestContents(to.resolve("metadata"), remap)
       val loc = queryList(
         "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
         name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name())(_.getString(1)).head
@@ -280,7 +348,9 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       Files.writeString(metaPath, TableMeta.toJson(meta.copy(
         location = prefixNew,
         snapshots = meta.snapshots.map(s =>
-          s.copy(files = s.files.map(f => f.copy(path = remap(f.path))))),
+          s.copy(files = s.files.map(f => f.copy(path = remap(f.path))),
+            deleteFiles = s.deleteFiles.map(f => f.copy(path = remap(f.path))),
+            manifests = s.manifests.map(m => m.copy(path = remap(m.path))))),
         metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile))))))
       val n = update(
         "UPDATE graft_tables SET table_namespace=?, table_name=?, metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=?",
@@ -291,6 +361,148 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       case e: SQLException =>
         Files.move(to, from, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         throw new TableAlreadyExistsException(newIdent)
+    }
+  }
+
+  // ---- views (V1 stores only: rows in graft_tables with
+  // record_type='VIEW', metadata_location pointing at the ViewDef
+  // JSON under the namespace dir — the row is the source of truth for
+  // existence; ref JdbcRelativeCatalog.java:476-547 + JdbcViewOperations).
+  // V0 stores refuse every view operation with a pointer to the
+  // migration switch, exactly like the reference
+  // (VIEW_WARNING_LOG_MESSAGE, ref :52,196-201). -----------------------
+
+  private def requireV1(): Unit =
+    if (!isV1) throw new UnsupportedOperationException(viewUnsupportedMsg)
+
+  private def viewPointer(ident: Identifier): Option[String] =
+    if (!isV1) None
+    else queryList(
+      "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW'",
+      name(), nsKey(ident.namespace().toSeq), ident.name())(_.getString(1)).headOption
+
+  override def viewExists(ident: Identifier): Boolean = viewPointer(ident).isDefined
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    requireV1()
+    queryList(
+      "SELECT table_name FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND record_type='VIEW'",
+      name(), nsKey(ns))(rs => Identifier.of(ns.toArray, rs.getString(1))).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    requireV1()
+    val loc = viewPointer(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    new GraftView(ViewDef.fromJson(Files.readString(
+      Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))))
+  }
+
+  /** Write the definition under the namespace dir with a unique
+    * suffix (losing racers must only ever delete their own file) and
+    * return its warehouse-relative path for the catalog row. */
+  private def writeViewDef(ident: Identifier, d: ViewDef): String = {
+    val dir = dirOf(ident.namespace().toSeq)
+    Files.createDirectories(dir)
+    val f = dir.resolve(
+      s"${ident.name()}-${java.util.UUID.randomUUID().toString.take(8)}.view.json")
+    Files.writeString(f, ViewDef.toJson(d))
+    graft.meta.RelPaths.relativize(warehouse, f.toString)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    requireV1()
+    val ident = info.ident()
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val d = ViewDef(ident.name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace().toList, info.schema().json,
+      info.queryColumnNames().toList, info.columnAliases().toList,
+      info.columnComments().toList.map(c => if (c == null) "" else c),
+      info.properties().asScala.toMap)
+    val loc = writeViewDef(ident, d)
+    try update(
+      "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
+      name(), nsKey(ident.namespace().toSeq), ident.name(), loc)
+    catch { case _: SQLException => // PK violation: a racer won
+      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    }
+    new GraftView(d)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    requireV1()
+    val oldLoc = viewPointer(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val d0 = ViewDef.fromJson(Files.readString(
+      Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc))))
+    val d = changes.foldLeft(d0) {
+      case (d, sp: ViewChange.SetProperty) =>
+        d.copy(properties = d.properties + (sp.property() -> sp.value()))
+      case (d, rp: ViewChange.RemoveProperty) =>
+        d.copy(properties = d.properties - rp.property())
+      case (d, _) => d
+    }
+    val newLoc = writeViewDef(ident, d)
+    // pointer CAS, same protocol as table commits: the loser's file is
+    // removed and the caller retries on fresh state
+    val n = update(
+      "UPDATE graft_tables SET metadata_location=?, previous_metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW' AND metadata_location=?",
+      newLoc, oldLoc, name(), nsKey(ident.namespace().toSeq), ident.name(), oldLoc)
+    if (n != 1) {
+      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+      throw new CommitFailedException(
+        s"concurrent update to view ${ident.name()} (pointer CAS failed)")
+    }
+    Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
+    new GraftView(d)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    requireV1()
+    viewPointer(ident) match {
+      case None => false
+      case Some(loc) =>
+        val n = update(
+          "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW'",
+          name(), nsKey(ident.namespace().toSeq), ident.name())
+        if (n == 1)
+          Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))
+        n == 1
+    }
+  }
+
+  override def renameView(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    requireV1()
+    val newIdent =
+      if (rawNewIdent.namespace().headOption.contains(name()))
+        Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
+      else rawNewIdent
+    val oldLoc = viewPointer(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    val d = ViewDef.fromJson(Files.readString(
+      Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc))))
+    val newLoc = writeViewDef(newIdent, d.copy(name = newIdent.name()))
+    try {
+      val n = update(
+        "UPDATE graft_tables SET table_namespace=?, table_name=?, metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW' AND metadata_location=?",
+        nsKey(newIdent.namespace().toSeq), newIdent.name(), newLoc,
+        name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name(), oldLoc)
+      if (n != 1) {
+        Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+      }
+      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
+    } catch {
+      case _: SQLException => // PK violation: target appeared concurrently
+        Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     }
   }
 }

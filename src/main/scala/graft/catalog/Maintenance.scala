@@ -19,7 +19,7 @@ object Maintenance {
     */
   def expireSnapshots(ops: TableOps, keepLast: Int): Int = {
     var attempts = 0
-    while (true) {
+    while (attempts < 10) {
       attempts += 1
       val (v, meta) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
@@ -30,23 +30,28 @@ object Maintenance {
       if (kept.size == meta.snapshots.size) return 0
       val keptIds = kept.map(_.snapshotId).toSet
       val keptFiles = kept.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
-      val orphans = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+      val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+      val orphans = expired
         .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
+      // manifest chunks referenced only by expired snapshots go too
+      val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
+      val orphanManifests = expired.flatMap(_.manifests.map(_.path))
+        .distinct.filterNot(keptManifests)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),
         snapshots = kept,
         snapshotLog = meta.snapshotLog.filter(e => keptIds(e.snapshotId)))
       try {
         ops.commit(v, next)
-        orphans.foreach(p =>
+        (orphans ++ orphanManifests).foreach(p =>
           Files.deleteIfExists(Paths.get(RelPaths.absolutize(ops.warehouse, p))))
         return orphans.size
       } catch {
-        case _: CommitFailedException if attempts < 10 => // refresh + retry
+        case _: CommitFailedException => // refresh + retry
       }
     }
-    0
+    throw new CommitFailedException("expireSnapshots: commit retries exhausted")
   }
 
   /** Create (or move) a named ref — `tag` pins a snapshot forever,
@@ -102,6 +107,57 @@ object Maintenance {
           currentSnapshotId = Some(head),
           snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, head),
           refs = meta.refs + ("main" -> graft.meta.Ref(head, "branch"))))
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 =>
+      }
+    }
+  }
+
+  /** Compute table-level statistics (ref README.md:99-100 `statistics`
+    * slot) for the CURRENT snapshot and commit them into the metadata:
+    * exact row/byte totals and null counts, approximate NDV
+    * (approx_count_distinct = HLL++ sketch — one pass, no extra
+    * shuffle; exact distinct at 100 TB would shuffle every column).
+    * Readable via `<table>$stats`.
+    */
+  def computeStats(spark: SparkSession, table: GraftTable): Unit = {
+    import org.apache.spark.sql.functions._
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+    val snapId = snap.map(_.snapshotId).getOrElse(return)
+    val schema = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
+    val cols = schema.fieldNames.toSeq
+    val stats: graft.meta.TableStats =
+      if (files.isEmpty)
+        graft.meta.TableStats(snapId, 0L, 0L, cols.map(_ -> graft.meta.ColumnStats(0L, 0L)).toMap)
+      else {
+        val df = Mor.applyDeletes(spark,
+          spark.read.schema(schema)
+            .parquet(files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path)): _*),
+          table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil))
+        val aggs = count(lit(1)).as("__n") +:
+          cols.flatMap(c => Seq(
+            approx_count_distinct(col(c)).as(s"__ndv_$c"),
+            count(when(col(c).isNull, 1)).as(s"__nulls_$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        graft.meta.TableStats(
+          snapshotId = snapId,
+          totalRecords = row.getAs[Long]("__n"),
+          totalBytes = files.map(_.bytes).sum,
+          columns = cols.map(c => c -> graft.meta.ColumnStats(
+            row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c"))).toMap)
+      }
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (v, meta) = table.ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      try {
+        table.ops.commit(v, meta.copy(
+          lastUpdatedMs = System.currentTimeMillis(),
+          statistics = Some(stats)))
         done = true
       } catch {
         case _: CommitFailedException if attempts < 10 =>

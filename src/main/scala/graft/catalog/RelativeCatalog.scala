@@ -68,7 +68,8 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     val md = p.resolve("metadata")
     Files.isDirectory(md) && listDir(md).exists { f =>
       val n = f.getFileName.toString
-      n.startsWith("v") && n.endsWith(".metadata.json")
+      n.startsWith("v") &&
+        (n.endsWith(".metadata.json") || n.endsWith(".metadata.json.gz"))
     }
   }
 
@@ -332,16 +333,25 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace().nonEmpty && !namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
+    // materialize BEFORE the move — the spilled manifest chunks are
+    // still at their recorded (old) paths here
+    val (v, meta) = new TableOps(warehouse, tableLocation(oldIdent)).refresh()
+      .getOrElse(throw new NoSuchTableException(oldIdent))
     Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // the stored location must track the new path: rewrite + commit
-    val ops = new TableOps(warehouse, tableLocation(newIdent))
-    val (v, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(newIdent))
     val prefixOld = tableLocation(oldIdent)
     val prefixNew = tableLocation(newIdent)
     def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
+    // chunk CONTENTS embed table-prefixed data-file paths — remap the
+    // moved files in place
+    RelativeCatalog.remapManifestContents(to.resolve("metadata"), remap)
+    val ops = new TableOps(warehouse, tableLocation(newIdent))
     ops.commit(v, meta.copy(
       location = prefixNew,
-      snapshots = meta.snapshots.map(s => s.copy(files = s.files.map(f => f.copy(path = remap(f.path))))),
+      snapshots = meta.snapshots.map(s => s.copy(
+        files = s.files.map(f => f.copy(path = remap(f.path))),
+        deleteFiles = s.deleteFiles.map(f => f.copy(path = remap(f.path))),
+        manifests = s.manifests.map(m => m.copy(path = remap(m.path))))),
       metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile)))))
   }
 
@@ -449,7 +459,45 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           StructField("snapshot_id", LongType)))
         val rows = meta.snapshotLog.map(e => Row(e.timestampMs, e.snapshotId))
         new MemTable(s"${ident.name()}$$history", sch, rows)
+      case "stats" =>
+        // one row per column from the committed statistics slot
+        // (Maintenance.computeStats); empty until a stats pass ran
+        val sch = StructType(Seq(
+          StructField("column_name", StringType),
+          StructField("ndv", LongType),
+          StructField("null_count", LongType),
+          StructField("total_records", LongType),
+          StructField("total_bytes", LongType),
+          StructField("snapshot_id", LongType)))
+        val rows = meta.statistics.toList.flatMap(st =>
+          st.columns.toSeq.sortBy(_._1).map { case (c, cs) =>
+            Row(c, cs.ndv, cs.nullCount, st.totalRecords, st.totalBytes, st.snapshotId)
+          })
+        new MemTable(s"${ident.name()}$$stats", sch, rows)
       case other => throw new NoSuchTableException(ident)
+    }
+  }
+}
+
+object RelativeCatalog {
+  /** Rewrite every spilled manifest chunk under `metadataDir` with
+    * `remap` applied to its data-file paths (used by renameTable —
+    * the chunk files move with the table directory, but their embedded
+    * paths carry the old table prefix).
+    */
+  private[catalog] def remapManifestContents(metadataDir: java.nio.file.Path,
+      remap: String => String): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(metadataDir)) return
+    val st = java.nio.file.Files.list(metadataDir)
+    val chunks = try st.iterator().asScala.toList finally st.close()
+    chunks.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("manifest-") && n.endsWith(".json")
+    }.foreach { p =>
+      val files = graft.meta.TableMeta.manifestFromJson(java.nio.file.Files.readString(p))
+      java.nio.file.Files.writeString(p, graft.meta.TableMeta.manifestToJson(
+        files.map(f => f.copy(path = remap(f.path)))))
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.meta.{RelPaths, TableMeta}
+import graft.meta.{DataFile, Manifest, RelPaths, TableMeta}
 import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
@@ -41,20 +41,101 @@ class TableOps(val warehouse: String, val tableLocation: String) {
   def versionHintFile: Path = metadataDir.resolve("version-hint.text")
   def metadataFile(v: Int): Path = metadataDir.resolve(s"v$v.metadata.json")
 
+  /** Codec probing (ref HadoopRelativeTableOperations.java:243-251
+    * getMetadataFile): a version may exist as plain JSON or gzip —
+    * the reference stack's `gz` codec writes `v<N>.gz.metadata.json`
+    * (we also accept the plain-suffix spelling `.metadata.json.gz`) —
+    * so every read probes the known spellings in codec order. A
+    * gzip-metadata warehouse written by the reference opens unchanged.
+    */
+  private def metadataCandidates(v: Int): Seq[Path] = Seq(
+    metadataFile(v),
+    metadataDir.resolve(s"v$v.gz.metadata.json"),
+    metadataDir.resolve(s"v$v.metadata.json.gz"))
+
+  def existingMetadataFile(v: Int): Option[Path] =
+    metadataCandidates(v).find(Files.exists(_))
+
+  private val VersionName = """^v(\d+)(?:\.gz)?\.metadata\.json(?:\.gz)?$""".r
+
+  /** Read metadata JSON, transparently gunzipping the gz spellings. */
+  def readMetadataString(p: Path): String = {
+    val n = p.getFileName.toString
+    if (n.endsWith(".gz") || n.endsWith(".gz.metadata.json")) {
+      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else Files.readString(p)
+  }
+
   @volatile private var cachedUuid: Option[String] = None
+
+  // ---- manifest chunking (the reference's manifest-list indirection,
+  // README.md:96): a snapshot's file list above the chunk size spills
+  // to immutable side files so metadata.json — the commit payload —
+  // stays O(chunk size) no matter how many files the table has. ------
+
+  /** Parse metadata JSON and materialize every snapshot's full file
+    * list from its manifests (each unique chunk is read once). */
+  def parseMeta(json: String): TableMeta = {
+    val meta = TableMeta.fromJson(json)
+    if (meta.snapshots.forall(_.manifests.isEmpty)) meta
+    else {
+      val cache = scala.collection.mutable.Map.empty[String, List[DataFile]]
+      meta.copy(snapshots = meta.snapshots.map { s =>
+        if (s.manifests.isEmpty) s
+        else {
+          val chunked = s.manifests.flatMap(m => cache.getOrElseUpdate(m.path,
+            TableMeta.manifestFromJson(Files.readString(
+              Paths.get(RelPaths.absolutize(warehouse, m.path))))))
+          s.copy(files = chunked ++ s.files)
+        }
+      })
+    }
+  }
+
+  /** Spill oversized inline tails to new manifest files and serialize
+    * with each snapshot's chunked prefix stripped (it lives in the
+    * manifests). Returns the JSON and the manifest files written by
+    * THIS call — the committer must delete them if the commit loses.
+    */
+  protected def spillAndSerialize(meta: TableMeta): (String, List[Path]) = {
+    val chunkSize = meta.properties.get("write.metadata.manifest-chunk-size")
+      .flatMap(s => Try(s.toInt).toOption).filter(_ > 0).getOrElse(1000)
+    var written = List.empty[Path]
+    val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
+      val inline = s.inlineFiles
+      if (inline.size <= chunkSize) s
+      else {
+        Files.createDirectories(metadataDir)
+        val groups = inline.grouped(chunkSize).toList
+        val (full, rest) = groups.partition(_.size == chunkSize)
+        val newManifests = full.map { g =>
+          val fname = s"manifest-${java.util.UUID.randomUUID()}.json"
+          val p = metadataDir.resolve(fname)
+          Files.writeString(p, TableMeta.manifestToJson(g))
+          written ::= p
+          Manifest(s"$tableLocation/metadata/$fname", g.size)
+        }
+        s.copy(files = s.files.take(s.chunkedCount) ++ full.flatten ++ rest.flatten,
+          manifests = s.manifests ++ newManifests)
+      }
+    })
+    val json = TableMeta.toJson(spilled.copy(snapshots =
+      spilled.snapshots.map(s => s.copy(files = s.inlineFiles))))
+    (json, written)
+  }
 
   /** Version-hint read with recovery scan fallback. 0 = table absent. */
   def findVersion(): Int = {
     val hinted = Try {
       Files.readString(versionHintFile).trim.toInt
-    }.toOption.filter(v => v > 0 && Files.exists(metadataFile(v)))
+    }.toOption.filter(v => v > 0 && existingMetadataFile(v).isDefined)
     hinted.getOrElse {
       if (!Files.isDirectory(metadataDir)) 0
       else Files.list(metadataDir).iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
-          Try(s.stripPrefix("v").stripSuffix(".metadata.json").toInt).getOrElse(0)
-        }
+        .collect { case VersionName(d) => Try(d.toInt).getOrElse(0) }
         .foldLeft(0)(math.max)
     }
   }
@@ -63,8 +144,8 @@ class TableOps(val warehouse: String, val tableLocation: String) {
   def refresh(): Option[(Int, TableMeta)] = {
     var v = findVersion()
     if (v == 0) return None
-    while (Files.exists(metadataFile(v + 1))) v += 1
-    val meta = TableMeta.fromJson(Files.readString(metadataFile(v)))
+    while (existingMetadataFile(v + 1).isDefined) v += 1
+    val meta = parseMeta(readMetadataString(existingMetadataFile(v).get))
     cachedUuid match {
       case Some(u) if u != meta.tableUuid =>
         throw new IllegalStateException(
@@ -78,7 +159,7 @@ class TableOps(val warehouse: String, val tableLocation: String) {
     * when a concurrent committer won the rename race or `base` is stale.
     */
   def commit(base: Int, meta: TableMeta): Int = {
-    val current = { var v = findVersion(); while (Files.exists(metadataFile(v + 1))) v += 1; v }
+    val current = { var v = findVersion(); while (existingMetadataFile(v + 1).isDefined) v += 1; v }
     if (base != current)
       throw new CommitFailedException(s"stale base: committed=$current, attempted base=$base")
 
@@ -90,19 +171,38 @@ class TableOps(val warehouse: String, val tableLocation: String) {
       require(!f.path.startsWith("/") && !f.path.contains("://"),
         s"data/delete file path must be warehouse-relative: ${f.path}")
     }
+    meta.snapshots.flatMap(_.manifests).foreach { m =>
+      require(!m.path.startsWith("/") && !m.path.contains("://"),
+        s"manifest path must be warehouse-relative: ${m.path}")
+    }
 
     Files.createDirectories(metadataDir)
-    val target = metadataFile(base + 1)
+    val (json, newManifests) = spillAndSerialize(meta)
+    // write codec comes from the Iceberg-named table property; readers
+    // probe, so mixed-codec version chains are fine
+    val gzip = meta.properties.get("write.metadata.compression-codec")
+      .exists(_.equalsIgnoreCase("gzip"))
+    val target =
+      if (gzip) metadataDir.resolve(s"v${base + 1}.gz.metadata.json")
+      else metadataFile(base + 1)
     val tmp = metadataDir.resolve(s".${java.util.UUID.randomUUID()}.metadata.json")
-    Files.writeString(tmp, TableMeta.toJson(meta))
+    if (gzip) {
+      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp))
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else Files.writeString(tmp, json)
 
+    def loseCleanup(): Unit = {
+      Files.deleteIfExists(tmp)
+      newManifests.foreach(Files.deleteIfExists(_))
+    }
     val lockFile = metadataDir.resolve(".commit.lock")
     val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
       val lock = ch.lock()
       try {
-        if (Files.exists(target)) {
-          Files.deleteIfExists(tmp)
+        if (existingMetadataFile(base + 1).isDefined) {
+          loseCleanup()
           throw new CommitFailedException(s"version ${base + 1} already committed")
         }
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -110,7 +210,7 @@ class TableOps(val warehouse: String, val tableLocation: String) {
     } catch {
       case e: CommitFailedException => throw e
       case e: Throwable =>
-        Files.deleteIfExists(tmp)
+        loseCleanup()
         throw new CommitFailedException(s"rename to $target failed: ${e.getMessage}")
     } finally ch.close()
 
@@ -130,9 +230,9 @@ class TableOps(val warehouse: String, val tableLocation: String) {
   private def gcOldMetadata(keep: Int): Unit = Try {
     val vs = Files.list(metadataDir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
-        Try(s.stripPrefix("v").stripSuffix(".metadata.json").toInt).getOrElse(0)
-      }.toSeq.sorted
-    vs.dropRight(keep).filter(_ > 0).foreach(v => Files.deleteIfExists(metadataFile(v)))
+      .collect { case VersionName(d) => Try(d.toInt).getOrElse(0) }
+      .toSeq.sorted
+    vs.dropRight(keep).filter(_ > 0)
+      .foreach(v => metadataCandidates(v).foreach(Files.deleteIfExists(_)))
   }
 }

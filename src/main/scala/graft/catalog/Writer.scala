@@ -331,6 +331,31 @@ object Writer {
       val prevDeletes =
         if (clearDeletes || (overwrite && validateFrom.isEmpty)) Nil else baseDeletes
       val allDeletes = prevDeletes ++ newDeletes
+      // Manifest-chunk reuse: retained files all come from baseSnap,
+      // so any base chunk whose members ALL survive is carried into
+      // the new snapshot verbatim — its contents never re-enter the
+      // commit payload. Chunks with a removed member dissolve into the
+      // inline tail (respilled by TableOps if it grows past the chunk
+      // size). Appends keep every base chunk; a trickle DELETE
+      // dissolves only the chunks it touched.
+      val retainedPaths = prevFiles.map(_.path).toSet
+      val keptM = scala.collection.mutable.ListBuffer.empty[graft.meta.Manifest]
+      val keptF = scala.collection.mutable.ListBuffer.empty[DataFile]
+      baseSnap.foreach { b =>
+        var idx = 0
+        b.manifests.foreach { m =>
+          val chunk = b.files.slice(idx, idx + m.count); idx += m.count
+          if (chunk.forall(f => retainedPaths(f.path))) {
+            keptM += m
+            keptF ++= chunk
+          }
+        }
+      }
+      val keptManifests = keptM.toList
+      val keptChunkFiles = keptF.toList
+      val keptPaths = keptChunkFiles.map(_.path).toSet
+      val orderedFiles =
+        keptChunkFiles ++ prevFiles.filterNot(f => keptPaths(f.path)) ++ newFiles
       val addedRecords = newFiles.map(_.records).sum
       val snap = Snapshot(
         snapshotId = snapId,
@@ -347,8 +372,9 @@ object Writer {
           "total-position-deletes" -> allDeletes.map(_.records).sum.toString,
           "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
           "total-data-files" -> (prevFiles.size + newFiles.size).toString),
-        files = prevFiles ++ newFiles,
-        deleteFiles = allDeletes)
+        files = orderedFiles,
+        deleteFiles = allDeletes,
+        manifests = keptManifests)
       val next = branch match {
         case Some(b) => baseMeta.copy(
           lastSequenceNumber = snap.sequenceNumber,

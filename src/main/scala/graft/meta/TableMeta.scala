@@ -44,6 +44,16 @@ final case class DataFile(
     minBound: Map[String, String] = Map.empty,
     maxBound: Map[String, String] = Map.empty)
 
+/** An immutable spilled chunk of a snapshot's file list (the analog
+  * of the reference's manifest indirection, README.md:96): `path` is a
+  * warehouse-relative side JSON holding `count` [[DataFile]] records.
+  * Chunks are content-frozen at spill time and SHARED across
+  * snapshots — an append reuses the parent's chunks and only spills
+  * its own inline tail, so the commit payload is O(chunk size), not
+  * O(table files).
+  */
+final case class Manifest(path: String, count: Int)
+
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -51,6 +61,10 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String, // append | overwrite | delete | replace
     summary: Map[String, String],
+    // IN MEMORY: always the full materialized list (chunk contents in
+    // manifest order, then the inline tail). IN JSON: only the inline
+    // tail — TableOps strips the chunked prefix on write and reloads
+    // it from the manifests on read.
     files: List[DataFile],
     // merge-on-read POSITION-delete files (ref README.md:89-90
     // `total-position-deletes`): parquet of (file_path STRING, pos
@@ -58,7 +72,30 @@ final case class Snapshot(
     // via an anti-join. Entries referencing rewritten (absent) data
     // files are inert and reclaimed at compaction. Default keeps
     // pre-MOR metadata.json readable.
-    deleteFiles: List[DataFile] = Nil)
+    deleteFiles: List[DataFile] = Nil,
+    manifests: List[Manifest] = Nil) {
+
+  /** Files covered by spilled chunks (a prefix of `files` in memory). */
+  def chunkedCount: Int = manifests.map(_.count).sum
+
+  /** The inline (not-yet-spilled) tail of the file list. */
+  def inlineFiles: List[DataFile] = files.drop(chunkedCount)
+}
+
+/** Table-level statistics slot (ref README.md:99-100 `statistics` /
+  * `partition-statistics`): one record per computed pass, pinned to
+  * the snapshot it described. NDV is an approximate sketch result
+  * (HLL++ via approx_count_distinct — exact distinct at 100 TB is a
+  * full shuffle for no planning benefit); null counts and totals are
+  * exact. Serves `$stats` and CBO-style sizing.
+  */
+final case class ColumnStats(ndv: Long, nullCount: Long)
+
+final case class TableStats(
+    snapshotId: Long,
+    totalRecords: Long,
+    totalBytes: Long,
+    columns: Map[String, ColumnStats])
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 
@@ -85,7 +122,8 @@ final case class TableMeta(
     snapshots: List[Snapshot],
     snapshotLog: List[SnapshotLogEntry],
     metadataLog: List[MetadataLogEntry],
-    refs: Map[String, Ref]) {
+    refs: Map[String, Ref],
+    statistics: Option[TableStats] = None) {
 
   def schema: SchemaDef = schemas.find(_.schemaId == currentSchemaId)
     .getOrElse(throw new IllegalStateException(s"schema $currentSchemaId missing"))
@@ -106,6 +144,12 @@ object TableMeta {
 
   def fromJson(s: String): TableMeta =
     JsonMethods.parse(s).extract[TableMeta]
+
+  def manifestToJson(files: List[DataFile]): String =
+    Serialization.write(files)
+
+  def manifestFromJson(s: String): List[DataFile] =
+    JsonMethods.parse(s).extract[List[DataFile]]
 
   /** Spark StructType ⇄ our id-carrying schema. */
   def schemaFromSpark(st: org.apache.spark.sql.types.StructType, firstId: Int = 1): SchemaDef =

@@ -315,6 +315,109 @@ class CatalogSpec extends AnyFunSuite {
     assert(JsonMethods.parse(legacy).extract[graft.meta.Snapshot].deleteFiles.isEmpty)
   }
 
+  test("gzip metadata codec: writes honor the table property, reads probe spellings") {
+    val wh = freshDir("gzmeta")
+    mkCatalog("tcGz", wh)
+    spark.sql("CREATE NAMESPACE tcGz.g")
+    spark.sql("CREATE TABLE tcGz.g.t (id BIGINT, data STRING) " +
+      "TBLPROPERTIES ('write.metadata.compression-codec'='gzip')")
+    spark.sql("INSERT INTO tcGz.g.t VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT INTO tcGz.g.t VALUES (3, 'z')")
+    import scala.jdk.CollectionConverters._
+    val mdDir = java.nio.file.Paths.get(wh, "g", "t", "metadata")
+    val names = java.nio.file.Files.list(mdDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.exists(_.matches("""v\d+\.gz\.metadata\.json""")),
+      s"expected gz metadata files, got $names")
+    // committed chain reads back transparently (hint + probe)
+    assert(spark.sql("SELECT SUM(id) FROM tcGz.g.t").collect()(0).getLong(0) == 6)
+    assert(spark.sql("SELECT COUNT(*) FROM tcGz.g.t VERSION AS OF 1").collect()(0).getLong(0) == 2)
+    // hint corruption recovers via the scan, which must see gz names
+    java.nio.file.Files.writeString(mdDir.resolve("version-hint.text"), "boom")
+    val cata = spark.sessionState.catalogManager.catalog("tcGz")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(Array("g"), "t")
+    cata.invalidateTable(id)
+    assert(spark.sql("SELECT COUNT(*) FROM tcGz.g.t").collect()(0).getLong(0) == 3)
+    // a warehouse written by the reference stack may use the alternate
+    // plain-suffix spelling v<N>.metadata.json.gz — recompress the
+    // newest version that way and make sure the probe still opens it
+    val ops = new graft.catalog.TableOps(wh, "g/t")
+    val (v, _) = ops.refresh().get
+    val cur = ops.existingMetadataFile(v).get
+    val json = ops.readMetadataString(cur)
+    val alt = mdDir.resolve(s"v$v.metadata.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(alt))
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    java.nio.file.Files.delete(cur)
+    java.nio.file.Files.writeString(mdDir.resolve("version-hint.text"), v.toString)
+    val ops2 = new graft.catalog.TableOps(wh, "g/t")
+    assert(ops2.refresh().get._1 == v)
+    cata.invalidateTable(id)
+    assert(spark.sql("SELECT SUM(id) FROM tcGz.g.t").collect()(0).getLong(0) == 6)
+  }
+
+  test("manifest chunking: commit payload stays O(chunk) as files accumulate") {
+    val wh = freshDir("manifest")
+    mkCatalog("tcMf", wh)
+    spark.sql("CREATE NAMESPACE tcMf.m")
+    spark.sql("CREATE TABLE tcMf.m.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.metadata.manifest-chunk-size'='10')")
+    // 25 partitions -> 25 data files in one commit: 2 chunks of 10
+    // spill, 5 stay inline
+    spark.sql("INSERT INTO tcMf.m.t SELECT id FROM range(0, 100, 1, 25)")
+    val ops = new TableOps(wh, "m/t")
+    def rawSnapshots = {
+      val (v, _) = ops.refresh().get
+      TableMeta.fromJson(ops.readMetadataString(ops.existingMetadataFile(v).get)).snapshots
+    }
+    val s1 = rawSnapshots.last
+    assert(s1.manifests.size == 2 && s1.manifests.map(_.count).sum == 20)
+    assert(s1.files.size == 5, s"inline tail should be 5, got ${s1.files.size}")
+    // materialized view still shows all 25 files and all rows
+    assert(ops.refresh().get._2.currentSnapshot.get.files.size == 25)
+    assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t").collect()(0).getLong(0) == 100)
+
+    // appends REUSE the parent's chunks: after another 25-file insert,
+    // the new snapshot's raw payload holds only the new inline tail
+    // (5 survivors + 25 new = 30 -> spills 3 more chunks, 0 inline)
+    spark.sql("INSERT INTO tcMf.m.t SELECT id FROM range(100, 200, 1, 25)")
+    val s2 = rawSnapshots.last
+    assert(s2.manifests.size == 5, s"expected 5 chunks, got ${s2.manifests}")
+    assert(s2.manifests.take(2) == s1.manifests,
+      "append must reuse the parent snapshot's chunks verbatim")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t").collect()(0).getLong(0) == 200)
+
+    // a predicate-pruned DELETE dissolves ONLY the chunks it touches
+    spark.sql("DELETE FROM tcMf.m.t WHERE id < 4")
+    val s3 = rawSnapshots.last
+    assert(s3.manifests.nonEmpty && s3.manifests.forall(s2.manifests.contains),
+      "surviving chunks must be reused, none rewritten")
+    assert(s3.manifests.size < 5, "touched chunks must dissolve")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t").collect()(0).getLong(0) == 196)
+    assert(spark.sql("SELECT SUM(id) FROM tcMf.m.t").collect()(0).getLong(0) == (0L until 200L).sum - 6)
+
+    // time travel still materializes historic chunked snapshots
+    val sid1 = rawSnapshots.head.snapshotId
+    assert(spark.sql(s"SELECT COUNT(*) FROM tcMf.m.t VERSION AS OF $sid1").collect()(0).getLong(0) == 100)
+
+    // expiry deletes chunk files no surviving snapshot references
+    import scala.jdk.CollectionConverters._
+    def manifestFilesOnDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(wh, "m", "t", "metadata")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("manifest-"))
+    val before = manifestFilesOnDisk
+    graft.catalog.Maintenance.expireSnapshots(ops, keepLast = 1)
+    assert(manifestFilesOnDisk < before, "expire must GC orphaned chunk files")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t").collect()(0).getLong(0) == 196)
+
+    // rename remaps chunk contents; the moved table still reads
+    spark.sql("ALTER TABLE tcMf.m.t RENAME TO tcMf.m.t2")
+    assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t2").collect()(0).getLong(0) == 196)
+    val ops2 = new TableOps(wh, "m/t2")
+    assert(ops2.refresh().get._2.currentSnapshot.get.files.forall(_.path.startsWith("m/t2/")))
+  }
+
   test("time travel reads historic snapshots; metadata tables list them") {
     val wh = freshDir("tt")
     mkCatalog("tcT", wh)

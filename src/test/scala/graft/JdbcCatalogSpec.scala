@@ -62,6 +62,105 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(t.ops.refresh().get._1 == v + 1)
   }
 
+  // Spark 4.1's CREATE VIEW DDL only routes to the session catalog, so
+  // these tests drive the V2 ViewCatalog API directly (same approach
+  // as q_cat_view for the path catalog).
+  private def mkViewInfo(c: String, ident: Identifier, sql: String) = {
+    new org.apache.spark.sql.connector.catalog.ViewInfo(ident, sql, c,
+      ident.namespace(), spark.sql(sql).schema,
+      spark.sql(sql).schema.fieldNames, Array.empty[String],
+      Array.empty[String], new java.util.HashMap[String, String]())
+  }
+
+  test("V1 store: view CRUD as catalog rows (create/select/alter/rename/drop)") {
+    val wh = s"/tmp/graft_test_jdbc_views"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.jviews", "graft.catalog.JdbcRelativeCatalog")
+    spark.conf.set("spark.sql.catalog.jviews.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.jviews.schema-version", "V1")
+    spark.sql("CREATE NAMESPACE jviews.v")
+    spark.sql("CREATE TABLE jviews.v.t (id BIGINT, data STRING)")
+    spark.sql("INSERT INTO jviews.v.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val cata = spark.sessionState.catalogManager.catalog("jviews")
+      .asInstanceOf[graft.catalog.JdbcRelativeCatalog]
+    val big = Identifier.of(Array("v"), "big")
+    cata.createView(mkViewInfo("jviews", big,
+      "SELECT id, data FROM jviews.v.t WHERE id > 1"))
+    assert(spark.sql(cata.loadView(big).query()).count() == 2)
+    // the view is a catalog ROW, not a table row: table listing
+    // excludes it, view listing contains it
+    assert(!spark.sql("SHOW TABLES IN jviews.v").collect().map(_.getString(1)).contains("big"))
+    assert(cata.listViews("v").map(_.name()).toSeq == Seq("big"))
+    assert(!cata.tableExists(big))
+    // name clash both ways (ref ViewAwareTableBuilder)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE jviews.v.big (x INT)")
+    }
+    intercept[Exception] {
+      cata.createView(mkViewInfo("jviews", Identifier.of(Array("v"), "t"),
+        "SELECT 1 AS one"))
+    }
+    // property round-trip through alterView's pointer CAS
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    cata.alterView(big, ViewChange.setProperty("note", "kept"))
+    assert(cata.loadView(big).properties().get("note") == "kept")
+    // rename moves the row; old name gone, new name queryable
+    val big2 = Identifier.of(Array("v"), "big2")
+    cata.renameView(big, big2)
+    assert(spark.sql(cata.loadView(big2).query()).count() == 2)
+    assert(!cata.viewExists(big))
+    assert(cata.dropView(big2))
+    assert(!cata.dropView(big2))
+    // no stray .view.json files after drop (every CAS loser cleans up)
+    assert(!org.apache.commons.io.FileUtils.listFiles(
+      new java.io.File(wh), Array("json"), true)
+      .toString.contains(".view.json"))
+  }
+
+  test("V0 store refuses views; re-init with schema-version=V1 migrates in place") {
+    val wh = s"/tmp/graft_test_jdbc_migr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    // phase 1: plain V0 catalog — tables work, views refuse with a
+    // pointer to the migration switch
+    spark.conf.set("spark.sql.catalog.jmig0", "graft.catalog.JdbcRelativeCatalog")
+    spark.conf.set("spark.sql.catalog.jmig0.warehouse", wh)
+    spark.sql("CREATE NAMESPACE jmig0.m")
+    spark.sql("CREATE TABLE jmig0.m.t (id BIGINT)")
+    spark.sql("INSERT INTO jmig0.m.t VALUES (7), (8)")
+    val cat0 = spark.sessionState.catalogManager.catalog("jmig0")
+      .asInstanceOf[graft.catalog.JdbcRelativeCatalog]
+    val v = Identifier.of(Array("m"), "v")
+    val e = intercept[UnsupportedOperationException] {
+      cat0.createView(mkViewInfo("jmig0", v, "SELECT id FROM jmig0.m.t"))
+    }
+    assert(e.getMessage.contains("schema-version=V1"))
+    assert(!cat0.viewExists(v))
+    // phase 2: re-initialize the SAME catalog name over the same Derby
+    // store with the option flipped — the probe adds record_type in
+    // place; pre-migration rows (NULL record_type) still read as tables
+    import scala.jdk.CollectionConverters._
+    def reinit(opts: Map[String, String]): graft.catalog.JdbcRelativeCatalog = {
+      val c = new graft.catalog.JdbcRelativeCatalog
+      c.initialize("jmig0",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava))
+      c
+    }
+    val cat1 = reinit(Map("warehouse" -> wh, "schema-version" -> "V1"))
+    assert(cat1.tableExists(Identifier.of(Array("m"), "t")))
+    // data still readable through the original (V0-era) binding
+    assert(spark.sql("SELECT SUM(id) FROM jmig0.m.t").collect()(0).getLong(0) == 15)
+    cat1.createView(mkViewInfo("jmig0", v,
+      "SELECT id FROM jmig0.m.t WHERE id >= 8"))
+    assert(spark.sql(cat1.loadView(v).query()).count() == 1)
+    // phase 3: a third init WITHOUT the option still sees V1 (the
+    // store's column wins over the default), so the view stays usable
+    val cat2 = reinit(Map("warehouse" -> wh))
+    assert(cat2.listViews("m").map(_.name()).toSeq == Seq("v"))
+    assert(spark.sql(cat2.loadView(v).query()).count() == 1)
+    // and the V1-aware listing still shows exactly the one table
+    assert(cat2.listTables(Array("m")).map(_.name()).toSeq == Seq("t"))
+  }
+
   test("guarded rename; duplicate target rejected") {
     val c = fresh("ren")
     spark.sql(s"CREATE NAMESPACE $c.r")

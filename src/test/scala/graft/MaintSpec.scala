@@ -48,6 +48,45 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcM.m.t").collect()(0).getLong(0) == 400)
   }
 
+  test("computeStats commits a statistics slot; $stats serves it") {
+    val wh = "/tmp/graft_test_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcS", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcS.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcS.s")
+    spark.sql("CREATE TABLE tcS.s.t (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO tcS.s.t SELECT id, " +
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE CONCAT('g', id % 7) END FROM range(1000)")
+    val cat = spark.sessionState.catalogManager.catalog("tcS")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def table = cat.loadTable(Identifier.of(Array("s"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    // empty before a stats pass
+    assert(spark.sql("SELECT * FROM tcS.s.`t$stats`").count() == 0)
+    Maintenance.computeStats(spark, table)
+    val rows = spark.sql(
+      "SELECT column_name, ndv, null_count, total_records FROM tcS.s.`t$stats` ORDER BY column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("grp", "id"))
+    assert(rows.forall(_._4 == 1000L))
+    val grp = rows(0); val id = rows(1)
+    assert(grp._3 == 100L, s"grp null_count ${grp._3}")
+    assert(id._3 == 0L)
+    // NDV is a sketch: within 10% of exact (7 and 900)
+    assert(math.abs(grp._2 - 7L) <= 1, s"grp ndv ${grp._2}")
+    assert(math.abs(id._2 - 900L) <= 90, s"id ndv ${id._2}")
+    // the slot is pinned to the snapshot it described
+    val st = table.meta.statistics.get
+    assert(st.snapshotId == table.readSnapshot.get.snapshotId)
+    assert(st.totalBytes > 0)
+    // MOR deletes are applied by the stats scan
+    spark.sql("ALTER TABLE tcS.s.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM tcS.s.t WHERE id < 100")
+    Maintenance.computeStats(spark, table)
+    val n2 = spark.sql("SELECT MAX(total_records) FROM tcS.s.`t$stats`").collect()(0).getLong(0)
+    assert(n2 == 900L, s"stats after MOR delete: $n2")
+  }
+
   test("days() partition transform + sort-order property shape the written files") {
     val wh = "/tmp/graft_test_days"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
