@@ -61,7 +61,15 @@ object Bench {
     val heaps = results.map { case (k, _, h) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heap_mb":$heaps,"sf":"$sfDir"}""")
+    // heap_mb before queries: the driver captures the TAIL of sbt output,
+    // so the per-query numbers must be last to survive truncation; the
+    // full line is also persisted to a file the driver can read directly
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","heap_mb":$heaps,"queries":$qs}"""
+    println(line)
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
   }
 }

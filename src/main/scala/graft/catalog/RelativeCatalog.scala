@@ -49,6 +49,17 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name requires a 'warehouse' option"))
     Files.createDirectories(Paths.get(warehouse))
+    // Field-id-based parquet column resolution (see schemaToSpark):
+    // SessionState.newHadoopConf copies every SQL conf into the parquet
+    // reader's Configuration, so one session-level switch covers all
+    // scan paths. Harmless for non-graft reads — id matching only
+    // activates for requested fields that CARRY `parquet.field.id`
+    // metadata; plain schemas keep name-based resolution.
+    scala.util.Try {
+      val conf = org.apache.spark.sql.SparkSession.active.conf
+      conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }: Unit
   }
 
   override def name(): String = catName
@@ -287,31 +298,12 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       schemas = meta.schemas :+ SchemaDef(newSchemaId, fields),
       properties = props)
     ops.commit(v, next)
-    val table = new GraftTable(catName, ident, ops, next, v + 1)
-
-    // RENAME COLUMN: existing files still carry the old name, and our
-    // scan resolves by name (the id-keyed metadata is the source of
-    // truth, but the parquet footers aren't) → rewrite data under the
-    // new name so reads stay correct. Iceberg proper avoids this with
-    // field-id-based parquet resolution; the rewrite keeps the same
-    // user-visible semantics.
-    val renames = changes.collect { case rc: TableChange.RenameColumn =>
-      rc.fieldNames()(0) -> rc.newName() }
-    if (renames.nonEmpty && next.currentSnapshot.exists(_.files.nonEmpty)) {
-      val spark = org.apache.spark.sql.SparkSession.active
-      val renameMap = renames.toMap
-      val oldSchema = TableMeta.schemaToSpark(
-        meta.schemas.find(_.schemaId == meta.currentSchemaId).get)
-      val paths = next.currentSnapshot.get.files
-        .map(f => RelPaths.absolutize(warehouse, f.path))
-      val renamed = spark.read.schema(oldSchema).parquet(paths: _*)
-        .select(oldSchema.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name)
-            .as(renameMap.getOrElse(f.name, f.name))).toIndexedSeq: _*)
-      Writer.append(table, renamed, overwrite = true, operation = "replace")
-      return loadTable(ident)
-    }
-    table
+    // RENAME COLUMN is metadata-only: reads resolve parquet columns by
+    // field id (schemaToSpark stamps `parquet.field.id`), so existing
+    // files keep their old column names and the renamed field (same id)
+    // still matches — no data rewrite, the property that keeps a rename
+    // on a 100 TB table O(1) (ref README.md:30-51, id-keyed schemas).
+    new GraftTable(catName, ident, ops, next, v + 1)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

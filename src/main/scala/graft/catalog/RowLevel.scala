@@ -114,8 +114,15 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     writeSchema: StructType = null) extends Write with BatchWrite {
 
   // the replace query may carry extra (metadata) columns; write what
-  // Spark hands us — name-based reads only ever project table columns
-  private val schema = Option(writeSchema).getOrElse(table.schema())
+  // Spark hands us. The plan-derived schema can lose our field-id
+  // metadata, so re-stamp it by name from the table schema — every
+  // data file must carry ids for id-based read resolution.
+  private val schema = {
+    val base = Option(writeSchema).getOrElse(table.schema())
+    val metaByName = table.schema().fields.map(f => f.name -> f.metadata).toMap
+    StructType(base.fields.map(f =>
+      metaByName.get(f.name).map(m => f.copy(metadata = m)).getOrElse(f)))
+  }
   private val stagingRel = s"${table.meta.location}/data/${java.util.UUID.randomUUID()}"
   private val stagingAbs = RelPaths.absolutize(table.ops.warehouse, stagingRel)
 

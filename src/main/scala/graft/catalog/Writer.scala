@@ -53,9 +53,11 @@ object Writer {
     val warehouse = table.ops.warehouse
     val tableAbs = RelPaths.absolutize(warehouse, meta.location)
 
-    // align column order/types to the table schema
+    // align column order/types to the table schema; the alias carries
+    // the field-id metadata so the parquet writer stamps ids into the
+    // file schema (what makes id-based read resolution possible)
     val aligned = data.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
 
     // cluster rows by the partition spec so files are partition-local
     // (identity/days transforms), then apply the table sort order

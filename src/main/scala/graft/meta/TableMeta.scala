@@ -157,10 +157,21 @@ object TableMeta {
       FieldDef(firstId + i, f.name, f.dataType.json, !f.nullable)
     })
 
+  /** Key Spark's parquet reader/writer use for field-id resolution. */
+  val FieldIdKey = "parquet.field.id"
+
   def schemaToSpark(s: SchemaDef): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      // carry the format's field id as `parquet.field.id` metadata:
+      // writes stamp it into the parquet schema, and reads (with
+      // spark.sql.parquet.fieldId.read.enabled) resolve columns by ID,
+      // not name — so RENAME is metadata-only and DROP-then-re-ADD of
+      // a name reads old files as NULL instead of resurrecting their
+      // stale values (ref README.md:30-51, id-keyed schemas)
       org.apache.spark.sql.types.StructField(f.name,
-        org.apache.spark.sql.types.DataType.fromJson(f.dataType), !f.required)
+        org.apache.spark.sql.types.DataType.fromJson(f.dataType), !f.required,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(FieldIdKey, f.id.toLong).build())
     })
 }
 

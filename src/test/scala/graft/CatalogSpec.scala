@@ -133,6 +133,33 @@ class CatalogSpec extends AnyFunSuite {
     val renamed = spark.sql("SELECT id, a2 FROM tcE.e.t ORDER BY id").collect()
     assert(renamed.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "x"), (2L, "y")))
+    // rename is metadata-only: the data files are untouched
+    val filesBefore = new TableOps(wh, "e/t").refresh().get._2
+      .currentSnapshot.get.files.map(_.path).toSet
+    assert(filesBefore == meta.currentSnapshot.get.files.map(_.path).toSet,
+      "RENAME COLUMN must not rewrite data files")
+  }
+
+  test("schema evolution: drop then re-add a column name does not resurrect old data") {
+    val wh = freshDir("evo2")
+    mkCatalog("tcE2", wh)
+    spark.sql("CREATE NAMESPACE tcE2.e")
+    spark.sql("CREATE TABLE tcE2.e.t (id BIGINT, x STRING)")
+    spark.sql("INSERT INTO tcE2.e.t VALUES (1, 'old1'), (2, 'old2')")
+    spark.sql("ALTER TABLE tcE2.e.t DROP COLUMN x")
+    spark.sql("ALTER TABLE tcE2.e.t ADD COLUMN x STRING")
+    // the re-added `x` is a NEW field id — pre-drop files must serve
+    // NULL, not their stale values under the recycled name
+    val afterReadd = spark.sql("SELECT id, x FROM tcE2.e.t ORDER BY id").collect()
+    assert(afterReadd.forall(_.isNullAt(1)),
+      s"stale column resurrected: ${afterReadd.mkString(",")}")
+    spark.sql("INSERT INTO tcE2.e.t VALUES (3, 'new3')")
+    val rows = spark.sql("SELECT id, x FROM tcE2.e.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows == Seq((1L, null), (2L, null), (3L, "new3")))
+    // filtering on the recycled column sees only the new field's values
+    assert(spark.sql("SELECT COUNT(*) FROM tcE2.e.t WHERE x = 'old1'")
+      .collect()(0).getLong(0) == 0L)
   }
 
   test("copy-on-write MERGE carries over files the ON-condition cannot touch") {

@@ -72,9 +72,10 @@ class MaintSpec extends AnyFunSuite {
     val grp = rows(0); val id = rows(1)
     assert(grp._3 == 100L, s"grp null_count ${grp._3}")
     assert(id._3 == 0L)
-    // NDV is a sketch: within 10% of exact (7 and 900)
+    // NDV is a sketch (HLL++, rsd=0.05): exact counts here are 7 and
+    // 1000 (the DELETE below has not run yet); allow 3*rsd relative error
     assert(math.abs(grp._2 - 7L) <= 1, s"grp ndv ${grp._2}")
-    assert(math.abs(id._2 - 900L) <= 90, s"id ndv ${id._2}")
+    assert(math.abs(id._2 - 1000L) <= 150, s"id ndv ${id._2}")
     // the slot is pinned to the snapshot it described
     val st = table.meta.statistics.get
     assert(st.snapshotId == table.readSnapshot.get.snapshotId)

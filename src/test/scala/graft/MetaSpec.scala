@@ -67,6 +67,12 @@ class MetaSpec extends AnyFunSuite {
       StructField("c", ArrayType(DoubleType)),
       StructField("d", MapType(StringType, IntegerType)),
       StructField("e", TimestampNTZType)))
-    assert(TableMeta.schemaToSpark(TableMeta.schemaFromSpark(st)) == st)
+    val back = TableMeta.schemaToSpark(TableMeta.schemaFromSpark(st))
+    // names/types/nullability round-trip; the mapping ADDS field-id
+    // metadata (parquet.field.id) that drives id-based read resolution
+    assert(back.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      st.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    assert(back.fields.zipWithIndex.forall { case (f, i) =>
+      f.metadata.getLong(TableMeta.FieldIdKey) == i + 1L })
   }
 }
