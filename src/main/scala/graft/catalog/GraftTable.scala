@@ -125,13 +125,49 @@ class GraftTable(
     val affectedAbs = affected.map(f => RelPaths.absolutize(ops.warehouse, f.path))
     val liveDeletes = snap.map(_.deleteFiles).getOrElse(Nil)
 
-    if (meta.properties.get("write.delete.mode").contains("merge-on-read")) {
+    val morMode = meta.properties.get("write.delete.mode").contains("merge-on-read")
+    val wantEquality = morMode &&
+      meta.properties.get("write.delete.granularity").contains("equality")
+
+    if (wantEquality && Mor.tuplesFromFilters(filters).isDefined) {
+      // EQUALITY delete: the predicate is a set of key tuples, so the
+      // delete file is just those values — written WITHOUT reading any
+      // data (O(tuples), not even a scan; the CDC trickle-delete path).
+      // Scans subtract it from strictly-older data files ([[Mor]]).
+      val (keys, tuples) = Mor.tuplesFromFilters(filters).get
+      val keyDefs = keys.map(k => meta.schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(s"equality-delete key $k not in schema")))
+      val ids = keyDefs.map(_.id)
+      val sparkSchema = schema()
+      val delSchema = org.apache.spark.sql.types.StructType(
+        keys.map(k => sparkSchema.fields.find(_.name == k).get))
+      val rows = tuples.map(t => org.apache.spark.sql.Row.fromSeq(
+        delSchema.fields.map(f => Mor.coerce(t(f.name), f.dataType)).toIndexedSeq))
+      val stagingRel = s"${meta.location}/deletes/${java.util.UUID.randomUUID()}"
+      val stagingAbs = RelPaths.absolutize(ops.warehouse, stagingRel)
+      spark.createDataFrame(rows.asJava, delSchema).coalesce(1)
+        .write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+      val delFiles = Writer.collectStats(spark, delSchema, ops.warehouse, stagingAbs)
+        .filter(_.records > 0)
+        .map(_.copy(content = Some("equality"), equalityIds = Some(ids)))
+      try Writer.commitSnapshot(this, Nil, overwrite = false,
+        operation = "delete", carryover = Nil, newDeletes = delFiles)
+      catch {
+        case e: Throwable =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+          throw e
+      }
+    } else if (morMode) {
       // rows matching the predicate → (relative file path, row ordinal),
       // staged as a position-delete parquet; NULL predicate = not matched.
       // Already-deleted rows are excluded so re-deleting is idempotent.
       val annotated = Mor.withPositions(
         spark.read.schema(schema()).parquet(affectedAbs: _*), ops.warehouse)
-      val matches = Mor.subtract(spark, annotated, ops.warehouse, liveDeletes)
+      val (eqLive, posLive) = liveDeletes.partition(Mor.isEquality)
+      val alive0 = Mor.subtract(spark, annotated, ops.warehouse, posLive)
+      val alive = if (eqLive.isEmpty) alive0
+        else Mor.subtractEquality(spark, alive0, ops.warehouse, eqLive, affected)
+      val matches = alive
         .filter(coalesce(cond, lit(false)))
         .select(col("__gf").as("file_path"), col("__gp").as("pos"))
       val stagingRel = s"${meta.location}/deletes/${java.util.UUID.randomUUID()}"
@@ -158,7 +194,7 @@ class GraftTable(
       // silently delete them
       val remaining = Mor.applyDeletes(spark,
           spark.read.schema(schema()).parquet(affectedAbs: _*),
-          ops.warehouse, liveDeletes)
+          ops.warehouse, liveDeletes, affected)
         .filter(!coalesce(cond, lit(false)))
       Writer.append(this, remaining, overwrite = true,
         operation = "delete", carryover = untouched,
@@ -269,7 +305,7 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
       return spark.sparkContext.emptyRDD[Row]
     val paths = files.map(f => RelPaths.absolutize(w, f.path))
     val data = spark.read.schema(table.schema()).parquet(paths: _*)
-    val alive = Mor.applyDeletes(spark, data, w, deletes)
+    val alive = Mor.applyDeletes(spark, data, w, deletes, files)
     val filtered = filters.flatMap(Writer.filterToColumn)
       .foldLeft(alive)(_.filter(_))
     filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*).rdd

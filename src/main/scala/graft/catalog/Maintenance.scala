@@ -135,7 +135,7 @@ object Maintenance {
         val df = Mor.applyDeletes(spark,
           spark.read.schema(schema)
             .parquet(files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path)): _*),
-          table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil))
+          table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
         val aggs = count(lit(1)).as("__n") +:
           cols.flatMap(c => Seq(
             approx_count_distinct(col(c)).as(s"__ndv_$c"),
@@ -180,7 +180,7 @@ object Maintenance {
         spark.read
           .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
           .parquet(paths: _*),
-        table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil))
+        table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
       .coalesce(targetFiles)
     Writer.append(table, df, overwrite = true,
       validateFrom = Some(snap.map(_.snapshotId)),

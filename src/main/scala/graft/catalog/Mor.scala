@@ -4,24 +4,32 @@ import graft.meta.{DataFile, RelPaths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
-/** Merge-on-read position deletes (spec: the reference's enabled
-  * format-v2 surface, /root/reference/README.md:89-90
-  * `total-position-deletes`).
+/** Merge-on-read deletes (spec: the reference's enabled format-v2
+  * surface, /root/reference/README.md:89-90 `total-position-deletes` /
+  * `total-equality-deletes`).
   *
-  * A DELETE in `merge-on-read` mode writes a parquet file of
-  * (file_path STRING, pos BIGINT) — file_path warehouse-RELATIVE (the
-  * reference's relocation invariant applies to delete files too), pos
-  * the row's ordinal within that data file (`_metadata.row_index`).
-  * Scans subtract the delete set with an anti-join on (file, pos);
-  * compaction applies the deletes for real and clears them.
+  * POSITION deletes: a parquet file of (file_path STRING, pos BIGINT)
+  * — file_path warehouse-RELATIVE (the reference's relocation
+  * invariant applies to delete files too), pos the row's ordinal
+  * within that data file (`_metadata.row_index`). Scans subtract them
+  * with an anti-join on (file, pos).
+  *
+  * EQUALITY deletes: a parquet file of key-column VALUES (columns =
+  * the schema fields with ids `DataFile.equalityIds`). Written without
+  * reading any data — the CDC/upsert trickle-delete path: DELETE WHERE
+  * key=k on a 100 TB table costs O(1), not even a scan. At read time a
+  * row is dead iff some equality-delete row matches its keys
+  * (null-safely) AND that delete's sequence number is strictly greater
+  * than the row's data file's — so keys re-inserted AFTER the delete
+  * survive. Compaction applies both kinds and clears them.
   *
   * Scale design: the delete side is broadcast when small (the normal
   * case — trickle deletes against a 100 TB table are KBs/day), else a
-  * shuffled anti-join on (file, pos), which is skew-free because file
-  * paths are high-cardinality. Data files are NEVER rewritten by a
-  * MOR delete — that is the point: a trickle DELETE costs O(matched
-  * rows), not O(table).
+  * shuffled anti-join on high-cardinality keys. Data files are NEVER
+  * rewritten by a MOR delete — that is the point: a trickle DELETE
+  * costs O(matched rows) or less, not a whole-file rewrite.
   */
 object Mor {
 
@@ -61,23 +69,132 @@ object Mor {
     data.withColumn("__gf", relFileCol(warehouse))
       .withColumn("__gp", col("_metadata.row_index"))
 
-  /** Anti-join a __gf/__gp-annotated frame against the delete set;
-    * keeps the annotation columns. */
+  /** Anti-join a __gf/__gp-annotated frame against the POSITION delete
+    * set; keeps the annotation columns. */
   def subtract(spark: SparkSession, annotated: DataFrame, warehouse: String,
       deletes: Seq[DataFile]): DataFrame =
     if (deletes.isEmpty) annotated
     else annotated.join(deleteSet(spark, warehouse, deletes), Seq("__gf", "__gp"), "left_anti")
 
-  /** Subtract `deletes` from `data` (a parquet file-source DataFrame
-    * over this table's data files, so `_metadata` resolves). No-op when
-    * the delete list is empty.
+  def isEquality(d: DataFile): Boolean = d.content.contains("equality")
+
+  /** Subtract EQUALITY deletes from a __gf-annotated frame. `dataFiles`
+    * supplies each file's sequence number (the delete applies only to
+    * strictly-older files). Key columns are resolved from the frame's
+    * field-id metadata, so they track renames.
+    */
+  def subtractEquality(spark: SparkSession, annotated: DataFrame,
+      warehouse: String, deletes: Seq[DataFile],
+      dataFiles: Seq[DataFile]): DataFrame = {
+    if (deletes.isEmpty) return annotated
+    val fieldById = annotated.schema.fields.flatMap { f =>
+      if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
+        Some(f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt -> f)
+      else None
+    }.toMap
+    // file → sequence number (metadata-sized; broadcast). Files without
+    // a recorded seq predate equality deletes → 0 (always older).
+    val seqDf = spark.createDataFrame(
+      dataFiles.map(f => org.apache.spark.sql.Row(f.path, f.seq.getOrElse(0L))).asJava,
+      StructType(Seq(StructField("__gf", StringType, nullable = false),
+        StructField("__gseq", LongType, nullable = false))))
+    var df = annotated.join(broadcast(seqDf), Seq("__gf"), "left")
+      .withColumn("__gseq", coalesce(col("__gseq"), lit(0L)))
+    for ((ids, group) <- deletes.groupBy(_.equalityIds.getOrElse(Nil))) {
+      val keyFields = ids.map(id => fieldById.getOrElse(id,
+        throw new IllegalStateException(
+          s"equality-delete key field id $id missing from read schema")))
+      val delSchema = StructType(keyFields)
+      // per-file union so each delete row carries ITS commit's seq
+      val delRows = group.map { d =>
+        spark.read.schema(delSchema)
+          .parquet(RelPaths.absolutize(warehouse, d.path))
+          .withColumn("__dseq", lit(d.seq.getOrElse(Long.MaxValue)))
+      }.reduce(_ unionByName _)
+      val renamed = delRows.select(
+        (keyFields.map(f => col(f.name).as(s"__d_${f.name}")) :+ col("__dseq")).toIndexedSeq: _*)
+      val small = group.map(_.bytes).sum <= BroadcastMaxBytes
+      val delSide = if (small) broadcast(renamed) else renamed
+      val cond = keyFields.map(f => col(f.name) <=> col(s"__d_${f.name}"))
+        .reduce(_ && _) && col("__dseq") > col("__gseq")
+      df = df.join(delSide, cond, "left_anti")
+    }
+    df.drop("__gseq")
+  }
+
+  /** Max key tuples an equality-delete commit will inline; beyond this
+    * the position path is a better trade (the delete file itself would
+    * approach data-file size). */
+  val MaxEqualityTuples = 100000
+
+  /** Try to express ANDed DELETE filters as key-value tuples: the
+    * shapes a CDC/upsert pipeline emits — `k = v`, `k IN (...)`,
+    * conjunctions over distinct columns, and ORs of those with
+    * identical column sets. Returns (key column names in first-seen
+    * order, one Map per deleted tuple) or None → caller falls back to
+    * position deletes. Null keys are expressible (IS NULL / null-safe
+    * equal) because the read side matches with `<=>`.
+    */
+  def tuplesFromFilters(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(List[String], Seq[Map[String, Any]])] = {
+    import org.apache.spark.sql.sources._
+    def go(f: Filter): Option[Seq[Map[String, Any]]] = f match {
+      case EqualTo(a, v) => Some(Seq(Map(a -> v)))
+      case EqualNullSafe(a, v) => Some(Seq(Map(a -> v)))
+      case IsNull(a) => Some(Seq(Map(a -> null)))
+      case In(a, vs) => Some(vs.toIndexedSeq.map(v => Map[String, Any](a -> v)))
+      case Or(l, r) => for (ls <- go(l); rs <- go(r)) yield ls ++ rs
+      case And(l, r) =>
+        for {
+          ls <- go(l); rs <- go(r)
+          // cross-product of disjoint-column conjuncts; overlapping
+          // columns (k=1 AND k=2) are not a tuple shape → None
+          if ls.flatMap(_.keys).toSet.intersect(rs.flatMap(_.keys).toSet).isEmpty
+        } yield for (lm <- ls; rm <- rs) yield lm ++ rm
+      case _ => None
+    }
+    val combined = filters.toList match {
+      case Nil => None
+      case one :: rest => go(rest.foldLeft(one)(And(_, _)))
+    }
+    combined.flatMap { maps =>
+      val keys = maps.flatMap(_.keys).distinct.toList
+      // every tuple must bind every key (ragged ORs aren't tuples)
+      if (maps.forall(m => m.size == keys.size) && maps.size <= MaxEqualityTuples)
+        Some((keys, maps))
+      else None
+    }
+  }
+
+  /** Coerce a v1-filter literal to the external type `createDataFrame`
+    * expects for the key column's Catalyst type (a DELETE's int literal
+    * against a BIGINT column arrives as Integer, etc.). */
+  def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: java.lang.Number, LongType) => n.longValue
+    case (n: java.lang.Number, IntegerType) => n.intValue
+    case (n: java.lang.Number, ShortType) => n.shortValue
+    case (n: java.lang.Number, ByteType) => n.byteValue
+    case (n: java.lang.Number, DoubleType) => n.doubleValue
+    case (n: java.lang.Number, FloatType) => n.floatValue
+    case (n: java.lang.Number, _: DecimalType) => new java.math.BigDecimal(n.toString)
+    case _ => v // strings/booleans/dates/timestamps already external
+  }
+
+  /** Subtract `deletes` (position AND equality) from `data` (a parquet
+    * file-source DataFrame over this table's data files, so `_metadata`
+    * resolves). `dataFiles` is the snapshot's file list — required when
+    * equality deletes are present (per-file sequence numbers). No-op
+    * when the delete list is empty.
     */
   def applyDeletes(spark: SparkSession, data: DataFrame, warehouse: String,
-      deletes: Seq[DataFile]): DataFrame =
+      deletes: Seq[DataFile], dataFiles: Seq[DataFile] = Nil): DataFrame =
     if (deletes.isEmpty) data
     else {
       val cols = data.columns
-      subtract(spark, withPositions(data, warehouse), warehouse, deletes)
-        .select(cols.map(col).toIndexedSeq: _*)
+      val (eq, pos) = deletes.partition(isEquality)
+      var df = subtract(spark, withPositions(data, warehouse), warehouse, pos)
+      if (eq.nonEmpty) df = subtractEquality(spark, df, warehouse, eq, dataFiles)
+      df.select(cols.map(col).toIndexedSeq: _*)
     }
 }

@@ -92,7 +92,7 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
         val scratch = Files.createTempDirectory("graft_mor_rewrite")
         Mor.applyDeletes(spark,
             spark.read.schema(table.schema()).parquet(affectedAbs: _*),
-            table.ops.warehouse, deletes)
+            table.ops.warehouse, deletes, affected)
           .write.mode("overwrite").parquet(scratch.toString)
         Seq(scratch.toString)
       }

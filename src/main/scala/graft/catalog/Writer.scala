@@ -332,7 +332,6 @@ object Writer {
       // so carried delete files could reference nothing — drop them
       val prevDeletes =
         if (clearDeletes || (overwrite && validateFrom.isEmpty)) Nil else baseDeletes
-      val allDeletes = prevDeletes ++ newDeletes
       // Manifest-chunk reuse: retained files all come from baseSnap,
       // so any base chunk whose members ALL survive is carried into
       // the new snapshot verbatim — its contents never re-enter the
@@ -356,13 +355,21 @@ object Writer {
       val keptManifests = keptM.toList
       val keptChunkFiles = keptF.toList
       val keptPaths = keptChunkFiles.map(_.path).toSet
+      // stamp the commit's sequence number on everything it ADDS (files
+      // carried from the base keep theirs) — what scopes equality
+      // deletes to strictly-older data files
+      val seqNo = baseMeta.lastSequenceNumber + 1
+      val stampedNew = newFiles.map(f => if (f.seq.isEmpty) f.copy(seq = Some(seqNo)) else f)
+      val stampedDeletes = newDeletes.map(f => if (f.seq.isEmpty) f.copy(seq = Some(seqNo)) else f)
+      val allStampedDeletes = prevDeletes ++ stampedDeletes
       val orderedFiles =
-        keptChunkFiles ++ prevFiles.filterNot(f => keptPaths(f.path)) ++ newFiles
+        keptChunkFiles ++ prevFiles.filterNot(f => keptPaths(f.path)) ++ stampedNew
       val addedRecords = newFiles.map(_.records).sum
+      val (eqDel, posDel) = allStampedDeletes.partition(Mor.isEquality)
       val snap = Snapshot(
         snapshotId = snapId,
         parentId = baseSnap.map(_.snapshotId),
-        sequenceNumber = baseMeta.lastSequenceNumber + 1,
+        sequenceNumber = seqNo,
         timestampMs = now,
         operation = Option(operation).getOrElse(if (overwrite) "overwrite" else "append"),
         summary = Map(
@@ -370,12 +377,16 @@ object Writer {
           "added-records" -> addedRecords.toString,
           "added-files-size" -> newFiles.map(_.bytes).sum.toString,
           "added-delete-files" -> newDeletes.size.toString,
-          "added-position-deletes" -> newDeletes.map(_.records).sum.toString,
-          "total-position-deletes" -> allDeletes.map(_.records).sum.toString,
+          "added-position-deletes" ->
+            newDeletes.filterNot(Mor.isEquality).map(_.records).sum.toString,
+          "added-equality-deletes" ->
+            newDeletes.filter(Mor.isEquality).map(_.records).sum.toString,
+          "total-position-deletes" -> posDel.map(_.records).sum.toString,
+          "total-equality-deletes" -> eqDel.map(_.records).sum.toString,
           "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
           "total-data-files" -> (prevFiles.size + newFiles.size).toString),
         files = orderedFiles,
-        deleteFiles = allDeletes,
+        deleteFiles = allStampedDeletes,
         manifests = keptManifests)
       val next = branch match {
         case Some(b) => baseMeta.copy(

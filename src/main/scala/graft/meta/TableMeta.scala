@@ -35,14 +35,27 @@ final case class SortOrderDef(orderId: Int, fields: List[SortField])
 /** One data file owned by a snapshot. `path` is warehouse-relative.
   * `partition` maps partition-field name → string-encoded value;
   * `bounds` maps column name → (min, max) string-encoded, used for
-  * driver-side file skipping. */
+  * driver-side file skipping.
+  *
+  * `seq` is the sequence number of the commit that ADDED the file
+  * (carried unchanged across snapshots) — what scopes equality deletes:
+  * an equality delete applies only to data files with a strictly
+  * smaller sequence number, so re-inserting a deleted key later is not
+  * retroactively swallowed. `content`/`equalityIds` mark delete files:
+  * None/"position" = (file_path, pos) position deletes; "equality" =
+  * key-value deletes whose columns are the schema fields with ids
+  * `equalityIds` (id-keyed so renames don't break them).
+  */
 final case class DataFile(
     path: String,
     records: Long,
     bytes: Long,
     partition: Map[String, String] = Map.empty,
     minBound: Map[String, String] = Map.empty,
-    maxBound: Map[String, String] = Map.empty)
+    maxBound: Map[String, String] = Map.empty,
+    seq: Option[Long] = None,
+    content: Option[String] = None,
+    equalityIds: Option[List[Int]] = None)
 
 /** An immutable spilled chunk of a snapshot's file list (the analog
   * of the reference's manifest indirection, README.md:96): `path` is a

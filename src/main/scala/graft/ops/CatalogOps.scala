@@ -155,6 +155,41 @@ object CatalogOps extends Pack {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // Merge-on-read EQUALITY delete (ref README.md:89-90
+    // `total-equality-deletes`): the predicate's key tuples ARE the
+    // delete file — committed without reading any data (the O(1) CDC
+    // trickle-delete path). Sequence-number scoping means a key
+    // re-inserted AFTER the delete is not retroactively swallowed —
+    // the re-insert below is what the oracle's UNION ALL restores.
+    Decl("q_cat_delete_eq", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_eq")
+      spark.sql(s"CREATE TABLE $c.demo_eq.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'write.delete.granularity'='equality')")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_eq.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
+      spark.sql(s"DELETE FROM $c.demo_eq.cust WHERE c_mktsegment = 'BUILDING'")
+      spark.sql(s"DELETE FROM $c.demo_eq.cust WHERE c_custkey IN (2, 4, 6, 8, 10)")
+      spark.sql(s"INSERT INTO $c.demo_eq.cust SELECT c_custkey, c_mktsegment, c_acctbal " +
+        "FROM customer_src WHERE c_custkey = 4")
+      spark.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |FROM $c.demo_eq.cust
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING' AND c_custkey NOT IN (2, 4, 6, 8, 10)
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey = 4
+        |)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // Row-level UPDATE via group-based copy-on-write (ReplaceData).
     Decl("q_cat_update", (spark, dir) => {
       val c = cat(spark, dir)

@@ -5,6 +5,8 @@ import graft.functions.Fingerprints
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+import scala.jdk.CollectionConverters._
 
 /** Extended LLM-pipeline operators: the rest of the dedup family
   * (SimHash, n-gram Jaccard, embedding-cosine), IVF/LSH-bucketed ANN,
@@ -59,36 +61,88 @@ object LlmOps2 extends Pack {
         col("hamming").asc_nulls_first)
   }
 
-  /** LSH-bucketed approximate top-k cosine (the scale path when the
-    * query set can't broadcast against every vector): 6 fixed random
-    * hyperplanes → 64 buckets; queries multi-probe their bucket plus
-    * all hamming-1 neighbors.
+  /** Centroids as a broadcastable (cid, ce) frame. */
+  private def centroidDf(spark: SparkSession, cents: Array[Array[Double]]): DataFrame =
+    broadcast(spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }.toList.asJava,
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("ce", ArrayType(DoubleType), nullable = false)))))
+
+  /** Nearest-centroid assignment: one broadcast pass, argmin via
+    * min_by — no shuffle of the vector table beyond the final groupBy
+    * on vec_id (which AQE keeps local because the crossJoin preserves
+    * partitioning). */
+  private def assignNearest(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val cdf = centroidDf(df.sparkSession, cents)
+    val d2 = aggregate(zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    df.crossJoin(cdf).withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("e"))
+      .agg(min_by(col("cid"), col("d2")).as("cid"))
+  }
+
+  /** Lloyd's k-means over a deterministic hash-ordered sample. The
+    * driver holds only nlist × dim doubles; assignment is distributed
+    * (broadcast centroids), and each iteration's mean-update reduces to
+    * nlist × dim rows — so training a 100 TB table costs iters passes
+    * over a bounded SAMPLE, never a full-table shuffle. Init = first
+    * nlist sample vectors in xxhash64 order (seedless deterministic
+    * spread; reproducible run-to-run, which Date/Random would not be).
     */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
-    def bucketOf(e: Column): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        val lits = array(p.map(lit).toIndexedSeq: _*)
-        val dot = aggregate(zip_with(e, lits, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-        when(dot > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
+  def trainCentroids(emb: DataFrame, nlist: Int, iters: Int,
+      sampleN: Int = 4096): Array[Array[Double]] = {
+    val sample = emb.orderBy(xxhash64(col("vec_id"))).limit(sampleN)
+      .select(col("vec_id"), col("e")).cache()
+    var cents: Array[Array[Double]] = sample.limit(nlist).collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val byCid = assignNearest(sample, cents)
+        .select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCid.get(cid).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(old) // empty cluster keeps its centroid
+      }
+    }
+    sample.unpersist(blocking = false)
+    cents
+  }
+
+  /** IVF approximate top-k cosine with TRAINED centroids — the scale
+    * path when the query set can't broadcast against every vector.
+    * Index: every vector goes to its nearest trained centroid's list
+    * (one broadcast pass). Query: each query probes only the `nprobe`
+    * nearest lists and computes exact cosine inside them — work is
+    * ~nprobe/nlist of brute force, and recall is BOUNDED by Llm2Spec
+    * (>= 0.8 vs the exact q_llm_simsearch) instead of unquantified.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 6, iters: Int = 4): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("bucket", bucketOf(col("e")))
-    // multi-probe: own bucket + all hamming-1 and hamming-2 neighbors
-    val masks = 0 +: (0 until 6).map(1 << _) ++:
-      (for (i <- 0 until 6; j <- i + 1 until 6) yield (1 << i) | (1 << j))
-    val probes = masks.map(m => col("bucket").bitwiseXOR(lit(m)))
+    val cents = trainCentroids(emb, nlist, iters)
+    val indexed = assignNearest(emb, cents).withColumnRenamed("cid", "bucket")
+    val cdf = centroidDf(spark, cents)
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"),
-        explode(array(probes: _*)).as("bucket"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val qd2 = aggregate(zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qd2").asc, col("cid").asc)
+    val probes = q.crossJoin(cdf).withColumn("qd2", qd2)
+      .withColumn("prk", row_number().over(wq)).filter(col("prk") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cid").as("bucket"))
     val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
       lit(0.0), (a, x) => a + x)
     val norm = (c: Column) =>
       sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    emb.join(broadcast(q), Seq("bucket"))
+    indexed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
       .withColumn("rk", row_number().over(w))

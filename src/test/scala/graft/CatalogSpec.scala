@@ -342,6 +342,66 @@ class CatalogSpec extends AnyFunSuite {
     assert(JsonMethods.parse(legacy).extract[graft.meta.Snapshot].deleteFiles.isEmpty)
   }
 
+  test("equality DELETE: scan-free commit, seq-scoped re-insert, fallback, compact settles") {
+    val wh = freshDir("eqspec")
+    mkCatalog("tcEq", wh)
+    spark.sql("CREATE NAMESPACE tcEq.m")
+    spark.sql("CREATE TABLE tcEq.m.t (id BIGINT, grp STRING) TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read', 'write.delete.granularity'='equality')")
+    spark.sql("INSERT INTO tcEq.m.t SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100)")
+
+    def tbl = {
+      val cata = spark.sessionState.catalogManager.catalog("tcEq")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      cata.invalidateTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "t"))
+      cata.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable]
+    }
+    def sha(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(Files.readAllBytes(Paths.get(wh, p))))
+    }
+    val before = tbl.readSnapshot.get.files.map(f => f.path -> sha(f.path)).toMap
+
+    // key-tuple DELETE: no data file rewritten; the delete file is
+    // equality content keyed by the id column's field id
+    spark.sql("DELETE FROM tcEq.m.t WHERE id IN (1, 2, 3)")
+    val snap1 = tbl.readSnapshot.get
+    assert(snap1.files.map(f => f.path -> sha(f.path)).toMap == before,
+      "equality delete must leave every data file byte-identical")
+    val eqd = snap1.deleteFiles.filter(graft.catalog.Mor.isEquality)
+    assert(eqd.nonEmpty && eqd.forall(_.equalityIds.contains(List(1))))
+    assert(snap1.summary("total-equality-deletes").toLong == 3)
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 97)
+
+    // composite key tuple (grp AND id)
+    spark.sql("DELETE FROM tcEq.m.t WHERE grp = 'b' AND id = 11")
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 96)
+
+    // a key re-inserted AFTER the delete survives: the delete's
+    // sequence number only covers strictly-older data files
+    spark.sql("INSERT INTO tcEq.m.t VALUES (2, 'a')")
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t WHERE id = 2").collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 97)
+
+    // a non-tuple predicate (range) falls back to position deletes
+    spark.sql("DELETE FROM tcEq.m.t WHERE id >= 98")
+    val snap2 = tbl.readSnapshot.get
+    assert(snap2.deleteFiles.exists(d => !graft.catalog.Mor.isEquality(d)),
+      "range predicate must fall back to position deletes")
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 95)
+
+    // compaction applies both delete kinds for real and clears them
+    graft.catalog.Maintenance.compact(spark, tbl, targetFiles = 1)
+    val snap3 = tbl.readSnapshot.get
+    assert(snap3.deleteFiles.isEmpty, "compact must settle equality deletes")
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 95)
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t WHERE id IN (1, 3, 11, 98, 99)")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t WHERE id = 2").collect()(0).getLong(0) == 1)
+  }
+
   test("gzip metadata codec: writes honor the table property, reads probe spellings") {
     val wh = freshDir("gzmeta")
     mkCatalog("tcGz", wh)

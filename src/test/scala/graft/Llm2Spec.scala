@@ -25,13 +25,13 @@ class Llm2Spec extends AnyFunSuite {
     }
   }
 
-  test("ivf/LSH top-k recall vs exact brute force") {
+  test("trained-centroid IVF top-k recall >= 0.8 vs exact brute force") {
     val exact = SparkEntry.queries("q_llm_simsearch")(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val approx = LlmOps2.ivfTopK(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ivf recall $recall too low (${approx.size} approx rows)")
+    assert(recall >= 0.8, s"ivf recall $recall too low (${approx.size} approx rows)")
   }
 
   test("fingerprint expressions: equal text = equal fp, codegen matches interpreted") {
