@@ -31,7 +31,19 @@ import scala.jdk.CollectionConverters._
   */
 class JdbcRelativeCatalog extends RelativeCatalog {
 
-  private var conn: Connection = _
+  /** Small connection pool (ref JdbcRelativeCatalog.java:100-104
+    * `JdbcClientPool`): each catalog op checks a connection out and
+    * returns it, so concurrent committers never serialize on a single
+    * connection — the pointer-CAS commits of parallel writers proceed
+    * in parallel and contention is decided by the DATABASE's row lock,
+    * not a JVM mutex. Size via catalog option `pool-size` (default 4).
+    */
+  private var pool: java.util.concurrent.ArrayBlockingQueue[Connection] = _
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = pool.take()
+    try f(c) finally pool.put(c)
+  }
 
   /** Catalog-store schema version (ref JdbcRelativeCatalog.java:52,
     * 157-190): V0 has no view support; V1 adds a `record_type`
@@ -41,7 +53,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     * `schema-version=V1`; a V1 column found in the store wins
     * regardless of the option.
     */
-  private var schemaVersion: String = "V0"
+  @volatile private var schemaVersion: String = "V0"
 
   private def isV1: Boolean = schemaVersion == "V1"
 
@@ -54,7 +66,9 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     super.initialize(name, options)
     val uri = Option(options.get("uri"))
       .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
-    conn = DriverManager.getConnection(uri)
+    val size = Option(options.get("pool-size")).map(_.toInt).getOrElse(4)
+    pool = new java.util.concurrent.ArrayBlockingQueue[Connection](size)
+    (1 to size).foreach(_ => pool.put(DriverManager.getConnection(uri)))
     bootstrap()
     migrateSchemaIfRequired(Option(options.get("schema-version")))
   }
@@ -63,7 +77,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     * identifiers to upper case); add it in place when the catalog opts
     * in (ref JdbcRelativeCatalog.java:157-190 updateSchemaIfRequired).
     */
-  private def migrateSchemaIfRequired(requested: Option[String]): Unit = synchronized {
+  private def migrateSchemaIfRequired(requested: Option[String]): Unit = withConn { conn =>
     val rs = conn.getMetaData.getColumns(null, null, "GRAFT_TABLES", "RECORD_TYPE")
     val present = try rs.next() finally rs.close()
     if (present) schemaVersion = "V1"
@@ -83,7 +97,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
   private def tableRowCond: String =
     if (isV1) " AND (record_type IS NULL OR record_type='TABLE')" else ""
 
-  private def bootstrap(): Unit = synchronized {
+  private def bootstrap(): Unit = withConn { conn =>
     def tryDdl(sql: String): Unit =
       try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
       catch { case e: SQLException if e.getSQLState == "X0Y32" => /* exists */ }
@@ -105,7 +119,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
   }
 
   private def withStmt[A](sql: String)(bind: java.sql.PreparedStatement => Unit)(
-      run: java.sql.PreparedStatement => A): A = synchronized {
+      run: java.sql.PreparedStatement => A): A = withConn { conn =>
     val ps = conn.prepareStatement(sql)
     try { bind(ps); run(ps) } finally ps.close()
   }

@@ -125,8 +125,10 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val snap = table.readSnapshot
     val files = snap.map(_.files).getOrElse(Nil)
+    val deleteFiles = snap.map(_.deleteFiles).getOrElse(Nil)
     val snapId = snap.map(_.snapshotId).getOrElse(return)
     val schema = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
+    val wh = table.ops.warehouse
     val cols = schema.fieldNames.toSeq
     val stats: graft.meta.TableStats =
       if (files.isEmpty)
@@ -134,8 +136,8 @@ object Maintenance {
       else {
         val df = Mor.applyDeletes(spark,
           spark.read.schema(schema)
-            .parquet(files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path)): _*),
-          table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
+            .parquet(files.map(f => RelPaths.absolutize(wh, f.path)): _*),
+          wh, deleteFiles, files)
         val aggs = count(lit(1)).as("__n") +:
           cols.flatMap(c => Seq(
             approx_count_distinct(col(c)).as(s"__ndv_$c"),
@@ -146,7 +148,8 @@ object Maintenance {
           totalRecords = row.getAs[Long]("__n"),
           totalBytes = files.map(_.bytes).sum,
           columns = cols.map(c => c -> graft.meta.ColumnStats(
-            row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c"))).toMap)
+            row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c"))).toMap,
+          partitions = partitionStats(spark, table, files, deleteFiles))
       }
     var attempts = 0
     var done = false
@@ -163,6 +166,54 @@ object Maintenance {
         case _: CommitFailedException if attempts < 10 =>
       }
     }
+  }
+
+  /** Per-partition record/byte/file rollup (ref README.md:99-100
+    * `partition-statistics`). One pass grouped by (data file,
+    * partition-transform exprs) — the same transforms the writer
+    * clusters by — with MOR deletes subtracted, so record counts are
+    * EXACT per live partition. Bytes are attributed from each file by
+    * its row share in the partition: exact when files are
+    * partition-local (the normal case), proportional otherwise. The
+    * grouped result is O(files × partitions-per-file) — metadata-sized.
+    */
+  def partitionStats(spark: SparkSession, table: GraftTable,
+      files: Seq[graft.meta.DataFile],
+      deleteFiles: Seq[graft.meta.DataFile]): List[graft.meta.PartitionStats] = {
+    import org.apache.spark.sql.functions._
+    val pexprs = Writer.specTransformExprs(table.meta)
+    if (pexprs.isEmpty || files.isEmpty) return Nil
+    val wh = table.ops.warehouse
+    val schema = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
+    val raw = spark.read.schema(schema)
+      .parquet(files.map(f => RelPaths.absolutize(wh, f.path)): _*)
+    val annotated = Mor.withPositions(raw, wh)
+    val (eq, pos) = deleteFiles.partition(Mor.isEquality)
+    val alive0 = Mor.subtract(spark, annotated, wh, pos)
+    val alive = if (eq.isEmpty) alive0
+      else Mor.subtractEquality(spark, alive0, wh, eq, files)
+    val pnames = pexprs.map(_._1)
+    val perFile = alive
+      .groupBy((col("__gf") +: pexprs.map { case (n, e) => e.as(n) }): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    val liveRowsByFile = perFile.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getAs[Long]("__n")).sum }
+    val bytesByFile = files.map(f => f.path -> f.bytes).toMap
+    perFile.toList.groupBy(r => pnames.zipWithIndex.map { case (n, i) =>
+        n -> Option(r.get(i + 1)).map(_.toString).orNull }.toMap)
+      .map { case (part, rows) =>
+        val bytes = rows.map { r =>
+          val f = r.getString(0)
+          val share = r.getAs[Long]("__n").toDouble / liveRowsByFile(f).max(1L)
+          bytesByFile.getOrElse(f, 0L) * share
+        }.sum.toLong
+        graft.meta.PartitionStats(
+          partition = part,
+          records = rows.map(_.getAs[Long]("__n")).sum,
+          bytes = bytes,
+          files = rows.map(_.getString(0)).distinct.size.toLong)
+      }
+      .toList.sortBy(_.partition.toSeq.sorted.mkString("/"))
   }
 
   /** Rewrite the current snapshot into `targetFiles` files (an

@@ -466,6 +466,24 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
             Row(c, cs.ndv, cs.nullCount, st.totalRecords, st.totalBytes, st.snapshotId)
           })
         new MemTable(s"${ident.name()}$$stats", sch, rows)
+      case "partitions" =>
+        // one row per partition from the committed statistics slot
+        // (Maintenance.computeStats partition pass; ref README.md:99-100
+        // `partition-statistics`); empty until a stats pass ran or for
+        // unpartitioned tables
+        val sch = StructType(Seq(
+          StructField("partition", StringType),
+          StructField("record_count", LongType),
+          StructField("file_count", LongType),
+          StructField("total_bytes", LongType),
+          StructField("snapshot_id", LongType)))
+        val rows = meta.statistics.toList.flatMap(st =>
+          st.partitions.map { p =>
+            val enc = p.partition.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString("/")
+            Row(enc, p.records, p.files, p.bytes, st.snapshotId)
+          })
+        new MemTable(s"${ident.name()}$$partitions", sch, rows)
       case other => throw new NoSuchTableException(ident)
     }
   }

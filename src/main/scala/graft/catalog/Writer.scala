@@ -42,6 +42,22 @@ object Writer {
     }
   }
 
+  /** The default partition spec's transforms as (partition-field name,
+    * Column) — shared by the write-side clustering and the
+    * partition-statistics pass so both group rows identically. */
+  def specTransformExprs(meta: TableMeta): Seq[(String, org.apache.spark.sql.Column)] =
+    meta.spec.fields.flatMap { pf =>
+      meta.schema.fields.find(_.id == pf.sourceId).map { src =>
+        pf.name -> (pf.transform match {
+          case "days" => datediff(col(src.name).cast("date"),
+            lit("1970-01-01").cast("date"))
+          case t if t.startsWith("bucket[") =>
+            pmod(hash(col(src.name)), lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
+          case _ => col(src.name)
+        })
+      }
+    }
+
   def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
       operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil,
       branch: Option[String] = None,
@@ -61,17 +77,7 @@ object Writer {
 
     // cluster rows by the partition spec so files are partition-local
     // (identity/days transforms), then apply the table sort order
-    val specExprs = meta.spec.fields.flatMap { pf =>
-      meta.schema.fields.find(_.id == pf.sourceId).map { src =>
-        pf.transform match {
-          case "days" => datediff(col(src.name).cast("date"),
-            lit("1970-01-01").cast("date"))
-          case t if t.startsWith("bucket[") =>
-            pmod(hash(col(src.name)), lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
-          case _ => col(src.name)
-        }
-      }
-    }
+    val specExprs = specTransformExprs(meta).map(_._2)
     val clustered = if (specExprs.nonEmpty) aligned.repartition(specExprs: _*) else aligned
     val sortCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
       .map(_.fields).getOrElse(Nil).flatMap { sf =>

@@ -104,11 +104,23 @@ final case class Snapshot(
   */
 final case class ColumnStats(ndv: Long, nullCount: Long)
 
+/** Per-partition rollup (ref README.md:99-100 `partition-statistics`):
+  * exact record count (MOR deletes applied), file count, and bytes —
+  * bytes attributed from each data file by its row share in the
+  * partition, so they're exact whenever files are partition-local
+  * (what the write-side clustering produces). */
+final case class PartitionStats(
+    partition: Map[String, String],
+    records: Long,
+    bytes: Long,
+    files: Long)
+
 final case class TableStats(
     snapshotId: Long,
     totalRecords: Long,
     totalBytes: Long,
-    columns: Map[String, ColumnStats])
+    columns: Map[String, ColumnStats],
+    partitions: List[PartitionStats] = Nil)
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 

@@ -62,6 +62,30 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(t.ops.refresh().get._1 == v + 1)
   }
 
+  test("pooled connections: parallel writers all land, no JVM serialization point") {
+    val c = fresh("pool")
+    spark.sql(s"CREATE NAMESPACE $c.p")
+    spark.sql(s"CREATE TABLE $c.p.t (id BIGINT, w INT)")
+    // 8 threads × 3 appends each, all racing the pointer CAS; the OCC
+    // retry loop must land every one of them (Derby decides contention,
+    // not a single shared Connection)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+    val fs = (1 to 8).map { w =>
+      Future {
+        (1 to 3).foreach { i =>
+          spark.sql(s"INSERT INTO $c.p.t VALUES (${w * 100 + i}, $w)")
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.p.t").collect()(0).getLong(0) == 24)
+    assert(spark.sql(s"SELECT COUNT(DISTINCT id) FROM $c.p.t").collect()(0).getLong(0) == 24)
+  }
+
   // Spark 4.1's CREATE VIEW DDL only routes to the session catalog, so
   // these tests drive the V2 ViewCatalog API directly (same approach
   // as q_cat_view for the path catalog).

@@ -117,6 +117,21 @@ class MaintSpec extends AnyFunSuite {
     // distinct (min-day) values across files should be > 1
     val minDays = files.flatMap(_.minBound.get("ts")).map(_.take(10)).distinct
     assert(minDays.size > 1, s"files not day-clustered: $minDays")
+
+    // partition statistics: the stats pass rolls up exact per-day
+    // record counts (and attributed bytes) served via $partitions
+    graft.catalog.Maintenance.computeStats(spark, tbl)
+    val prt = spark.sql(
+      "SELECT partition, record_count, file_count, total_bytes FROM tcDay.d.`ev$partitions`")
+      .collect()
+    assert(prt.length > 1, "expected one $partitions row per day")
+    assert(prt.forall(r => r.getLong(2) >= 1 && r.getLong(3) > 0))
+    val statMap = prt.map(r => r.getString(0).split("=")(1) -> r.getLong(1)).toMap
+    val exact = spark.sql(
+      """SELECT CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS STRING) AS d,
+        |COUNT(*) AS n FROM tcDay.d.ev GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statMap == exact, s"partition stats $statMap != exact $exact")
   }
 
   test("tags pin snapshots: readable via VERSION AS OF name, survive expiry") {
