@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.meta.{DataFile, RelPaths}
+import graft.meta.{DataFile, RelPaths, TableMeta}
 import java.nio.file.{Files, Paths}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -78,6 +78,11 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
       v1.forall(FilePruning.keepFile(f, _)))
     op.carryover = untouched
     val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    if (deletes.isEmpty) {
+      val rtCols = RowLevelScanBuilder.runtimeFilterCols(table, affected)
+      if (rtCols.nonEmpty)
+        return new GroupFilterScan(table, options, required, affected, untouched, rtCols, op)
+    }
     val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val paths =
       if (deletes.isEmpty) affectedAbs
@@ -104,6 +109,108 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   }
 }
 
+object RowLevelScanBuilder {
+  /** Columns usable for RUNTIME group filtering of a COW rewrite
+    * (Spark's RowLevelOperationRuntimeGroupFiltering over
+    * SupportsRuntimeV2Filtering): a MERGE's matched groups are only
+    * known once the SOURCE is evaluated, so Spark feeds the distinct
+    * matched values of these columns back as an `In` predicate and the
+    * scan drops (→ carries over) every file they prove untouched — the
+    * property that keeps a single-partition MERGE on a 1000-partition
+    * 100 TB table from rewriting the other 999.
+    *
+    * SAFETY. The rule also inserts the same `In` as a ROW filter in the
+    * rewrite query, so a kept file whose rows don't all pass it would
+    * silently lose the non-matching rows on write-back. File-level
+    * pruning therefore has to agree EXACTLY with row-level membership,
+    * which holds only when every affected file is single-valued with
+    * zero nulls on every filter column. We claim columns iff:
+    *   - identity partition-spec sources (the write path clusters rows
+    *     by the spec, so files are partition-local by construction);
+    *   - a type whose string-encoded bounds compare exactly
+    *     (numeric/string/date/timestamp — FilePruning's safe set);
+    *   - every affected file proves min == max and nullCount == 0
+    *     (absent bounds or unknown null counts disqualify).
+    * Any other shape returns Nil and the operation falls back to the
+    * statically-pruned scan — never wrong, just less pruned.
+    */
+  def runtimeFilterCols(table: GraftTable, affected: Seq[DataFile]): Seq[String] = {
+    val meta = table.meta
+    val spark = TableMeta.schemaToSpark(meta.schema)
+    val safe = meta.spec.fields.filter(_.transform == "identity").flatMap { pf =>
+      meta.schema.fields.find(_.id == pf.sourceId).map(_.name)
+    }.filter { name =>
+      spark.fields.find(_.name == name).exists(_.dataType match {
+        case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.DoubleType | _: org.apache.spark.sql.types.FloatType |
+             _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.DateType |
+             _: org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      })
+    }
+    val uniform = safe.filter { c =>
+      affected.forall { f =>
+        f.nullCount.get(c).contains(0L) &&
+          f.minBound.get(c).exists(mn => f.maxBound.get(c).contains(mn))
+      }
+    }
+    if (uniform.isEmpty || affected.isEmpty) Nil else uniform
+  }
+}
+
+/** The COW rewrite scan with runtime group filtering: a V2 batch scan
+  * over the affected files that accepts the optimizer's dynamic
+  * `In(partition_col, matched values)` predicate and converts it into
+  * file-level carryover before planning input partitions (see
+  * [[RowLevelScanBuilder.runtimeFilterCols]] for the exactness
+  * argument). Partition planning rebuilds the parquet delegate on each
+  * call so a `filter()` arriving between plannings is always honored.
+  */
+class GroupFilterScan(table: GraftTable, options: CaseInsensitiveStringMap,
+    required: StructType, initialAffected: Seq[DataFile], untouched: Seq[DataFile],
+    filterCols: Seq[String], op: GraftRowLevelOperation)
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[DataFile] = initialAffected
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    filterCols.map(org.apache.spark.sql.connector.expressions.Expressions.column(_)).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(p => GraftFilterShim.toV1(p))
+    if (v1.nonEmpty) {
+      // files are value-uniform on every filter column (build-time
+      // guard), so keepFile's bound check IS exact set membership here
+      val kept = initialAffected.filter(f => v1.forall(FilePruning.keepFile(f, _)))
+      files = kept
+      val keptPaths = kept.map(_.path).toSet
+      op.carryover = untouched ++ initialAffected.filterNot(f => keptPaths(f.path))
+    }
+  }
+
+  private def delegate: Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val sb = ParquetTable(table.name(), spark, options, paths,
+      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(required)
+    sb.build()
+  }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    if (files.isEmpty) Array.empty else delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate.toBatch.createReaderFactory()
+}
+
 /** V2 BatchWrite: executors stream InternalRows straight into parquet
   * files under the table's data dir via Spark's ParquetWriteSupport;
   * the driver collects per-file stats and commits the replacement
@@ -111,7 +218,55 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   */
 class GraftBatchWrite(table: GraftTable, operation: String,
     carryover: () => Seq[DataFile],
-    writeSchema: StructType = null) extends Write with BatchWrite {
+    writeSchema: StructType = null) extends Write with BatchWrite
+  with RequiresDistributionAndOrdering {
+
+  /** Cluster the rewrite by the identity partition columns and sort
+    * within tasks by the table sort order — the V2 analog of the
+    * append path's repartition+sortWithinPartitions. This is what
+    * keeps rewritten files PARTITION-LOCAL (one partition value per
+    * file), which both preserves tight min/max bounds for file
+    * skipping and upholds the value-uniformity invariant that runtime
+    * group filtering depends on ([[RowLevelScanBuilder.runtimeFilterCols]]).
+    * Non-identity transforms (days/bucket) would need a FunctionCatalog
+    * for Spark to evaluate them in the shuffle key, so those specs
+    * keep an unspecified distribution.
+    */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+    val spec = table.meta.spec.fields
+    if (spec.nonEmpty && spec.forall(_.transform == "identity")) {
+      val cols = spec.flatMap(pf =>
+        table.meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    } else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  }
+
+  /** Identity partition sources lead the ordering (so same-partition
+    * rows are CONTIGUOUS within each task and the fanout writer below
+    * rolls exactly once per partition value), then the table sort
+    * order. */
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val specCols = identitySpecCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    val sortCols = table.meta.sortOrders.find(_.orderId == table.meta.defaultSortOrderId)
+      .map(_.fields).getOrElse(Nil).flatMap { sf =>
+        table.meta.schema.fields.find(_.id == sf.sourceId).map { src =>
+          Expressions.sort(Expressions.column(src.name),
+            if (sf.direction == "desc") SortDirection.DESCENDING else SortDirection.ASCENDING)
+        }
+      }
+    (specCols ++ sortCols).toArray
+  }
+
+  private def identitySpecCols: Seq[String] = {
+    val spec = table.meta.spec.fields
+    if (spec.nonEmpty && spec.forall(_.transform == "identity"))
+      spec.flatMap(pf => table.meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
+    else Nil
+  }
 
   // the replace query may carry extra (metadata) columns; write what
   // Spark hands us. The plan-derived schema can lose our field-id
@@ -133,22 +288,16 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     // session-derived hadoop conf: carries every SQL conf
     // ParquetWriteSupport.init expects (rebase modes, legacy format,
     // timestamp type, …)
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
-    ParquetWriteSupport.setSchema(schema, conf)
-    // ParquetWriteSupport.init asserts these two are present — Spark's
-    // own ParquetFileFormat.prepareWrite sets them the same way
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.binaryAsString", "false")
-    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
-    conf.set("spark.sql.caseSensitive", "false")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
-    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    new GraftDataWriterFactory(stagingAbs, new SerializableConfiguration(conf), schema)
+    val conf = Writer.writerHadoopConf(org.apache.spark.sql.SparkSession.active, schema)
+    // identity-partitioned tables: roll to a new file whenever the
+    // partition key changes (input is clustered + ordered by it via
+    // RequiresDistributionAndOrdering), keeping rewritten files
+    // partition-local
+    val keyOrdinals = identitySpecCols.flatMap(c =>
+      schema.fields.zipWithIndex.find(_._1.name == c).map { case (f, i) =>
+        (schema.length - i, f.dataType) })
+    new GraftDataWriterFactory(stagingAbs, new SerializableConfiguration(conf), schema,
+      keyFromEnd = keyOrdinals, dataLeading = false)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -174,59 +323,104 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
 }
 
-case class GraftCommitMessage(path: String, records: Long) extends WriterCommitMessage
+case class GraftCommitMessage(records: Long) extends WriterCommitMessage
 
+/** `keyFromEnd`: partition-key fields as (offset from the END of the
+  * incoming record, type) — end-relative because the record can carry
+  * a variable number of rewrite-internal leading columns (V2 path) or
+  * one trailing computed key column (V1 append path), and only the
+  * distance from the end is stable in both. `dataLeading` selects
+  * which side of the record holds the declared write schema.
+  */
 class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, keyFromEnd: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil,
+    dataLeading: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$stagingAbs/part-$partitionId-$taskId.parquet", conf.value, schema)
+    new GraftDataWriter(stagingAbs, s"part-$partitionId-$taskId", conf.value, schema,
+      keyFromEnd, dataLeading)
 }
 
-class GraftDataWriter(path: String, conf: Configuration,
-    schema: StructType) extends DataWriter[InternalRow] {
+/** Fanout parquet writer (the clustered-writer pattern): input arrives
+  * sorted by the partition key, and the writer ROLLS to a fresh file
+  * whenever the key changes — so every data file holds exactly one
+  * partition value (partition-local files → tight min/max bounds,
+  * exact partition stats, and the uniformity invariant runtime group
+  * filtering needs). One parquet writer open at a time, O(1) memory.
+  */
+class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
+    schema: StructType, keyFromEnd: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    dataLeading: Boolean) extends DataWriter[InternalRow] {
 
   private var count = 0L
-  private val writer: ParquetWriter[InternalRow] = {
+  private var fileSeq = 0
+  private var writer: ParquetWriter[InternalRow] = _
+  private var curPath: String = _
+  private var curCount = 0L
+  private val written = scala.collection.mutable.ListBuffer.empty[String]
+  private var prevKey: Array[AnyRef] = _
+  private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+
+  private def openNext(): Unit = {
+    curPath = s"$dir/$prefix-$fileSeq.parquet"; fileSeq += 1; curCount = 0
     class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
       override def self(): B = this
       override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
         new ParquetWriteSupport
     }
-    new B(new Path(path))
+    writer = new B(new Path(curPath))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.ZSTD)
       .build()
+    written += curPath
   }
 
-  // the ReplaceData query can prepend rewrite-internal metadata
-  // columns; the declared write schema always maps to the TRAILING
-  // fields — project them out before handing parquet the row
-  private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+  private def closeCurrent(): Unit = if (writer != null) {
+    writer.close()
+    if (curCount == 0) { Files.deleteIfExists(Paths.get(curPath)); written -= curPath }
+    writer = null
+  }
+
+  private def keyOf(record: InternalRow): Array[AnyRef] =
+    keyFromEnd.map { case (fromEnd, dt) =>
+      record.get(record.numFields - fromEnd, dt) match {
+        // values may point into a reused row buffer — copy what we hold
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case v => v
+      }
+    }.toArray
 
   override def write(record: InternalRow): Unit = {
+    if (keyFromEnd.nonEmpty) {
+      val k = keyOf(record)
+      if (prevKey == null || !prevKey.indices.forall(i =>
+          java.util.Objects.equals(prevKey(i), k(i)))) {
+        closeCurrent(); openNext(); prevKey = k
+      }
+    } else if (writer == null) openNext()
     val out =
       if (record.numFields == schema.length) record
       else {
         if (proj == null) {
-          val offset = record.numFields - schema.length
-          proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
-            (offset until record.numFields).toIndexedSeq)
+          val ords =
+            if (dataLeading) 0 until schema.length
+            else (record.numFields - schema.length) until record.numFields
+          proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, ords.toIndexedSeq)
         }
         proj.project(record)
         proj
       }
-    writer.write(out); count += 1
+    writer.write(out); count += 1; curCount += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    if (count == 0) Files.deleteIfExists(Paths.get(path))
-    GraftCommitMessage(path, count)
+    closeCurrent()
+    GraftCommitMessage(count)
   }
 
   override def abort(): Unit = {
-    scala.util.Try(writer.close())
-    Files.deleteIfExists(Paths.get(path))
+    scala.util.Try(if (writer != null) writer.close())
+    written.foreach(p => Files.deleteIfExists(Paths.get(p)))
   }
 
   override def close(): Unit = ()

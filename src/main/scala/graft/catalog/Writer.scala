@@ -75,8 +75,12 @@ object Writer {
     val aligned = data.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
 
-    // cluster rows by the partition spec so files are partition-local
-    // (identity/days transforms), then apply the table sort order
+    // cluster rows by the partition spec, sort the key to the front so
+    // same-partition rows are contiguous per task, then fan out below:
+    // the writer rolls to a new file on every key change, so files are
+    // partition-LOCAL by construction (not merely co-located modulo
+    // hash collisions) — tight bounds, exact partition stats, and the
+    // uniformity invariant runtime group filtering needs
     val specExprs = specTransformExprs(meta).map(_._2)
     val clustered = if (specExprs.nonEmpty) aligned.repartition(specExprs: _*) else aligned
     val sortCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
@@ -85,11 +89,19 @@ object Writer {
           if (sf.direction == "desc") col(src.name).desc else col(src.name).asc
         }
       }
-    val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
+    val sorted =
+      if (specExprs.nonEmpty)
+        clustered.sortWithinPartitions((specExprs ++ sortCols).toIndexedSeq: _*)
+      else if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*)
+      else clustered
 
     val stagingRel = s"${meta.location}/data/${java.util.UUID.randomUUID()}"
     val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
-    sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+    if (specExprs.isEmpty)
+      sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+    else
+      fanoutWrite(sorted.withColumn("__gpk", struct(specExprs.toIndexedSeq: _*)),
+        schema, stagingAbs)
 
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
       .filter(_.records > 0)
@@ -101,6 +113,53 @@ object Writer {
       case e: Throwable =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
         throw e
+    }
+  }
+
+  /** Hadoop conf a [[GraftDataWriter]] needs to drive Spark's
+    * ParquetWriteSupport outside a FileFormatWriter (the same settings
+    * ParquetFileFormat.prepareWrite would install).
+    */
+  def writerHadoopConf(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType): org.apache.hadoop.conf.Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf
+  }
+
+  /** Executor-side fanout write of `data` (= the write schema plus one
+    * TRAILING `__gpk` partition-key struct): each task streams its
+    * sorted rows through a [[GraftDataWriter]] that starts a fresh
+    * parquet file whenever the key changes. Used by the V1 append path
+    * for partitioned tables.
+    */
+  private def fanoutWrite(data: org.apache.spark.sql.DataFrame, schema: StructType,
+      stagingAbs: String): Unit = {
+    val spark = data.sparkSession
+    Files.createDirectories(Paths.get(stagingAbs))
+    val keyType = data.schema.fields.last.dataType
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      writerHadoopConf(spark, schema))
+    val factory = new GraftDataWriterFactory(stagingAbs, ser, schema,
+      keyFromEnd = Seq((1, keyType)), dataLeading = true)
+    data.queryExecution.toRdd.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        val tc = org.apache.spark.TaskContext.get()
+        val w = factory.createWriter(tc.partitionId(), tc.taskAttemptId())
+        var ok = false
+        try { it.foreach(w.write); w.commit(); ok = true }
+        finally if (!ok) w.abort()
     }
   }
 
@@ -142,12 +201,18 @@ object Writer {
         val records = blocks.map(_.getRowCount).sum
         val mins = scala.collection.mutable.Map.empty[String, String]
         val maxs = scala.collection.mutable.Map.empty[String, String]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
         val dropped = scala.collection.mutable.Set.empty[String]
+        val nullsUnknown = scala.collection.mutable.Set.empty[String]
         for (b <- blocks; c <- b.getColumns.asScala) {
           val path = c.getPath.toArray
           if (path.length == 1 && boundableNames(path(0))) {
             val name = path(0)
             val st = c.getStatistics
+            // null counts are independent of bound encodability: track
+            // them even for columns whose min/max we drop
+            if (st == null || !st.isNumNullsSet) nullsUnknown += name
+            else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
             if (st == null || !st.hasNonNullValue || st.isEmpty) dropped += name
             else {
               val ann = c.getPrimitiveType.getLogicalTypeAnnotation
@@ -178,13 +243,15 @@ object Writer {
           }
         }
         dropped.foreach { n => mins.remove(n); maxs.remove(n) }
+        nullsUnknown.foreach(nulls.remove)
         DataFile(
           path = RelPaths.relativize(warehouse, p.toString),
           records = records,
           bytes = scala.util.Try(Files.size(p)).getOrElse(0L),
           minBound = mins.toMap.map { case (k, v) =>
             k -> (if (v.length > 64) v.substring(0, 64) else v) },
-          maxBound = maxs.toMap.filter(_._2.length <= 64))
+          maxBound = maxs.toMap.filter(_._2.length <= 64),
+          nullCount = nulls.toMap)
       } finally reader.close()
     }
   }

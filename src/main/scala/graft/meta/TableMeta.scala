@@ -55,7 +55,12 @@ final case class DataFile(
     maxBound: Map[String, String] = Map.empty,
     seq: Option[Long] = None,
     content: Option[String] = None,
-    equalityIds: Option[List[Int]] = None)
+    equalityIds: Option[List[Int]] = None,
+    // exact per-column null counts from the parquet footer; a column
+    // ABSENT from the map is "unknown" (old metadata / footer didn't
+    // say), never "zero" — consumers needing a no-nulls proof (runtime
+    // group filtering) must see an explicit 0
+    nullCount: Map[String, Long] = Map.empty)
 
 /** An immutable spilled chunk of a snapshot's file list (the analog
   * of the reference's manifest indirection, README.md:96): `path` is a

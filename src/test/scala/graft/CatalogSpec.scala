@@ -186,6 +186,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(files.intersect(before).nonEmpty, "merge rewrote files it could not touch")
   }
 
+  test("MERGE runtime group filtering: partitions the source never touches carry over byte-identical") {
+    val wh = freshDir("rtgf")
+    mkCatalog("tcRt", wh)
+    spark.sql("CREATE NAMESPACE tcRt.r")
+    spark.sql("CREATE TABLE tcRt.r.t (region STRING, id BIGINT, v STRING) PARTITIONED BY (region)")
+    // AQE would coalesce the tiny clustered write into one file; the
+    // test needs one file per region to observe per-partition carryover
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql(
+        """INSERT INTO tcRt.r.t
+          |SELECT CASE WHEN id < 100 THEN 'a' WHEN id < 200 THEN 'b' ELSE 'c' END, id, 'orig'
+          |FROM range(300)""".stripMargin)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcRt")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def files = cat.loadTable(Identifier.of(Array("r"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    val before = files
+    assert(before.size >= 3, "expected at least one file per region partition")
+    assert(before.forall(f => f.nullCount.get("region").contains(0L) &&
+      f.minBound.get("region") == f.maxBound.get("region")),
+      "write-side clustering must produce value-uniform files with known null counts")
+
+    // every source id lives in region 'b', but the ON condition carries
+    // no literal the STATIC file pruning could use — only the runtime
+    // group filter (fed by the evaluated source) can prove a/c untouched
+    spark.sql(
+      """MERGE INTO tcRt.r.t t
+        |USING (SELECT id FROM range(150, 160)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'merged'""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRt.r.t").collect()(0).getLong(0) == 300)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRt.r.t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
+    val after = files.map(_.path).toSet
+    val untouchedBefore = before.filter(f =>
+      f.minBound.get("region").exists(r => r == "a" || r == "c")).map(_.path)
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach(p => assert(after.contains(p),
+      s"runtime group filtering failed: untouched partition file $p was rewritten"))
+    val bBefore = before.filter(_.minBound.get("region").contains("b")).map(_.path)
+    bBefore.foreach(p => assert(!after.contains(p), "region b should have been rewritten"))
+
+    // null partition values disable the uniformity guard → the merge
+    // must FALL BACK to the statically-pruned scan and stay correct
+    spark.sql("INSERT INTO tcRt.r.t VALUES (CAST(NULL AS STRING), 9000, 'nullrow')")
+    spark.sql(
+      """MERGE INTO tcRt.r.t t
+        |USING (SELECT id FROM range(50, 55)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'merged2'""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRt.r.t").collect()(0).getLong(0) == 301)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRt.r.t WHERE v = 'merged2'").collect()(0).getLong(0) == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRt.r.t WHERE region IS NULL").collect()(0).getLong(0) == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("copy-on-write DELETE rewrites only files the predicate can touch") {
     val wh = freshDir("del")
     mkCatalog("tcD", wh)
