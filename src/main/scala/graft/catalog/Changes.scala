@@ -1,0 +1,134 @@
+package graft.catalog
+
+import graft.meta._
+import java.util
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** `t$changes` — the CDC/changelog read over the snapshot chain (the
+  * downstream-consumer counterpart of the commit protocol, ref
+  * HadoopRelativeTableOperations.java:144-180: every commit is a
+  * snapshot, so the table's history IS a change stream).
+  *
+  * `spark.read.option("start-snapshot-id", a)[.option("end-snapshot-id", b)]
+  * .table("cat.ns.t$changes")` returns the data columns plus
+  * `_change_type` ('insert' | 'delete'; an update is a delete+insert
+  * pair) and `_change_ordinal` (1-based position of the producing
+  * commit inside the range — sequence-derived, so deterministic across
+  * runs, unlike snapshot ids).
+  *
+  * Cost model per snapshot in the range:
+  *  - `append` → reads ONLY the files that commit added (O(increment));
+  *  - `replace` (compaction) → emits nothing by definition: it moves
+  *    bytes, not rows;
+  *  - row-level ops (`delete`/`update`/`merge`/`overwrite`) → a
+  *    two-sided `exceptAll` diff of the adjacent snapshot STATES.
+  *    That is two scans + a shuffle of the touched table — correct for
+  *    both COW and MOR commits (state reads apply delete files), and
+  *    acceptable because row-level commits are the rare case; a
+  *    delete-file interpretation (reading just the added position/
+  *    equality deletes) is the cheaper specialization when all
+  *    row-level traffic is MOR.
+  */
+class ChangesTable(tblName: String, warehouse: String, meta: TableMeta)
+  extends Table with SupportsRead {
+
+  private def dataSchema: StructType = TableMeta.schemaToSpark(meta.schema)
+
+  override def name(): String = tblName
+
+  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_change_ordinal", IntegerType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val start = Option(options.get("start-snapshot-id")).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tblName requires option start-snapshot-id (exclusive lower bound)"))
+    val end = Option(options.get("end-snapshot-id"))
+    val sch = schema()
+    () => new V1Scan {
+      override def readSchema(): StructType = sch
+      override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+        new ChangesRelation(ctx, warehouse, meta, sch, start, end).asInstanceOf[T]
+    }
+  }
+}
+
+class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
+    outSchema: StructType, start: String, end: Option[String])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = outSchema
+
+  private def resolve(v: String): Snapshot =
+    (scala.util.Try(v.toLong).toOption match {
+      case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))
+      case None => meta.refs.get(v).flatMap(r => meta.snapshot(r.snapshotId))
+    }).getOrElse(throw new IllegalArgumentException(s"no snapshot or ref '$v'"))
+
+  /** Materialized state of one snapshot: its files minus its deletes. */
+  private def state(spark: SparkSession, snap: Snapshot, dataSchema: StructType): DataFrame = {
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    val paths = snap.files.map(f => RelPaths.absolutize(warehouse, f.path))
+    val raw = spark.read.schema(dataSchema).parquet(paths: _*)
+    Mor.applyDeletes(spark, raw, warehouse, snap.deleteFiles, snap.files)
+  }
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    val from = resolve(start)
+    val to = end.map(resolve).orElse(meta.currentSnapshot).getOrElse(
+      throw new IllegalArgumentException("table has no snapshots"))
+    val chain = meta.snapshots
+      .filter(s => s.sequenceNumber > from.sequenceNumber &&
+        s.sequenceNumber <= to.sequenceNumber)
+      .sortBy(_.sequenceNumber)
+
+    val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
+    def tag(df: DataFrame, typ: String, ord: Int): DataFrame =
+      df.select(dataCols: _*)
+        .withColumn("_change_type", lit(typ))
+        .withColumn("_change_ordinal", lit(ord))
+
+    var prev = from
+    val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
+      val ord = i + 1
+      val out: Seq[DataFrame] = snap.operation match {
+        case "append" =>
+          val prevPaths = prev.files.map(_.path).toSet
+          val added = snap.files.filterNot(f => prevPaths(f.path))
+          if (added.isEmpty) Nil
+          else {
+            val paths = added.map(f => RelPaths.absolutize(warehouse, f.path))
+            Seq(tag(spark.read.schema(dataSchema).parquet(paths: _*), "insert", ord))
+          }
+        case "replace" => Nil // compaction rewrites bytes, not rows
+        case _ =>
+          val cur = state(spark, snap, dataSchema)
+          val par = state(spark, prev, dataSchema)
+          Seq(tag(cur.exceptAll(par), "insert", ord),
+            tag(par.exceptAll(cur), "delete", ord))
+      }
+      prev = snap
+      out
+    }
+    if (parts.isEmpty)
+      spark.sparkContext.emptyRDD[Row]
+    else
+      parts.reduce(_.unionAll(_)).rdd
+  }
+}

@@ -87,7 +87,44 @@ class GraftTable(
     pinnedSnapshot.flatMap(meta.snapshot).orElse(meta.currentSnapshot)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, options)
+    Option(options.get("start-snapshot-id")) match {
+      case Some(start) =>
+        new GraftScanBuilder(this, options,
+          Some(incrementalFiles(start, Option(options.get("end-snapshot-id")))))
+      case None => new GraftScanBuilder(this, options)
+    }
+
+  /** Incremental append scan (`spark.read.option("start-snapshot-id", a)
+    * [.option("end-snapshot-id", b)].table(...)`): only the rows ADDED
+    * after snapshot `a` (exclusive) up to `b` (inclusive, default
+    * current). O(added files) — nothing before `a` is even listed into
+    * the scan, which is what makes a daily "process what's new"
+    * pipeline over a 100 TB table cost only the day's increment.
+    * Bounds accept a snapshot id, a sequence number, or a ref name
+    * (same resolution as time travel). The range must be append-only:
+    * an overwrite/delete/compact inside it has no add-only row
+    * interpretation — use the `$changes` changelog table for those.
+    */
+  private def incrementalFiles(start: String, end: Option[String]): Seq[DataFile] = {
+    def resolve(v: String): Snapshot =
+      (scala.util.Try(v.toLong).toOption match {
+        case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))
+        case None => meta.refs.get(v).flatMap(r => meta.snapshot(r.snapshotId))
+      }).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot or ref '$v' in ${ident.name()}"))
+    val from = resolve(start)
+    val to = end.map(resolve).orElse(meta.currentSnapshot).getOrElse(
+      throw new IllegalArgumentException("table has no snapshots"))
+    require(from.sequenceNumber <= to.sequenceNumber,
+      s"start snapshot ${from.sequenceNumber} is newer than end ${to.sequenceNumber}")
+    val nonAppend = meta.snapshots.filter(s =>
+      s.sequenceNumber > from.sequenceNumber && s.sequenceNumber <= to.sequenceNumber &&
+        s.operation != "append")
+    require(nonAppend.isEmpty,
+      s"incremental read supports append-only ranges; found ${nonAppend.map(_.operation).distinct.mkString(",")} " +
+        s"snapshot(s) in range — read the `$$changes` changelog table instead")
+    to.files.filter(_.seq.exists(_ > from.sequenceNumber))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)
@@ -209,7 +246,8 @@ class GraftTable(
   * (2) delegates the surviving files to ParquetScanBuilder so parquet
   * row-group pushdown and column pruning still happen below us.
   */
-class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
+class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
+    filesOverride: Option[Seq[DataFile]] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -219,10 +257,14 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
   private var required: StructType = table.schema()
 
   private def allFiles: Seq[DataFile] =
-    table.readSnapshot.map(_.files).getOrElse(Nil)
+    filesOverride.getOrElse(table.readSnapshot.map(_.files).getOrElse(Nil))
 
+  // an incremental (append-only) range has no applicable deletes:
+  // position/equality deletes committed at seq ≤ start only target
+  // files that already existed then, never files added after it
   private def liveDeletes: Seq[DataFile] =
-    table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
+    if (filesOverride.isDefined) Nil
+    else table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
 
   private def mkDelegate(files: Seq[DataFile]): ScanBuilder = {
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))

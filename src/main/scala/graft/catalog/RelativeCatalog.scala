@@ -423,6 +423,10 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     val ops = opsFor(ident)
     val (_, meta) = ops.refresh().getOrElse(throw new NoSuchTableException(ident))
     kind match {
+      case "changes" =>
+        // CDC read over the snapshot chain — distributed (unlike the
+        // driver-side MemTables below), see [[ChangesTable]]
+        new ChangesTable(s"${ident.name()}$$changes", ops.warehouse, meta)
       case "snapshots" =>
         val sch = StructType(Seq(
           StructField("sequence_number", LongType),

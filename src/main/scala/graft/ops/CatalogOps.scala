@@ -296,6 +296,49 @@ object CatalogOps extends Pack {
       """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
 
+    // Incremental append scan: only rows added AFTER the start
+    // snapshot reach the scan (O(increment), not O(table)) — the
+    // "process what's new since yesterday" read a 100 TB ingest
+    // pipeline runs daily.
+    Decl("q_scan_incremental", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_inc")
+      spark.sql(s"CREATE TABLE $c.demo_inc.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_inc.cust SELECT c_custkey, c_mktsegment FROM customer_src WHERE c_custkey % 3 = 0")
+      spark.sql(s"INSERT INTO $c.demo_inc.cust SELECT c_custkey, c_mktsegment FROM customer_src WHERE c_custkey % 3 = 1")
+      spark.sql(s"INSERT INTO $c.demo_inc.cust SELECT c_custkey, c_mktsegment FROM customer_src WHERE c_custkey % 3 = 2")
+      spark.read.option("start-snapshot-id", "1").table(s"$c.demo_inc.cust")
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 IN (1, 2)
+        |ORDER BY c_custkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
+    // Changelog (CDC) read: `t$changes` emits insert/delete rows per
+    // commit in a snapshot range — appends stream O(added files),
+    // row-level commits diff adjacent states, compactions emit nothing.
+    Decl("q_scan_changelog", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cdc")
+      spark.sql(s"CREATE TABLE $c.demo_cdc.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_cdc.reg SELECT * FROM region_src")           // seq 1
+      spark.sql(s"DELETE FROM $c.demo_cdc.reg WHERE r_regionkey >= 3")             // seq 2
+      spark.sql(s"INSERT INTO $c.demo_cdc.reg SELECT * FROM region_src WHERE r_regionkey = 4") // seq 3
+      spark.read.option("start-snapshot-id", "1")
+        .table(s"$c.demo_cdc.`reg$$changes`")
+        .orderBy(col("_change_ordinal").asc_nulls_first, col("_change_type").asc_nulls_first,
+          col("r_regionkey").asc_nulls_first, col("r_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_regionkey, r_name, 'delete' AS _change_type, 1 AS _change_ordinal
+        |FROM region WHERE r_regionkey >= 3
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'insert', 2 FROM region WHERE r_regionkey = 4
+        |ORDER BY _change_ordinal ASC NULLS FIRST, _change_type ASC NULLS FIRST,
+        |  r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
+
     // INSERT OVERWRITE (truncate-capability write path).
     Decl("q_sink_overwrite", (spark, dir) => {
       val c = cat(spark, dir)

@@ -562,6 +562,57 @@ class CatalogSpec extends AnyFunSuite {
     assert(ops2.refresh().get._2.currentSnapshot.get.files.forall(_.path.startsWith("m/t2/")))
   }
 
+  test("incremental scan reads only the appended range; changelog diffs commits") {
+    val wh = freshDir("inc")
+    mkCatalog("tcI", wh)
+    spark.sql("CREATE NAMESPACE tcI.i")
+    spark.sql("CREATE TABLE tcI.i.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcI.i.t SELECT id, 'a' FROM range(0, 10)")     // seq 1
+    spark.sql("INSERT INTO tcI.i.t SELECT id, 'b' FROM range(10, 25)")    // seq 2
+    spark.sql("INSERT INTO tcI.i.t SELECT id, 'c' FROM range(25, 30)")    // seq 3
+
+    // (1, current]: rows of seq 2+3 only
+    val inc = spark.read.option("start-snapshot-id", "1").table("tcI.i.t")
+    assert(inc.count() == 20)
+    assert(inc.filter("v = 'a'").count() == 0)
+    // explicit end bound
+    val inc2 = spark.read.option("start-snapshot-id", "1")
+      .option("end-snapshot-id", "2").table("tcI.i.t")
+    assert(inc2.count() == 15)
+    assert(inc2.filter("v = 'b'").count() == 15)
+
+    // a row-level op inside the range has no append-only interpretation
+    spark.sql("DELETE FROM tcI.i.t WHERE id < 5")                         // seq 4
+    val e = intercept[Exception] {
+      spark.read.option("start-snapshot-id", "2").table("tcI.i.t").count()
+    }
+    assert(e.getMessage.contains("append-only"))
+
+    // changelog over the whole chain: seq2 +15, seq3 +5, seq4 -5
+    val ch = spark.read.option("start-snapshot-id", "1").table("tcI.i.`t$changes`")
+    assert(ch.filter("_change_type = 'insert'").count() == 20)
+    assert(ch.filter("_change_type = 'delete'").count() == 5)
+    assert(ch.filter("_change_type = 'delete' AND id < 5").count() == 5)
+
+    // compaction is NOT a data change: its pair emits nothing
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcI")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val tbl = cata.loadTable(Identifier.of(Array("i"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    graft.catalog.Maintenance.compact(spark, tbl, targetFiles = 1)        // seq 5
+    val ch2 = spark.read.option("start-snapshot-id", "4").table("tcI.i.`t$changes`")
+    assert(ch2.count() == 0, "compaction must emit no changelog rows")
+
+    // MOR deletes flow through the state diff too
+    spark.sql("ALTER TABLE tcI.i.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM tcI.i.t WHERE id >= 28")                       // seq 6+
+    val ch3 = spark.read.option("start-snapshot-id", "5").table("tcI.i.`t$changes`")
+      .filter("_change_type = 'delete'")
+    assert(ch3.count() == 2)
+    assert(ch3.filter("id >= 28").count() == 2)
+  }
+
   test("time travel reads historic snapshots; metadata tables list them") {
     val wh = freshDir("tt")
     mkCatalog("tcT", wh)
