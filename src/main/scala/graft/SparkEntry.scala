@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Udx,
     ops.LlmOps,
     ops.LlmOps2,
+    ops.LlmOps3,
     ops.StreamOps,
     ops.CatalogOps,
   )
