@@ -83,34 +83,44 @@ object LlmOps2 extends Pack {
       .agg(min_by(col("cid"), col("d2")).as("cid"))
   }
 
-  /** Lloyd's k-means over a deterministic hash-ordered sample. The
-    * driver holds only nlist × dim doubles; assignment is distributed
-    * (broadcast centroids), and each iteration's mean-update reduces to
-    * nlist × dim rows — so training a 100 TB table costs iters passes
-    * over a bounded SAMPLE, never a full-table shuffle. Init = first
-    * nlist sample vectors in xxhash64 order (seedless deterministic
-    * spread; reproducible run-to-run, which Date/Random would not be).
+  /** Lloyd's k-means over a deterministic hash-ordered sample. ONE
+    * distributed job collects the sample (bounded: sampleN × dim
+    * doubles ≈ 4 MB regardless of table size — the 100 TB table
+    * contributes nothing more than the sample); the Lloyd iterations
+    * then run driver-LOCAL, which replaces the former
+    * 2-jobs-per-iteration distributed loop (~8 shuffle rounds of pure
+    * scheduling overhead for 4096 rows) with microseconds of math.
+    * Init = first nlist sample vectors in xxhash64 order (seedless
+    * deterministic spread; reproducible run-to-run, which Date/Random
+    * would not be).
     */
   def trainCentroids(emb: DataFrame, nlist: Int, iters: Int,
       sampleN: Int = 4096): Array[Array[Double]] = {
-    val sample = emb.orderBy(xxhash64(col("vec_id"))).limit(sampleN)
-      .select(col("vec_id"), col("e")).cache()
-    var cents: Array[Array[Double]] = sample.limit(nlist).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val sample: Array[Array[Double]] = emb.orderBy(xxhash64(col("vec_id"))).limit(sampleN)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
-      val byCid = assignNearest(sample, cents)
-        .select(col("cid"), posexplode(col("e")).as(Seq("i", "x")))
-        .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
+      val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          val ce = cents(c)
+          while (i < v.length) { val t = v(i) - ce(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
       cents = cents.zipWithIndex.map { case (old, cid) =>
-        byCid.get(cid).map { rows =>
-          val arr = old.clone()
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(old) // empty cluster keeps its centroid
+        if (counts(cid) == 0) old // empty cluster keeps its centroid
+        else sums(cid).map(_ / counts(cid))
       }
     }
-    sample.unpersist(blocking = false)
     cents
   }
 
