@@ -38,7 +38,20 @@ import scala.util.Try
   *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
   * }}}
   */
-class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** Partition-transform functions (`bucket`, `days`) — served from
+    * every namespace incl. the root so both user SQL
+    * (`cat.bucket(16, x)`) and Spark's write-distribution resolution
+    * (which looks functions up by bare name) find them. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   protected var catName: String = _
   var warehouse: String = _

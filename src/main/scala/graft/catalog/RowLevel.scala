@@ -221,36 +221,31 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     writeSchema: StructType = null) extends Write with BatchWrite
   with RequiresDistributionAndOrdering {
 
-  /** Cluster the rewrite by the identity partition columns and sort
-    * within tasks by the table sort order — the V2 analog of the
-    * append path's repartition+sortWithinPartitions. This is what
+  /** Cluster the rewrite by the partition-spec transforms and sort
+    * within tasks by them + the table sort order — the V2 analog of
+    * the append path's repartition+sortWithinPartitions. This is what
     * keeps rewritten files PARTITION-LOCAL (one partition value per
     * file), which both preserves tight min/max bounds for file
     * skipping and upholds the value-uniformity invariant that runtime
     * group filtering depends on ([[RowLevelScanBuilder.runtimeFilterCols]]).
-    * Non-identity transforms (days/bucket) would need a FunctionCatalog
-    * for Spark to evaluate them in the shuffle key, so those specs
-    * keep an unspecified distribution.
+    * Non-identity transforms (days/bucket) resolve through the
+    * catalog's FunctionCatalog ([[GraftFunctions]]) when Spark plans
+    * the shuffle key.
     */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
-    val spec = table.meta.spec.fields
-    if (spec.nonEmpty && spec.forall(_.transform == "identity")) {
-      val cols = spec.flatMap(pf =>
-        table.meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray)
-    } else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    val exprs = specV2Exprs
+    if (exprs.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(exprs.toArray)
   }
 
-  /** Identity partition sources lead the ordering (so same-partition
-    * rows are CONTIGUOUS within each task and the fanout writer below
-    * rolls exactly once per partition value), then the table sort
-    * order. */
+  /** Partition transforms lead the ordering (so same-partition rows
+    * are CONTIGUOUS within each task and the fanout writer below rolls
+    * exactly once per partition value), then the table sort order. */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    val specCols = identitySpecCols.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    val specCols = specV2Exprs.map(e => Expressions.sort(e, SortDirection.ASCENDING))
     val sortCols = table.meta.sortOrders.find(_.orderId == table.meta.defaultSortOrderId)
       .map(_.fields).getOrElse(Nil).flatMap { sf =>
         table.meta.schema.fields.find(_.id == sf.sourceId).map { src =>
@@ -261,11 +256,19 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     (specCols ++ sortCols).toArray
   }
 
-  private def identitySpecCols: Seq[String] = {
-    val spec = table.meta.spec.fields
-    if (spec.nonEmpty && spec.forall(_.transform == "identity"))
-      spec.flatMap(pf => table.meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
-    else Nil
+  private def specV2Exprs: Seq[org.apache.spark.sql.connector.expressions.Expression] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    table.meta.spec.fields.flatMap { pf =>
+      table.meta.schema.fields.find(_.id == pf.sourceId).map { src =>
+        pf.transform match {
+          case "days" => Expressions.days(src.name)
+          case t if t.startsWith("bucket[") =>
+            Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src.name)
+          case _ => Expressions.column(src.name)
+            : org.apache.spark.sql.connector.expressions.Expression
+        }
+      }
+    }
   }
 
   // the replace query may carry extra (metadata) columns; write what
@@ -289,15 +292,26 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     // ParquetWriteSupport.init expects (rebase modes, legacy format,
     // timestamp type, …)
     val conf = Writer.writerHadoopConf(org.apache.spark.sql.SparkSession.active, schema)
-    // identity-partitioned tables: roll to a new file whenever the
-    // partition key changes (input is clustered + ordered by it via
+    // partitioned tables: roll to a new file whenever the partition
+    // key changes (input is clustered + ordered by it via
     // RequiresDistributionAndOrdering), keeping rewritten files
     // partition-local
-    val keyOrdinals = identitySpecCols.flatMap(c =>
-      schema.fields.zipWithIndex.find(_._1.name == c).map { case (f, i) =>
-        (schema.length - i, f.dataType) })
+    val keySpecs = table.meta.spec.fields.flatMap { pf =>
+      table.meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
+        schema.fields.zipWithIndex.find(_._1.name == src.name).map { case (f, i) =>
+          val fromEnd = schema.length - i
+          pf.transform match {
+            case "days" => DaysKey(fromEnd, f.dataType)
+            case t if t.startsWith("bucket[") =>
+              BucketKey(fromEnd, f.dataType,
+                t.stripPrefix("bucket[").stripSuffix("]").toInt)
+            case _ => RawKey(fromEnd, f.dataType)
+          }
+        }
+      }
+    }
     new GraftDataWriterFactory(stagingAbs, new SerializableConfiguration(conf), schema,
-      keyFromEnd = keyOrdinals, dataLeading = false)
+      keyFromEnd = keySpecs, dataLeading = false)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -325,15 +339,43 @@ class GraftBatchWrite(table: GraftTable, operation: String,
 
 case class GraftCommitMessage(records: Long) extends WriterCommitMessage
 
-/** `keyFromEnd`: partition-key fields as (offset from the END of the
-  * incoming record, type) — end-relative because the record can carry
-  * a variable number of rewrite-internal leading columns (V2 path) or
-  * one trailing computed key column (V1 append path), and only the
-  * distance from the end is stable in both. `dataLeading` selects
-  * which side of the record holds the declared write schema.
+/** One partition-key field for the fanout writer, addressed as an
+  * offset from the END of the incoming record — end-relative because
+  * the record can carry a variable number of rewrite-internal leading
+  * columns (V2 path) or one trailing computed key column (V1 append
+  * path), and only the distance from the end is stable in both.
+  * [[DaysKey]]/[[BucketKey]] apply the partition TRANSFORM executor-
+  * side (same definitions as [[GraftFunctions]]), so two timestamps of
+  * the same day don't force a file roll.
   */
+sealed trait KeySpec extends Serializable {
+  def fromEnd: Int
+  def dt: org.apache.spark.sql.types.DataType
+  def eval(record: InternalRow, ordinal: Int): AnyRef
+}
+case class RawKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    record.get(ordinal, dt) match {
+      // values may point into a reused row buffer — copy what we hold
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+      case r: InternalRow => r.copy()
+      case v => v
+    }
+}
+case class DaysKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    if (record.isNullAt(ordinal)) null
+    else GraftFunctions.daysOf(record.get(ordinal, dt), dt)
+}
+case class BucketKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType,
+    n: Int) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    Integer.valueOf(GraftFunctions.bucketOf(
+      if (record.isNullAt(ordinal)) null else record.get(ordinal, dt), dt, n))
+}
+
 class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration,
-    schema: StructType, keyFromEnd: Seq[(Int, org.apache.spark.sql.types.DataType)] = Nil,
+    schema: StructType, keyFromEnd: Seq[KeySpec] = Nil,
     dataLeading: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingAbs, s"part-$partitionId-$taskId", conf.value, schema,
@@ -348,7 +390,7 @@ class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration
   * filtering needs). One parquet writer open at a time, O(1) memory.
   */
 class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
-    schema: StructType, keyFromEnd: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    schema: StructType, keyFromEnd: Seq[KeySpec],
     dataLeading: Boolean) extends DataWriter[InternalRow] {
 
   private var count = 0L
@@ -381,14 +423,7 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
   }
 
   private def keyOf(record: InternalRow): Array[AnyRef] =
-    keyFromEnd.map { case (fromEnd, dt) =>
-      record.get(record.numFields - fromEnd, dt) match {
-        // values may point into a reused row buffer — copy what we hold
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case r: InternalRow => r.copy()
-        case v => v
-      }
-    }.toArray
+    keyFromEnd.map(k => k.eval(record, record.numFields - k.fromEnd)).toArray
 
   override def write(record: InternalRow): Unit = {
     if (keyFromEnd.nonEmpty) {

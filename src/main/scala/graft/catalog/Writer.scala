@@ -151,8 +151,10 @@ object Writer {
     val keyType = data.schema.fields.last.dataType
     val ser = new org.apache.spark.util.SerializableConfiguration(
       writerHadoopConf(spark, schema))
+    // __gpk already IS the transformed key (specTransformExprs), so
+    // the writer compares it raw
     val factory = new GraftDataWriterFactory(stagingAbs, ser, schema,
-      keyFromEnd = Seq((1, keyType)), dataLeading = true)
+      keyFromEnd = Seq(RawKey(1, keyType)), dataLeading = true)
     data.queryExecution.toRdd.foreachPartition {
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
         val tc = org.apache.spark.TaskContext.get()

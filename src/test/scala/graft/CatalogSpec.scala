@@ -562,6 +562,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(ops2.refresh().get._2.currentSnapshot.get.files.forall(_.path.startsWith("m/t2/")))
   }
 
+  test("function catalog serves bucket/days; MERGE on a days table keeps files day-local") {
+    val wh = freshDir("fncat")
+    mkCatalog("tcF", wh)
+    spark.sql("CREATE NAMESPACE tcF.f")
+    // the SQL surface must agree with the write path's transform
+    // (specTransformExprs: pmod(hash(col), n))
+    val viaFn = spark.sql("SELECT tcF.bucket(16, CAST(42 AS BIGINT)) AS b").collect()(0).getInt(0)
+    val viaExpr = spark.sql("SELECT pmod(hash(CAST(42 AS BIGINT)), 16) AS b").collect()(0).getInt(0)
+    assert(viaFn == viaExpr)
+    assert(spark.sql("SELECT tcF.days(TIMESTAMP'2024-01-03 10:11:12') AS d")
+      .collect()(0).getLong(0) == java.time.LocalDate.of(2024, 1, 3).toEpochDay)
+
+    spark.sql("CREATE TABLE tcF.f.t (ts TIMESTAMP, id BIGINT, v STRING) PARTITIONED BY (days(ts))")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql(
+        """INSERT INTO tcF.f.t
+          |SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id DIV 100 AS INT),0,CAST(id % 24 AS INT),0),
+          |       id, 'orig'
+          |FROM range(300)""".stripMargin)
+      // source ids all live in day 2024-01-02; the rewrite must come
+      // back clustered+fanned out by days(ts), i.e. every file's ts
+      // bounds stay within ONE epoch day
+      spark.sql(
+        """MERGE INTO tcF.f.t t
+          |USING (SELECT id FROM range(150, 160)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = 'merged'""".stripMargin)
+      assert(spark.sql("SELECT COUNT(*) FROM tcF.f.t").collect()(0).getLong(0) == 300)
+      assert(spark.sql("SELECT COUNT(*) FROM tcF.f.t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val cata = spark.sessionState.catalogManager.catalog("tcF")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val files = cata.loadTable(Identifier.of(Array("f"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+      assert(files.size >= 3, s"expected >=3 day-local files, got ${files.size}")
+      files.foreach { f =>
+        val dayOf = (b: String) => b.substring(0, 10)
+        assert(f.minBound.get("ts").map(dayOf) == f.maxBound.get("ts").map(dayOf),
+          s"file ${f.path} spans days: ${f.minBound.get("ts")}..${f.maxBound.get("ts")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("incremental scan reads only the appended range; changelog diffs commits") {
     val wh = freshDir("inc")
     mkCatalog("tcI", wh)
