@@ -301,13 +301,14 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
     if (liveDeletes.nonEmpty)
       new MorScan(table, required, pruned, liveDeletes, v1)
-    else {
-      val delegate = mkDelegate(pruned)
-      delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
-      delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-        .pruneColumns(required)
-      delegate.build()
-    }
+    else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
+      .getOrElse {
+        val delegate = mkDelegate(pruned)
+        delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+        delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+          .pruneColumns(required)
+        delegate.build()
+      }
   }
 
   private def keepFile(f: DataFile, filter: Filter): Boolean =

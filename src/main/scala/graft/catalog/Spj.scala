@@ -1,0 +1,151 @@
+package graft.catalog
+
+import graft.meta.{DataFile, RelPaths, TableMeta}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Storage-partitioned join support: when the table is identity-
+  * partitioned and every (pruned) file is provably single-valued and
+  * null-free on the partition columns — the invariant the fanout
+  * writer maintains — the scan reports `KeyGroupedPartitioning` and
+  * tags each input partition with its partition-key row. Two graft
+  * tables partitioned on their join key then join WITHOUT any shuffle
+  * (Spark aligns the key groups directly), which at 100 TB removes
+  * the single most expensive stage of a fact-fact join.
+  *
+  * Gated on BOTH `spark.sql.sources.v2.bucketing.enabled` (Spark's
+  * SPJ switch, default true in 4.x) and our own opt-in
+  * `spark.graft.preserveDataGrouping` (default false, mirroring
+  * Iceberg's preserve-data-grouping conf): reporting key-grouped
+  * partitions changes task granularity to one-group-per-partition-
+  * value — a full scan of a 100k-partition table would lose byte-based
+  * bin-packing for no benefit — so the grouping is only preserved when
+  * the session says the workload joins on partition keys.
+  */
+object SpjScan {
+
+  val PreserveGroupingKey = "spark.graft.preserveDataGrouping"
+
+  def tryBuild(table: GraftTable, options: CaseInsensitiveStringMap,
+      required: StructType, pushedExprs: Seq[Expression],
+      files: Seq[DataFile], spark: SparkSession): Option[Scan] = {
+    if (!spark.conf.getOption(PreserveGroupingKey).exists(_.toBoolean))
+      return None
+    if (!spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").exists(_.toBoolean))
+      return None
+    val meta = table.meta
+    val spec = meta.spec.fields
+    if (spec.isEmpty || !spec.forall(_.transform == "identity") || files.isEmpty)
+      return None
+    val srcs = spec.flatMap(pf => meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
+    if (srcs.size != spec.size) return None
+    val sparkSchema = TableMeta.schemaToSpark(meta.schema)
+    val dts = srcs.map(n => sparkSchema.fields.find(_.name == n).get.dataType)
+    if (!dts.forall(decodable)) return None
+    val uniform = files.forall(f => srcs.forall(c =>
+      f.nullCount.get(c).contains(0L) &&
+        f.minBound.get(c).exists(mn => f.maxBound.get(c).contains(mn))))
+    if (!uniform) return None
+
+    val groups: Seq[(InternalRow, Seq[DataFile])] = files
+      .groupBy(f => srcs.map(c => f.minBound(c)))
+      .toSeq
+      .sortBy(_._1.mkString(""))
+      .map { case (key, fs) =>
+        (new GenericInternalRow(key.zip(dts).map { case (s, dt) => decode(s, dt) }.toArray),
+          fs)
+      }
+    Some(new SpjScan(table, options, required, pushedExprs, srcs, groups))
+  }
+
+  private def decodable(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: StringType | _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+
+  /** String-encoded bound → catalyst value (inverse of the stats
+    * encoding in [[Writer.collectStatsFromFooters]]). */
+  private def decode(s: String, dt: DataType): Any = dt match {
+    case _: IntegerType => s.toInt
+    case _: LongType => s.toLong
+    case _: ShortType => s.toShort
+    case _: ByteType => s.toByte
+    case _: StringType => UTF8String.fromString(s)
+    case _: DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case _: TimestampType =>
+      val ins = java.time.Instant.from(tsFmt.parse(s))
+      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+    case other => throw new IllegalStateException(s"undecodable $other")
+  }
+}
+
+class SpjScan(table: GraftTable, options: CaseInsensitiveStringMap,
+    required: StructType, pushedExprs: Seq[Expression], keyCols: Seq[String],
+    groups: Seq[(InternalRow, Seq[DataFile])])
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      keyCols.map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      groups.size)
+
+  private def delegate(files: Seq[DataFile]): Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val sb = ParquetTable(table.name(), spark, options, paths,
+      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
+    sb.build()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.flatMap { case (key, fs) =>
+      delegate(fs).toBatch.planInputPartitions().map(p => KeyedPartition(key, p))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UnwrapKeyFactory(delegate(groups.flatMap(_._2)).toBatch.createReaderFactory())
+}
+
+/** A delegate input partition tagged with its partition-key row. */
+case class KeyedPartition(key: InternalRow, inner: InputPartition)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+class UnwrapKeyFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case KeyedPartition(_, inner) => inner
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
+}

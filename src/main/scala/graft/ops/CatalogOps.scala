@@ -339,6 +339,45 @@ object CatalogOps extends Pack {
         |ORDER BY _change_ordinal ASC NULLS FIRST, _change_type ASC NULLS FIRST,
         |  r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // Storage-partitioned join: both tables identity-partitioned on
+    // the join key, scans report KeyGroupedPartitioning, and the join
+    // aligns the key groups with NO exchange (CatalogSpec asserts the
+    // plan; this query verifies the aligned read returns exact
+    // results). Materialized eagerly while the SPJ confs are on.
+    Decl("q_join_spj", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_spj")
+      spark.sql(s"CREATE TABLE $c.demo_spj.cust (c_nationkey INT, c_custkey BIGINT, c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+      spark.sql(s"CREATE TABLE $c.demo_spj.nat (n_nationkey INT, n_name STRING) PARTITIONED BY (n_nationkey)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      spark.sql(s"INSERT INTO $c.demo_spj.cust SELECT c_nationkey, c_custkey, c_acctbal FROM customer_src")
+      spark.sql(s"INSERT INTO $c.demo_spj.nat SELECT n_nationkey, n_name FROM nation_src")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.sql(
+          s"""SELECT n.n_name, COUNT(*) AS n_cust,
+             |  CAST(CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal
+             |FROM $c.demo_spj.cust c JOIN $c.demo_spj.nat n
+             |  ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name""".stripMargin)
+          .localCheckpoint()
+          .orderBy(col("n_name").asc_nulls_first)
+      } finally {
+        spark.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    }, Some(
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
+
     // INSERT OVERWRITE (truncate-capability write path).
     Decl("q_sink_overwrite", (spark, dir) => {
       val c = cat(spark, dir)

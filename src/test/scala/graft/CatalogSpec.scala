@@ -606,6 +606,46 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("storage-partitioned join: co-partitioned tables join without a shuffle") {
+    val wh = freshDir("spj")
+    // isolated child session: SPJ needs global conf switches
+    // (v2.bucketing, broadcast off) and sbt runs suites in PARALLEL on
+    // the shared session — newSession() gets its own SQLConf
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tcS", "graft.catalog.RelativeCatalog")
+    s.conf.set("spark.sql.catalog.tcS.warehouse", wh)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
+    s.sql("DROP NAMESPACE IF EXISTS tcS.s CASCADE")
+    s.sql("CREATE NAMESPACE tcS.s")
+    s.sql("CREATE TABLE tcS.s.fact (k INT, m BIGINT) PARTITIONED BY (k)")
+    s.sql("CREATE TABLE tcS.s.dim (k INT, label STRING) PARTITIONED BY (k)")
+    s.sql("INSERT INTO tcS.s.fact SELECT CAST(id % 8 AS INT), id FROM range(1000)")
+    s.sql("INSERT INTO tcS.s.dim SELECT CAST(id AS INT), CONCAT('g', id) FROM range(8)")
+    val joined = s.sql(
+      """SELECT f.k, d.label, SUM(f.m) AS s
+        |FROM tcS.s.fact f JOIN tcS.s.dim d ON f.k = d.k
+        |GROUP BY f.k, d.label""".stripMargin)
+    val rows = joined.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(2)).sum == (0L until 1000L).sum)
+    // the join itself must be exchange-free: the ONLY shuffle in the
+    // plan is the one feeding the final aggregation
+    val plan = joined.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a shuffled join in:\n$plan")
+    val shufflesBelowJoin = joins.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shufflesBelowJoin.isEmpty,
+      s"storage-partitioned join still shuffled:\n$plan")
+  }
+
   test("incremental scan reads only the appended range; changelog diffs commits") {
     val wh = freshDir("inc")
     mkCatalog("tcI", wh)
