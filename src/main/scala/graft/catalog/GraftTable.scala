@@ -44,14 +44,37 @@ class GraftTable(
     val metaVersion: Int,
     val pinnedSnapshot: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** UPDATE / MERGE INTO (and non-metadata DELETE) via group-based
-    * copy-on-write — see [[GraftRowLevelOperation]]. */
+  /** `_file` (warehouse-relative data-file path) and `_pos` (row
+    * ordinal within that file) — the row-identity pair. Queryable
+    * (`SELECT _file, _pos FROM t`) and the rowId the DELTA write path
+    * uses for merge-on-read UPDATE/MERGE position deltas. Encoding is
+    * identical to committed position-delete files ([[Mor.relFileCol]]),
+    * so delete writes and scan-side subtraction always agree.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTable.FileMetaCol, GraftTable.PosMetaCol)
+
+  /** UPDATE / MERGE INTO (and non-metadata DELETE): DELTA (merge-on-
+    * read position deltas, [[GraftDeltaOperation]]) when the command's
+    * `write.<cmd>.mode` table property says merge-on-read, else
+    * group-based copy-on-write ([[GraftRowLevelOperation]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info)
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val prop = info.command() match {
+        case Command.UPDATE => "write.update.mode"
+        case Command.MERGE => "write.merge.mode"
+        case _ => "write.delete.mode"
+      }
+      if (meta.properties.get(prop).contains("merge-on-read"))
+        new GraftDeltaOperation(this, info)
+      else new GraftRowLevelOperation(this, info)
+    }
 
   private def sparkSession = org.apache.spark.sql.SparkSession.active
 
@@ -240,6 +263,28 @@ class GraftTable(
   }
 }
 
+object GraftTable {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  val FileMetaCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "warehouse-relative data file path"
+  }
+
+  val PosMetaCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_pos"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position within the data file"
+  }
+
+  val MetaColNames: Set[String] = Set("_file", "_pos")
+}
+
 /** ScanBuilder that (1) prunes the snapshot file list on pushed
   * predicates vs per-file min/max bounds — the driver-side file
   * skipping the reference's metadata enables (SURVEY §4) — and
@@ -299,7 +344,9 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   override def build(): Scan = {
     val v1 = pushedExprs.flatMap(e => GraftFilterShim.translate(e))
     val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
-    if (liveDeletes.nonEmpty)
+    if (required.fieldNames.exists(GraftTable.MetaColNames))
+      new MetaScan(table, required, pruned, liveDeletes, v1)
+    else if (liveDeletes.nonEmpty)
       new MorScan(table, required, pruned, liveDeletes, v1)
     else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
       .getOrElse {
@@ -352,6 +399,52 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
     val filtered = filters.flatMap(Writer.filterToColumn)
       .foldLeft(alive)(_.filter(_))
     filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*).rdd
+  }
+}
+
+/** Scan serving the `_file`/`_pos` METADATA columns alongside data
+  * columns, through the V1 fallback: the inner plan annotates the
+  * vectorized parquet read with (relative file, row index) via
+  * `_metadata` ([[Mor.withPositions]] — the exact encoding committed
+  * position-delete files use), subtracts live deletes, applies the
+  * translated predicates, and projects the required column order.
+  * Serves both user queries (`SELECT _file, _pos FROM t`) and the
+  * DELTA row-level scan ([[GraftDeltaOperation]]'s rowId).
+  */
+class MetaScan(table: GraftTable, required: StructType, files: Seq[DataFile],
+    deletes: Seq[DataFile], filters: Seq[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new MetaRelation(ctx, table, required, files, deletes, filters).asInstanceOf[T]
+}
+
+class MetaRelation(ctx: SQLContext, table: GraftTable, required: StructType,
+    files: Seq[DataFile], deletes: Seq[DataFile], filters: Seq[Filter])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val spark = ctx.sparkSession
+    val w = table.ops.warehouse
+    if (files.isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
+    val paths = files.map(f => RelPaths.absolutize(w, f.path))
+    val data = spark.read.schema(table.schema()).parquet(paths: _*)
+    val annotated = Mor.withPositions(data, w)
+    val (eq, pos) = deletes.partition(Mor.isEquality)
+    var alive = Mor.subtract(spark, annotated, w, pos)
+    if (eq.nonEmpty) alive = Mor.subtractEquality(spark, alive, w, eq, files)
+    val withMeta = alive
+      .withColumn("_file", col("__gf"))
+      .withColumn("_pos", col("__gp"))
+    val filtered = filters.flatMap(Writer.filterToColumn)
+      .foldLeft(withMeta)(_.filter(_))
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
   }
 }
 

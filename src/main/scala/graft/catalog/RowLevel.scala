@@ -216,22 +216,20 @@ class GroupFilterScan(table: GraftTable, options: CaseInsensitiveStringMap,
   * the driver collects per-file stats and commits the replacement
   * snapshot through the OCC protocol.
   */
-class GraftBatchWrite(table: GraftTable, operation: String,
-    carryover: () => Seq[DataFile],
-    writeSchema: StructType = null) extends Write with BatchWrite
-  with RequiresDistributionAndOrdering {
+/** Cluster the write by the partition-spec transforms and sort within
+  * tasks by them + the table sort order — the V2 analog of the append
+  * path's repartition+sortWithinPartitions. This is what keeps written
+  * files PARTITION-LOCAL (one partition value per file), which both
+  * preserves tight min/max bounds for file skipping and upholds the
+  * value-uniformity invariant that runtime group filtering depends on
+  * ([[RowLevelScanBuilder.runtimeFilterCols]]). Non-identity
+  * transforms (days/bucket) resolve through the catalog's
+  * FunctionCatalog ([[GraftFunctions]]) when Spark plans the shuffle
+  * key. Shared by the COW rewrite and the DELTA write.
+  */
+trait PartitionedWriteLayout extends RequiresDistributionAndOrdering {
+  def table: GraftTable
 
-  /** Cluster the rewrite by the partition-spec transforms and sort
-    * within tasks by them + the table sort order — the V2 analog of
-    * the append path's repartition+sortWithinPartitions. This is what
-    * keeps rewritten files PARTITION-LOCAL (one partition value per
-    * file), which both preserves tight min/max bounds for file
-    * skipping and upholds the value-uniformity invariant that runtime
-    * group filtering depends on ([[RowLevelScanBuilder.runtimeFilterCols]]).
-    * Non-identity transforms (days/bucket) resolve through the
-    * catalog's FunctionCatalog ([[GraftFunctions]]) when Spark plans
-    * the shuffle key.
-    */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
     val exprs = specV2Exprs
     if (exprs.isEmpty)
@@ -241,7 +239,7 @@ class GraftBatchWrite(table: GraftTable, operation: String,
   }
 
   /** Partition transforms lead the ordering (so same-partition rows
-    * are CONTIGUOUS within each task and the fanout writer below rolls
+    * are CONTIGUOUS within each task and the fanout writer rolls
     * exactly once per partition value), then the table sort order. */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -271,6 +269,29 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     }
   }
 
+  /** Fanout roll keys for the write schema (transform-aware). */
+  protected def specKeySpecs(schema: StructType): Seq[KeySpec] =
+    table.meta.spec.fields.flatMap { pf =>
+      table.meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
+        schema.fields.zipWithIndex.find(_._1.name == src.name).map { case (f, i) =>
+          val fromEnd = schema.length - i
+          pf.transform match {
+            case "days" => DaysKey(fromEnd, f.dataType)
+            case t if t.startsWith("bucket[") =>
+              BucketKey(fromEnd, f.dataType,
+                t.stripPrefix("bucket[").stripSuffix("]").toInt)
+            case _ => RawKey(fromEnd, f.dataType)
+          }
+        }
+      }
+    }
+}
+
+class GraftBatchWrite(val table: GraftTable, operation: String,
+    carryover: () => Seq[DataFile],
+    writeSchema: StructType = null) extends Write with BatchWrite
+  with PartitionedWriteLayout {
+
   // the replace query may carry extra (metadata) columns; write what
   // Spark hands us. The plan-derived schema can lose our field-id
   // metadata, so re-stamp it by name from the table schema — every
@@ -296,22 +317,8 @@ class GraftBatchWrite(table: GraftTable, operation: String,
     // key changes (input is clustered + ordered by it via
     // RequiresDistributionAndOrdering), keeping rewritten files
     // partition-local
-    val keySpecs = table.meta.spec.fields.flatMap { pf =>
-      table.meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
-        schema.fields.zipWithIndex.find(_._1.name == src.name).map { case (f, i) =>
-          val fromEnd = schema.length - i
-          pf.transform match {
-            case "days" => DaysKey(fromEnd, f.dataType)
-            case t if t.startsWith("bucket[") =>
-              BucketKey(fromEnd, f.dataType,
-                t.stripPrefix("bucket[").stripSuffix("]").toInt)
-            case _ => RawKey(fromEnd, f.dataType)
-          }
-        }
-      }
-    }
     new GraftDataWriterFactory(stagingAbs, new SerializableConfiguration(conf), schema,
-      keyFromEnd = keySpecs, dataLeading = false)
+      keyFromEnd = specKeySpecs(schema), dataLeading = false)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -459,4 +466,149 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
   }
 
   override def close(): Unit = ()
+}
+
+/** DELTA row-level operation (merge-on-read UPDATE / MERGE / DELETE,
+  * selected by `write.<cmd>.mode=merge-on-read`): instead of rewriting
+  * every affected file group, the write emits POSITION DELETES for the
+  * touched rows plus data files for the new row versions. A
+  * 10-row UPDATE on a 100 TB table costs O(10 rows written), not a
+  * whole-file rewrite per touched file — the format-v2 CDC/upsert
+  * economics. Row identity is the scan-provided (`_file`, `_pos`)
+  * metadata pair, encoded exactly like committed delete files
+  * ([[Mor.relFileCol]]), so scan-side subtraction always agrees.
+  */
+class GraftDeltaOperation(table: GraftTable, info: RowLevelOperationInfo)
+  extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  // the delta scan is just the table scan (with _file/_pos served as
+  // metadata columns); unlike the group-based scan it CAN let filters
+  // prune aggressively — unmatched rows are simply untouched
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, options)
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(table, command().toString.toLowerCase, writeInfo.schema())
+    }
+}
+
+class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaWrite
+  with org.apache.spark.sql.connector.write.DeltaBatchWrite
+  with PartitionedWriteLayout {
+
+  // re-stamp field ids by name (the plan-derived row schema loses them)
+  private val schema = {
+    val metaByName = table.schema().fields.map(f => f.name -> f.metadata).toMap
+    StructType(rowSchema.fields.map(f =>
+      metaByName.get(f.name).map(m => f.copy(metadata = m)).getOrElse(f)))
+  }
+  private val dataRel = s"${table.meta.location}/data/${java.util.UUID.randomUUID()}"
+  private val dataAbs = RelPaths.absolutize(table.ops.warehouse, dataRel)
+  private val delRel = s"${table.meta.location}/deletes/${java.util.UUID.randomUUID()}"
+  private val delAbs = RelPaths.absolutize(table.ops.warehouse, delRel)
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    Files.createDirectories(Paths.get(dataAbs))
+    Files.createDirectories(Paths.get(delAbs))
+    val spark = org.apache.spark.sql.SparkSession.active
+    new GraftDeltaWriterFactory(dataAbs, delAbs,
+      new SerializableConfiguration(Writer.writerHadoopConf(spark, schema)),
+      new SerializableConfiguration(Writer.writerHadoopConf(spark, Mor.deleteSchema)),
+      schema, specKeySpecs(schema))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ms = messages.collect { case m: GraftDeltaMessage => m }
+    val newFiles =
+      if (ms.forall(_.dataRecords == 0)) Nil
+      else Writer.collectStats(spark, table.schema(), table.ops.warehouse, dataAbs)
+        .filter(_.records > 0)
+    val delFiles =
+      if (ms.forall(_.deleteRecords == 0)) Nil
+      else Writer.collectStats(spark, Mor.deleteSchema, table.ops.warehouse, delAbs)
+        .filter(_.records > 0)
+    if (newFiles.isEmpty && delFiles.isEmpty) { abort(messages); return }
+    // a concurrent rewrite/compaction of a file our deletes reference
+    // would orphan those deletes → conflict on exactly that set
+    val mustExist: Set[String] =
+      if (delFiles.isEmpty) Set.empty
+      else spark.read.schema(Mor.deleteSchema)
+        .parquet(delFiles.map(f => RelPaths.absolutize(table.ops.warehouse, f.path)): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    try Writer.commitSnapshot(table, newFiles, overwrite = false,
+      operation = operation, carryover = Nil,
+      newDeletes = delFiles, mustExist = mustExist)
+    catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataAbs))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delAbs))
+        throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataAbs))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delAbs)): Unit
+  }
+}
+
+case class GraftDeltaMessage(dataRecords: Long, deleteRecords: Long)
+  extends WriterCommitMessage
+
+class GraftDeltaWriterFactory(dataDir: String, delDir: String,
+    dataConf: SerializableConfiguration, delConf: SerializableConfiguration,
+    schema: StructType, keySpecs: Seq[KeySpec])
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(
+      new GraftDataWriter(dataDir, s"part-$partitionId-$taskId", dataConf.value,
+        schema, keySpecs, dataLeading = false),
+      new GraftDataWriter(delDir, s"del-$partitionId-$taskId", delConf.value,
+        Mor.deleteSchema, Nil, dataLeading = false))
+}
+
+/** Routes the WriteDelta stream: inserts (and the insert half of
+  * updates) into the fanout data writer, deletes as (file, pos) rows
+  * into the position-delete writer. */
+class GraftDeltaWriter(dataW: GraftDataWriter, delW: GraftDataWriter)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var dataN = 0L
+  private var delN = 0L
+
+  override def insert(row: InternalRow): Unit = { dataW.write(row); dataN += 1 }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    delW.write(id); delN += 1
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    dataW.commit(); delW.commit()
+    GraftDeltaMessage(dataN, delN)
+  }
+
+  override def abort(): Unit = { dataW.abort(); delW.abort() }
+
+  override def close(): Unit = { dataW.close(); delW.close() }
 }

@@ -296,6 +296,62 @@ object CatalogOps extends Pack {
       """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
 
+    // Merge-on-read UPDATE via DELTA writes: the touched rows become
+    // position deletes + new-version rows; no data file is rewritten
+    // (CatalogSpec asserts byte-identity; this verifies the merged
+    // read: data minus deletes plus new versions).
+    Decl("q_cat_update_mor", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_umor")
+      spark.sql(
+        s"""CREATE TABLE $c.demo_umor.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+           |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_umor.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
+      spark.sql(s"UPDATE $c.demo_umor.cust SET c_mktsegment = 'CAPPED', c_acctbal = 0.0 WHERE c_acctbal < 0")
+      spark.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |FROM $c.demo_umor.cust
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_acctbal < 0 THEN 'CAPPED' ELSE c_mktsegment END AS c_mktsegment,
+        |        CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |      FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
+    // Merge-on-read MERGE (upsert) via DELTA writes: matched rows turn
+    // into delete+insert pairs, unmatched source rows append — the
+    // format-v2 CDC economics (O(changed rows), never a file rewrite).
+    Decl("q_cat_merge_mor", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mmor")
+      spark.sql(
+        s"""CREATE TABLE $c.demo_mmor.nat (n_nationkey INT, n_name STRING)
+           |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      spark.sql(s"INSERT INTO $c.demo_mmor.nat SELECT n_nationkey, n_name FROM nation_src WHERE n_nationkey < 20")
+      spark.sql(
+        s"""MERGE INTO $c.demo_mmor.nat t
+           |USING (SELECT n_nationkey, n_name FROM nation_src WHERE n_nationkey >= 15) s
+           |ON t.n_nationkey = s.n_nationkey
+           |WHEN MATCHED THEN UPDATE SET n_name = CONCAT('UP_', s.n_name)
+           |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) VALUES (s.n_nationkey, s.n_name)""".stripMargin)
+      spark.sql(
+        s"""SELECT n_nationkey, n_name FROM $c.demo_mmor.nat
+           |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey >= 15 AND n_nationkey < 20 THEN 'UP_' || n_name
+        |       ELSE n_name END AS n_name
+        |FROM nation
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

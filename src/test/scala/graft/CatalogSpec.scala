@@ -606,6 +606,60 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("delta writes: merge-on-read UPDATE/MERGE leave data files byte-identical") {
+    val wh = freshDir("delta")
+    mkCatalog("tcDl", wh)
+    spark.sql("CREATE NAMESPACE tcDl.d")
+    spark.sql(
+      """CREATE TABLE tcDl.d.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |               'write.merge.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO tcDl.d.t SELECT id, 'orig' FROM range(100)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcDl")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def snap = cata.loadTable(Identifier.of(Array("d"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get
+    val beforeFiles = snap.files.map(_.path).toSet
+
+    // metadata columns are directly queryable
+    val meta = spark.sql("SELECT _file, _pos, id FROM tcDl.d.t WHERE id < 3")
+      .collect()
+    assert(meta.length == 3 && meta.forall(r => r.getString(0).startsWith("d/t/")))
+
+    // MOR UPDATE: a 10-row update must write deltas, not rewrite files
+    spark.sql("UPDATE tcDl.d.t SET v = 'upd' WHERE id >= 90")
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'upd'").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 100)
+    val afterUpdate = snap
+    assert(beforeFiles.subsetOf(afterUpdate.files.map(_.path).toSet),
+      "MOR update must not rewrite existing data files")
+    assert(afterUpdate.deleteFiles.nonEmpty, "MOR update must add position deletes")
+
+    // MOR MERGE: matched update + unmatched insert, still no rewrite
+    spark.sql(
+      """MERGE INTO tcDl.d.t t
+        |USING (SELECT id FROM range(95, 110)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'merged'
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 'inserted')""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 110)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'merged'").collect()(0).getLong(0) == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'inserted'").collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'upd'").collect()(0).getLong(0) == 5)
+    val afterMerge = snap
+    assert(beforeFiles.subsetOf(afterMerge.files.map(_.path).toSet),
+      "MOR merge must not rewrite existing data files")
+
+    // deltas stack and compaction settles them
+    graft.catalog.Maintenance.compact(spark,
+      cata.loadTable(Identifier.of(Array("d"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable], targetFiles = 1)
+    assert(snap.deleteFiles.isEmpty, "compaction must clear delete files")
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 110)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'merged'").collect()(0).getLong(0) == 5)
+  }
+
   test("storage-partitioned join: co-partitioned tables join without a shuffle") {
     val wh = freshDir("spj")
     // isolated child session: SPJ needs global conf switches
