@@ -107,16 +107,44 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
     var prev = from
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
+      val prevPaths = prev.files.map(_.path).toSet
+      val addedData = snap.files.filterNot(f => prevPaths(f.path))
+      val removedData = prev.files.exists(f => !snap.files.exists(_.path == f.path))
+      val prevDels = prev.deleteFiles.map(_.path).toSet
+      val addedDels = snap.deleteFiles.filterNot(d => prevDels(d.path))
+      def readAdded: Seq[DataFrame] =
+        if (addedData.isEmpty) Nil
+        else Seq(tag(spark.read.schema(dataSchema).parquet(
+          addedData.map(f => RelPaths.absolutize(warehouse, f.path)): _*), "insert", ord))
       val out: Seq[DataFrame] = snap.operation match {
-        case "append" =>
-          val prevPaths = prev.files.map(_.path).toSet
-          val added = snap.files.filterNot(f => prevPaths(f.path))
-          if (added.isEmpty) Nil
-          else {
-            val paths = added.map(f => RelPaths.absolutize(warehouse, f.path))
-            Seq(tag(spark.read.schema(dataSchema).parquet(paths: _*), "insert", ord))
-          }
+        case "append" => readAdded
         case "replace" => Nil // compaction rewrites bytes, not rows
+        case _ if !removedData && addedDels.forall(!Mor.isEquality(_)) =>
+          // MOR/delta fast path (no data file removed, position deletes
+          // only): inserts stream straight off the added data files and
+          // deletes resolve by reading ONLY the files the new
+          // position-delete records reference — O(changed rows), never
+          // a two-sided state diff. This is what keeps a CDC tail read
+          // over a trickle-updated 100 TB table incremental.
+          val deleted: Seq[DataFrame] =
+            if (addedDels.isEmpty) Nil
+            else {
+              val delSet = Mor.deleteSet(spark, warehouse, addedDels)
+              val referenced = delSet.select(col("__gf")).distinct()
+                .collect().map(_.getString(0)).toSet
+              val refFiles = prev.files.filter(f => referenced(f.path))
+              if (refFiles.isEmpty) Nil
+              else {
+                val raw = spark.read.schema(dataSchema).parquet(
+                  refFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
+                // rows dead BEFORE this commit must not re-die in it
+                val aliveBefore = Mor.applyDeletesKeepPositions(spark,
+                  raw, warehouse, prev.deleteFiles, refFiles)
+                Seq(tag(aliveBefore.join(delSet, Seq("__gf", "__gp"), "left_semi"),
+                  "delete", ord))
+              }
+            }
+          readAdded ++ deleted
         case _ =>
           val cur = state(spark, snap, dataSchema)
           val par = state(spark, prev, dataSchema)

@@ -192,9 +192,19 @@ object Mor {
     if (deletes.isEmpty) data
     else {
       val cols = data.columns
-      val (eq, pos) = deletes.partition(isEquality)
-      var df = subtract(spark, withPositions(data, warehouse), warehouse, pos)
-      if (eq.nonEmpty) df = subtractEquality(spark, df, warehouse, eq, dataFiles)
-      df.select(cols.map(col).toIndexedSeq: _*)
+      applyDeletesKeepPositions(spark, data, warehouse, deletes, dataFiles)
+        .select(cols.map(col).toIndexedSeq: _*)
     }
+
+  /** Like [[applyDeletes]] but keeps the __gf/__gp annotation columns
+    * (for consumers that join on row identity afterwards, e.g. the
+    * changelog's position-delete fast path). */
+  def applyDeletesKeepPositions(spark: SparkSession, data: DataFrame, warehouse: String,
+      deletes: Seq[DataFile], dataFiles: Seq[DataFile] = Nil): DataFrame = {
+    val annotated = withPositions(data, warehouse)
+    val (eq, pos) = deletes.partition(isEquality)
+    var df = subtract(spark, annotated, warehouse, pos)
+    if (eq.nonEmpty) df = subtractEquality(spark, df, warehouse, eq, dataFiles)
+    df
+  }
 }

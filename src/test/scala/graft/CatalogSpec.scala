@@ -636,6 +636,12 @@ class CatalogSpec extends AnyFunSuite {
       "MOR update must not rewrite existing data files")
     assert(afterUpdate.deleteFiles.nonEmpty, "MOR update must add position deletes")
 
+    // the changelog resolves the delta commit via the position-delete
+    // fast path: 10 old versions out, 10 new versions in
+    val ch = spark.read.option("start-snapshot-id", "1").table("tcDl.d.`t$changes`")
+    assert(ch.filter("_change_type = 'delete' AND v = 'orig' AND id >= 90").count() == 10)
+    assert(ch.filter("_change_type = 'insert' AND v = 'upd'").count() == 10)
+
     // MOR MERGE: matched update + unmatched insert, still no rewrite
     spark.sql(
       """MERGE INTO tcDl.d.t t
