@@ -104,7 +104,7 @@ class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   def readSnapshot: Option[Snapshot] =
     pinnedSnapshot.flatMap(meta.snapshot).orElse(meta.currentSnapshot)
@@ -354,7 +354,9 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
         delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
         delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
           .pruneColumns(required)
-        delegate.build()
+        // wrapper adds toMicroBatchStream (readStream.table tails the
+        // snapshot chain); batch reads pass through untouched
+        new GraftStreamableScan(table, options, required, pushedExprs, delegate.build())
       }
   }
 

@@ -233,7 +233,9 @@ object Maintenance {
           .parquet(paths: _*),
         table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
       .coalesce(targetFiles)
-    Writer.append(table, df, overwrite = true,
+    // "replace": same rows, different bytes — the marker the changelog
+    // and the streaming tail both use to emit nothing for this commit
+    Writer.append(table, df, overwrite = true, operation = "replace",
       validateFrom = Some(snap.map(_.snapshotId)),
       clearDeletes = true)
   }

@@ -1,0 +1,115 @@
+package graft.catalog
+
+import graft.meta.{DataFile, RelPaths}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming source over the snapshot chain: `spark.readStream
+  * .table("cat.ns.t")` tails APPEND commits as micro-batches. Offsets
+  * are commit sequence numbers — exactly-once because a batch is the
+  * files added in (startSeq, endSeq], replayable from the metadata
+  * alone. `replace` (compaction) snapshots are skipped: they move
+  * bytes, not rows. Row-level commits have no append-only
+  * interpretation and FAIL the stream unless
+  * `streaming-skip-nonappend=true` (the `$changes` table is the CDC
+  * alternative). This is the "train on what's new" tail a 100 TB
+  * ingest pipeline runs continuously; each trigger costs O(new files).
+  */
+class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap,
+    required: StructType, pushedExprs: Seq[Expression]) extends MicroBatchStream {
+
+  private val skipNonAppend =
+    Option(options.get("streaming-skip-nonappend")).exists(_.toBoolean)
+
+  private def freshMeta = table.ops.refresh()
+    .map(_._2).getOrElse(table.meta)
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+
+  override def latestOffset(): Offset =
+    SeqOffset(freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.stripPrefix("{\"seq\":").stripSuffix("}").trim.toLong)
+
+  private def filesBetween(startSeq: Long, endSeq: Long): Seq[DataFile] = {
+    val meta = freshMeta
+    val snaps = meta.snapshots
+      .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq)
+      .sortBy(_.sequenceNumber)
+    val bad = snaps.filter(s => s.operation != "append" && s.operation != "replace")
+    if (bad.nonEmpty && !skipNonAppend)
+      throw new IllegalStateException(
+        s"streaming read hit non-append snapshot(s) ${bad.map(_.operation).distinct.mkString(",")} " +
+          s"at seq ${bad.map(_.sequenceNumber).mkString(",")}; " +
+          "set streaming-skip-nonappend=true to skip them or read the $changes table for CDC")
+    // a file ADDED by snapshot s carries s's sequence number; listing
+    // from s itself keeps the batch replayable even after later
+    // compactions drop the file from the current snapshot (retention
+    // must cover streaming lag, as with any table-tail source)
+    snaps.filter(_.operation == "append")
+      .flatMap(s => s.files.filter(_.seq.contains(s.sequenceNumber)))
+  }
+
+  private def delegate(files: Seq[DataFile]): Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val sb = ParquetTable(table.name(), spark, options, paths,
+      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
+    sb.build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val files = filesBetween(start.asInstanceOf[SeqOffset].seq,
+      end.asInstanceOf[SeqOffset].seq)
+    if (files.isEmpty) Array.empty
+    else delegate(files).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate(freshMeta.currentSnapshot.map(_.files).getOrElse(Nil)).toBatch
+      .createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq}"""
+}
+
+/** Batch-delegating scan wrapper that adds the streaming surface:
+  * batch reads forward to the pruned parquet delegate untouched
+  * (including its statistics, which drive broadcast decisions), and
+  * `toMicroBatchStream` serves the snapshot-tail source above.
+  */
+class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
+    required: StructType, pushedExprs: Seq[Expression], val batchDelegate: Scan)
+  extends Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = batchDelegate.readSchema()
+
+  override def description(): String = batchDelegate.description()
+
+  override def toBatch: Batch = batchDelegate.toBatch
+
+  override def estimateStatistics(): Statistics = batchDelegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(table, options, required, pushedExprs)
+}

@@ -352,6 +352,34 @@ object CatalogOps extends Pack {
         |FROM nation
         |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // Streaming table tail: readStream over the snapshot chain —
+    // each append commit becomes a micro-batch (offsets = commit
+    // sequence numbers, exactly-once replay from metadata). The
+    // memory-sink contents after two waves must equal the batch read.
+    Decl("q_str_tablesource", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_tail")
+      spark.sql(s"CREATE TABLE $c.demo_tail.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_tail.reg SELECT * FROM region_src WHERE r_regionkey < 2")
+      val name = s"graft_tail_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.table(s"$c.demo_tail.reg")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        spark.sql(s"INSERT INTO $c.demo_tail.reg SELECT * FROM region_src WHERE r_regionkey >= 2")
+        q.processAllAvailable()
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+      out.orderBy(col("r_regionkey").asc_nulls_first, col("r_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

@@ -666,6 +666,57 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'merged'").collect()(0).getLong(0) == 5)
   }
 
+  test("streaming read tails append snapshots; compaction is skipped; row-level ops fail it") {
+    val wh = freshDir("strm")
+    mkCatalog("tcSt", wh)
+    spark.sql("CREATE NAMESPACE tcSt.st")
+    spark.sql("CREATE TABLE tcSt.st.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcSt.st.t SELECT id, 'w1' FROM range(50)")
+
+    val q = spark.readStream.table("tcSt.st.t")
+      .writeStream.format("memory").queryName("graft_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 50)
+
+      // new commits arrive as new micro-batches
+      spark.sql("INSERT INTO tcSt.st.t SELECT id, 'w2' FROM range(50, 80)")
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 80)
+      assert(spark.table("graft_tail").filter("v = 'w2'").count() == 30)
+
+      // compaction must NOT re-emit rows
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val cata = spark.sessionState.catalogManager.catalog("tcSt")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      graft.catalog.Maintenance.compact(spark,
+        cata.loadTable(Identifier.of(Array("st"), "t"))
+          .asInstanceOf[graft.catalog.GraftTable], targetFiles = 1)
+      spark.sql("INSERT INTO tcSt.st.t VALUES (1000, 'w3')")
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 81,
+        "compaction must not re-emit rows into the stream")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_tail")
+    }
+
+    // a row-level commit has no append-only interpretation
+    spark.sql("DELETE FROM tcSt.st.t WHERE id < 10")
+    val q2 = spark.readStream.table("tcSt.st.t")
+      .writeStream.format("memory").queryName("graft_tail2")
+      .outputMode("append").start()
+    try {
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("non-append") || e.getMessage.contains("nonappend"),
+        s"unexpected: ${e.getMessage}")
+    } finally {
+      q2.stop()
+      spark.catalog.dropTempView("graft_tail2")
+    }
+  }
+
   test("storage-partitioned join: co-partitioned tables join without a shuffle") {
     val wh = freshDir("spj")
     // isolated child session: SPJ needs global conf switches

@@ -74,7 +74,8 @@ class OpsSpec extends AnyFunSuite {
     // drive the builder directly with the catalyst predicate
     builder.pushFilters(exprs.toSeq)
     val scan = builder.build()
-    val scanned = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    val scanned = scan.asInstanceOf[graft.catalog.GraftStreamableScan].batchDelegate
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
       .fileIndex.inputFiles.length
     assert(scanned < total, s"pruning did not reduce files: $scanned of $total")
     // and the pruned scan still returns exactly the right rows
