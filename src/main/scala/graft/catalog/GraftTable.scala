@@ -104,7 +104,8 @@ class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   def readSnapshot: Option[Snapshot] =
     pinnedSnapshot.flatMap(meta.snapshot).orElse(meta.currentSnapshot)
@@ -510,6 +511,11 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, _: Boolean) =>
         Writer.append(table, data, overwrite)
+
+    // writeStream.toTable: one OCC append per epoch, exactly-once via
+    // the (query-id, epoch-id) stamp in the snapshot summary
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(table, info.queryId(), info.schema())
   }
 }
 

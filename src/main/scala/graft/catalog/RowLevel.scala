@@ -271,20 +271,7 @@ trait PartitionedWriteLayout extends RequiresDistributionAndOrdering {
 
   /** Fanout roll keys for the write schema (transform-aware). */
   protected def specKeySpecs(schema: StructType): Seq[KeySpec] =
-    table.meta.spec.fields.flatMap { pf =>
-      table.meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
-        schema.fields.zipWithIndex.find(_._1.name == src.name).map { case (f, i) =>
-          val fromEnd = schema.length - i
-          pf.transform match {
-            case "days" => DaysKey(fromEnd, f.dataType)
-            case t if t.startsWith("bucket[") =>
-              BucketKey(fromEnd, f.dataType,
-                t.stripPrefix("bucket[").stripSuffix("]").toInt)
-            case _ => RawKey(fromEnd, f.dataType)
-          }
-        }
-      }
-    }
+    KeySpec.forSpec(table, schema)
 }
 
 class GraftBatchWrite(val table: GraftTable, operation: String,
@@ -359,6 +346,26 @@ sealed trait KeySpec extends Serializable {
   def fromEnd: Int
   def dt: org.apache.spark.sql.types.DataType
   def eval(record: InternalRow, ordinal: Int): AnyRef
+}
+
+object KeySpec {
+  /** Transform-aware fanout roll keys for a write schema: one per
+    * partition-spec field whose source column appears in `schema`. */
+  def forSpec(table: GraftTable, schema: StructType): Seq[KeySpec] =
+    table.meta.spec.fields.flatMap { pf =>
+      table.meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
+        schema.fields.zipWithIndex.find(_._1.name == src.name).map { case (f, i) =>
+          val fromEnd = schema.length - i
+          pf.transform match {
+            case "days" => DaysKey(fromEnd, f.dataType)
+            case t if t.startsWith("bucket[") =>
+              BucketKey(fromEnd, f.dataType,
+                t.stripPrefix("bucket[").stripSuffix("]").toInt)
+            case _ => RawKey(fromEnd, f.dataType)
+          }
+        }
+      }
+    }
 }
 case class RawKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType) extends KeySpec {
   override def eval(record: InternalRow, ordinal: Int): AnyRef =

@@ -113,3 +113,82 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(table, options, required, pushedExprs)
 }
+
+/** Native streaming SINK (`writeStream.toTable`): every micro-batch
+  * epoch stages parquet under its own subdirectory through the fanout
+  * writer (files stay partition-local) and commits one APPEND snapshot
+  * through the OCC protocol. Exactly-once: the snapshot summary
+  * records (streaming-query-id, streaming-epoch-id), and a replayed
+  * epoch — Spark retries commits after driver failure — is detected
+  * against the committed chain and skipped instead of double-applied.
+  */
+class GraftStreamingWrite(table: GraftTable, queryId: String,
+    rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+
+  // re-stamp field ids by name (plan-derived schemas lose them)
+  private val schema = {
+    val metaByName = table.schema().fields.map(f => f.name -> f.metadata).toMap
+    StructType(rowSchema.fields.map(f =>
+      metaByName.get(f.name).map(m => f.copy(metadata = m)).getOrElse(f)))
+  }
+  private val stagingRel = s"${table.meta.location}/data/${java.util.UUID.randomUUID()}"
+  private val stagingAbs = RelPaths.absolutize(table.ops.warehouse, stagingRel)
+
+  private def epochDir(epochId: Long) = s"$stagingAbs/ep-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      Writer.writerHadoopConf(spark, schema))
+    new GraftStreamingWriterFactory(stagingAbs, conf, schema,
+      KeySpec.forSpec(table, schema))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = epochDir(epochId)
+    // replayed epoch after a driver restart → already in the chain
+    val (_, meta) = table.ops.refresh().getOrElse((0, table.meta))
+    val committed = meta.snapshots.exists(s =>
+      s.summary.get("streaming-query-id").contains(queryId) &&
+        s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+    if (committed) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+      return
+    }
+    val newFiles =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) Nil
+      else Writer.collectStats(spark, table.schema(), table.ops.warehouse, dir)
+        .filter(_.records > 0)
+    try Writer.commitSnapshot(table, newFiles, overwrite = false,
+      operation = "append", carryover = Nil,
+      extraSummary = Map(
+        "streaming-query-id" -> queryId,
+        "streaming-epoch-id" -> epochId.toString))
+    catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        throw e
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(epochDir(epochId))): Unit
+}
+
+class GraftStreamingWriterFactory(stagingAbs: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType, keySpecs: Seq[KeySpec])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val dir = s"$stagingAbs/ep-$epochId"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    new GraftDataWriter(dir, s"part-$partitionId-$taskId", conf.value, schema,
+      keySpecs, dataLeading = false)
+  }
+}

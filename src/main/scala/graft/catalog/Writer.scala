@@ -358,7 +358,8 @@ object Writer {
       validateFrom: Option[Option[Long]] = None,
       newDeletes: List[DataFile] = Nil,
       mustExist: Set[String] = Set.empty,
-      clearDeletes: Boolean = false): Unit = {
+      clearDeletes: Boolean = false,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -459,7 +460,7 @@ object Writer {
           "total-position-deletes" -> posDel.map(_.records).sum.toString,
           "total-equality-deletes" -> eqDel.map(_.records).sum.toString,
           "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
-          "total-data-files" -> (prevFiles.size + newFiles.size).toString),
+          "total-data-files" -> (prevFiles.size + newFiles.size).toString) ++ extraSummary,
         files = orderedFiles,
         deleteFiles = allStampedDeletes,
         manifests = keptManifests)

@@ -717,6 +717,40 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("native streaming sink: writeStream.toTable commits one snapshot per epoch") {
+    val wh = freshDir("ssink")
+    mkCatalog("tcSk", wh)
+    spark.sql("CREATE NAMESPACE tcSk.k")
+    spark.sql("CREATE TABLE tcSk.k.t (id BIGINT, v STRING)")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = ms.toDS().map(i => (i, s"v$i")).toDF("id", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("tcSk.k.t")
+    try {
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM tcSk.k.t").collect()(0).getLong(0) == 3)
+      ms.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM tcSk.k.t").collect()(0).getLong(0) == 5)
+    } finally q.stop()
+
+    // one snapshot per epoch, stamped for exactly-once replay detection
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcSk")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val meta = cata.loadTable(Identifier.of(Array("k"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].meta
+    val epochs = meta.snapshots.flatMap(_.summary.get("streaming-epoch-id"))
+    assert(epochs.distinct.size >= 2, s"expected >=2 epoch snapshots, got $epochs")
+    assert(meta.snapshots.forall(s => s.summary.get("streaming-epoch-id").isEmpty ||
+      s.summary.get("streaming-query-id").nonEmpty))
+  }
+
   test("storage-partitioned join: co-partitioned tables join without a shuffle") {
     val wh = freshDir("spj")
     // isolated child session: SPJ needs global conf switches
