@@ -239,4 +239,41 @@ object Maintenance {
       validateFrom = Some(snap.map(_.snapshotId)),
       clearDeletes = true)
   }
+
+  /** Z-ORDER compaction: rewrite the table range-partitioned and
+    * sorted by the Morton interleave of `cols`
+    * ([[graft.functions.ZOrder]]), so every output file's min/max
+    * bounds are tight on ALL the z-columns — after one pass, scans
+    * filtering on ANY of them skip files (the multi-dimensional
+    * clustering answer when a table is queried along several axes).
+    * For unpartitioned tables the z-key drives file boundaries
+    * directly; range partitioning into `targetFiles` buckets keeps
+    * each task's output a contiguous z-range.
+    */
+  def compactZOrder(spark: SparkSession, table: GraftTable,
+      cols: Seq[String], targetFiles: Int = 16): Unit = {
+    require(table.meta.spec.fields.isEmpty,
+      "z-order compaction currently targets unpartitioned tables " +
+        "(partitioned tables cluster by their spec; z-order within " +
+        "partitions would need a per-partition range)")
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+    if (files.isEmpty) return
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val data = Mor.applyDeletes(spark,
+      spark.read
+        .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
+        .parquet(paths: _*),
+      table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
+    val z = graft.functions.ZOrder.zValue(data, cols)
+    val arranged = data.withColumn("__z", z)
+      .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+    // Writer.append preserves the arrangement for unpartitioned tables
+    // (no spec clustering, and the projection is narrow)
+    Writer.append(table, arranged, overwrite = true, operation = "replace",
+      validateFrom = Some(snap.map(_.snapshotId)),
+      clearDeletes = true)
+  }
 }

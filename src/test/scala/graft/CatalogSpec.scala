@@ -751,6 +751,46 @@ class CatalogSpec extends AnyFunSuite {
       s.summary.get("streaming-query-id").nonEmpty))
   }
 
+  test("z-order compaction clusters files on every z-column") {
+    val wh = freshDir("zord")
+    mkCatalog("tcZ", wh)
+    spark.sql("CREATE NAMESPACE tcZ.z")
+    spark.sql("CREATE TABLE tcZ.z.t (a BIGINT, b BIGINT, payload STRING)")
+    // 100 x 100 grid: a and b are independent axes
+    spark.sql(
+      """INSERT INTO tcZ.z.t
+        |SELECT id % 100, id DIV 100, CONCAT('p', id) FROM range(10000)""".stripMargin)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcZ")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cata.loadTable(Identifier.of(Array("z"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    graft.catalog.Maintenance.compactZOrder(spark, tbl, Seq("a", "b"), targetFiles = 16)
+
+    assert(spark.sql("SELECT COUNT(*) FROM tcZ.z.t").collect()(0).getLong(0) == 10000)
+    assert(spark.sql("SELECT SUM(a), SUM(b) FROM tcZ.z.t").collect()(0).toSeq ==
+      Seq(10000L * 99 / 2, 10000L * 99 / 2))
+
+    val files = tbl.readSnapshot.get.files
+    assert(files.size >= 8, s"expected >=8 z-range files, got ${files.size}")
+    // MOST files must be tight on BOTH axes (equal-count range chunks
+    // can straddle a z-curve discontinuity, so a couple of wide files
+    // are inherent to z-ordering — what matters is the aggregate)
+    val tight = files.count { f =>
+      val aw = f.maxBound("a").toLong - f.minBound("a").toLong
+      val bw = f.maxBound("b").toLong - f.minBound("b").toLong
+      aw <= 55 && bw <= 55
+    }
+    assert(tight >= files.size * 3 / 4,
+      s"only $tight of ${files.size} files are z-clustered")
+    // and pruning on EITHER axis now skips a large share of files
+    import org.apache.spark.sql.sources.EqualTo
+    val keptA = files.count(f => graft.catalog.FilePruning.keepFile(f, EqualTo("a", 10L)))
+    val keptB = files.count(f => graft.catalog.FilePruning.keepFile(f, EqualTo("b", 90L)))
+    assert(keptA <= files.size * 2 / 3, s"pruning on a kept $keptA of ${files.size}")
+    assert(keptB <= files.size * 2 / 3, s"pruning on b kept $keptB of ${files.size}")
+  }
+
   test("storage-partitioned join: co-partitioned tables join without a shuffle") {
     val wh = freshDir("spj")
     // isolated child session: SPJ needs global conf switches
