@@ -62,7 +62,7 @@ object LlmOps2 extends Pack {
   }
 
   /** Centroids as a broadcastable (cid, ce) frame. */
-  private def centroidDf(spark: SparkSession, cents: Array[Array[Double]]): DataFrame =
+  private[ops] def centroidDf(spark: SparkSession, cents: Array[Array[Double]]): DataFrame =
     broadcast(spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.Row(i, c.toSeq) }.toList.asJava,
@@ -74,7 +74,7 @@ object LlmOps2 extends Pack {
     * min_by — no shuffle of the vector table beyond the final groupBy
     * on vec_id (which AQE keeps local because the crossJoin preserves
     * partitioning). */
-  private def assignNearest(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[ops] def assignNearest(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cdf = centroidDf(df.sparkSession, cents)
     val d2 = aggregate(zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, x) => a + x)
