@@ -350,15 +350,8 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     else if (liveDeletes.nonEmpty)
       new MorScan(table, required, pruned, liveDeletes, v1)
     else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
-      .getOrElse {
-        val delegate = mkDelegate(pruned)
-        delegate.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
-        delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-          .pruneColumns(required)
-        // wrapper adds toMicroBatchStream (readStream.table tails the
-        // snapshot chain); batch reads pass through untouched
-        new GraftStreamableScan(table, options, required, pushedExprs, delegate.build())
-      }
+      // default: vectorized delegate + dynamic file pruning + streaming
+      .getOrElse(new GraftStreamableScan(table, options, required, pushedExprs, pruned))
   }
 
   private def keepFile(f: DataFile, filter: Filter): Boolean =

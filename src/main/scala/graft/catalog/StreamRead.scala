@@ -87,20 +87,72 @@ case class SeqOffset(seq: Long) extends Offset {
   override def json(): String = s"""{"seq":$seq}"""
 }
 
-/** Batch-delegating scan wrapper that adds the streaming surface:
-  * batch reads forward to the pruned parquet delegate untouched
-  * (including its statistics, which drive broadcast decisions), and
-  * `toMicroBatchStream` serves the snapshot-tail source above.
+/** The default batch scan: a thin harness over the vectorized parquet
+  * delegate that adds
+  *  - DYNAMIC FILE PRUNING ([[SupportsRuntimeV2Filtering]]): Spark's
+  *    dynamic-pruning rule feeds the distinct join-key values of a
+  *    broadcast build side back as an `In` predicate at RUNTIME, and
+  *    every file whose min/max bounds prove it can't match is dropped
+  *    before partitions are planned. Unlike the row-level variant this
+  *    needs NO uniformity guard: pruning here only SKIPS reads — kept
+  *    files' rows still flow through the actual join, which filters
+  *    them — so conservative bound checks are always safe. A star join
+  *    against a filtered dimension reads only the matching slice of a
+  *    100 TB fact table;
+  *  - the streaming surface (`toMicroBatchStream` tails the snapshot
+  *    chain, [[GraftMicroBatchStream]]);
+  *  - statistics forwarding (broadcast decisions see the pruned size).
+  * The delegate is rebuilt per partition-planning call so a runtime
+  * filter arriving between plannings is always honored.
   */
 class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
-    required: StructType, pushedExprs: Seq[Expression], val batchDelegate: Scan)
-  extends Scan with SupportsReportStatistics {
+    required: StructType, pushedExprs: Seq[Expression], initialFiles: Seq[DataFile])
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType = batchDelegate.readSchema()
+  @volatile private var files: Seq[DataFile] = initialFiles
 
-  override def description(): String = batchDelegate.description()
+  /** Post-runtime-filter view of the delegate (tests inspect it). */
+  def batchDelegate: Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val sb = ParquetTable(table.name(), spark, options, paths,
+      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
+    sb.build()
+  }
 
-  override def toBatch: Batch = batchDelegate.toBatch
+  def scannedFileCount: Int = files.size
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (files.isEmpty) Array.empty else batchDelegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    batchDelegate.toBatch.createReaderFactory()
+
+  /** Any SCANNED top-level column whose string-encoded bounds compare
+    * exactly is a valid runtime-filter target (conservative skipping
+    * is safe for plain scans — see class doc). Restricted to the
+    * pruned output because Spark resolves these against the relation's
+    * (column-pruned) attributes and errors on absentees. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if GraftStreamableScan.filterableType(f.dataType) &&
+        !GraftTable.MetaColNames(f.name) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.flatMap(p =>
+      org.apache.spark.sql.execution.datasources.GraftFilterShim.toV1(p))
+    if (v1.nonEmpty)
+      files = initialFiles.filter(f => v1.forall(FilePruning.keepFile(f, _)))
+  }
 
   override def estimateStatistics(): Statistics = batchDelegate match {
     case s: SupportsReportStatistics => s.estimateStatistics()
@@ -112,6 +164,18 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(table, options, required, pushedExprs)
+}
+
+object GraftStreamableScan {
+  def filterableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: StringType | _: DateType |
+           _: TimestampType => true
+      case _ => false
+    }
+  }
 }
 
 /** Native streaming SINK (`writeStream.toTable`): every micro-batch

@@ -751,6 +751,37 @@ class CatalogSpec extends AnyFunSuite {
       s.summary.get("streaming-query-id").nonEmpty))
   }
 
+  test("dynamic file pruning: a broadcast dim filter skips fact files at runtime") {
+    val wh = freshDir("dpp")
+    mkCatalog("tcDp", wh)
+    spark.sql("CREATE NAMESPACE tcDp.p")
+    spark.sql("CREATE TABLE tcDp.p.fact (k INT, m BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE tcDp.p.dim (k INT, grp STRING)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("INSERT INTO tcDp.p.fact SELECT CAST(id % 8 AS INT), id FROM range(1000)")
+      spark.sql("INSERT INTO tcDp.p.dim SELECT CAST(id AS INT), CONCAT('g', id) FROM range(8)")
+      val df = spark.sql(
+        """SELECT SUM(f.m) AS s FROM tcDp.p.fact f
+          |JOIN tcDp.p.dim d ON f.k = d.k
+          |WHERE d.grp = 'g3'""".stripMargin)
+      val rows = df.collect()
+      assert(rows(0).getLong(0) == (0L until 1000L).filter(_ % 8 == 3).sum)
+      // after execution the fact scan must have dropped the 7 files the
+      // dim filter proved unreachable
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      val factScan = scans.collectFirst {
+        case s: graft.catalog.GraftStreamableScan if s.scannedFileCount >= 0 &&
+          s.readSchema().fieldNames.contains("m") => s
+      }
+      assert(factScan.isDefined, s"fact scan not found in:\n${df.queryExecution.executedPlan}")
+      assert(factScan.get.scannedFileCount <= 2,
+        s"dynamic pruning left ${factScan.get.scannedFileCount} of 8 files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("z-order compaction clusters files on every z-column") {
     val wh = freshDir("zord")
     mkCatalog("tcZ", wh)
