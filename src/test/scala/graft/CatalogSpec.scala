@@ -657,12 +657,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(beforeFiles.subsetOf(afterMerge.files.map(_.path).toSet),
       "MOR merge must not rewrite existing data files")
 
+    // complex-predicate MOR DELETE (subquery → not SupportsDelete-able)
+    // also routes through the delta path: files stay byte-identical
+    spark.sql("ALTER TABLE tcDl.d.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val filesBeforeDel = snap.files.map(_.path).toSet
+    spark.sql(
+      """DELETE FROM tcDl.d.t WHERE id IN
+        |  (SELECT id FROM tcDl.d.t WHERE v = 'inserted' AND id >= 105)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 105)
+    assert(filesBeforeDel.subsetOf(snap.files.map(_.path).toSet),
+      "MOR delta delete must not rewrite data files")
+
     // deltas stack and compaction settles them
     graft.catalog.Maintenance.compact(spark,
       cata.loadTable(Identifier.of(Array("d"), "t"))
         .asInstanceOf[graft.catalog.GraftTable], targetFiles = 1)
     assert(snap.deleteFiles.isEmpty, "compaction must clear delete files")
-    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 110)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t").collect()(0).getLong(0) == 105)
     assert(spark.sql("SELECT COUNT(*) FROM tcDl.d.t WHERE v = 'merged'").collect()(0).getLong(0) == 5)
   }
 
