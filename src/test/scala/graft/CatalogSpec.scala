@@ -833,6 +833,35 @@ class CatalogSpec extends AnyFunSuite {
     assert(keptB <= files.size * 2 / 3, s"pruning on b kept $keptB of ${files.size}")
   }
 
+  test("concurrent MOR deletes: parallel delta committers both land, no lost deletes") {
+    val wh = freshDir("cdelta")
+    mkCatalog("tcCd", wh)
+    spark.sql("CREATE NAMESPACE tcCd.c")
+    spark.sql(
+      """CREATE TABLE tcCd.c.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        |               'write.delete.granularity'='position')""".stripMargin)
+    spark.sql("INSERT INTO tcCd.c.t SELECT id, 'x' FROM range(1000)")
+    // two committers deleting DISJOINT row sets in parallel: OCC must
+    // merge both delete-file additions (appends never conflict), so
+    // neither delete is lost
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future { spark.sql("DELETE FROM tcCd.c.t WHERE id >= 0 AND id < 100") }
+    val f2 = Future { spark.sql("DELETE FROM tcCd.c.t WHERE id >= 900") }
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    assert(spark.sql("SELECT COUNT(*) FROM tcCd.c.t").collect()(0).getLong(0) == 800)
+    assert(spark.sql("SELECT MIN(id), MAX(id) FROM tcCd.c.t").collect()(0).toSeq ==
+      Seq(100L, 899L))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcCd")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val snap = cata.loadTable(Identifier.of(Array("c"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get
+    assert(snap.deleteFiles.size >= 2, "both delete commits must survive")
+  }
+
   test("storage-partitioned join: co-partitioned tables join without a shuffle") {
     val wh = freshDir("spj")
     // isolated child session: SPJ needs global conf switches
