@@ -240,6 +240,58 @@ object Maintenance {
       clearDeletes = true)
   }
 
+  /** PARTITION SPEC EVOLUTION (ref README.md:52-57, spec list keyed by
+    * spec-id): install a NEW default partition spec without touching a
+    * byte of data — old files keep their layout (scans prune them by
+    * min/max bounds regardless of spec), new writes cluster and fan
+    * out by the new transforms. The spec-dependent optimizations
+    * degrade gracefully on mixed tables: runtime group filtering and
+    * storage-partitioned joins both require per-file value-uniformity
+    * proofs, which old-layout files simply fail — so they fall back,
+    * never corrupt. A later full compaction rewrites everything into
+    * the new layout and the proofs hold again.
+    *
+    * `transforms`: (source column, "identity" | "days" | "bucket[N]").
+    */
+  def updateSpec(table: GraftTable,
+      transforms: Seq[(String, String)]): Unit = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val (v, meta) = table.ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val byName = meta.schema.fields.map(f => f.name -> f.id).toMap
+      val newSpecId = meta.partitionSpecs.map(_.specId).max + 1
+      var nextFieldId = meta.lastPartitionId
+      val fields = transforms.toList.map { case (colName, t) =>
+        val srcId = byName.getOrElse(colName,
+          throw new IllegalArgumentException(s"unknown partition column $colName"))
+        // reuse the field id when the same (source, transform) existed
+        // in ANY prior spec (identity continuity across evolution)
+        val existing = meta.partitionSpecs.flatMap(_.fields)
+          .find(pf => pf.sourceId == srcId && pf.transform == t)
+        existing.getOrElse {
+          nextFieldId += 1
+          val pname = t match {
+            case "identity" => colName
+            case "days" => s"${colName}_day"
+            case b if b.startsWith("bucket[") => s"${colName}_bucket"
+            case other => throw new IllegalArgumentException(s"unsupported transform $other")
+          }
+          graft.meta.PartField(srcId, nextFieldId, pname, t)
+        }
+      }
+      val next = meta.copy(
+        lastUpdatedMs = System.currentTimeMillis(),
+        defaultSpecId = newSpecId,
+        partitionSpecs = meta.partitionSpecs :+ graft.meta.PartSpec(newSpecId, fields),
+        lastPartitionId = nextFieldId)
+      try { table.ops.commit(v, next); return }
+      catch { case _: CommitFailedException => /* refresh + retry */ }
+    }
+    throw new CommitFailedException("updateSpec: commit retries exhausted")
+  }
+
   /** Z-ORDER compaction: rewrite the table range-partitioned and
     * sorted by the Morton interleave of `cols`
     * ([[graft.functions.ZOrder]]), so every output file's min/max

@@ -833,6 +833,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(keptB <= files.size * 2 / 3, s"pruning on b kept $keptB of ${files.size}")
   }
 
+  test("partition spec evolution: new writes cluster by the new spec, old files still read") {
+    val wh = freshDir("spev")
+    mkCatalog("tcSp", wh)
+    spark.sql("CREATE NAMESPACE tcSp.s")
+    spark.sql("CREATE TABLE tcSp.s.t (region STRING, id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcSp.s.t SELECT CASE WHEN id < 50 THEN 'a' ELSE 'b' END, id, 'old' FROM range(100)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = spark.sessionState.catalogManager.catalog("tcSp")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cata.loadTable(Identifier.of(Array("s"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val oldFiles = tbl.readSnapshot.get.files.map(_.path).toSet
+
+    graft.catalog.Maintenance.updateSpec(tbl, Seq("region" -> "identity"))
+    assert(tbl.meta.spec.fields.map(f => (f.name, f.transform)) == List(("region", "identity")))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql("INSERT INTO tcSp.s.t SELECT CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id, 'new' FROM range(100, 200)")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // data untouched + fully readable across the spec change
+    assert(spark.sql("SELECT COUNT(*) FROM tcSp.s.t").collect()(0).getLong(0) == 200)
+    val snap = tbl.readSnapshot.get
+    assert(oldFiles.subsetOf(snap.files.map(_.path).toSet),
+      "spec evolution must not rewrite existing files")
+    // new files are partition-local under the NEW spec
+    val newFiles = snap.files.filterNot(f => oldFiles(f.path))
+    assert(newFiles.size >= 2)
+    newFiles.foreach(f => assert(
+      f.minBound.get("region") == f.maxBound.get("region"),
+      s"new file ${f.path} not clustered by the evolved spec"))
+    // and partition pruning on the new column still answers correctly
+    assert(spark.sql("SELECT COUNT(*) FROM tcSp.s.t WHERE region = 'a'")
+      .collect()(0).getLong(0) == 100)
+  }
+
   test("concurrent MOR deletes: parallel delta committers both land, no lost deletes") {
     val wh = freshDir("cdelta")
     mkCatalog("tcCd", wh)
