@@ -119,17 +119,20 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
       val out: Seq[DataFrame] = snap.operation match {
         case "append" => readAdded
         case "replace" => Nil // compaction rewrites bytes, not rows
-        case _ if !removedData && addedDels.forall(!Mor.isEquality(_)) =>
-          // MOR/delta fast path (no data file removed, position deletes
-          // only): inserts stream straight off the added data files and
-          // deletes resolve by reading ONLY the files the new
-          // position-delete records reference — O(changed rows), never
-          // a two-sided state diff. This is what keeps a CDC tail read
-          // over a trickle-updated 100 TB table incremental.
-          val deleted: Seq[DataFrame] =
-            if (addedDels.isEmpty) Nil
+        case _ if !removedData =>
+          // MOR/delta fast path (no data file removed): inserts stream
+          // straight off the added data files; position-delete rows
+          // resolve by reading ONLY the files the new delete records
+          // reference; equality-delete rows resolve by an anti-join of
+          // the still-alive parent rows against the post-delete
+          // survivors — one parent-side scan, never the two-sided
+          // state diff. This is what keeps a CDC tail read over a
+          // trickle-updated 100 TB table incremental.
+          val (eqAdded, posAdded) = addedDels.partition(Mor.isEquality)
+          val posDeleted: Seq[DataFrame] =
+            if (posAdded.isEmpty) Nil
             else {
-              val delSet = Mor.deleteSet(spark, warehouse, addedDels)
+              val delSet = Mor.deleteSet(spark, warehouse, posAdded)
               val referenced = delSet.select(col("__gf")).distinct()
                 .collect().map(_.getString(0)).toSet
               val refFiles = prev.files.filter(f => referenced(f.path))
@@ -144,7 +147,23 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
                   "delete", ord))
               }
             }
-          readAdded ++ deleted
+          val eqDeleted: Seq[DataFrame] =
+            if (eqAdded.isEmpty || prev.files.isEmpty) Nil
+            else {
+              // eq deletes only hit strictly-older files; the commit's
+              // own added files are never candidates
+              val raw = spark.read.schema(dataSchema).parquet(
+                prev.files.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
+              val aliveBefore = Mor.applyDeletesKeepPositions(spark,
+                raw, warehouse, prev.deleteFiles, prev.files)
+              val survivors = Mor.subtractEquality(spark, aliveBefore,
+                warehouse, eqAdded, prev.files)
+              Seq(tag(aliveBefore.join(
+                  survivors.select(col("__gf"), col("__gp")),
+                  Seq("__gf", "__gp"), "left_anti"),
+                "delete", ord))
+            }
+          readAdded ++ posDeleted ++ eqDeleted
         case _ =>
           val cur = state(spark, snap, dataSchema)
           val par = state(spark, prev, dataSchema)

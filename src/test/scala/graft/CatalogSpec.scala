@@ -442,6 +442,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t WHERE id = 2").collect()(0).getLong(0) == 1)
     assert(spark.sql("SELECT COUNT(*) FROM tcEq.m.t").collect()(0).getLong(0) == 97)
 
+    // the changelog resolves equality-delete commits via the fast path
+    // (survivor anti-join, no two-sided state diff): seq2 deleted ids
+    // 1,2,3; seq3 deleted (b,11); seq4 re-inserted id 2
+    val ch = spark.read.option("start-snapshot-id", "1").table("tcEq.m.`t$changes`")
+    assert(ch.filter("_change_type = 'delete' AND _change_ordinal = 1").count() == 3)
+    assert(ch.filter("_change_type = 'delete' AND _change_ordinal = 2 AND id = 11").count() == 1)
+    assert(ch.filter("_change_type = 'insert' AND _change_ordinal = 3 AND id = 2").count() == 1)
+
     // a non-tuple predicate (range) falls back to position deletes
     spark.sql("DELETE FROM tcEq.m.t WHERE id >= 98")
     val snap2 = tbl.readSnapshot.get
