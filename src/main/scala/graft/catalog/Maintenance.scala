@@ -240,6 +240,79 @@ object Maintenance {
       clearDeletes = true)
   }
 
+  /** Age-based retention: expire every snapshot OLDER than
+    * `olderThanMs` except the current one and ref-pinned ones (the
+    * production retention policy shape — "keep 7 days"; count-based
+    * `expireSnapshots(keepLast)` stays for exact-count tests). Same
+    * crash-safety order: metadata commit first, physical deletes
+    * after. */
+  def expireOlderThan(ops: TableOps, olderThanMs: Long): Int = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val pinned = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId
+      val kept = meta.snapshots.filter(s =>
+        s.timestampMs >= olderThanMs || pinned(s.snapshotId))
+      if (kept.size == meta.snapshots.size) return 0
+      val keptIds = kept.map(_.snapshotId).toSet
+      val keptFiles = kept.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+      val orphans = expired
+        .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+        .distinct.filterNot(keptFiles)
+      val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
+      val orphanManifests = expired.flatMap(_.manifests.map(_.path))
+        .distinct.filterNot(keptManifests)
+      val next = meta.copy(
+        lastUpdatedMs = System.currentTimeMillis(),
+        snapshots = kept,
+        snapshotLog = meta.snapshotLog.filter(e => keptIds(e.snapshotId)))
+      try {
+        ops.commit(v, next)
+        (orphans ++ orphanManifests).foreach(p =>
+          Files.deleteIfExists(Paths.get(RelPaths.absolutize(ops.warehouse, p))))
+        return orphans.size
+      } catch {
+        case _: CommitFailedException => // refresh + retry
+      }
+    }
+    throw new CommitFailedException("expireOlderThan: commit retries exhausted")
+  }
+
+  /** Orphan-file VACUUM: delete files under the table's data/deletes
+    * directories that NO snapshot references (debris from crashed
+    * writes or conflicted commits whose cleanup lost a race). Age
+    * guard (`olderThanMs`) keeps in-flight staging directories safe —
+    * a writer that staged files but hasn't committed yet is younger
+    * than any sane cutoff. Returns deleted count.
+    */
+  def removeOrphanFiles(ops: TableOps, olderThanMs: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    val (_, meta) = ops.refresh()
+      .getOrElse(throw new IllegalStateException("no such table"))
+    val referenced = meta.snapshots
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val tableAbs = Paths.get(RelPaths.absolutize(ops.warehouse, meta.location))
+    var removed = 0
+    for (sub <- Seq("data", "deletes")) {
+      val root = tableAbs.resolve(sub)
+      if (Files.isDirectory(root)) {
+        val stream = Files.walk(root)
+        try {
+          stream.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
+            .filterNot(p => referenced(
+              RelPaths.relativize(ops.warehouse, p.toString)))
+            .foreach { p => Files.deleteIfExists(p); removed += 1 }
+        } finally stream.close()
+      }
+    }
+    removed
+  }
+
   /** PARTITION SPEC EVOLUTION (ref README.md:52-57, spec list keyed by
     * spec-id): install a NEW default partition spec without touching a
     * byte of data — old files keep their layout (scans prune them by

@@ -46,27 +46,61 @@ object SpjScan {
       return None
     val meta = table.meta
     val spec = meta.spec.fields
-    if (spec.isEmpty || !spec.forall(_.transform == "identity") || files.isEmpty)
+    if (spec.isEmpty || files.isEmpty) return None
+    if (!spec.forall(pf => pf.transform == "identity" || pf.transform == "days"))
       return None
-    val srcs = spec.flatMap(pf => meta.schema.fields.find(_.id == pf.sourceId).map(_.name))
-    if (srcs.size != spec.size) return None
     val sparkSchema = TableMeta.schemaToSpark(meta.schema)
-    val dts = srcs.map(n => sparkSchema.fields.find(_.name == n).get.dataType)
-    if (!dts.forall(decodable)) return None
-    val uniform = files.forall(f => srcs.forall(c =>
-      f.nullCount.get(c).contains(0L) &&
-        f.minBound.get(c).exists(mn => f.maxBound.get(c).contains(mn))))
-    if (!uniform) return None
-
-    val groups: Seq[(InternalRow, Seq[DataFile])] = files
-      .groupBy(f => srcs.map(c => f.minBound(c)))
-      .toSeq
-      .sortBy(_._1.mkString(""))
-      .map { case (key, fs) =>
-        (new GenericInternalRow(key.zip(dts).map { case (s, dt) => decode(s, dt) }.toArray),
-          fs)
+    // (source column, transform, source type) per spec field
+    val fields: Seq[(String, String, DataType)] = spec.flatMap { pf =>
+      meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
+        sparkSchema.fields.find(_.name == src.name).map(f =>
+          (src.name, pf.transform, f.dataType))
       }
-    Some(new SpjScan(table, options, required, pushedExprs, srcs, groups))
+    }
+    if (fields.size != spec.size) return None
+    if (!fields.forall { case (_, t, dt) =>
+      if (t == "days") dt.isInstanceOf[DateType] || dt.isInstanceOf[TimestampType]
+      else decodable(dt)
+    }) return None
+
+    // the file's partition value as a canonical string, or None when
+    // uniformity can't be proven. days(ts) needs only the DAY of the
+    // bounds to agree -- the timestamps themselves may differ
+    def partValue(f: DataFile, c: String, t: String): Option[String] = {
+      if (!f.nullCount.get(c).contains(0L)) return None
+      for {
+        mn <- f.minBound.get(c)
+        mx <- f.maxBound.get(c)
+        v <- t match {
+          case "days" =>
+            val (dMn, dMx) = (mn.take(10), mx.take(10))
+            if (dMn == dMx) Some(dMn) else None
+          case _ => if (mn == mx) Some(mn) else None
+        }
+      } yield v
+    }
+
+    val keyed: Seq[Option[Seq[String]]] = files.map { f =>
+      val vs = fields.map { case (c, t, _) => partValue(f, c, t) }
+      if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+    }
+    if (keyed.exists(_.isEmpty)) return None
+
+    val groups: Seq[(InternalRow, Seq[DataFile])] = files.zip(keyed.map(_.get))
+      .groupBy(_._2)
+      .toSeq
+      .sortBy(_._1.mkString(""))
+      .map { case (key, fs) =>
+        (new GenericInternalRow(key.zip(fields).map { case (s, (_, t, dt)) =>
+          if (t == "days") java.time.LocalDate.parse(s).toEpochDay
+          else decode(s, dt)
+        }.toArray[Any]), fs.map(_._1))
+      }
+    val clustering = fields.map { case (c, t, _) =>
+      if (t == "days") Expressions.days(c)
+      else Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression
+    }
+    Some(new SpjScan(table, options, required, pushedExprs, clustering, groups))
   }
 
   private def decodable(dt: DataType): Boolean = dt match {
@@ -95,7 +129,8 @@ object SpjScan {
 }
 
 class SpjScan(table: GraftTable, options: CaseInsensitiveStringMap,
-    required: StructType, pushedExprs: Seq[Expression], keyCols: Seq[String],
+    required: StructType, pushedExprs: Seq[Expression],
+    clustering: Seq[org.apache.spark.sql.connector.expressions.Expression],
     groups: Seq[(InternalRow, Seq[DataFile])])
   extends Scan with Batch with SupportsReportPartitioning {
 
@@ -104,10 +139,7 @@ class SpjScan(table: GraftTable, options: CaseInsensitiveStringMap,
   override def toBatch: Batch = this
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      keyCols.map(c => Expressions.identity(c)
-        : org.apache.spark.sql.connector.expressions.Expression).toArray,
-      groups.size)
+    new KeyGroupedPartitioning(clustering.toArray, groups.size)
 
   private def delegate(files: Seq[DataFile]): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active

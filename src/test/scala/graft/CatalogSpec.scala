@@ -801,6 +801,47 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("storage-partitioned join on days(ts): day-grouped tables join without a shuffle") {
+    val wh = freshDir("spjd")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tcSd", "graft.catalog.RelativeCatalog")
+    s.conf.set("spark.sql.catalog.tcSd.warehouse", wh)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
+    s.sql("DROP NAMESPACE IF EXISTS tcSd.s CASCADE")
+    s.sql("CREATE NAMESPACE tcSd.s")
+    s.sql("CREATE TABLE tcSd.s.a (ts TIMESTAMP, m BIGINT) PARTITIONED BY (days(ts))")
+    s.sql("CREATE TABLE tcSd.s.b (ts TIMESTAMP, label STRING) PARTITIONED BY (days(ts))")
+    // 4 days x 6 hourly timestamps, identical ts values in both tables
+    s.sql(
+      """INSERT INTO tcSd.s.a
+        |SELECT timestamp'2024-03-01 00:00:00'
+        |  + make_interval(0,0,0,CAST(id DIV 6 AS INT),CAST((id % 6) * 4 AS INT),0,0), id
+        |FROM range(24)""".stripMargin)
+    s.sql(
+      """INSERT INTO tcSd.s.b
+        |SELECT timestamp'2024-03-01 00:00:00'
+        |  + make_interval(0,0,0,CAST(id DIV 6 AS INT),CAST((id % 6) * 4 AS INT),0,0),
+        |  CONCAT('L', id)
+        |FROM range(24)""".stripMargin)
+    val joined = s.sql(
+      """SELECT a.ts, a.m, b.label
+        |FROM tcSd.s.a a JOIN tcSd.s.b b ON a.ts = b.ts""".stripMargin)
+    assert(joined.count() == 24)
+    val plan = joined.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a shuffled join in:\n$plan")
+    val shuffles = joins.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"days-SPJ still shuffled:\n$plan")
+  }
+
   test("z-order compaction clusters files on every z-column") {
     val wh = freshDir("zord")
     mkCatalog("tcZ", wh)

@@ -48,6 +48,38 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcM.m.t").collect()(0).getLong(0) == 400)
   }
 
+  test("age-based expiry keeps recent+pinned snapshots; vacuum removes orphan debris") {
+    val wh = "/tmp/graft_test_agexp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcAge", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcAge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcAge.a")
+    spark.sql("CREATE TABLE tcAge.a.t (id BIGINT)")
+    spark.sql("INSERT INTO tcAge.a.t VALUES (1)")
+    spark.sql("INSERT OVERWRITE tcAge.a.t VALUES (2)")
+    spark.sql("INSERT INTO tcAge.a.t VALUES (3)")
+    val ops = new graft.catalog.TableOps(wh, "a/t")
+    assert(ops.refresh().get._2.snapshots.size == 3)
+    // cutoff in the future expires everything except current
+    val removed = graft.catalog.Maintenance.expireOlderThan(
+      ops, System.currentTimeMillis() + 60000)
+    assert(removed >= 1)
+    val meta = ops.refresh().get._2
+    assert(meta.snapshots.size == 1 && meta.currentSnapshotId.isDefined)
+    assert(spark.sql("SELECT COUNT(*) FROM tcAge.a.t").collect()(0).getLong(0) == 2)
+
+    // plant orphan debris (a crashed writer's staging leftovers), then
+    // vacuum: the orphan goes, referenced files stay
+    val debris = java.nio.file.Paths.get(wh, "a", "t", "data", "crashed", "part-0.parquet")
+    java.nio.file.Files.createDirectories(debris.getParent)
+    java.nio.file.Files.write(debris, Array[Byte](1, 2, 3))
+    val vacuumed = graft.catalog.Maintenance.removeOrphanFiles(
+      ops, System.currentTimeMillis() + 60000)
+    assert(vacuumed == 1, s"expected exactly the planted orphan, removed $vacuumed")
+    assert(!java.nio.file.Files.exists(debris))
+    assert(spark.sql("SELECT COUNT(*) FROM tcAge.a.t").collect()(0).getLong(0) == 2)
+  }
+
   test("computeStats commits a statistics slot; $stats serves it") {
     val wh = "/tmp/graft_test_stats"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
