@@ -37,7 +37,28 @@ class GraftRowLevelOperation(table: GraftTable, info: RowLevelOperationInfo)
 
   @volatile private[catalog] var carryover: Seq[DataFile] = Nil
 
+  /** `_file`-keyed runtime group filtering applies when the partition-
+    * column variant cannot (no identity partition columns to filter
+    * on) and the scan is plain COW (a MOR scratch rewrite loses file
+    * identity). The scan then emits `_file` per row and the dynamic
+    * filter prunes by exact file identity — which gives a MERGE on an
+    * UNPARTITIONED (or days/bucket) table the same
+    * only-rewrite-matched-files economics the partitioned case gets.
+    */
+  private[catalog] val useFileGroups: Boolean = {
+    val spec = table.meta.spec.fields
+    val hasIdentity = spec.exists(_.transform == "identity")
+    val deletes = table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
+    !hasIdentity && deletes.isEmpty
+  }
+
   override def command(): RowLevelOperation.Command = info.command()
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (useFileGroups)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    else Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RowLevelScanBuilder(table, options, this)
@@ -78,6 +99,8 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
       v1.forall(FilePruning.keepFile(f, _)))
     op.carryover = untouched
     val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    if (op.useFileGroups && deletes.isEmpty)
+      return new FileGroupScan(table, options, required, affected, untouched, op)
     if (deletes.isEmpty) {
       val rtCols = RowLevelScanBuilder.runtimeFilterCols(table, affected)
       if (rtCols.nonEmpty)
@@ -618,4 +641,107 @@ class GraftDeltaWriter(dataW: GraftDataWriter, delW: GraftDataWriter)
   override def abort(): Unit = { dataW.abort(); delW.abort() }
 
   override def close(): Unit = { dataW.close(); delW.close() }
+}
+
+/** The `_file`-keyed COW rewrite scan: a V2 batch scan that reads each
+  * affected file through its own parquet delegate and APPENDS the
+  * file's warehouse-relative path to every row (readSchema puts
+  * `_file` LAST, so the append is a cheap JoinedRow — the relation's
+  * output order follows readSchema). Runtime group filtering is then
+  * EXACT by construction: the dynamic `In(_file, matched)` row filter
+  * and the scan's file-level pruning key on the same identity, for any
+  * partition layout — the generalization of [[GroupFilterScan]]'s
+  * partition-column variant to unpartitioned/days/bucket tables.
+  * Trade: per-file planning and row-based readers (no vectorization)
+  * on the rewrite scan — paid only on the files that survive runtime
+  * pruning, which is the point.
+  */
+class FileGroupScan(table: GraftTable, options: CaseInsensitiveStringMap,
+    required: StructType, initialAffected: Seq[DataFile], untouched: Seq[DataFile],
+    op: GraftRowLevelOperation)
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[DataFile] = initialAffected
+
+  // data columns only, `_file` re-appended LAST in the declared schema
+  private val dataSchema = StructType(required.fields.filterNot(_.name == "_file"))
+
+  override def readSchema(): StructType =
+    StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(p => GraftFilterShim.toV1(p))
+    val wanted: Option[Set[String]] = v1.collectFirst {
+      case org.apache.spark.sql.sources.In("_file", vs) =>
+        vs.map(String.valueOf).toSet
+      case org.apache.spark.sql.sources.EqualTo("_file", v) => Set(String.valueOf(v))
+    }
+    wanted.foreach { set =>
+      val kept = initialAffected.filter(f => set(f.path))
+      files = kept
+      val keptPaths = kept.map(_.path).toSet
+      op.carryover = untouched ++ initialAffected.filterNot(f => keptPaths(f.path))
+    }
+  }
+
+  private def delegate(f: DataFile): Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sb = ParquetTable(table.name(), spark, options,
+      Seq(RelPaths.absolutize(table.ops.warehouse, f.path)),
+      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(dataSchema)
+    sb.build()
+  }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    files.flatMap { f =>
+      delegate(f).toBatch.planInputPartitions()
+        .map(p => FileTaggedPartition(f.path, p))
+    }.toArray
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner =
+      if (files.isEmpty) null
+      else delegate(files.head).toBatch.createReaderFactory()
+    new AppendFileFactory(inner)
+  }
+}
+
+case class FileTaggedPartition(relPath: String,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Row-based reader wrapper appending the partition's constant `_file`
+  * value as the LAST column of every row. */
+class AppendFileFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val tagged = p.asInstanceOf[FileTaggedPartition]
+    val delegate = inner.createReader(tagged.inner)
+    val fileRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(tagged.relPath)))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = delegate.next()
+      override def get(): InternalRow = joined(delegate.get(), fileRow)
+      override def close(): Unit = delegate.close()
+    }
+  }
 }
