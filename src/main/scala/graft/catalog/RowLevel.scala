@@ -48,8 +48,13 @@ class GraftRowLevelOperation(table: GraftTable, info: RowLevelOperationInfo)
   private[catalog] val useFileGroups: Boolean = {
     val spec = table.meta.spec.fields
     val hasIdentity = spec.exists(_.transform == "identity")
-    val deletes = table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
-    !hasIdentity && deletes.isEmpty
+    val snap = table.readSnapshot
+    val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    // worth paying the per-file planning + row-based readers only when
+    // there are enough files for runtime pruning to skip some — a 1-3
+    // file table rewrites cheaper through the vectorized path
+    val enoughFiles = snap.map(_.files.size).getOrElse(0) >= 4
+    !hasIdentity && deletes.isEmpty && enoughFiles
   }
 
   override def command(): RowLevelOperation.Command = info.command()

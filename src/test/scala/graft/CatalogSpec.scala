@@ -248,11 +248,12 @@ class CatalogSpec extends AnyFunSuite {
     mkCatalog("tcFg", wh)
     spark.sql("CREATE NAMESPACE tcFg.g")
     spark.sql("CREATE TABLE tcFg.g.t (id BIGINT, v STRING)")
-    // three disjoint id-range files in separate commits — NO partition
+    // four disjoint id-range files in separate commits — NO partition
     // columns, so only _file-keyed runtime filtering can prune
     spark.sql("INSERT INTO tcFg.g.t SELECT id, 'a' FROM range(0, 100)")
     spark.sql("INSERT INTO tcFg.g.t SELECT id, 'b' FROM range(1000, 1100)")
     spark.sql("INSERT INTO tcFg.g.t SELECT id, 'c' FROM range(2000, 2100)")
+    spark.sql("INSERT INTO tcFg.g.t SELECT id, 'd' FROM range(3000, 3100)")
     import org.apache.spark.sql.connector.catalog.Identifier
     val cata = spark.sessionState.catalogManager.catalog("tcFg")
       .asInstanceOf[graft.catalog.RelativeCatalog]
@@ -268,13 +269,13 @@ class CatalogSpec extends AnyFunSuite {
         |USING (SELECT id FROM range(1040, 1050)) s
         |ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET v = 'merged'""".stripMargin)
-    assert(spark.sql("SELECT COUNT(*) FROM tcFg.g.t").collect()(0).getLong(0) == 300)
+    assert(spark.sql("SELECT COUNT(*) FROM tcFg.g.t").collect()(0).getLong(0) == 400)
     assert(spark.sql("SELECT COUNT(*) FROM tcFg.g.t WHERE v = 'merged'").collect()(0).getLong(0) == 10)
     assert(spark.sql("SELECT COUNT(*) FROM tcFg.g.t WHERE v = 'a'").collect()(0).getLong(0) == 100)
     assert(spark.sql("SELECT COUNT(*) FROM tcFg.g.t WHERE v = 'c'").collect()(0).getLong(0) == 100)
     val after = files.map(_.path).toSet
     val untouchedCarried = before.intersect(after)
-    assert(untouchedCarried.size >= 2,
+    assert(untouchedCarried.size >= 3,
       s"file-keyed runtime filtering failed: only ${untouchedCarried.size} of ${before.size} carried over")
   }
 
