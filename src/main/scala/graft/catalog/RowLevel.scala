@@ -212,6 +212,14 @@ class GroupFilterScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = predicates.flatMap(p => GraftFilterShim.toV1(p))
+    // the optimizer applies the SAME predicate as a row filter in the
+    // rewrite query regardless of what we prune — a predicate we can't
+    // interpret would silently drop its rows from the write-back, so
+    // fail loudly instead
+    if (v1.length != predicates.length)
+      throw new IllegalStateException(
+        s"untranslatable runtime group filter ${predicates.mkString(",")}; " +
+          "refusing to run a rewrite that could drop rows")
     if (v1.nonEmpty) {
       // files are value-uniform on every filter column (build-time
       // guard), so keepFile's bound check IS exact set membership here
@@ -683,18 +691,22 @@ class FileGroupScan(table: GraftTable, options: CaseInsensitiveStringMap,
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
+    if (predicates.isEmpty) return
     val v1 = predicates.flatMap(p => GraftFilterShim.toV1(p))
     val wanted: Option[Set[String]] = v1.collectFirst {
       case org.apache.spark.sql.sources.In("_file", vs) =>
         vs.map(String.valueOf).toSet
       case org.apache.spark.sql.sources.EqualTo("_file", v) => Set(String.valueOf(v))
     }
-    wanted.foreach { set =>
-      val kept = initialAffected.filter(f => set(f.path))
-      files = kept
-      val keptPaths = kept.map(_.path).toSet
-      op.carryover = untouched ++ initialAffected.filterNot(f => keptPaths(f.path))
-    }
+    // see GroupFilterScan.filter: the same predicate filters ROWS in
+    // the rewrite query, so an uninterpreted one must fail, not no-op
+    val set = wanted.getOrElse(throw new IllegalStateException(
+      s"untranslatable _file runtime filter ${predicates.mkString(",")}; " +
+        "refusing to run a rewrite that could drop rows"))
+    val kept = initialAffected.filter(f => set(f.path))
+    files = kept
+    val keptPaths = kept.map(_.path).toSet
+    op.carryover = untouched ++ initialAffected.filterNot(f => keptPaths(f.path))
   }
 
   private def delegate(f: DataFile): Scan = {
