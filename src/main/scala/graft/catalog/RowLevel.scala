@@ -347,11 +347,14 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val written = messages.collect { case m: GraftCommitMessage if m.records > 0 => m }
+    val fileKeys = written.flatMap(_.fileKeys).toMap
+    val specNames = table.meta.spec.fields.map(_.name)
     // stats over the TABLE schema subset (bounds drive file skipping)
     val newFiles =
       if (written.isEmpty) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, stagingAbs)
         .filter(_.records > 0)
+        .map(f => Writer.stampPartition(f, fileKeys, specNames, table.ops.warehouse))
     // a conflicted commit must not leak the staged rewrite as orphans
     try Writer.commitSnapshot(table, newFiles, overwrite = true,
       operation = operation, carryover = carryover(),
@@ -367,7 +370,8 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
 }
 
-case class GraftCommitMessage(records: Long) extends WriterCommitMessage
+case class GraftCommitMessage(records: Long,
+    fileKeys: List[(String, List[String])] = Nil) extends WriterCommitMessage
 
 /** One partition-key field for the fanout writer, addressed as an
   * offset from the END of the incoming record — end-relative because
@@ -382,6 +386,21 @@ sealed trait KeySpec extends Serializable {
   def fromEnd: Int
   def dt: org.apache.spark.sql.types.DataType
   def eval(record: InternalRow, ordinal: Int): AnyRef
+  /** Canonical string form(s) of an evaluated key — one per partition
+    * field (the V1 path's single struct key carries them all). Stamped
+    * into `DataFile.partition` so per-file partition tuples survive
+    * into the metadata (what bucket-spec SPJ reads, since bucket
+    * membership is not provable from value bounds). */
+  def repr(value: AnyRef): Seq[String] = value match {
+    case null => Seq("null")
+    case r: InternalRow => dt match {
+      case st: StructType => st.fields.indices.map { i =>
+        if (r.isNullAt(i)) "null" else String.valueOf(r.get(i, st.fields(i).dataType))
+      }
+      case _ => Seq(String.valueOf(r))
+    }
+    case v => Seq(String.valueOf(v))
+  }
 }
 
 object KeySpec {
@@ -449,8 +468,13 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
   private var curPath: String = _
   private var curCount = 0L
   private val written = scala.collection.mutable.ListBuffer.empty[String]
+  private val fileKeys = scala.collection.mutable.Map.empty[String, List[String]]
   private var prevKey: Array[AnyRef] = _
   private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+
+  /** (path → partition-value strings) for every non-empty file. */
+  def writtenFileKeys: Map[String, List[String]] =
+    fileKeys.view.filterKeys(written.contains).toMap
 
   private def openNext(): Unit = {
     curPath = s"$dir/$prefix-$fileSeq.parquet"; fileSeq += 1; curCount = 0
@@ -481,6 +505,7 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
       if (prevKey == null || !prevKey.indices.forall(i =>
           java.util.Objects.equals(prevKey(i), k(i)))) {
         closeCurrent(); openNext(); prevKey = k
+        fileKeys(curPath) = keyFromEnd.zip(k).flatMap { case (ks, v) => ks.repr(v) }.toList
       }
     } else if (writer == null) openNext()
     val out =
@@ -500,7 +525,7 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
-    GraftCommitMessage(count)
+    GraftCommitMessage(count, writtenFileKeys.toList)
   }
 
   override def abort(): Unit = {

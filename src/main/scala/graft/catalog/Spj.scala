@@ -47,26 +47,33 @@ object SpjScan {
     val meta = table.meta
     val spec = meta.spec.fields
     if (spec.isEmpty || files.isEmpty) return None
-    if (!spec.forall(pf => pf.transform == "identity" || pf.transform == "days"))
+    if (!spec.forall(pf => pf.transform == "identity" || pf.transform == "days" ||
+        pf.transform.startsWith("bucket[")))
       return None
     val sparkSchema = TableMeta.schemaToSpark(meta.schema)
     // (source column, transform, source type) per spec field
-    val fields: Seq[(String, String, DataType)] = spec.flatMap { pf =>
+    val fields: Seq[(String, String, String, DataType)] = spec.flatMap { pf =>
       meta.schema.fields.find(_.id == pf.sourceId).flatMap { src =>
         sparkSchema.fields.find(_.name == src.name).map(f =>
-          (src.name, pf.transform, f.dataType))
+          (src.name, pf.name, pf.transform, f.dataType))
       }
     }
     if (fields.size != spec.size) return None
-    if (!fields.forall { case (_, t, dt) =>
+    if (!fields.forall { case (_, _, t, dt) =>
       if (t == "days") dt.isInstanceOf[DateType] || dt.isInstanceOf[TimestampType]
+      else if (t.startsWith("bucket[")) true // value comes from the stamped tuple
       else decodable(dt)
     }) return None
 
     // the file's partition value as a canonical string, or None when
     // uniformity can't be proven. days(ts) needs only the DAY of the
     // bounds to agree -- the timestamps themselves may differ
-    def partValue(f: DataFile, c: String, t: String): Option[String] = {
+    def partValue(f: DataFile, c: String, pname: String, t: String): Option[String] = {
+      if (t.startsWith("bucket[")) {
+        // bucket membership is NOT provable from bounds; only the
+        // writer-stamped tuple can serve it (absent on old files)
+        return f.partition.get(pname)
+      }
       if (!f.nullCount.get(c).contains(0L)) return None
       for {
         mn <- f.minBound.get(c)
@@ -81,7 +88,7 @@ object SpjScan {
     }
 
     val keyed: Seq[Option[Seq[String]]] = files.map { f =>
-      val vs = fields.map { case (c, t, _) => partValue(f, c, t) }
+      val vs = fields.map { case (c, pname, t, _) => partValue(f, c, pname, t) }
       if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
     }
     if (keyed.exists(_.isEmpty)) return None
@@ -91,13 +98,16 @@ object SpjScan {
       .toSeq
       .sortBy(_._1.mkString(""))
       .map { case (key, fs) =>
-        (new GenericInternalRow(key.zip(fields).map { case (s, (_, t, dt)) =>
+        (new GenericInternalRow(key.zip(fields).map { case (s, (_, _, t, dt)) =>
           if (t == "days") java.time.LocalDate.parse(s).toEpochDay
+          else if (t.startsWith("bucket[")) s.toInt
           else decode(s, dt)
         }.toArray[Any]), fs.map(_._1))
       }
-    val clustering = fields.map { case (c, t, _) =>
+    val clustering = fields.map { case (c, _, t, _) =>
       if (t == "days") Expressions.days(c)
+      else if (t.startsWith("bucket["))
+        Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, c)
       else Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression
     }
     Some(new SpjScan(table, options, required, pushedExprs, clustering, groups))

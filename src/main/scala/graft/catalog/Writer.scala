@@ -97,14 +97,18 @@ object Writer {
 
     val stagingRel = s"${meta.location}/data/${java.util.UUID.randomUUID()}"
     val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
-    if (specExprs.isEmpty)
-      sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
-    else
-      fanoutWrite(sorted.withColumn("__gpk", struct(specExprs.toIndexedSeq: _*)),
-        schema, stagingAbs)
+    val fileKeys: Map[String, List[String]] =
+      if (specExprs.isEmpty) {
+        sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+        Map.empty
+      } else
+        fanoutWrite(sorted.withColumn("__gpk", struct(specExprs.toIndexedSeq: _*)),
+          schema, stagingAbs)
 
+    val specNames = meta.spec.fields.map(_.name)
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
       .filter(_.records > 0)
+      .map(f => stampPartition(f, fileKeys, specNames, warehouse))
     // a conflicted (or retry-exhausted) commit must not leak its staged
     // rewrite output as orphan files
     try commitSnapshot(table, newFiles, overwrite, operation, carryover, branch,
@@ -115,6 +119,18 @@ object Writer {
         throw e
     }
   }
+
+  /** Attach the writer-reported partition tuple (field name → value
+    * string) to a stats-collected data file. Bucket SPJ depends on
+    * this: bucket membership is not provable from value bounds, only
+    * the writer that clustered the rows knows it. */
+  def stampPartition(f: DataFile, fileKeys: Map[String, List[String]],
+      specNames: Seq[String], warehouse: String): DataFile =
+    fileKeys.collectFirst {
+      case (abs, vals) if RelPaths.relativize(warehouse, abs) == f.path &&
+          vals.size == specNames.size =>
+        f.copy(partition = specNames.zip(vals).toMap)
+    }.getOrElse(f)
 
   /** Hadoop conf a [[GraftDataWriter]] needs to drive Spark's
     * ParquetWriteSupport outside a FileFormatWriter (the same settings
@@ -145,7 +161,7 @@ object Writer {
     * for partitioned tables.
     */
   private def fanoutWrite(data: org.apache.spark.sql.DataFrame, schema: StructType,
-      stagingAbs: String): Unit = {
+      stagingAbs: String): Map[String, List[String]] = {
     val spark = data.sparkSession
     Files.createDirectories(Paths.get(stagingAbs))
     val keyType = data.schema.fields.last.dataType
@@ -155,14 +171,20 @@ object Writer {
     // the writer compares it raw
     val factory = new GraftDataWriterFactory(stagingAbs, ser, schema,
       keyFromEnd = Seq(RawKey(1, keyType)), dataLeading = true)
-    data.queryExecution.toRdd.foreachPartition {
+    // per-file partition keys flow back with the commit messages
+    data.queryExecution.toRdd.mapPartitions {
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
         val tc = org.apache.spark.TaskContext.get()
         val w = factory.createWriter(tc.partitionId(), tc.taskAttemptId())
         var ok = false
-        try { it.foreach(w.write); w.commit(); ok = true }
+        try {
+          it.foreach(w.write)
+          val m = w.commit().asInstanceOf[GraftCommitMessage]
+          ok = true
+          Iterator.single(m.fileKeys)
+        }
         finally if (!ok) w.abort()
-    }
+    }.collect().flatten.toMap
   }
 
   /** Per-file record counts + min/max bounds for every boundable

@@ -878,6 +878,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"days-SPJ still shuffled:\n$plan")
   }
 
+  test("storage-partitioned join on bucket(k): writer-stamped tuples enable shuffle-free join") {
+    val wh = freshDir("spjb")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tcSb", "graft.catalog.RelativeCatalog")
+    s.conf.set("spark.sql.catalog.tcSb.warehouse", wh)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
+    s.sql("DROP NAMESPACE IF EXISTS tcSb.s CASCADE")
+    s.sql("CREATE NAMESPACE tcSb.s")
+    s.sql("CREATE TABLE tcSb.s.a (k BIGINT, m BIGINT) PARTITIONED BY (bucket(4, k))")
+    s.sql("CREATE TABLE tcSb.s.b (k BIGINT, label STRING) PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO tcSb.s.a SELECT id % 40, id FROM range(400)")
+    s.sql("INSERT INTO tcSb.s.b SELECT id, CONCAT('L', id) FROM range(40)")
+    // the writer stamped every file's bucket tuple into the metadata
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cata = s.sessionState.catalogManager.catalog("tcSb")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val filesA = cata.loadTable(Identifier.of(Array("s"), "a"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    assert(filesA.forall(_.partition.contains("k_bucket")),
+      s"bucket tuples not stamped: ${filesA.map(_.partition)}")
+
+    val joined = s.sql(
+      "SELECT a.k, a.m, b.label FROM tcSb.s.a a JOIN tcSb.s.b b ON a.k = b.k")
+    assert(joined.count() == 400)
+    val plan = joined.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a shuffled join in:\n$plan")
+    val shuffles = joins.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"bucket-SPJ still shuffled:\n$plan")
+  }
+
   test("z-order compaction clusters files on every z-column") {
     val wh = freshDir("zord")
     mkCatalog("tcZ", wh)
