@@ -484,22 +484,39 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           })
         new MemTable(s"${ident.name()}$$stats", sch, rows)
       case "partitions" =>
-        // one row per partition from the committed statistics slot
-        // (Maintenance.computeStats partition pass; ref README.md:99-100
-        // `partition-statistics`); empty until a stats pass ran or for
-        // unpartitioned tables
+        // one row per partition — from the committed statistics slot
+        // when a stats pass ran (exact, MOR deletes applied; ref
+        // README.md:99-100 `partition-statistics`), else LIVE from the
+        // writer-stamped per-file partition tuples (exact for
+        // append-only history; files predating tuple stamping roll up
+        // under "(unstamped)")
         val sch = StructType(Seq(
           StructField("partition", StringType),
           StructField("record_count", LongType),
           StructField("file_count", LongType),
           StructField("total_bytes", LongType),
           StructField("snapshot_id", LongType)))
-        val rows = meta.statistics.toList.flatMap(st =>
-          st.partitions.map { p =>
-            val enc = p.partition.toSeq.sortBy(_._1)
-              .map { case (k, v) => s"$k=$v" }.mkString("/")
-            Row(enc, p.records, p.files, p.bytes, st.snapshotId)
-          })
+        val rows = meta.statistics match {
+          case Some(st) =>
+            st.partitions.map { p =>
+              val enc = p.partition.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString("/")
+              Row(enc, p.records, p.files, p.bytes, st.snapshotId)
+            }
+          case None =>
+            val snap = meta.currentSnapshot
+            val snapId = snap.map(_.snapshotId).getOrElse(-1L)
+            snap.map(_.files).getOrElse(Nil)
+              .groupBy(f =>
+                if (f.partition.isEmpty) "(unstamped)"
+                else f.partition.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"$k=$v" }.mkString("/"))
+              .toList.sortBy(_._1)
+              .map { case (enc, fs) =>
+                Row(enc, fs.map(_.records).sum, fs.size.toLong,
+                  fs.map(_.bytes).sum, snapId)
+              }
+        }
         new MemTable(s"${ident.name()}$$partitions", sch, rows)
       case other => throw new NoSuchTableException(ident)
     }

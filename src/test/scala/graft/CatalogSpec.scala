@@ -902,6 +902,12 @@ class CatalogSpec extends AnyFunSuite {
     assert(filesA.forall(_.partition.contains("k_bucket")),
       s"bucket tuples not stamped: ${filesA.map(_.partition)}")
 
+    // $partitions serves live from the stamped tuples (no stats pass)
+    val parts = s.sql("SELECT partition, record_count FROM tcSb.s.`a$partitions`").collect()
+    assert(parts.length >= 2 && parts.forall(_.getString(0).startsWith("k_bucket=")),
+      s"live \\$$partitions wrong: ${parts.mkString(",")}")
+    assert(parts.map(_.getLong(1)).sum == 400)
+
     val joined = s.sql(
       "SELECT a.k, a.m, b.label FROM tcSb.s.a a JOIN tcSb.s.b b ON a.k = b.k")
     assert(joined.count() == 400)
