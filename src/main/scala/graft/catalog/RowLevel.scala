@@ -607,6 +607,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
       if (ms.forall(_.dataRecords == 0)) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, dataAbs)
         .filter(_.records > 0)
+        .map(f => Writer.stampPartition(f, ms.flatMap(_.fileKeys).toMap,
+          table.meta.spec.fields.map(_.name), table.ops.warehouse))
     val delFiles =
       if (ms.forall(_.deleteRecords == 0)) Nil
       else Writer.collectStats(spark, Mor.deleteSchema, table.ops.warehouse, delAbs)
@@ -636,8 +638,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
   }
 }
 
-case class GraftDeltaMessage(dataRecords: Long, deleteRecords: Long)
-  extends WriterCommitMessage
+case class GraftDeltaMessage(dataRecords: Long, deleteRecords: Long,
+    fileKeys: List[(String, List[String])] = Nil) extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(dataDir: String, delDir: String,
     dataConf: SerializableConfiguration, delConf: SerializableConfiguration,
@@ -672,8 +674,9 @@ class GraftDeltaWriter(dataW: GraftDataWriter, delW: GraftDataWriter)
   }
 
   override def commit(): WriterCommitMessage = {
-    dataW.commit(); delW.commit()
-    GraftDeltaMessage(dataN, delN)
+    val dm = dataW.commit().asInstanceOf[GraftCommitMessage]
+    delW.commit()
+    GraftDeltaMessage(dataN, delN, dm.fileKeys)
   }
 
   override def abort(): Unit = { dataW.abort(); delW.abort() }

@@ -224,10 +224,14 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
       return
     }
+    val epochKeys = messages.collect { case m: GraftCommitMessage => m }
+      .flatMap(_.fileKeys).toMap
     val newFiles =
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, dir)
         .filter(_.records > 0)
+        .map(f => Writer.stampPartition(f, epochKeys,
+          table.meta.spec.fields.map(_.name), table.ops.warehouse))
     try Writer.commitSnapshot(table, newFiles, overwrite = false,
       operation = "append", carryover = Nil,
       extraSummary = Map(
