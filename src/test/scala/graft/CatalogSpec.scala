@@ -963,6 +963,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(keptB <= files.size * 2 / 3, s"pruning on b kept $keptB of ${files.size}")
   }
 
+  test("fanout invariant: every file partition-local and tuple-stamped, multi-column spec") {
+    val wh = freshDir("fnv")
+    mkCatalog("tcFv", wh)
+    spark.sql("CREATE NAMESPACE tcFv.f")
+    spark.sql(
+      "CREATE TABLE tcFv.f.t (a INT, b STRING, id BIGINT) PARTITIONED BY (a, b)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // three differently-shaped inserts incl. skew and nulls in data cols
+      spark.sql(
+        """INSERT INTO tcFv.f.t
+          |SELECT CAST(id % 5 AS INT), CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END, id
+          |FROM range(500)""".stripMargin)
+      spark.sql(
+        """INSERT INTO tcFv.f.t
+          |SELECT CAST(id % 2 AS INT), 'z', id FROM range(500, 900)""".stripMargin)
+      // an UPDATE (COW rewrite) must preserve the invariant too
+      spark.sql("UPDATE tcFv.f.t SET id = id + 10000 WHERE id < 50")
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val cata = spark.sessionState.catalogManager.catalog("tcFv")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val files = cata.loadTable(Identifier.of(Array("f"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+      assert(files.size >= 10, s"expected many partition-local files, got ${files.size}")
+      files.foreach { f =>
+        assert(f.minBound.get("a") == f.maxBound.get("a") &&
+          f.minBound.get("b") == f.maxBound.get("b"),
+          s"file ${f.path} spans partitions: a=${f.minBound.get("a")}..${f.maxBound.get("a")} " +
+            s"b=${f.minBound.get("b")}..${f.maxBound.get("b")}")
+        assert(f.partition.keySet == Set("a", "b"),
+          s"file ${f.path} missing stamped tuple: ${f.partition}")
+        assert(f.partition.get("a") == f.minBound.get("a") &&
+          f.partition.get("b") == f.minBound.get("b"),
+          s"stamped tuple disagrees with bounds for ${f.path}: ${f.partition}")
+      }
+      assert(spark.sql("SELECT COUNT(*) FROM tcFv.f.t").collect()(0).getLong(0) == 900)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("partition spec evolution: new writes cluster by the new spec, old files still read") {
     val wh = freshDir("spev")
     mkCatalog("tcSp", wh)
