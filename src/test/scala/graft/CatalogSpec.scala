@@ -804,6 +804,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(epochs.distinct.size >= 2, s"expected >=2 epoch snapshots, got $epochs")
     assert(meta.snapshots.forall(s => s.summary.get("streaming-epoch-id").isEmpty ||
       s.summary.get("streaming-query-id").nonEmpty))
+
+    // a PARTITIONED streaming sink: epoch files come out partition-
+    // local and tuple-stamped through the same fanout machinery
+    spark.sql("CREATE TABLE tcSk.k.p (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sink_ckpt2").toString
+    val q2 = ms2.toDS().map(i => (if (i % 2 == 0) "even" else "odd", i)).toDF("grp", "id")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .toTable("tcSk.k.p")
+    try {
+      ms2.addData(1L to 20L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.sql("SELECT COUNT(*) FROM tcSk.k.p").collect()(0).getLong(0) == 20)
+    val pFiles = cata.loadTable(Identifier.of(Array("k"), "p"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    assert(pFiles.nonEmpty)
+    pFiles.foreach { f =>
+      assert(f.minBound.get("grp") == f.maxBound.get("grp"),
+        s"streaming epoch file ${f.path} spans partitions")
+      assert(f.partition.get("grp").isDefined,
+        s"streaming epoch file ${f.path} missing stamped tuple")
+    }
   }
 
   test("dynamic file pruning: a broadcast dim filter skips fact files at runtime") {
