@@ -72,6 +72,10 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = outSchema
 
+  // the diffed state is a full Catalyst plan producing InternalRows;
+  // hand them through the V1 boundary unconverted (see MorRelation)
+  override def needConversion: Boolean = false
+
   private def resolve(v: String): Snapshot =
     (scala.util.Try(v.toLong).toOption match {
       case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))
@@ -176,6 +180,6 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
     if (parts.isEmpty)
       spark.sparkContext.emptyRDD[Row]
     else
-      parts.reduce(_.unionAll(_)).rdd
+      parts.reduce(_.unionAll(_)).queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

@@ -384,6 +384,13 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
+  // the inner plan already produces InternalRows (vectorized parquet →
+  // anti-join → project); handing them through untouched skips the
+  // per-row InternalRow→Row→InternalRow round-trip the default V1
+  // boundary would pay — on a 100 TB MOR scan that double conversion
+  // IS the overhead, everything below it is codegen'd
+  override def needConversion: Boolean = false
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val w = table.ops.warehouse
@@ -394,7 +401,8 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
     val alive = Mor.applyDeletes(spark, data, w, deletes, files)
     val filtered = filters.flatMap(Writer.filterToColumn)
       .foldLeft(alive)(_.filter(_))
-    filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*).rdd
+    filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
@@ -423,6 +431,9 @@ class MetaRelation(ctx: SQLContext, table: GraftTable, required: StructType,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
+  // serve the inner plan's InternalRows directly (see [[MorRelation]])
+  override def needConversion: Boolean = false
+
   override def buildScan(): RDD[Row] = {
     import org.apache.spark.sql.functions.col
     val spark = ctx.sparkSession
@@ -440,7 +451,8 @@ class MetaRelation(ctx: SQLContext, table: GraftTable, required: StructType,
       .withColumn("_pos", col("__gp"))
     val filtered = filters.flatMap(Writer.filterToColumn)
       .foldLeft(withMeta)(_.filter(_))
-    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

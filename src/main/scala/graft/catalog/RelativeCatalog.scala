@@ -39,7 +39,8 @@ import scala.util.Try
   * }}}
   */
 class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   /** Partition-transform functions (`bucket`, `days`) — served from
     * every namespace incl. the root so both user SQL
@@ -213,18 +214,38 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val meta = buildMeta(ident, schema, partitions, properties, base = None)
+    val ops = opsFor(ident)
+    ops.commit(0, meta)
+    new GraftTable(catName, ident, ops, meta, 1)
+  }
+
+  /** Build the metadata document for a table of `schema`/`partitions`
+    * at `ident`. With `base` (atomic REPLACE), identity is preserved —
+    * same UUID/location, snapshot history kept — but every column and
+    * partition field gets a FRESH id past the base's counters, the
+    * same rule Iceberg RTAS follows: old data files can never alias a
+    * replaced schema (a reused name must NOT resurrect old values; our
+    * field-id parquet resolution then NULL-fills them).
+    */
+  private[catalog] def buildMeta(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      base: Option[TableMeta]): TableMeta = {
     val props = properties.asScala.toMap
     // custom locations would embed absolute paths → reject, exactly as
     // the reference does (HadoopRelativeCatalog.java:387-395)
     require(!props.contains("location"),
       "custom table locations are not supported: the table path is always " +
         "<warehouse>/<namespace…>/<table> so metadata stays relocatable")
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
 
-    val schemaDef = TableMeta.schemaFromSpark(schema)
+    val schemaDef = TableMeta.schemaFromSpark(schema,
+        firstId = base.map(_.lastColumnId + 1).getOrElse(1))
+      .copy(schemaId = base.map(_.schemas.map(_.schemaId).max + 1).getOrElse(0))
     val byName = schemaDef.fields.map(f => f.name -> f.id).toMap
+    val firstPartId = base.map(_.lastPartitionId + 1).getOrElse(1000)
     val specFields = partitions.toList.zipWithIndex.map { case (t, i) =>
       val ref = t.references().head.fieldNames().mkString(".")
       val srcId = byName.getOrElse(ref,
@@ -235,47 +256,98 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         case "bucket" => (s"bucket[${t.arguments()(0)}]", s"${ref}_bucket")
         case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }
-      PartField(srcId, 1000 + i, pname, tname)
+      PartField(srcId, firstPartId + i, pname, tname)
     }
+    val specId = base.map(_.partitionSpecs.map(_.specId).max + 1).getOrElse(0)
     // optional write-time sort order, e.g.
     //   TBLPROPERTIES ('sort-order' = 'l_shipdate asc, l_orderkey desc')
     // (README.md:58-62 — the reference's metadata carries sort orders;
     // our writer applies them with sortWithinPartitions)
-    val byNameAll = schemaDef.fields.map(f => f.name -> f.id).toMap
     val sortFields = props.get("sort-order").map(_.split(",").toList.map { part =>
       val tokens = part.trim.split("\\s+")
-      val fid = byNameAll.getOrElse(tokens(0),
+      val fid = byName.getOrElse(tokens(0),
         throw new IllegalArgumentException(s"unknown sort column ${tokens(0)}"))
       SortField(fid,
         if (tokens.length > 1 && tokens(1).equalsIgnoreCase("desc")) "desc" else "asc",
         "nulls-first")
     }).getOrElse(Nil)
+    val sortId = base.map(_.sortOrders.map(_.orderId).max + 1).getOrElse(1)
     val now = System.currentTimeMillis()
-    val meta = TableMeta(
-      formatVersion = 2,
-      tableUuid = java.util.UUID.randomUUID().toString,
-      location = tableLocation(ident),
-      lastSequenceNumber = 0L,
-      lastUpdatedMs = now,
-      lastColumnId = schemaDef.fields.map(_.id).maxOption.getOrElse(0),
-      currentSchemaId = 0,
-      schemas = List(schemaDef),
-      defaultSpecId = 0,
-      partitionSpecs = List(PartSpec(0, specFields)),
-      lastPartitionId = if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max,
-      defaultSortOrderId = if (sortFields.isEmpty) 0 else 1,
-      sortOrders = List(SortOrderDef(0, Nil)) ++
-        (if (sortFields.nonEmpty) List(SortOrderDef(1, sortFields)) else Nil),
-      properties = props - "owner" - "provider",
-      currentSnapshotId = None,
-      snapshots = Nil,
-      snapshotLog = Nil,
-      metadataLog = Nil,
-      refs = Map.empty)
-    val ops = opsFor(ident)
-    ops.commit(0, meta)
-    new GraftTable(catName, ident, ops, meta, 1)
+    base match {
+      case Some(b) => b.copy(
+        lastUpdatedMs = now,
+        lastColumnId = schemaDef.fields.map(_.id).maxOption.getOrElse(b.lastColumnId),
+        currentSchemaId = schemaDef.schemaId,
+        schemas = b.schemas :+ schemaDef,
+        defaultSpecId = specId,
+        partitionSpecs = b.partitionSpecs :+ PartSpec(specId, specFields),
+        lastPartitionId =
+          specFields.map(_.fieldId).maxOption.getOrElse(b.lastPartitionId),
+        defaultSortOrderId = if (sortFields.isEmpty) 0 else sortId,
+        sortOrders = b.sortOrders ++
+          (if (sortFields.nonEmpty) List(SortOrderDef(sortId, sortFields)) else Nil),
+        properties = props - "owner" - "provider")
+      case None => TableMeta(
+        formatVersion = 2,
+        tableUuid = java.util.UUID.randomUUID().toString,
+        location = tableLocation(ident),
+        lastSequenceNumber = 0L,
+        lastUpdatedMs = now,
+        lastColumnId = schemaDef.fields.map(_.id).maxOption.getOrElse(0),
+        currentSchemaId = 0,
+        schemas = List(schemaDef),
+        defaultSpecId = 0,
+        partitionSpecs = List(PartSpec(0, specFields)),
+        lastPartitionId = if (specFields.isEmpty) 999 else specFields.map(_.fieldId).max,
+        defaultSortOrderId = if (sortFields.isEmpty) 0 else 1,
+        sortOrders = List(SortOrderDef(0, Nil)) ++
+          (if (sortFields.nonEmpty) List(SortOrderDef(1, sortFields)) else Nil),
+        properties = props - "owner" - "provider",
+        currentSnapshotId = None,
+        snapshots = Nil,
+        snapshotLog = Nil,
+        metadataLog = Nil,
+        refs = Map.empty)
+    }
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -------------------
+  //
+  // CREATE TABLE AS SELECT stages the data files and publishes
+  // metadata + snapshot in ONE atomic rename (no observable empty
+  // table, nothing left behind on failure); REPLACE TABLE AS SELECT
+  // swaps schema/spec/properties and the full data set in ONE OCC
+  // commit on top of the existing version chain — readers see either
+  // the old table or the new one, never an intermediate.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(catName, ident, opsFor(ident),
+      buildMeta(ident, schema, partitions, properties, base = None), base = None)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (_, cur) = opsFor(ident).refresh()
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftStagedTable(catName, ident, opsFor(ident),
+      buildMeta(ident, schema, partitions, properties, base = Some(cur)),
+      base = Some(cur))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    opsFor(ident).refresh() match {
+      case Some((_, cur)) =>
+        new GraftStagedTable(catName, ident, opsFor(ident),
+          buildMeta(ident, schema, partitions, properties, base = Some(cur)),
+          base = Some(cur))
+      case None => stageCreate(ident, schema, partitions, properties)
+    }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ops = opsFor(ident)

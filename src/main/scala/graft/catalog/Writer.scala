@@ -63,11 +63,31 @@ object Writer {
       branch: Option[String] = None,
       validateFrom: Option[Option[Long]] = None,
       clearDeletes: Boolean = false): Unit = {
+    val (stagingAbs, newFiles) = stageFiles(table.meta, table.ops.warehouse, data)
+    // a conflicted (or retry-exhausted) commit must not leak its staged
+    // rewrite output as orphan files
+    try commitSnapshot(table, newFiles, overwrite, operation, carryover, branch,
+      validateFrom, clearDeletes = clearDeletes)
+    catch {
+      case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+        throw e
+    }
+  }
+
+  /** Stage `data` as committed-shape parquet under `<table>/data/<uuid>`
+    * WITHOUT committing: align to the schema (field-id stamping),
+    * cluster + fan out by the partition spec, collect footer stats,
+    * stamp partition tuples. Returns the staging dir (for cleanup on a
+    * failed commit — the files stay in place on success, metadata just
+    * starts referencing them) and the stats-carrying file entries.
+    * Shared by the normal append path and the atomic CTAS/RTAS staged
+    * commit ([[GraftStagedTable]]).
+    */
+  def stageFiles(meta: TableMeta, warehouse: String,
+      data: DataFrame): (String, List[DataFile]) = {
     val spark = data.sparkSession
-    val meta = table.meta
     val schema = TableMeta.schemaToSpark(meta.schema)
-    val warehouse = table.ops.warehouse
-    val tableAbs = RelPaths.absolutize(warehouse, meta.location)
 
     // align column order/types to the table schema; the alias carries
     // the field-id metadata so the parquet writer stamps ids into the
@@ -109,15 +129,7 @@ object Writer {
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
       .filter(_.records > 0)
       .map(f => stampPartition(f, fileKeys, specNames, warehouse))
-    // a conflicted (or retry-exhausted) commit must not leak its staged
-    // rewrite output as orphan files
-    try commitSnapshot(table, newFiles, overwrite, operation, carryover, branch,
-      validateFrom, clearDeletes = clearDeletes)
-    catch {
-      case e: Throwable =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
-        throw e
-    }
+    (stagingAbs, newFiles)
   }
 
   /** Attach the writer-reported partition tuple (field name → value
@@ -381,7 +393,13 @@ object Writer {
       newDeletes: List[DataFile] = Nil,
       mustExist: Set[String] = Set.empty,
       clearDeletes: Boolean = false,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      // applied to the refreshed base metadata right before the new
+      // version is built — the hook atomic REPLACE TABLE AS SELECT
+      // uses to swap schema/spec/properties in the SAME commit that
+      // replaces the data; may throw CommitConflictException to
+      // reject a base that moved incompatibly mid-operation
+      metaTransform: TableMeta => TableMeta = identity): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -486,15 +504,16 @@ object Writer {
         files = orderedFiles,
         deleteFiles = allStampedDeletes,
         manifests = keptManifests)
+      val xBase = metaTransform(baseMeta)
       val next = branch match {
-        case Some(b) => baseMeta.copy(
+        case Some(b) => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,
           lastUpdatedMs = now,
           snapshots = baseMeta.snapshots :+ snap,
           metadataLog = baseMeta.metadataLog :+
             MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
           refs = baseMeta.refs + (b -> Ref(snapId, "branch")))
-        case None => baseMeta.copy(
+        case None => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,
           lastUpdatedMs = now,
           currentSnapshotId = Some(snapId),

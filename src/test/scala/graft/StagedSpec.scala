@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomic CTAS / RTAS through the StagingTableCatalog protocol
+  * ([[graft.catalog.GraftStagedTable]]): single-commit publish,
+  * nothing left behind on failure, REPLACE preserves identity and
+  * history while fresh field ids prevent old-file resurrection.
+  */
+class StagedSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def setup(name: String): String = {
+    val wh = s"/tmp/graft_test_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $name.s")
+    wh
+  }
+
+  test("CTAS publishes table + data in ONE metadata version") {
+    val wh = setup("tcSt1")
+    spark.sql(
+      "CREATE TABLE tcSt1.s.t AS SELECT id, id * 2.0 AS v FROM range(50)")
+    assert(spark.sql("SELECT COUNT(*), SUM(id) FROM tcSt1.s.t").collect()(0)
+      .toSeq == Seq(50L, (0L until 50L).sum))
+    // v1 metadata already contains the snapshot; no v2 was committed
+    assert(Files.exists(Paths.get(s"$wh/s/t/metadata/v1.metadata.json")))
+    assert(!Files.exists(Paths.get(s"$wh/s/t/metadata/v2.metadata.json")))
+  }
+
+  test("failed CTAS leaves no table and no staged files") {
+    setup("tcSt2")
+    val boom = org.apache.spark.sql.functions.udf((id: Long) =>
+      if (id >= 0) throw new RuntimeException("boom") else id)
+    spark.udf.register("tcst2_boom", boom)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE tcSt2.s.t AS SELECT tcst2_boom(id) AS id FROM range(10)")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("tcSt2")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    assert(!cat.tableExists(Identifier.of(Array("s"), "t")))
+    assert(!Files.exists(Paths.get("/tmp/graft_test_tcSt2/s/t/metadata")))
+  }
+
+  test("RTAS atomically swaps data AND schema, keeps uuid + history") {
+    setup("tcSt3")
+    spark.sql("CREATE TABLE tcSt3.s.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO tcSt3.s.t SELECT id, id * 1.0 FROM range(100)")
+    val cat = spark.sessionState.catalogManager.catalog("tcSt3")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def table = cat.loadTable(Identifier.of(Array("s"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val uuidBefore = table.meta.tableUuid
+    val snapsBefore = table.meta.snapshots.size
+
+    spark.sql(
+      "CREATE OR REPLACE TABLE tcSt3.s.t AS SELECT id AS k, CAST(id AS STRING) AS s FROM range(7)")
+
+    val after = table
+    assert(after.meta.tableUuid == uuidBefore)
+    assert(after.meta.snapshots.size == snapsBefore + 1)
+    assert(after.schema().fieldNames.toSeq == Seq("k", "s"))
+    assert(spark.sql("SELECT COUNT(*) FROM tcSt3.s.t").collect()(0).getLong(0) == 7)
+    // fresh field ids: the replaced schema starts past the old counter,
+    // so old parquet (ids 1,2) can never alias the new columns
+    assert(after.meta.schema.fields.map(_.id).min > 2)
+    assert(after.meta.schemas.size == 2)
+  }
+
+  test("REPLACE of a missing table fails; OR REPLACE creates it") {
+    setup("tcSt4")
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE tcSt4.s.missing AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE OR REPLACE TABLE tcSt4.s.fresh AS SELECT 1 AS x")
+    assert(spark.sql("SELECT x FROM tcSt4.s.fresh").collect()(0).getInt(0) == 1)
+  }
+
+  test("RTAS with partitioning clusters the replacement by the new spec") {
+    setup("tcSt5")
+    spark.sql("CREATE TABLE tcSt5.s.t (id BIGINT)")
+    spark.sql("INSERT INTO tcSt5.s.t SELECT id FROM range(10)")
+    spark.sql(
+      """CREATE OR REPLACE TABLE tcSt5.s.t PARTITIONED BY (bucket(4, id))
+        |AS SELECT id, id % 3 AS g FROM range(40)""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("tcSt5")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val table = cat.loadTable(Identifier.of(Array("s"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val files = table.readSnapshot.get.files
+    // fanout writer stamps one bucket tuple per file
+    assert(files.nonEmpty)
+    assert(files.forall(_.partition.keySet == Set("id_bucket")))
+    assert(spark.sql("SELECT COUNT(*) FROM tcSt5.s.t").collect()(0).getLong(0) == 40)
+  }
+}
