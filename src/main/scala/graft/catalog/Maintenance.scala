@@ -114,6 +114,65 @@ object Maintenance {
     }
   }
 
+  /** Roll the table back to a previous (still-retained) snapshot —
+    * Iceberg's `rollback_to_snapshot`. Metadata-only: the current
+    * pointer and `main` move, nothing is rewritten or deleted, and the
+    * rolled-back-over snapshots stay readable by id until expiry. The
+    * target may be any retained snapshot (also covers Iceberg's
+    * `set_current_snapshot`).
+    */
+  def rollbackTo(ops: TableOps, snapshotId: Long): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      require(meta.snapshot(snapshotId).isDefined,
+        s"unknown or expired snapshot $snapshotId")
+      val now = System.currentTimeMillis()
+      try {
+        ops.commit(v, meta.copy(
+          lastUpdatedMs = now,
+          currentSnapshotId = Some(snapshotId),
+          snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, snapshotId),
+          refs = meta.refs + ("main" -> graft.meta.Ref(snapshotId, "branch"))))
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 =>
+      }
+    }
+  }
+
+  /** Cherry-pick an APPEND snapshot onto the current state — Iceberg's
+    * `cherrypick_snapshot`, the second half of write-audit-publish
+    * when the audited branch has diverged from `main` (fast-forward
+    * only works when `main` hasn't moved). The picked snapshot's added
+    * files are re-committed as a fresh append on the CURRENT base:
+    * metadata-only (no data bytes move), O(added files), and the
+    * files are re-stamped with the new commit's sequence number so
+    * equality-delete scoping stays correct (they are logically new
+    * data at pick time). Non-append snapshots (overwrite/delete/
+    * replace) have no position-independent row interpretation on a
+    * moved base and are rejected.
+    */
+  def cherryPick(table: GraftTable, snapshotId: Long): Unit = {
+    val meta = table.meta
+    val src = meta.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $snapshotId"))
+    require(src.operation == "append",
+      s"only append snapshots can be cherry-picked; $snapshotId is '${src.operation}'")
+    val parentPaths = src.parentId.flatMap(meta.snapshot)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val added = src.files.filterNot(f => parentPaths(f.path))
+    val current = meta.currentSnapshot.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    require(!added.exists(f => current(f.path)),
+      s"snapshot $snapshotId is already applied to the current state")
+    Writer.commitSnapshot(table, added.map(_.copy(seq = None)),
+      overwrite = false, operation = "append", carryover = Nil,
+      extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString))
+  }
+
   /** Compute table-level statistics (ref README.md:99-100 `statistics`
     * slot) for the CURRENT snapshot and commit them into the metadata:
     * exact row/byte totals and null counts, approximate NDV

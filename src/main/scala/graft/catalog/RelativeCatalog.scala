@@ -540,6 +540,16 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           StructField("snapshot_id", LongType)))
         val rows = meta.snapshotLog.map(e => Row(e.timestampMs, e.snapshotId))
         new MemTable(s"${ident.name()}$$history", sch, rows)
+      case "refs" =>
+        // named refs (README.md:67-75): branches + tags, incl. `main`
+        val sch = StructType(Seq(
+          StructField("name", StringType),
+          StructField("type", StringType),
+          StructField("snapshot_id", LongType)))
+        val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+          Row(n, r.refType, r.snapshotId)
+        }
+        new MemTable(s"${ident.name()}$$refs", sch, rows)
       case "stats" =>
         // one row per column from the committed statistics slot
         // (Maintenance.computeStats); empty until a stats pass ran

@@ -213,6 +213,55 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 200)
   }
 
+  test("rollback + cherry-pick: main moves back; diverged audit append replays") {
+    val wh = "/tmp/graft_test_rollb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRb", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRb.r")
+    spark.sql("CREATE TABLE tcRb.r.t (id BIGINT)")
+    spark.sql("INSERT INTO tcRb.r.t SELECT id FROM range(10)")
+    val cat = spark.sessionState.catalogManager.catalog("tcRb")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("r"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val ops = new TableOps(wh, "r/t")
+    val goodSnap = tbl.meta.currentSnapshotId.get
+
+    // a bad batch lands; roll main back to the good snapshot
+    spark.sql("INSERT INTO tcRb.r.t SELECT id FROM range(1000, 1100)")
+    assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t").collect()(0).getLong(0) == 110)
+    Maintenance.rollbackTo(ops, goodSnap)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t").collect()(0).getLong(0) == 10)
+    // rolled-over snapshot still readable by id until expiry
+    assert(spark.sql(s"SELECT COUNT(*) FROM tcRb.r.t VERSION AS OF ${tbl.meta.snapshots
+        .maxBy(_.sequenceNumber).snapshotId}").collect()(0).getLong(0) >= 10)
+
+    // WAP with divergence: audit branch appends, then main moves too —
+    // fast-forward is impossible, cherry-pick replays the audit append
+    import spark.implicits._
+    Maintenance.appendToBranch(tbl, (200L until 250L).toDF("id"), "audit")
+    val auditSnap = tbl.meta.refs("audit").snapshotId
+    spark.sql("INSERT INTO tcRb.r.t SELECT id FROM range(10, 20)")
+    Maintenance.cherryPick(tbl, auditSnap)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t").collect()(0).getLong(0) == 70)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t WHERE id >= 200")
+      .collect()(0).getLong(0) == 50)
+    // picking the same snapshot twice must fail, not double the rows
+    intercept[IllegalArgumentException] { Maintenance.cherryPick(tbl, auditSnap) }
+
+    // $refs metadata table lists main + audit
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM tcRb.r.`t$refs`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(refs("main") == "branch" && refs("audit") == "branch")
+
+    // a non-append snapshot refuses to cherry-pick
+    spark.sql("DELETE FROM tcRb.r.t WHERE id >= 240")
+    val delSnap = tbl.meta.currentSnapshotId.get
+    spark.sql("INSERT INTO tcRb.r.t SELECT id FROM range(500, 501)")
+    intercept[IllegalArgumentException] { Maintenance.cherryPick(tbl, delSnap) }
+  }
+
   test("streaming upsert (CDC): foreachBatch MERGE INTO per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
