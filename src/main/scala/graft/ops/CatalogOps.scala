@@ -476,5 +476,67 @@ object CatalogOps extends Pack {
     }, Some(
       """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
+
+    // Atomic CTAS (StagingTableCatalog): table + data published in one
+    // metadata rename; the oracle checks the staged write round-trips.
+    Decl("q_cat_ctas", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ctas")
+      Tables(spark, dir, "part").createOrReplaceTempView("part_src")
+      spark.sql(
+        s"""CREATE TABLE $c.demo_ctas.p AS
+           |SELECT p_brand, COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+           |FROM part_src GROUP BY p_brand""".stripMargin)
+      spark.sql(
+        s"""SELECT p_brand, n, total FROM $c.demo_ctas.p
+           |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+        |FROM part GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
+
+    // Atomic RTAS: one OCC commit swaps data AND schema (fresh field
+    // ids); reads must see only the replacement.
+    Decl("q_cat_rtas", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_rtas")
+      Tables(spark, dir, "supplier").createOrReplaceTempView("supplier_src")
+      spark.sql(s"CREATE TABLE $c.demo_rtas.s AS SELECT s_suppkey, s_name FROM supplier_src")
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $c.demo_rtas.s AS
+           |SELECT s_nationkey, COUNT(*) AS n FROM supplier_src GROUP BY s_nationkey""".stripMargin)
+      spark.sql(
+        s"""SELECT s_nationkey, n FROM $c.demo_rtas.s
+           |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin)),
+
+    // Snapshot rollback: a bad batch lands, rollbackTo moves main back
+    // (metadata-only) — reads must see exactly the pre-batch state.
+    Decl("q_cat_rollback", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_rb")
+      spark.sql(s"CREATE TABLE $c.demo_rb.o (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_rb.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 0")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_rb"), "o")
+      val good = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+        .meta.currentSnapshotId.get
+      spark.sql(s"INSERT INTO $c.demo_rb.o SELECT o_orderkey + 1000000000, 0.0 FROM orders_src")
+      graft.catalog.Maintenance.rollbackTo(
+        cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable].ops, good)
+      spark.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+           |FROM $c.demo_rb.o""".stripMargin)
+    }, Some(
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)),
   )
 }
