@@ -81,7 +81,18 @@ class GraftTable(
   override def name(): String =
     (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
 
-  override def schema(): StructType = TableMeta.schemaToSpark(meta.schema)
+  /** Current schema — or, for a time-travel read, the schema the
+    * pinned snapshot was WRITTEN under (per-snapshot schema-id):
+    * history keeps its own shape across evolution and RTAS instead of
+    * being reshaped (and NULL-filled) by the latest schema.
+    */
+  override def schema(): StructType = TableMeta.schemaToSpark(
+    (for {
+      pin <- pinnedSnapshot
+      snap <- meta.snapshot(pin)
+      sid <- snap.schemaId
+      sch <- meta.schemas.find(_.schemaId == sid)
+    } yield sch).getOrElse(meta.schema))
 
   override def partitioning(): Array[Transform] =
     meta.spec.fields.map { pf =>

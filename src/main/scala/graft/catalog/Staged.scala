@@ -126,7 +126,8 @@ class GraftStagedTable(catalogName: String, ident: Identifier, ops: TableOps,
                 "added-files-size" -> stamped.map(_.bytes).sum.toString,
                 "total-records" -> stamped.map(_.records).sum.toString,
                 "total-data-files" -> stamped.size.toString),
-              files = stamped)),
+              files = stamped,
+              schemaId = Some(stagedMeta.currentSchemaId))),
             snapshotLog = List(SnapshotLogEntry(now, snapId)),
             refs = Map("main" -> Ref(snapId, "branch")))
         try ops.commit(0, metaWithSnap)

@@ -482,6 +482,7 @@ object Writer {
         keptChunkFiles ++ prevFiles.filterNot(f => keptPaths(f.path)) ++ stampedNew
       val addedRecords = newFiles.map(_.records).sum
       val (eqDel, posDel) = allStampedDeletes.partition(Mor.isEquality)
+      val xBase = metaTransform(baseMeta)
       val snap = Snapshot(
         snapshotId = snapId,
         parentId = baseSnap.map(_.snapshotId),
@@ -503,8 +504,10 @@ object Writer {
           "total-data-files" -> (prevFiles.size + newFiles.size).toString) ++ extraSummary,
         files = orderedFiles,
         deleteFiles = allStampedDeletes,
+        // the post-transform schema: an RTAS snapshot is written under
+        // the schema it installs, everything else under the base's
+        schemaId = Some(xBase.currentSchemaId),
         manifests = keptManifests)
-      val xBase = metaTransform(baseMeta)
       val next = branch match {
         case Some(b) => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,

@@ -91,7 +91,12 @@ final case class Snapshot(
     // files are inert and reclaimed at compaction. Default keeps
     // pre-MOR metadata.json readable.
     deleteFiles: List[DataFile] = Nil,
-    manifests: List[Manifest] = Nil) {
+    manifests: List[Manifest] = Nil,
+    // schema the snapshot was written under (Iceberg's per-snapshot
+    // schema-id): time travel reads THIS schema, not the current one,
+    // so evolution/RTAS never reshapes history. None on pre-upgrade
+    // metadata → readers fall back to the current schema.
+    schemaId: Option[Int] = None) {
 
   /** Files covered by spilled chunks (a prefix of `files` in memory). */
   def chunkedCount: Int = manifests.map(_.count).sum

@@ -81,6 +81,26 @@ class StagedSpec extends AnyFunSuite {
     assert(spark.sql("SELECT x FROM tcSt4.s.fresh").collect()(0).getInt(0) == 1)
   }
 
+  test("time travel reads each snapshot under ITS schema, not the current one") {
+    setup("tcSt6")
+    spark.sql("CREATE TABLE tcSt6.s.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO tcSt6.s.t SELECT id, id * 1.5 FROM range(5)")
+    // RTAS to a different shape
+    spark.sql("CREATE OR REPLACE TABLE tcSt6.s.t AS SELECT CAST(id AS STRING) AS name FROM range(3)")
+    val cat = spark.sessionState.catalogManager.catalog("tcSt6")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("s"), "t")).asInstanceOf[graft.catalog.GraftTable]
+    val preReplace = tbl.meta.snapshots.minBy(_.sequenceNumber).snapshotId
+    // current read: new schema only
+    assert(spark.table("tcSt6.s.t").columns.toSeq == Seq("name"))
+    // pinned read: the ORIGINAL schema and its values, not NULL-filled
+    val old = spark.sql(s"SELECT * FROM tcSt6.s.t VERSION AS OF $preReplace")
+    assert(old.columns.toSeq == Seq("id", "v"))
+    assert(old.count() == 5)
+    assert(old.where("v = 6.0").count() == 1)
+  }
+
   test("RTAS with partitioning clusters the replacement by the new spec") {
     setup("tcSt5")
     spark.sql("CREATE TABLE tcSt5.s.t (id BIGINT)")
