@@ -321,6 +321,15 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     super.createTable(ident, schema, partitions, properties)
   }
 
+  // same view-clash guard as createTable (a V1 view may hold the name)
+  override def stageCreate(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isV1 && viewExists(ident)) throw new TableAlreadyExistsException(ident)
+    super.stageCreate(ident, schema, partitions, properties)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val n = update(
       "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,

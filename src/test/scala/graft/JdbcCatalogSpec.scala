@@ -32,6 +32,16 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 3)
   }
 
+  test("atomic CTAS/RTAS land through the pointer CAS") {
+    val c = fresh("ctas")
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.t AS SELECT id, id * 3 AS v FROM range(20)")
+    assert(spark.sql(s"SELECT SUM(v) FROM $c.ns.t").collect()(0).getLong(0) == (0L until 20L).map(_ * 3).sum)
+    spark.sql(s"CREATE OR REPLACE TABLE $c.ns.t AS SELECT CAST(id AS STRING) AS s FROM range(4)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 4)
+    assert(spark.table(s"$c.ns.t").columns.toSeq == Seq("s"))
+  }
+
   test("namespace properties persist (the JDBC-only C5 capability)") {
     val c = fresh("props")
     spark.sql(s"CREATE NAMESPACE $c.p")
