@@ -372,6 +372,31 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           if (f.name == rc.fieldNames()(0)) f.copy(name = rc.newName()) else f)
       case dc: TableChange.DeleteColumn =>
         fields = fields.filterNot(_.name == dc.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        // SAFE widening only (Iceberg's promotion rules): existing
+        // files keep their narrow physical type — the field id still
+        // matches and Spark's parquet reader up-casts at scan time, so
+        // the change is metadata-only even at 100 TB
+        require(ut.fieldNames().length == 1, "nested type changes not supported")
+        fields = fields.map { f =>
+          if (f.name == ut.fieldNames()(0)) {
+            val from = org.apache.spark.sql.types.DataType.fromJson(f.dataType)
+            val to = ut.newDataType()
+            require(RelativeCatalog.safePromotion(from, to),
+              s"unsafe type change ${from.simpleString} -> ${to.simpleString}: " +
+                "only widening promotions (int->long, float->double, decimal " +
+                "precision growth) are metadata-only")
+            f.copy(dataType = to.json)
+          } else f
+        }
+      case un: TableChange.UpdateColumnNullability =>
+        // relaxing to nullable is free; the reverse would assert a
+        // fact about every existing row — refuse instead of scanning
+        require(un.nullable(),
+          s"cannot make ${un.fieldNames().mkString(".")} required: existing rows may hold nulls")
+        fields = fields.map(f =>
+          if (f.name == un.fieldNames()(0)) f.copy(required = false) else f)
+      case _: TableChange.UpdateColumnComment => // comments aren't persisted
       case other =>
         throw new UnsupportedOperationException(s"unsupported change: $other")
     }
@@ -606,6 +631,21 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 }
 
 object RelativeCatalog {
+  import org.apache.spark.sql.types._
+
+  /** Iceberg-safe widening promotions: every old value is exactly
+    * representable in the new type, so old files read unchanged. */
+  def safePromotion(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
+  }
+
   /** Rewrite every spilled manifest chunk under `metadataDir` with
     * `remap` applied to its data-file paths (used by renameTable —
     * the chunk files move with the table directory, but their embedded

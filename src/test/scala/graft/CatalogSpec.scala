@@ -162,6 +162,38 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("schema evolution: type widening is metadata-only; unsafe changes refuse") {
+    val wh = freshDir("evo3")
+    mkCatalog("tcE3", wh)
+    spark.sql("CREATE NAMESPACE tcE3.e")
+    spark.sql("CREATE TABLE tcE3.e.t (id INT, v FLOAT)")
+    spark.sql("INSERT INTO tcE3.e.t VALUES (1, CAST(1.5 AS FLOAT)), (2147483647, CAST(2.5 AS FLOAT))")
+    val filesBefore = new TableOps(wh, "e/t").refresh().get._2
+      .currentSnapshot.get.files.map(_.path).toSet
+    spark.sql("ALTER TABLE tcE3.e.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE tcE3.e.t ALTER COLUMN v TYPE DOUBLE")
+    // old (narrow) files read under the widened schema, no rewrite
+    val metaAfter = new TableOps(wh, "e/t").refresh().get._2
+    assert(metaAfter.currentSnapshot.get.files.map(_.path).toSet == filesBefore,
+      "type widening must not rewrite data files")
+    assert(metaAfter.schema.fields.map(f => f.name -> f.id).toMap ==
+      Map("id" -> 1, "v" -> 2), "widening must keep field ids")
+    spark.sql("INSERT INTO tcE3.e.t VALUES (9999999999, 3.5)")
+    val rows = spark.sql("SELECT id, v FROM tcE3.e.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.5), (2147483647L, 2.5), (9999999999L, 3.5)))
+    // filters on the widened column still prune/evaluate correctly
+    assert(spark.sql("SELECT COUNT(*) FROM tcE3.e.t WHERE id > 2000000000")
+      .collect()(0).getLong(0) == 2L)
+    // unsafe narrowing / incompatible changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE tcE3.e.t ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE tcE3.e.t ALTER COLUMN v TYPE STRING")
+    }
+  }
+
   test("copy-on-write MERGE carries over files the ON-condition cannot touch") {
     val wh = freshDir("mrg")
     mkCatalog("tcMg", wh)
