@@ -397,6 +397,20 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         fields = fields.map(f =>
           if (f.name == un.fieldNames()(0)) f.copy(required = false) else f)
       case _: TableChange.UpdateColumnComment => // comments aren't persisted
+      case up: TableChange.UpdateColumnPosition =>
+        // metadata-only reorder: ids don't move, files don't care
+        require(up.fieldNames().length == 1, "nested moves not supported")
+        val moving = fields.find(_.name == up.fieldNames()(0)).getOrElse(
+          throw new IllegalArgumentException(s"no column ${up.fieldNames()(0)}"))
+        val rest = fields.filterNot(_.name == moving.name)
+        fields = up.position() match {
+          case _: TableChange.First => moving +: rest
+          case a: TableChange.After =>
+            val i = rest.indexWhere(_.name == a.column())
+            require(i >= 0, s"no column ${a.column()} to move after")
+            (rest.take(i + 1) :+ moving) ++ rest.drop(i + 1)
+          case other => throw new UnsupportedOperationException(s"position $other")
+        }
       case other =>
         throw new UnsupportedOperationException(s"unsupported change: $other")
     }
@@ -575,6 +589,30 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           Row(n, r.refType, r.snapshotId)
         }
         new MemTable(s"${ident.name()}$$refs", sch, rows)
+      case "manifests" =>
+        // spilled manifest chunks of the current snapshot (the
+        // commit-payload-bounding mechanism; README.md:96 analog)
+        val sch = StructType(Seq(
+          StructField("path", StringType),
+          StructField("file_count", IntegerType)))
+        val rows = meta.currentSnapshot.map(_.manifests).getOrElse(Nil)
+          .map(m => Row(m.path, m.count))
+        new MemTable(s"${ident.name()}$$manifests", sch, rows)
+      case "delete_files" =>
+        // live merge-on-read delete files (README.md:89-90): position
+        // deletes carry no equality ids, equality deletes list theirs
+        val sch = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("content", StringType),
+          StructField("record_count", LongType),
+          StructField("file_size_in_bytes", LongType),
+          StructField("equality_ids", StringType)))
+        val rows = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+          .map(f => Row(f.path,
+            if (Mor.isEquality(f)) "equality" else "position",
+            f.records, f.bytes,
+            f.equalityIds.map(_.mkString(",")).orNull))
+        new MemTable(s"${ident.name()}$$delete_files", sch, rows)
       case "stats" =>
         // one row per column from the committed statistics slot
         // (Maintenance.computeStats); empty until a stats pass ran

@@ -22,10 +22,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ingest pipeline runs continuously; each trigger costs O(new files).
   */
 class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap,
-    required: StructType, pushedExprs: Seq[Expression]) extends MicroBatchStream {
+    required: StructType, pushedExprs: Seq[Expression]) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private val skipNonAppend =
     Option(options.get("streaming-skip-nonappend")).exists(_.toBoolean)
+  // rate limits: cap each trigger's admission (snapshot-granular —
+  // offsets stay contiguous seq ranges, so batches remain replayable).
+  // A huge backfill then drains as bounded micro-batches instead of
+  // one giant catch-up batch that overwhelms the state store.
+  private val maxFilesPerTrigger =
+    Option(options.get("max-files-per-trigger")).map(_.toInt)
+  private val maxRowsPerTrigger =
+    Option(options.get("max-rows-per-trigger")).map(_.toLong)
 
   private def freshMeta = table.ops.refresh()
     .map(_._2).getOrElse(table.meta)
@@ -34,6 +45,38 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
 
   override def latestOffset(): Offset =
     SeqOffset(freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startSeq = start.asInstanceOf[SeqOffset].seq
+    val meta = freshMeta
+    val curSeq = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
+      return SeqOffset(curSeq)
+    val snaps = meta.snapshots
+      .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= curSeq)
+      .sortBy(_.sequenceNumber)
+    var files = 0L; var rows = 0L; var end = startSeq
+    var stop = false
+    for (s <- snaps if !stop) {
+      val added =
+        if (s.operation == "append") s.files.filter(_.seq.contains(s.sequenceNumber))
+        else Nil
+      val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
+        maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
+      // a single snapshot can't be split (offsets are seq numbers):
+      // always admit at least one, even if it alone exceeds the cap
+      if (exceeds && end > startSeq) stop = true
+      else {
+        files += added.size; rows += added.map(_.records).sum
+        end = s.sequenceNumber
+      }
+    }
+    SeqOffset(end)
+  }
 
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.stripPrefix("{\"seq\":").stripSuffix("}").trim.toLong)

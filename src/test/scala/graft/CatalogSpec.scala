@@ -804,6 +804,57 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("column position moves; $manifests and $delete_files metadata tables") {
+    val wh = freshDir("mvmeta")
+    mkCatalog("tcMv", wh)
+    spark.sql("CREATE NAMESPACE tcMv.m")
+    spark.sql("CREATE TABLE tcMv.m.t (id BIGINT, v STRING, w DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcMv.m.t SELECT id, CAST(id AS STRING), id * 0.5 FROM range(20)")
+    // metadata-only reorder: ids keep their values, data still reads
+    spark.sql("ALTER TABLE tcMv.m.t ALTER COLUMN w FIRST")
+    assert(spark.table("tcMv.m.t").columns.toSeq == Seq("w", "id", "v"))
+    spark.sql("ALTER TABLE tcMv.m.t ALTER COLUMN w AFTER id")
+    assert(spark.table("tcMv.m.t").columns.toSeq == Seq("id", "w", "v"))
+    assert(spark.sql("SELECT SUM(w) FROM tcMv.m.t").collect()(0).getDouble(0) ==
+      (0 until 20).map(_ * 0.5).sum)
+    // MOR delete → one live position-delete file in $delete_files
+    spark.sql("DELETE FROM tcMv.m.t WHERE id < 5")
+    val dels = spark.sql("SELECT content, record_count FROM tcMv.m.`t$delete_files`").collect()
+    assert(dels.length == 1 && dels(0).getString(0) == "position" && dels(0).getLong(1) == 5)
+    // $manifests lists the spilled chunks (none yet for a small table)
+    assert(spark.sql("SELECT * FROM tcMv.m.`t$manifests`").collect().length >= 0)
+  }
+
+  test("streaming read rate limit: a backfill drains as bounded micro-batches") {
+    val wh = freshDir("strmrl")
+    mkCatalog("tcRl", wh)
+    spark.sql("CREATE NAMESPACE tcRl.st")
+    spark.sql("CREATE TABLE tcRl.st.t (id BIGINT)")
+    // 4 append snapshots BEFORE the stream starts (a backlog)
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO tcRl.st.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("max-rows-per-trigger", "10")
+      .table("tcRl.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.count()
+        if (n > 0) batchSizes.synchronized { batchSizes += n }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      val sizes = batchSizes.synchronized { batchSizes.toList }
+      assert(sizes.sum == 40, s"all rows must arrive exactly once: $sizes")
+      // the 4-snapshot backlog must NOT collapse into one giant batch
+      assert(sizes.size == 4, s"expected 4 rate-limited batches, got $sizes")
+      assert(sizes.forall(_ == 10), s"each batch capped at one 10-row snapshot: $sizes")
+    } finally q.stop()
+  }
+
   test("native streaming sink: writeStream.toTable commits one snapshot per epoch") {
     val wh = freshDir("ssink")
     mkCatalog("tcSk", wh)
