@@ -245,7 +245,8 @@ class GraftTable(
       val stagingRel = s"${meta.location}/deletes/${java.util.UUID.randomUUID()}"
       val stagingAbs = RelPaths.absolutize(ops.warehouse, stagingRel)
       matches.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
-      val delFiles = Writer.collectStats(spark, Mor.deleteSchema, ops.warehouse, stagingAbs)
+      val delFiles = Writer.collectStats(spark, Mor.deleteSchema, ops.warehouse, stagingAbs,
+        exactBoundCols = Set("file_path"))
         .filter(_.records > 0)
       if (delFiles.isEmpty) {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
@@ -356,10 +357,13 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   override def build(): Scan = {
     val v1 = pushedExprs.flatMap(e => GraftFilterShim.translate(e))
     val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
+    // only delete files whose path range can reference a surviving
+    // data file ride along (file-pruned scans skip unrelated deletes)
+    val prunedDeletes = Mor.relevantDeletes(liveDeletes, pruned)
     if (required.fieldNames.exists(GraftTable.MetaColNames))
-      new MetaScan(table, required, pruned, liveDeletes, v1)
-    else if (liveDeletes.nonEmpty)
-      new MorScan(table, required, pruned, liveDeletes, v1)
+      new MetaScan(table, required, pruned, prunedDeletes, v1)
+    else if (prunedDeletes.nonEmpty)
+      new MorScan(table, required, pruned, prunedDeletes, v1)
     else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
       // default: vectorized delegate + dynamic file pruning + streaming
       .getOrElse(new GraftStreamableScan(table, options, required, pushedExprs, pruned))

@@ -78,6 +78,27 @@ object Mor {
 
   def isEquality(d: DataFile): Boolean = d.content.contains("equality")
 
+  /** Delete files that can possibly reference any of `files`, decided
+    * by the delete files' `file_path` column bounds (position-delete
+    * writes keep them EXACT — untruncated — for this purpose). A
+    * pruned point-lookup over a trickle-deleted 100 TB table then
+    * reads only the handful of delete files whose path range overlaps
+    * the scanned files, not every delete ever committed. Equality
+    * deletes are value-keyed, not file-keyed → always kept (their
+    * applicability is decided per row by sequence number). Missing
+    * bounds (legacy/fallback stats) conservatively keep the file.
+    */
+  def relevantDeletes(deletes: Seq[DataFile], files: Seq[DataFile]): Seq[DataFile] = {
+    val paths = files.map(_.path)
+    deletes.filter { d =>
+      isEquality(d) || {
+        val lb = d.minBound.get("file_path")
+        val ub = d.maxBound.get("file_path")
+        paths.exists(p => lb.forall(p >= _) && ub.forall(p <= _))
+      }
+    }
+  }
+
   /** Subtract EQUALITY deletes from a __gf-annotated frame. `dataFiles`
     * supplies each file's sequence number (the delete applies only to
     * strictly-older files). Key columns are resolved from the frame's

@@ -611,7 +611,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
           table.meta.spec.fields.map(_.name), table.ops.warehouse))
     val delFiles =
       if (ms.forall(_.deleteRecords == 0)) Nil
-      else Writer.collectStats(spark, Mor.deleteSchema, table.ops.warehouse, delAbs)
+      else Writer.collectStats(spark, Mor.deleteSchema, table.ops.warehouse, delAbs,
+        exactBoundCols = Set("file_path"))
         .filter(_.records > 0)
     if (newFiles.isEmpty && delFiles.isEmpty) { abort(messages); return }
     // a concurrent rewrite/compaction of a file our deletes reference

@@ -206,20 +206,21 @@ object Writer {
     * Falls back to a Spark aggregation pass if a footer can't serve.
     */
   def collectStats(spark: org.apache.spark.sql.SparkSession, schema: StructType,
-      warehouse: String, stagingAbs: String): List[DataFile] =
-    try collectStatsFromFooters(schema, warehouse, stagingAbs)
+      warehouse: String, stagingAbs: String,
+      exactBoundCols: Set[String] = Set.empty): List[DataFile] =
+    try collectStatsFromFooters(schema, warehouse, stagingAbs, exactBoundCols)
     catch {
       case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"footer stats failed (${e.getMessage}); falling back to scan")
-        collectStatsByScan(spark, schema, warehouse, stagingAbs)
+        collectStatsByScan(spark, schema, warehouse, stagingAbs, exactBoundCols)
     }
 
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
 
   def collectStatsFromFooters(schema: StructType, warehouse: String,
-      stagingAbs: String): List[DataFile] = {
+      stagingAbs: String, exactBoundCols: Set[String] = Set.empty): List[DataFile] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -284,9 +285,13 @@ object Writer {
           path = RelPaths.relativize(warehouse, p.toString),
           records = records,
           bytes = scala.util.Try(Files.size(p)).getOrElse(0L),
+          // exactBoundCols (e.g. a position-delete file's file_path)
+          // keep full-length bounds: scan-side delete pruning needs a
+          // real range, and paths are ~100 chars, not documents
           minBound = mins.toMap.map { case (k, v) =>
-            k -> (if (v.length > 64) v.substring(0, 64) else v) },
-          maxBound = maxs.toMap.filter(_._2.length <= 64),
+            k -> (if (v.length > 64 && !exactBoundCols(k)) v.substring(0, 64) else v) },
+          maxBound = maxs.toMap.filter { case (k, v) =>
+            v.length <= 64 || exactBoundCols(k) },
           nullCount = nulls.toMap)
       } finally reader.close()
     }
@@ -320,7 +325,8 @@ object Writer {
     }
 
   def collectStatsByScan(spark: org.apache.spark.sql.SparkSession, schema: StructType,
-      warehouse: String, stagingAbs: String): List[DataFile] = {
+      warehouse: String, stagingAbs: String,
+      exactBoundCols: Set[String] = Set.empty): List[DataFile] = {
     val boundable = schema.fields.filter(f => f.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType | _: DoubleType |
            _: FloatType | _: StringType | _: DateType | _: TimestampType |
@@ -351,7 +357,7 @@ object Writer {
       // is simply never skipped on that column's upper side)
       val mins = boundable.flatMap(f =>
         Option(r.getAs[String](s"__min_${f.name}")).map(v =>
-          f.name -> (if (v.length > 64) v.substring(0, 64) else v))).toMap
+          f.name -> (if (v.length > 64 && !exactBoundCols(f.name)) v.substring(0, 64) else v))).toMap
       val maxs = boundable.flatMap(f =>
         Option(r.getAs[String](s"__max_${f.name}")).filter(_.length <= 64)
           .map(f.name -> _)).toMap

@@ -826,6 +826,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM tcMv.m.`t$manifests`").collect().length >= 0)
   }
 
+  test("scan-side delete-file pruning: unrelated delete files drop from pruned scans") {
+    val wh = freshDir("delprune")
+    mkCatalog("tcDp", wh)
+    spark.sql("CREATE NAMESPACE tcDp.d")
+    spark.sql("CREATE TABLE tcDp.d.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcDp.d.t SELECT id, 'a' FROM range(100)")
+    spark.sql("INSERT INTO tcDp.d.t SELECT id, 'b' FROM range(1000, 1100)")
+    spark.sql("DELETE FROM tcDp.d.t WHERE id < 10")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcDp")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val snap = cat.loadTable(Identifier.of(Array("d"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get
+    val dels = snap.deleteFiles
+    assert(dels.nonEmpty)
+    // position-delete files carry EXACT file_path bounds now
+    assert(dels.forall(d => d.minBound.contains("file_path") &&
+      d.maxBound.contains("file_path")), s"missing exact bounds: $dels")
+    // the delete references only batch-1 files: batch-2-only scans drop it
+    val unrelated = snap.files.filterNot(f => dels.exists(d =>
+      f.path >= d.minBound("file_path") && f.path <= d.maxBound("file_path")))
+    assert(unrelated.nonEmpty)
+    assert(graft.catalog.Mor.relevantDeletes(dels, unrelated).isEmpty,
+      "delete file must prune against files it cannot reference")
+    assert(graft.catalog.Mor.relevantDeletes(dels, snap.files) == dels)
+    // end-to-end answers are unchanged by the pruning
+    assert(spark.sql("SELECT COUNT(*) FROM tcDp.d.t WHERE id >= 1000")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.sql("SELECT COUNT(*) FROM tcDp.d.t").collect()(0).getLong(0) == 190)
+  }
+
   test("streaming read rate limit: a backfill drains as bounded micro-batches") {
     val wh = freshDir("strmrl")
     mkCatalog("tcRl", wh)
