@@ -299,6 +299,42 @@ object Maintenance {
       clearDeletes = true)
   }
 
+  /** Bin-pack small-file compaction (Iceberg's `rewrite_data_files`
+    * binpack strategy): only files smaller than half the target size
+    * are read back — grouped to ~`targetSizeBytes` outputs — while
+    * right-sized files carry over UNTOUCHED. O(small files), not
+    * O(table): the realistic maintenance pass for a 100 TB table that
+    * accumulates trickle-append debris. All live deletes are applied
+    * to the rewritten subset (a rewritten row must not escape a
+    * pending delete via its new (file,pos) identity); delete files
+    * stay committed for the carried-over files — entries referencing
+    * rewritten paths become inert and are reclaimed by a full
+    * [[compact]]. Returns the number of files rewritten.
+    */
+  def compactBinpack(spark: SparkSession, table: GraftTable,
+      targetSizeBytes: Long, minInputFiles: Int = 2): Int = {
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+    val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    val small = files.filter(_.bytes < targetSizeBytes / 2)
+    if (small.size < minInputFiles) return 0
+    val smallPaths = small.map(_.path).toSet
+    val untouched = files.filterNot(f => smallPaths(f.path))
+    val paths = small.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val groups = math.max(1,
+      math.ceil(small.map(_.bytes).sum.toDouble / targetSizeBytes).toInt)
+    val df = Mor.applyDeletes(spark,
+        spark.read
+          .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
+          .parquet(paths: _*),
+        table.ops.warehouse, deletes, small)
+      .coalesce(groups)
+    Writer.append(table, df, overwrite = true, operation = "replace",
+      carryover = untouched,
+      validateFrom = Some(snap.map(_.snapshotId)))
+    small.size
+  }
+
   /** Age-based retention: expire every snapshot OLDER than
     * `olderThanMs` except the current one and ref-pinned ones (the
     * production retention policy shape — "keep 7 days"; count-based

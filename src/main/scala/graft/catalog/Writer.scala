@@ -102,13 +102,25 @@ object Writer {
     // hash collisions) — tight bounds, exact partition stats, and the
     // uniformity invariant runtime group filtering needs
     val specExprs = specTransformExprs(meta).map(_._2)
-    val clustered = if (specExprs.nonEmpty) aligned.repartition(specExprs: _*) else aligned
     val sortCols = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
       .map(_.fields).getOrElse(Nil).flatMap { sf =>
         meta.schema.fields.find(_.id == sf.sourceId).map { src =>
           if (sf.direction == "desc") col(src.name).desc else col(src.name).asc
         }
       }
+    // write.distribution-mode=range RANGE-partitions by (partition key,
+    // sort key) instead of hashing the partition key: output files get
+    // globally disjoint sort-key ranges — tight min/max bounds, so a
+    // sort-key predicate skips all but O(1) files. Hash stays the
+    // default (no sampling pass, no skew sensitivity). Fanout keeps
+    // files partition-local either way.
+    val rangeMode = meta.properties.get("write.distribution-mode").contains("range")
+    val clustered =
+      if (specExprs.nonEmpty)
+        if (rangeMode) aligned.repartitionByRange((specExprs ++ sortCols).toIndexedSeq: _*)
+        else aligned.repartition(specExprs: _*)
+      else if (rangeMode && sortCols.nonEmpty) aligned.repartitionByRange(sortCols: _*)
+      else aligned
     val sorted =
       if (specExprs.nonEmpty)
         clustered.sortWithinPartitions((specExprs ++ sortCols).toIndexedSeq: _*)

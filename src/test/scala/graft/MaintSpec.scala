@@ -213,6 +213,75 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 200)
   }
 
+  test("range distribution mode: files get disjoint sort-key ranges") {
+    val wh = "/tmp/graft_test_rangedist"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRd", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRd.r")
+    spark.sql("CREATE TABLE tcRd.r.t (id BIGINT) TBLPROPERTIES " +
+      "('sort-order'='id asc', 'write.distribution-mode'='range')")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      // scrambled input: range clustering must SORT it across files
+      spark.sql("INSERT INTO tcRd.r.t SELECT (id * 37) % 10000 FROM range(10000)")
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val files = new TableOps(wh, "r/t").refresh().get._2.currentSnapshot.get.files
+    assert(files.size >= 2, s"expected multiple files, got ${files.size}")
+    // disjoint id ranges: sorted by min bound, each file's max < next min
+    val ranges = files.map(f => (f.minBound("id").toLong, f.maxBound("id").toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"overlapping sort-key ranges: $ranges")
+      case _ =>
+    }
+    assert(spark.sql("SELECT COUNT(DISTINCT id) FROM tcRd.r.t")
+      .collect()(0).getLong(0) == 10000)
+  }
+
+  test("binpack compaction rewrites only undersized files, applies their deletes") {
+    val wh = "/tmp/graft_test_binpack"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcBp", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcBp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcBp.b")
+    spark.sql("CREATE TABLE tcBp.b.t (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcBp.b.t SELECT id, repeat('x', 50) FROM range(5000)")
+    spark.sql("INSERT INTO tcBp.b.t SELECT id, 'b' FROM range(10000, 10050)")
+    spark.sql("INSERT INTO tcBp.b.t SELECT id, 'c' FROM range(20000, 20050)")
+    spark.sql("DELETE FROM tcBp.b.t WHERE id BETWEEN 10000 AND 10009")
+    val cat = spark.sessionState.catalogManager.catalog("tcBp")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("b"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val before = tbl.readSnapshot.get
+    val big = before.files.maxBy(_.bytes)
+    assert(before.files.size >= 3)
+    val smallPaths = before.files.filter(_.bytes < big.bytes / 2).map(_.path).toSet
+    val carried = before.files.map(_.path).toSet -- smallPaths
+    assert(smallPaths.nonEmpty && carried.nonEmpty)
+
+    val rewritten = Maintenance.compactBinpack(spark, tbl, targetSizeBytes = big.bytes)
+    assert(rewritten == smallPaths.size, "exactly the undersized files rewritten")
+    val after = tbl.readSnapshot.get
+    // right-sized files carried over byte-identical; small ones merged
+    assert(carried.subsetOf(after.files.map(_.path).toSet),
+      "right-sized files must carry over")
+    assert(after.files.map(_.path).toSet.intersect(smallPaths).isEmpty)
+    assert(after.files.size < before.files.size)
+    assert(after.snapshotId != before.snapshotId &&
+      tbl.meta.snapshots.maxBy(_.sequenceNumber).operation == "replace")
+    // deletes applied during rewrite: counts unchanged
+    assert(spark.sql("SELECT COUNT(*) FROM tcBp.b.t").collect()(0).getLong(0) == 5090)
+    assert(spark.sql("SELECT COUNT(*) FROM tcBp.b.t WHERE id BETWEEN 10000 AND 10009")
+      .collect()(0).getLong(0) == 0)
+    // nothing to do when everything is right-sized
+    assert(Maintenance.compactBinpack(spark, tbl, targetSizeBytes = 1L) == 0)
+  }
+
   test("rollback + cherry-pick: main moves back; diverged audit append replays") {
     val wh = "/tmp/graft_test_rollb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
