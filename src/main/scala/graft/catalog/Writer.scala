@@ -548,7 +548,12 @@ object Writer {
         table.ops.commit(baseV, next)
         done = true
       } catch {
-        case _: CommitFailedException if attempts < 10 => // refresh + retry
+        case _: CommitFailedException if attempts < 10 =>
+          // refresh + retry with jittered exponential backoff: many
+          // concurrent committers (a 1000-executor ingest fan-in)
+          // otherwise re-collide on every round
+          Thread.sleep(math.min(1000L, 10L << attempts) / 2 +
+            scala.util.Random.nextLong(math.min(1000L, 10L << attempts) / 2 + 1))
       }
     }
   }

@@ -477,6 +477,28 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // Bin-pack compaction: only undersized files rewritten (the
+    // O(small-files) maintenance pass); data must read back identical.
+    Decl("q_cat_compact_binpack", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_bp")
+      spark.sql(s"CREATE TABLE $c.demo_bp.nat (n_nationkey INT, n_name STRING)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      (1 to 3).foreach(_ =>
+        spark.sql(s"INSERT INTO $c.demo_bp.nat SELECT n_nationkey, n_name FROM nation_src"))
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_bp"), "nat")
+      val tbl = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      graft.catalog.Maintenance.compactBinpack(spark, tbl, targetSizeBytes = 512L << 20)
+      spark.sql(
+        s"""SELECT n_nationkey, COUNT(*) AS n FROM $c.demo_bp.nat
+           |GROUP BY n_nationkey
+           |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT n_nationkey, CAST(3 AS BIGINT) AS n FROM nation
+        |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin)),
+
     // Atomic CTAS (StagingTableCatalog): table + data published in one
     // metadata rename; the oracle checks the staged write round-trips.
     Decl("q_cat_ctas", (spark, dir) => {
