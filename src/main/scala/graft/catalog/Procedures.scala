@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable maintenance procedures (Spark 4 `CALL` statement over
+  * the DSv2 `ProcedureCatalog` — the user-facing surface Iceberg ships
+  * as `CALL cat.system.<proc>(...)`):
+  *
+  * {{{
+  *   CALL cat.system.expire_snapshots(tbl => 'ns.t', keep_last => 3)
+  *   CALL cat.system.compact_binpack(tbl => 'ns.t', target_size_bytes => 134217728)
+  *   CALL cat.system.rollback_to_snapshot(tbl => 'ns.t', snapshot_id => 123)
+  * }}}
+  *
+  * Each wraps the corresponding [[Maintenance]] API and returns a
+  * one-row result set through a driver-side [[LocalScan]] (procedure
+  * outputs are metadata-sized).
+  */
+object Procedures {
+
+  private case class ProcDef(
+      name: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      run: (RelativeCatalog, InternalRow) => Seq[InternalRow])
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def tbl(cat: RelativeCatalog, t: String): GraftTable = {
+    val parts = t.split('.')
+    cat.loadTable(Identifier.of(parts.init, parts.last)).asInstanceOf[GraftTable]
+  }
+
+  private def row(vals: Any*): Seq[InternalRow] =
+    Seq(new GenericInternalRow(vals.toArray))
+
+  private val defs: Seq[ProcDef] = Seq(
+    ProcDef("expire_snapshots",
+      Seq(in("tbl", StringType), inDefault("keep_last", IntegerType, "1")),
+      StructType(Seq(StructField("deleted_files", IntegerType))),
+      (cat, args) => row(
+        Maintenance.expireSnapshots(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getInt(1)))),
+
+    ProcDef("expire_older_than",
+      Seq(in("tbl", StringType), in("older_than_ms", LongType)),
+      StructType(Seq(StructField("deleted_files", IntegerType))),
+      (cat, args) => row(
+        Maintenance.expireOlderThan(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getLong(1)))),
+
+    ProcDef("remove_orphan_files",
+      Seq(in("tbl", StringType), inDefault("older_than_ms", LongType, "0")),
+      StructType(Seq(StructField("deleted_files", IntegerType))),
+      (cat, args) => row(
+        Maintenance.removeOrphanFiles(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getLong(1)))),
+
+    ProcDef("compact",
+      Seq(in("tbl", StringType), inDefault("target_files", IntegerType, "1")),
+      StructType(Seq(StructField("files_after", IntegerType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        Maintenance.compact(SparkSession.active, t, args.getInt(1))
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .readSnapshot.map(_.files.size).getOrElse(0))
+      }),
+
+    ProcDef("compact_binpack",
+      Seq(in("tbl", StringType), in("target_size_bytes", LongType),
+        inDefault("min_input_files", IntegerType, "2")),
+      StructType(Seq(StructField("rewritten_files", IntegerType))),
+      (cat, args) => row(
+        Maintenance.compactBinpack(SparkSession.active,
+          tbl(cat, args.getUTF8String(0).toString), args.getLong(1), args.getInt(2)))),
+
+    ProcDef("rollback_to_snapshot",
+      Seq(in("tbl", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType))),
+      (cat, args) => {
+        Maintenance.rollbackTo(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getLong(1))
+        row(args.getLong(1))
+      }),
+
+    ProcDef("cherrypick_snapshot",
+      Seq(in("tbl", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        Maintenance.cherryPick(t, args.getLong(1))
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .meta.currentSnapshotId.getOrElse(-1L))
+      }),
+
+    ProcDef("create_ref",
+      Seq(in("tbl", StringType), in("ref", StringType),
+        inDefault("ref_type", StringType, "'tag'")),
+      StructType(Seq(StructField("snapshot_id", LongType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        Maintenance.createRef(t.ops, args.getUTF8String(1).toString,
+          args.getUTF8String(2).toString)
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .meta.refs(args.getUTF8String(1).toString).snapshotId)
+      }),
+
+    ProcDef("fast_forward",
+      Seq(in("tbl", StringType), in("branch", StringType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType))),
+      (cat, args) => {
+        Maintenance.fastForward(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getUTF8String(1).toString)
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .meta.currentSnapshotId.getOrElse(-1L))
+      }),
+
+    ProcDef("compute_stats",
+      Seq(in("tbl", StringType)),
+      StructType(Seq(StructField("total_records", LongType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        Maintenance.computeStats(SparkSession.active, t)
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .meta.statistics.map(_.totalRecords).getOrElse(0L))
+      }),
+  )
+
+  def names: Seq[String] = defs.map(_.name)
+
+  def load(cat: RelativeCatalog, name: String): Option[UnboundProcedure] =
+    defs.find(_.name == name).map { d =>
+      new UnboundProcedure {
+        override def name(): String = d.name
+        override def description(): String = s"graft maintenance procedure ${d.name}"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = d.name
+          override def description(): String = s"graft maintenance procedure ${d.name}"
+          override def parameters(): Array[ProcedureParameter] = d.params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            java.util.List.of[Scan](new LocalScan {
+              private val result = d.run(cat, input).toArray
+              override def rows(): Array[InternalRow] = result
+              override def readSchema(): StructType = d.out
+            }).iterator()
+        }
+      }
+    }
+}

@@ -40,7 +40,23 @@ import scala.util.Try
   */
 class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   with org.apache.spark.sql.connector.catalog.FunctionCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL <cat>.system.<proc>(...)` — the SQL maintenance surface
+    * ([[Procedures]]): expire/compact/rollback/cherry-pick/refs/stats.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace(0) == "system")
+      Procedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (if (ident.namespace().length == 1 && ident.namespace()(0) == "system")
+       Procedures.load(this, ident.name())
+     else None).getOrElse(throw new RuntimeException(
+      s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()}"))
 
   /** Partition-transform functions (`bucket`, `days`) — served from
     * every namespace incl. the root so both user SQL

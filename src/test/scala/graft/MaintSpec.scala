@@ -213,6 +213,47 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 200)
   }
 
+  test("CALL procedures: SQL maintenance surface end-to-end") {
+    val wh = "/tmp/graft_test_proc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcPr", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcPr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcPr.p")
+    spark.sql("CREATE TABLE tcPr.p.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcPr.p.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    def table = {
+      val cat = spark.sessionState.catalogManager.catalog("tcPr")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      cat.loadTable(Identifier.of(Array("p"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable]
+    }
+    val goodSnap = table.meta.snapshots.minBy(_.sequenceNumber).snapshotId
+
+    // rollback via CALL, by-name args
+    val rb = spark.sql(
+      s"CALL tcPr.system.rollback_to_snapshot(tbl => 'p.t', snapshot_id => $goodSnap)").collect()
+    assert(rb(0).getLong(0) == goodSnap)
+    assert(spark.sql("SELECT COUNT(*) FROM tcPr.p.t").collect()(0).getLong(0) == 10)
+
+    // tag via CALL, then compact + expire; the tag keeps its snapshot
+    spark.sql("CALL tcPr.system.create_ref(tbl => 'p.t', ref => 'keep')")
+    spark.sql("INSERT INTO tcPr.p.t SELECT id FROM range(100, 120)")
+    val ca = spark.sql("CALL tcPr.system.compact(tbl => 'p.t')").collect()
+    assert(ca(0).getInt(0) == 1, "compact to one file")
+    val ex = spark.sql("CALL tcPr.system.expire_snapshots(tbl => 'p.t', keep_last => 1)").collect()
+    assert(ex(0).getInt(0) >= 0)
+    assert(spark.sql("SELECT COUNT(*) FROM tcPr.p.t VERSION AS OF 'keep'")
+      .collect()(0).getLong(0) == 10, "tagged snapshot survives expiry")
+    assert(spark.sql("SELECT COUNT(*) FROM tcPr.p.t").collect()(0).getLong(0) == 30)
+
+    // stats via CALL flow into $stats
+    val st = spark.sql("CALL tcPr.system.compute_stats(tbl => 'p.t')").collect()
+    assert(st(0).getLong(0) == 30)
+    assert(spark.sql("SELECT DISTINCT total_records FROM tcPr.p.`t$stats`")
+      .collect()(0).getLong(0) == 30)
+  }
+
   test("range distribution mode: files get disjoint sort-key ranges") {
     val wh = "/tmp/graft_test_rangedist"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
