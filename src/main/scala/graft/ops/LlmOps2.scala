@@ -95,9 +95,20 @@ object LlmOps2 extends Pack {
     * would not be).
     */
   def trainCentroids(emb: DataFrame, nlist: Int, iters: Int,
-      sampleN: Int = 4096): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = emb.orderBy(xxhash64(col("vec_id"))).limit(sampleN)
+      sampleN: Int = 4096): Array[Array[Double]] =
+    trainFromSample(collectSample(emb, sampleN), nlist, iters)
+
+  /** Deterministic training sample: first `sampleN` vectors in
+    * xxhash64 order (seedless spread). Callers can reuse the sample
+    * to ALSO derive dataset-size heuristics — when fewer than sampleN
+    * rows come back, the sample IS the dataset and a separate count()
+    * job would be pure waste. */
+  def collectSample(emb: DataFrame, sampleN: Int = 4096): Array[Array[Double]] =
+    emb.orderBy(xxhash64(col("vec_id"))).limit(sampleN)
       .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+
+  def trainFromSample(sample: Array[Array[Double]], nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
