@@ -477,6 +477,33 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // Three-clause MERGE incl. WHEN NOT MATCHED BY SOURCE (full sync
+    // semantics: update hits, insert new, delete rows gone from the
+    // source — the CDC snapshot-sync shape).
+    Decl("q_cat_merge_nmbs", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_nmbs")
+      spark.sql(s"CREATE TABLE $c.demo_nmbs.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_nmbs.cust SELECT c_custkey, c_acctbal FROM customer_src WHERE c_custkey % 3 <> 0")
+      spark.sql(
+        s"""MERGE INTO $c.demo_nmbs.cust t
+           |USING (SELECT c_custkey, c_acctbal FROM customer_src WHERE c_custkey % 2 = 0) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 500
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (s.c_custkey, s.c_acctbal)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      spark.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |FROM $c.demo_nmbs.cust""".stripMargin)
+    }, Some(
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal + 500
+        |                           ELSE c_acctbal END AS DECIMAL(18,6))), 2)
+        |    AS DECIMAL(18,2)) AS total
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)),
+
     // Bin-pack compaction: only undersized files rewritten (the
     // O(small-files) maintenance pass); data must read back identical.
     Decl("q_cat_compact_binpack", (spark, dir) => {

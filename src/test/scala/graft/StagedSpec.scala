@@ -81,6 +81,39 @@ class StagedSpec extends AnyFunSuite {
     assert(spark.sql("SELECT x FROM tcSt4.s.fresh").collect()(0).getInt(0) == 1)
   }
 
+  test("plain CREATE OR REPLACE TABLE (no AS SELECT) resets to an empty new shape") {
+    setup("tcSt7")
+    spark.sql("CREATE TABLE tcSt7.s.t (id BIGINT)")
+    spark.sql("INSERT INTO tcSt7.s.t SELECT id FROM range(9)")
+    spark.sql("CREATE OR REPLACE TABLE tcSt7.s.t (k STRING, n INT)")
+    assert(spark.table("tcSt7.s.t").columns.toSeq == Seq("k", "n"))
+    assert(spark.sql("SELECT COUNT(*) FROM tcSt7.s.t").collect()(0).getLong(0) == 0)
+    val cat = spark.sessionState.catalogManager.catalog("tcSt7")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val tbl = cat.loadTable(Identifier.of(Array("s"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    // identity + history preserved; new writes land in the new shape
+    assert(tbl.meta.snapshots.nonEmpty && tbl.meta.schemas.size == 2)
+    spark.sql("INSERT INTO tcSt7.s.t VALUES ('a', 1)")
+    assert(spark.sql("SELECT k, n FROM tcSt7.s.t").collect()(0).toSeq == Seq("a", 1))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes/updates unmatched targets") {
+    setup("tcSt8")
+    spark.sql("CREATE TABLE tcSt8.s.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcSt8.s.t SELECT id, 'old' FROM range(10)")
+    spark.sql(
+      """MERGE INTO tcSt8.s.t t USING (SELECT id FROM range(5, 8)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'hit'
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 'new')
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM tcSt8.s.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((5L, "hit"), (6L, "hit"), (7L, "hit")),
+      s"unexpected: $rows")
+  }
+
   test("time travel reads each snapshot under ITS schema, not the current one") {
     setup("tcSt6")
     spark.sql("CREATE TABLE tcSt6.s.t (id BIGINT, v DOUBLE)")
