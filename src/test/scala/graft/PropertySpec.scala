@@ -31,6 +31,31 @@ class PropertySpec extends AnyFunSuite {
     assert(meta.snapshots.map(_.sequenceNumber) == (1L to 8L).toList)
   }
 
+  test("relevantDeletes soundness: every delete referencing a scanned file is kept") {
+    import graft.meta.DataFile
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val dataPaths = (0 until 1 + rnd.nextInt(20)).map(i =>
+        s"ns/t/data/${java.util.UUID.nameUUIDFromBytes(Array(i.toByte, rnd.nextInt(4).toByte))}/part-$i.parquet")
+      val dataFiles = dataPaths.map(p => DataFile(p, 10, 100))
+      val deletes = (0 until rnd.nextInt(6)).map { _ =>
+        val referenced = rnd.shuffle(dataPaths).take(1 + rnd.nextInt(3))
+        // exact bounds, as the position-delete writer stamps them
+        DataFile(s"ns/t/deletes/${rnd.nextInt(1000)}.parquet", referenced.size.toLong, 50,
+          minBound = Map("file_path" -> referenced.min),
+          maxBound = Map("file_path" -> referenced.max)) -> referenced.toSet
+      }
+      val scanned = rnd.shuffle(dataFiles).take(rnd.nextInt(dataFiles.size + 1))
+      val kept = graft.catalog.Mor.relevantDeletes(deletes.map(_._1), scanned).toSet
+      val scannedPaths = scanned.map(_.path).toSet
+      deletes.foreach { case (d, refs) =>
+        if (refs.intersect(scannedPaths).nonEmpty)
+          assert(kept(d),
+            s"unsound: delete $d referencing ${refs.intersect(scannedPaths)} was pruned")
+      }
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("q_llm_exactdedup")(spark, TestSpark.sf)
     // dedup of already-deduped keepers finds nothing further
