@@ -101,8 +101,15 @@ class GraftTable(
       pf.transform match {
         case "identity" => Expressions.identity(src)
         case "days" => Expressions.days(src)
+        case "years" => Expressions.years(src)
+        case "months" => Expressions.months(src)
+        case "hours" => Expressions.hours(src)
         case t if t.startsWith("bucket[") =>
           Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
+        case t if t.startsWith("truncate[") =>
+          Expressions.apply("truncate",
+            Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
+            Expressions.column(src))
         case _ => Expressions.identity(src)
       }
     }.toArray

@@ -269,7 +269,17 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       val (tname, pname) = t.name() match {
         case "identity" => ("identity", ref)
         case "days" => ("days", s"${ref}_day")
+        case "years" => ("years", s"${ref}_year")
+        case "months" => ("months", s"${ref}_month")
+        case "hours" => ("hours", s"${ref}_hour")
         case "bucket" => (s"bucket[${t.arguments()(0)}]", s"${ref}_bucket")
+        case "truncate" =>
+          // SQL truncate(w, col): the width is the literal argument
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException("truncate needs a width"))
+          (s"truncate[$w]", s"${ref}_trunc")
         case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }
       PartField(srcId, firstPartId + i, pname, tname)

@@ -296,8 +296,15 @@ trait PartitionedWriteLayout extends RequiresDistributionAndOrdering {
       table.meta.schema.fields.find(_.id == pf.sourceId).map { src =>
         pf.transform match {
           case "days" => Expressions.days(src.name)
+          case "years" => Expressions.years(src.name)
+          case "months" => Expressions.months(src.name)
+          case "hours" => Expressions.hours(src.name)
           case t if t.startsWith("bucket[") =>
             Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src.name)
+          case t if t.startsWith("truncate[") =>
+            Expressions.apply("truncate",
+              Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
+              Expressions.column(src.name))
           case _ => Expressions.column(src.name)
             : org.apache.spark.sql.connector.expressions.Expression
         }
@@ -413,9 +420,15 @@ object KeySpec {
           val fromEnd = schema.length - i
           pf.transform match {
             case "days" => DaysKey(fromEnd, f.dataType)
+            case "years" => TimePartKey(fromEnd, f.dataType, "years")
+            case "months" => TimePartKey(fromEnd, f.dataType, "months")
+            case "hours" => HoursKey(fromEnd, f.dataType)
             case t if t.startsWith("bucket[") =>
               BucketKey(fromEnd, f.dataType,
                 t.stripPrefix("bucket[").stripSuffix("]").toInt)
+            case t if t.startsWith("truncate[") =>
+              TruncateKey(fromEnd, f.dataType,
+                t.stripPrefix("truncate[").stripSuffix("]").toInt)
             case _ => RawKey(fromEnd, f.dataType)
           }
         }
@@ -441,6 +454,28 @@ case class BucketKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType,
   override def eval(record: InternalRow, ordinal: Int): AnyRef =
     Integer.valueOf(GraftFunctions.bucketOf(
       if (record.isNullAt(ordinal)) null else record.get(ordinal, dt), dt, n))
+}
+case class TimePartKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType,
+    part: String) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    if (record.isNullAt(ordinal)) null
+    else if (part == "years") GraftFunctions.yearsOf(record.get(ordinal, dt), dt)
+    else GraftFunctions.monthsOf(record.get(ordinal, dt), dt)
+}
+case class HoursKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    if (record.isNullAt(ordinal)) null
+    else GraftFunctions.hoursOf(record.get(ordinal, dt), dt)
+}
+case class TruncateKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType,
+    w: Int) extends KeySpec {
+  override def eval(record: InternalRow, ordinal: Int): AnyRef =
+    if (record.isNullAt(ordinal)) null
+    else GraftFunctions.truncateOf(record.get(ordinal, dt), dt, w) match {
+      // UTF8String may point into a reused buffer — copy what we hold
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+      case v => v
+    }
 }
 
 class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration,

@@ -48,11 +48,32 @@ object Writer {
   def specTransformExprs(meta: TableMeta): Seq[(String, org.apache.spark.sql.Column)] =
     meta.spec.fields.flatMap { pf =>
       meta.schema.fields.find(_.id == pf.sourceId).map { src =>
+        val srcDt = org.apache.spark.sql.types.DataType.fromJson(src.dataType)
         pf.name -> (pf.transform match {
           case "days" => datediff(col(src.name).cast("date"),
             lit("1970-01-01").cast("date"))
+          case "years" => year(col(src.name).cast("date")) - lit(1970)
+          case "months" =>
+            (year(col(src.name).cast("date")) - lit(1970)) * lit(12) +
+              month(col(src.name).cast("date")) - lit(1)
+          case "hours" => srcDt match {
+            case _: org.apache.spark.sql.types.DateType =>
+              datediff(col(src.name), lit("1970-01-01").cast("date")).cast("long") * lit(24L)
+            case _ =>
+              // exact for any in-range micros: both operands < 2^53 and
+              // non-integer quotients sit ≥ 2.8e-10 from integers, far
+              // outside double rounding error
+              floor(unix_micros(col(src.name).cast("timestamp")) / lit(3600000000L)).cast("long")
+          }
           case t if t.startsWith("bucket[") =>
             pmod(hash(col(src.name)), lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
+          case t if t.startsWith("truncate[") =>
+            val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+            srcDt match {
+              case _: org.apache.spark.sql.types.StringType =>
+                substring(col(src.name), 1, w)
+              case _ => col(src.name) - pmod(col(src.name), lit(w))
+            }
           case _ => col(src.name)
         })
       }

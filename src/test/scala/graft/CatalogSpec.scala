@@ -826,6 +826,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM tcMv.m.`t$manifests`").collect().length >= 0)
   }
 
+  test("years/months/hours/truncate partition transforms: stamped, pruned, DML-safe") {
+    val wh = freshDir("ptx")
+    mkCatalog("tcPx", wh)
+    spark.sql("CREATE NAMESPACE tcPx.p")
+    // timestamp table partitioned by months(ts)
+    spark.sql("CREATE TABLE tcPx.p.ev (ts TIMESTAMP, v BIGINT) PARTITIONED BY (months(ts))")
+    spark.sql("""INSERT INTO tcPx.p.ev VALUES
+      (TIMESTAMP '2024-01-15 10:00:00', 1), (TIMESTAMP '2024-01-20 11:00:00', 2),
+      (TIMESTAMP '2024-03-02 09:30:00', 3), (TIMESTAMP '2024-03-28 23:00:00', 4)""")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcPx")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def evFiles = cat.loadTable(Identifier.of(Array("p"), "ev"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    // fanout stamped one months-tuple per file: 2024-01 = 648, 2024-03 = 650
+    assert(evFiles.map(_.partition("ts_month")).toSet == Set("648", "650"), s"$evFiles")
+    assert(evFiles.size == 2, "partition-local fanout: one file per month")
+    assert(spark.sql("SELECT SUM(v) FROM tcPx.p.ev WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'")
+      .collect()(0).getLong(0) == 7)
+
+    // string table partitioned by truncate(2, k); COW UPDATE resolves
+    // the truncate distribution through the FunctionCatalog
+    spark.sql("CREATE TABLE tcPx.p.s (k STRING, n BIGINT) PARTITIONED BY (truncate(2, k))")
+    spark.sql("INSERT INTO tcPx.p.s VALUES ('aa1', 1), ('aa2', 2), ('bb1', 3), ('zz', 4)")
+    def sFiles = cat.loadTable(Identifier.of(Array("p"), "s"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    assert(sFiles.map(_.partition("k_trunc")).toSet == Set("aa", "bb", "zz"))
+    spark.sql("UPDATE tcPx.p.s SET n = n + 10 WHERE k = 'bb1'")
+    assert(spark.sql("SELECT SUM(n) FROM tcPx.p.s").collect()(0).getLong(0) == 20)
+    assert(sFiles.map(_.partition("k_trunc")).toSet == Set("aa", "bb", "zz"),
+      "rewrite keeps files partition-local under truncate")
+
+    // hours + years quick round-trips incl. SQL function parity
+    spark.sql("CREATE TABLE tcPx.p.h (ts TIMESTAMP, v INT) PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO tcPx.p.h VALUES (TIMESTAMP '1970-01-02 01:30:00', 5)")
+    val hFiles = cat.loadTable(Identifier.of(Array("p"), "h"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    assert(hFiles.head.partition("ts_hour") == "25")
+    assert(spark.sql("SELECT tcPx.hours(TIMESTAMP '1970-01-02 01:30:00')")
+      .collect()(0).getLong(0) == 25L)
+    assert(spark.sql("SELECT tcPx.years(DATE '2024-06-01'), tcPx.months(DATE '2024-03-05'), " +
+        "tcPx.truncate(10, 47), tcPx.truncate(2, 'hello')").collect()(0).toSeq ==
+      Seq(54, 650, 40, "he"))
+  }
+
   test("scan-side delete-file pruning: unrelated delete files drop from pruned scans") {
     val wh = freshDir("delprune")
     mkCatalog("tcDp", wh)
