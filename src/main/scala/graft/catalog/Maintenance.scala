@@ -443,7 +443,11 @@ object Maintenance {
           val pname = t match {
             case "identity" => colName
             case "days" => s"${colName}_day"
+            case "years" => s"${colName}_year"
+            case "months" => s"${colName}_month"
+            case "hours" => s"${colName}_hour"
             case b if b.startsWith("bucket[") => s"${colName}_bucket"
+            case tr if tr.startsWith("truncate[") => s"${colName}_trunc"
             case other => throw new IllegalArgumentException(s"unsupported transform $other")
           }
           graft.meta.PartField(srcId, nextFieldId, pname, t)

@@ -477,6 +477,29 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // months(ts)-partitioned scan: hidden partitioning over a time
+    // transform; the ts predicate prunes whole month files (the
+    // fanout writer made them partition-local with tight ts bounds).
+    Decl("q_scan_prune_months", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_pm")
+      spark.sql(s"CREATE TABLE $c.demo_pm.ord (o_orderkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (months(o_orderdate))")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_pm.ord SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src")
+      spark.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |FROM $c.demo_pm.ord
+           |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)
+    }, Some(
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)),
+
     // Three-clause MERGE incl. WHEN NOT MATCHED BY SOURCE (full sync
     // semantics: update hits, insert new, delete rows gone from the
     // source — the CDC snapshot-sync shape).
