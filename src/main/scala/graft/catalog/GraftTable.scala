@@ -120,9 +120,14 @@ class GraftTable(
       "format" -> "graft/parquet",
       "current-snapshot-id" -> meta.currentSnapshotId.map(_.toString).getOrElse("none"))).asJava
 
+  // BATCH_WRITE + V1_BATCH_WRITE: appends/filter-overwrites return a
+  // V1Write (planner routes them to the V1 execs); dynamic overwrite
+  // returns a real BatchWrite, whose analyzer check demands BATCH_WRITE
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
   def readSnapshot: Option[Snapshot] =
@@ -303,6 +308,41 @@ object GraftTable {
   }
 
   val MetaColNames: Set[String] = Set("_file", "_pos")
+
+  /** Static overwrite: replace the rows matching `filters` with
+    * `data`, in one commit. Files the filters provably can't touch
+    * carry over; possibly-matching files are read back, their
+    * NON-matching rows (deletes applied) are kept and rewritten
+    * together with the new data. NULL-predicate rows are "not
+    * matched" → kept, mirroring DELETE's semantics.
+    */
+  def overwriteByFilter(table: GraftTable, data: DataFrame,
+      filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val spark = data.sparkSession
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+    val cond = filters.flatMap(Writer.filterToColumn).reduceOption(_ && _)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE filter not translatable: ${filters.mkString(", ")}"))
+    val (affected, untouched) = files.partition(f =>
+      filters.forall(FilePruning.keepFile(f, _)))
+    val schema = table.schema()
+    val aligned = data.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val combined =
+      if (affected.isEmpty) aligned
+      else {
+        val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+        val keep = Mor.applyDeletes(spark,
+            spark.read.schema(schema).parquet(affectedAbs: _*),
+            table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), affected)
+          .filter(!coalesce(cond, lit(false)))
+        keep.unionByName(aligned)
+      }
+    Writer.append(table, combined, overwrite = true, operation = "overwrite",
+      carryover = untouched, validateFrom = Some(snap.map(_.snapshotId)))
+  }
+
 }
 
 /** ScanBuilder that (1) prunes the snapshot file list on pushed
@@ -497,6 +537,11 @@ object FilePruning {
       cmpMin(col, v).forall(_ <= 0) && cmpMax(col, v).forall(_ >= 0)
     filter match {
       case EqualTo(a, v) => mayContain(a, v)
+      // null-safe equality (what static PARTITION (k=v) clauses emit):
+      // bounds never cover nulls, so `<=> null` can only match files
+      // with a recorded null (unknown null count → keep)
+      case EqualNullSafe(a, null) => f.nullCount.get(a).forall(_ > 0)
+      case EqualNullSafe(a, v) => mayContain(a, v)
       case GreaterThan(a, v) => cmpMax(a, v).forall(_ > 0)
       case GreaterThanOrEqual(a, v) => cmpMax(a, v).forall(_ >= 0)
       case LessThan(a, v) => cmpMin(a, v).forall(_ < 0)
@@ -527,23 +572,130 @@ object FilePruning {
   }
 }
 
+/** Write modes: plain append, full truncate (`INSERT OVERWRITE`
+  * static, no partition filter), overwrite-by-filter (static
+  * `PARTITION (k=v)` clauses arrive as translated filters), and
+  * DYNAMIC partition overwrite (replace exactly the partitions the
+  * incoming data touches — `partitionOverwriteMode=dynamic`). Filter
+  * and dynamic overwrites are ONE OCC commit each: untouched files
+  * carry over byte-identical, affected files are replaced, and
+  * rows of partially-affected files that the filter does NOT match
+  * are rewritten alongside the new data.
+  */
 class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var overwrite = false
+  private sealed trait Mode
+  private case object AppendMode extends Mode
+  private case object TruncateMode extends Mode
+  private case class FilterMode(filters: Array[Filter]) extends Mode
+  private case object DynamicMode extends Mode
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  private var mode: Mode = AppendMode
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      (data: DataFrame, _: Boolean) =>
-        Writer.append(table, data, overwrite)
+  override def truncate(): WriteBuilder = { mode = TruncateMode; this }
 
-    // writeStream.toTable: one OCC append per epoch, exactly-once via
-    // the (query-id, epoch-id) stamp in the snapshot summary
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(table, info.queryId(), info.schema())
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode =
+      if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        TruncateMode
+      else FilterMode(filters)
+    this
   }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { mode = DynamicMode; this }
+
+  override def build(): Write = mode match {
+    // dynamic overwrite has no V1 fallback exec in Spark → a real V2
+    // BatchWrite (fanout writer; the incoming partition set falls out
+    // of the writer-stamped tuples, no extra job)
+    case DynamicMode => new GraftDynamicOverwriteWrite(table, info.schema())
+    case _ => new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        (data: DataFrame, _: Boolean) => mode match {
+          case TruncateMode => Writer.append(table, data, overwrite = true)
+          case FilterMode(filters) => GraftTable.overwriteByFilter(table, data, filters)
+          case _ => Writer.append(table, data, overwrite = false)
+        }
+
+      // writeStream.toTable: one OCC append per epoch, exactly-once via
+      // the (query-id, epoch-id) stamp in the snapshot summary
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(table, info.queryId(), info.schema())
+    }
+  }
+}
+
+/** V2 batch write for DYNAMIC partition overwrite: the fanout writer
+  * stages partition-local files (clustered + ordered by the spec via
+  * [[PartitionedWriteLayout]]), each stamped with its partition tuple;
+  * at commit the incoming partition set is exactly the union of those
+  * stamps — untouched partitions carry over byte-identical, touched
+  * ones are replaced, one OCC commit. Files predating tuple stamping
+  * can't be classified → loud failure (compact once to stamp).
+  */
+class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
+  extends Write with org.apache.spark.sql.connector.write.BatchWrite
+  with PartitionedWriteLayout {
+
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  // re-stamp field ids by name (plan-derived schemas lose them)
+  private val schema = {
+    val metaByName = table.schema().fields.map(f => f.name -> f.metadata).toMap
+    StructType(rowSchema.fields.map(f =>
+      metaByName.get(f.name).map(m => f.copy(metadata = m)).getOrElse(f)))
+  }
+  private val stagingRel = s"${table.meta.location}/data/${java.util.UUID.randomUUID()}"
+  private val stagingAbs = RelPaths.absolutize(table.ops.warehouse, stagingRel)
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
+    new GraftDataWriterFactory(stagingAbs,
+      new org.apache.spark.util.SerializableConfiguration(
+        Writer.writerHadoopConf(spark, schema)),
+      schema, keyFromEnd = KeySpec.forSpec(table, schema), dataLeading = false)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val specNames = table.meta.spec.fields.map(_.name)
+    val fileKeys = messages.collect { case m: GraftCommitMessage => m }
+      .flatMap(_.fileKeys).toMap
+    val newFiles = Writer.collectStats(spark, table.schema(), table.ops.warehouse, stagingAbs)
+      .filter(_.records > 0)
+      .map(f => Writer.stampPartition(f, fileKeys, specNames, table.ops.warehouse))
+    val snap = table.readSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+    def fail(e: Throwable): Nothing = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+      throw e
+    }
+    val carryover =
+      if (specNames.isEmpty) Nil // unpartitioned: replace everything
+      else {
+        val unstamped = files.filter(f => f.partition.keySet != specNames.toSet)
+        if (unstamped.nonEmpty) fail(new UnsupportedOperationException(
+          s"dynamic overwrite needs writer-stamped partition tuples on every file; " +
+            s"${unstamped.size} file(s) predate stamping (e.g. ${unstamped.head.path}) — " +
+            "compact the table once to stamp them"))
+        val incoming = newFiles.map(_.partition).toSet
+        files.filterNot(f => incoming(f.partition))
+      }
+    try Writer.commitSnapshot(table, newFiles, overwrite = true,
+      operation = "overwrite", carryover = carryover,
+      validateFrom = Some(snap.map(_.snapshotId)))
+    catch { case e: Throwable => fail(e) }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
 }
 
 /** In-memory metadata tables (`t$snapshots` / `t$files` / `t$history`)

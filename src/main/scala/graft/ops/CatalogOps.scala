@@ -477,6 +477,36 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // DYNAMIC partition overwrite: only the partitions present in the
+    // incoming data are replaced; everything else carries over.
+    Decl("q_sink_overwrite_dyn", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_dyn")
+      spark.sql(s"CREATE TABLE $c.demo_dyn.cust (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE) " +
+        "PARTITIONED BY (c_nationkey)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_dyn.cust SELECT c_custkey, c_nationkey, c_acctbal FROM customer_src")
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        // rewrite nations 0..4 with zeroed balances; 5..24 untouched
+        spark.sql(s"""INSERT OVERWRITE $c.demo_dyn.cust
+          |SELECT c_custkey, c_nationkey, 0.0 FROM customer_src WHERE c_nationkey < 5""".stripMargin)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql(
+        s"""SELECT c_nationkey, COUNT(*) AS n,
+           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |FROM $c.demo_dyn.cust
+           |GROUP BY c_nationkey
+           |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(CASE WHEN c_nationkey < 5 THEN 0.0 ELSE c_acctbal END
+        |    AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)),
+
     // months(ts)-partitioned scan: hidden partitioning over a time
     // transform; the ts predicate prunes whole month files (the
     // fanout writer made them partition-local with tight ts bounds).

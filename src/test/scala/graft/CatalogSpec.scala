@@ -826,6 +826,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM tcMv.m.`t$manifests`").collect().length >= 0)
   }
 
+  test("INSERT OVERWRITE: filter overwrite and dynamic partition overwrite") {
+    val wh = freshDir("ovw")
+    mkCatalog("tcOv", wh)
+    spark.sql("CREATE NAMESPACE tcOv.o")
+    spark.sql("CREATE TABLE tcOv.o.t (k INT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO tcOv.o.t VALUES (1, 'a1'), (1, 'a2'), (2, 'b1'), (3, 'c1')")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcOv")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def files = cat.loadTable(Identifier.of(Array("o"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    val k3FileBefore = files.filter(_.partition("k") == "3").map(_.path).toSet
+
+    // STATIC partition overwrite → overwrite-by-filter (k = 1)
+    spark.sql("INSERT OVERWRITE tcOv.o.t PARTITION (k = 1) SELECT 'A-NEW'")
+    assert(spark.sql("SELECT v FROM tcOv.o.t WHERE k = 1").collect()
+      .map(_.getString(0)).toSeq == Seq("A-NEW"))
+    assert(spark.sql("SELECT COUNT(*) FROM tcOv.o.t").collect()(0).getLong(0) == 3)
+    assert(files.filter(_.partition("k") == "3").map(_.path).toSet == k3FileBefore,
+      "untouched partitions carry over byte-identical")
+
+    // DYNAMIC overwrite: only the partitions in the incoming data move
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE tcOv.o.t VALUES (2, 'B-NEW'), (4, 'd1')")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val rows = spark.sql("SELECT k, v FROM tcOv.o.t ORDER BY k, v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "A-NEW"), (2, "B-NEW"), (3, "c1"), (4, "d1")), s"$rows")
+    assert(files.filter(_.partition("k") == "3").map(_.path).toSet == k3FileBefore,
+      "dynamic overwrite must not rewrite partitions the data doesn't touch")
+  }
+
   test("years/months/hours/truncate partition transforms: stamped, pruned, DML-safe") {
     val wh = freshDir("ptx")
     mkCatalog("tcPx", wh)
