@@ -858,6 +858,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows == Seq((1, "A-NEW"), (2, "B-NEW"), (3, "c1"), (4, "d1")), s"$rows")
     assert(files.filter(_.partition("k") == "3").map(_.path).toSet == k3FileBefore,
       "dynamic overwrite must not rewrite partitions the data doesn't touch")
+
+    // dynamic overwrite over a TRANSFORMED spec (months): tuple
+    // matching goes through the same writer-stamped encoding
+    spark.sql("CREATE TABLE tcOv.o.m (ts TIMESTAMP, v STRING) PARTITIONED BY (months(ts))")
+    spark.sql("""INSERT INTO tcOv.o.m VALUES
+      (TIMESTAMP '2024-01-10 00:00:00', 'jan'), (TIMESTAMP '2024-02-10 00:00:00', 'feb')""")
+    def mFiles = cat.loadTable(Identifier.of(Array("o"), "m"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    val febBefore = mFiles.filter(_.partition("ts_month") == "649").map(_.path).toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE tcOv.o.m VALUES (TIMESTAMP '2024-01-20 00:00:00', 'JAN2')")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val mrows = spark.sql("SELECT v FROM tcOv.o.m ORDER BY v").collect().map(_.getString(0)).toSeq
+    assert(mrows == Seq("JAN2", "feb"), s"$mrows")
+    assert(mFiles.filter(_.partition("ts_month") == "649").map(_.path).toSet == febBefore)
   }
 
   test("years/months/hours/truncate partition transforms: stamped, pruned, DML-safe") {
