@@ -81,6 +81,23 @@ class StagedSpec extends AnyFunSuite {
     assert(spark.sql("SELECT x FROM tcSt4.s.fresh").collect()(0).getInt(0) == 1)
   }
 
+  test("DataFrameWriterV2: append / overwritePartitions / createOrReplace") {
+    setup("tcSt9")
+    import spark.implicits._
+    spark.sql("CREATE TABLE tcSt9.s.t (k BIGINT, v STRING) PARTITIONED BY (k)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo("tcSt9.s.t").append()
+    assert(spark.sql("SELECT COUNT(*) FROM tcSt9.s.t").collect()(0).getLong(0) == 2)
+    // overwritePartitions: dynamic — only k=1 replaced
+    Seq((1L, "A2")).toDF("k", "v").writeTo("tcSt9.s.t").overwritePartitions()
+    val rows = spark.sql("SELECT k, v FROM tcSt9.s.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "A2"), (2L, "b")), s"$rows")
+    // createOrReplace: staged atomic RTAS through the writer API
+    Seq((9L, 9L)).toDF("x", "y").writeTo("tcSt9.s.t").createOrReplace()
+    assert(spark.table("tcSt9.s.t").columns.toSeq == Seq("x", "y"))
+    assert(spark.sql("SELECT x + y FROM tcSt9.s.t").collect()(0).getLong(0) == 18)
+  }
+
   test("plain CREATE OR REPLACE TABLE (no AS SELECT) resets to an empty new shape") {
     setup("tcSt7")
     spark.sql("CREATE TABLE tcSt7.s.t (id BIGINT)")
