@@ -876,6 +876,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(mFiles.filter(_.partition("ts_month") == "649").map(_.path).toSet == febBefore)
   }
 
+  test("concurrent dynamic overwrites of disjoint partitions both land") {
+    val wh = freshDir("ovwconc")
+    mkCatalog("tcOc", wh)
+    spark.sql("CREATE NAMESPACE tcOc.o")
+    spark.sql("CREATE TABLE tcOc.o.t (k INT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO tcOc.o.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val fa = Future(spark.sql("INSERT OVERWRITE tcOc.o.t VALUES (1, 'A2')"))
+      val fb = Future(spark.sql("INSERT OVERWRITE tcOc.o.t VALUES (2, 'B2')"))
+      Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+      pool.shutdown()
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // the OCC retry rebases the loser onto the winner's file set: both
+    // partition replacements land, k=3 survives untouched
+    val rows = spark.sql("SELECT k, v FROM tcOc.o.t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "A2"), (2, "B2"), (3, "c")), s"$rows")
+  }
+
   test("years/months/hours/truncate partition transforms: stamped, pruned, DML-safe") {
     val wh = freshDir("ptx")
     mkCatalog("tcPx", wh)
