@@ -585,19 +585,29 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           StructField("timestamp_ms", LongType),
           StructField("operation", StringType),
           StructField("total_records", LongType),
-          StructField("total_data_files", LongType)))
+          StructField("total_data_files", LongType),
+          StructField("schema_id", IntegerType)))
         val rows = meta.snapshots.sortBy(_.sequenceNumber).map(s => Row(
           s.sequenceNumber, s.snapshotId, s.parentId.map(Long.box).orNull,
           s.timestampMs, s.operation,
-          s.files.map(_.records).sum, s.files.size.toLong))
+          s.files.map(_.records).sum, s.files.size.toLong,
+          s.schemaId.map(Int.box).orNull))
         new MemTable(s"${ident.name()}$$snapshots", sch, rows)
       case "files" =>
         val sch = StructType(Seq(
           StructField("file_path", StringType),
+          StructField("partition", StringType),
           StructField("record_count", LongType),
-          StructField("file_size_in_bytes", LongType)))
+          StructField("file_size_in_bytes", LongType),
+          StructField("sequence_number", LongType),
+          StructField("bounded_columns", IntegerType)))
         val rows = meta.currentSnapshot.map(_.files).getOrElse(Nil)
-          .map(f => Row(f.path, f.records, f.bytes))
+          .map(f => Row(f.path,
+            if (f.partition.isEmpty) null
+            else f.partition.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString("/"),
+            f.records, f.bytes, f.seq.map(Long.box).orNull,
+            f.minBound.size))
         new MemTable(s"${ident.name()}$$files", sch, rows)
       case "history" =>
         val sch = StructType(Seq(
