@@ -547,6 +547,22 @@ object FilePruning {
       case LessThan(a, v) => cmpMin(a, v).forall(_ < 0)
       case LessThanOrEqual(a, v) => cmpMin(a, v).forall(_ <= 0)
       case In(a, vs) => vs.exists(v => mayContain(a, v))
+      case IsNull(a) =>
+        // a file with a RECORDED zero null count can't match; an
+        // ABSENT entry means unknown (old metadata), never zero → keep
+        f.nullCount.get(a).forall(_ > 0)
+      case IsNotNull(a) =>
+        // an all-null file (null count == record count) can't match
+        f.nullCount.get(a).forall(_ < f.records)
+      case StringStartsWith(a, v) =>
+        // v-prefixed strings sit in [v, v·∞): prune when the file's
+        // max < v, or its min exceeds the prefix range (min > v and
+        // not itself v-prefixed — sound even for truncated prefix
+        // lower bounds: a prefix of a v-prefixed string is v-prefixed
+        // whenever it is at least as long as v, and shorter prefixes
+        // compare ≤ v)
+        f.maxBound.get(a).forall(_ >= v) &&
+          f.minBound.get(a).forall(m => m <= v || m.startsWith(v))
       case And(l, r) => keepFile(f, l) && keepFile(f, r)
       case Or(l, r) => keepFile(f, l) || keepFile(f, r)
       case _ => true

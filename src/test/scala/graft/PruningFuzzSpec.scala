@@ -50,6 +50,10 @@ class PruningFuzzSpec extends AnyFunSuite {
       // a >64-char string column exercises the truncated-bound path
       .withColumn("longstr", concat_ws("-", col("l_returnflag"),
         lpad(col("l_orderkey").cast("string"), 80, "x")))
+      // a nullable column exercises null-count-based pruning
+      .withColumn("nstr",
+        when(col("l_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("l_linestatus")))
     val preds: Seq[(String, Column)] = Seq(
       "qty>30" -> (col("l_quantity") > 30),
       "qty<=10" -> (col("l_quantity") <= 10),
@@ -64,6 +68,13 @@ class PruningFuzzSpec extends AnyFunSuite {
       "not" -> !(col("l_returnflag") === "N"),
       "longstr prefix range" -> (col("longstr") >= "N" && col("longstr") < "O"),
       "longstr eq miss" -> (col("longstr") === "zzz-none"),
+      "startswith hit" -> col("l_returnflag").startsWith("A"),
+      "startswith miss" -> col("longstr").startsWith("zzz"),
+      "longstr startswith truncated" -> col("longstr").startsWith("R-xx"),
+      "is null" -> col("nstr").isNull,
+      "is not null" -> col("nstr").isNotNull,
+      "null-safe eq" -> (col("nstr") <=> "F"),
+      "null-safe eq null" -> col("nstr").isNull,
       "impossible" -> (col("l_quantity") > 1e9),
       "tautology" -> (col("l_orderkey") >= 0))
     val flat = mkTable("flat", src, "")
