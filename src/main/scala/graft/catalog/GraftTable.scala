@@ -213,12 +213,12 @@ class GraftTable(
     val wantEquality = morMode &&
       meta.properties.get("write.delete.granularity").contains("equality")
 
-    if (wantEquality && Mor.tuplesFromFilters(filters).isDefined) {
+    if (wantEquality && Mor.tuplesFromFilters(filters.toIndexedSeq).isDefined) {
       // EQUALITY delete: the predicate is a set of key tuples, so the
       // delete file is just those values — written WITHOUT reading any
       // data (O(tuples), not even a scan; the CDC trickle-delete path).
       // Scans subtract it from strictly-older data files ([[Mor]]).
-      val (keys, tuples) = Mor.tuplesFromFilters(filters).get
+      val (keys, tuples) = Mor.tuplesFromFilters(filters.toIndexedSeq).get
       val keyDefs = keys.map(k => meta.schema.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"equality-delete key $k not in schema")))
       val ids = keyDefs.map(_.id)
