@@ -126,6 +126,36 @@ object Procedures {
           .meta.currentSnapshotId.getOrElse(-1L))
       }),
 
+    ProcDef("update_spec",
+      // transforms: 'col:identity,ts:months,id:bucket[8]'
+      Seq(in("tbl", StringType), in("transforms", StringType)),
+      StructType(Seq(StructField("spec_id", IntegerType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        val specs = args.getUTF8String(1).toString.split(',').toList.map { p =>
+          p.split(':') match {
+            case Array(c, tr) => (c.trim, tr.trim)
+            case Array(c) => (c.trim, "identity")
+            case _ => throw new IllegalArgumentException(s"bad transform '$p'")
+          }
+        }
+        Maintenance.updateSpec(t, specs)
+        row(tbl(cat, args.getUTF8String(0).toString).meta.defaultSpecId)
+      }),
+
+    ProcDef("compact_zorder",
+      Seq(in("tbl", StringType), in("z_columns", StringType),
+        inDefault("target_files", IntegerType, "1")),
+      StructType(Seq(StructField("files_after", IntegerType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        Maintenance.compactZOrder(SparkSession.active, t,
+          args.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          args.getInt(2))
+        row(tbl(cat, args.getUTF8String(0).toString)
+          .readSnapshot.map(_.files.size).getOrElse(0))
+      }),
+
     ProcDef("compute_stats",
       Seq(in("tbl", StringType)),
       StructType(Seq(StructField("total_records", LongType))),

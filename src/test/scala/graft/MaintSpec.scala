@@ -252,6 +252,19 @@ class MaintSpec extends AnyFunSuite {
     assert(st(0).getLong(0) == 30)
     assert(spark.sql("SELECT DISTINCT total_records FROM tcPr.p.`t$stats`")
       .collect()(0).getLong(0) == 30)
+
+    // z-order rewrite via CALL (unpartitioned table)
+    val zf = spark.sql("CALL tcPr.system.compact_zorder(tbl => 'p.t', z_columns => 'id', target_files => 2)").collect()
+    assert(zf(0).getInt(0) <= 2)
+    assert(spark.sql("SELECT COUNT(*) FROM tcPr.p.t").collect()(0).getLong(0) == 30)
+
+    // spec evolution via CALL: new writes cluster by the new spec
+    val sp = spark.sql("CALL tcPr.system.update_spec(tbl => 'p.t', transforms => 'id:bucket[4]')").collect()
+    assert(sp(0).getInt(0) >= 1)
+    spark.sql("INSERT INTO tcPr.p.t SELECT id FROM range(200, 210)")
+    val newest = table.readSnapshot.get.files
+      .filter(_.partition.keySet == Set("id_bucket"))
+    assert(newest.nonEmpty, "post-evolution writes carry bucket tuples")
   }
 
   test("range distribution mode: files get disjoint sort-key ranges") {
