@@ -676,7 +676,8 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
     new GraftDataWriterFactory(stagingAbs,
       new org.apache.spark.util.SerializableConfiguration(
         Writer.writerHadoopConf(spark, schema)),
-      schema, keyFromEnd = KeySpec.forSpec(table, schema), dataLeading = false)
+      schema, keyFromEnd = KeySpec.forSpec(table, schema), dataLeading = false,
+      targetBytes = Writer.targetFileSize(table.meta))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -348,7 +348,8 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
     // RequiresDistributionAndOrdering), keeping rewritten files
     // partition-local
     new GraftDataWriterFactory(stagingAbs, new SerializableConfiguration(conf), schema,
-      keyFromEnd = specKeySpecs(schema), dataLeading = false)
+      keyFromEnd = specKeySpecs(schema), dataLeading = false,
+      targetBytes = Writer.targetFileSize(table.meta))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -480,10 +481,11 @@ case class TruncateKey(fromEnd: Int, dt: org.apache.spark.sql.types.DataType,
 
 class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration,
     schema: StructType, keyFromEnd: Seq[KeySpec] = Nil,
-    dataLeading: Boolean = false) extends DataWriterFactory {
+    dataLeading: Boolean = false,
+    targetBytes: Long = Long.MaxValue) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingAbs, s"part-$partitionId-$taskId", conf.value, schema,
-      keyFromEnd, dataLeading)
+      keyFromEnd, dataLeading, targetBytes)
 }
 
 /** Fanout parquet writer (the clustered-writer pattern): input arrives
@@ -495,7 +497,14 @@ class GraftDataWriterFactory(stagingAbs: String, conf: SerializableConfiguration
   */
 class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
     schema: StructType, keyFromEnd: Seq[KeySpec],
-    dataLeading: Boolean) extends DataWriter[InternalRow] {
+    dataLeading: Boolean,
+    // roll to a fresh file once the open one's buffered+flushed size
+    // passes this (`write.target-file-size-bytes`): a skewed 10 GB
+    // partition lands as target-sized files, not one monolith. Files
+    // stay partition-LOCAL — several files may share one partition
+    // value, which every consumer (SPJ, stats, group filtering)
+    // already handles.
+    targetBytes: Long = Long.MaxValue) extends DataWriter[InternalRow] {
 
   private var count = 0L
   private var fileSeq = 0
@@ -556,6 +565,13 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
         proj
       }
     writer.write(out); count += 1; curCount += 1
+    if (targetBytes != Long.MaxValue && (curCount & 1023) == 0 &&
+        writer.getDataSize > targetBytes) {
+      closeCurrent(); openNext()
+      if (prevKey != null)
+        fileKeys(curPath) = keyFromEnd.zip(prevKey).flatMap {
+          case (ks, v) => ks.repr(v) }.toList
+    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -252,7 +252,7 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
     val conf = new org.apache.spark.util.SerializableConfiguration(
       Writer.writerHadoopConf(spark, schema))
     new GraftStreamingWriterFactory(stagingAbs, conf, schema,
-      KeySpec.forSpec(table, schema))
+      KeySpec.forSpec(table, schema), Writer.targetFileSize(table.meta))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -293,13 +293,14 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
 
 class GraftStreamingWriterFactory(stagingAbs: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    schema: StructType, keySpecs: Seq[KeySpec])
+    schema: StructType, keySpecs: Seq[KeySpec],
+    targetBytes: Long = Long.MaxValue)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
     val dir = s"$stagingAbs/ep-$epochId"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     new GraftDataWriter(dir, s"part-$partitionId-$taskId", conf.value, schema,
-      keySpecs, dataLeading = false)
+      keySpecs, dataLeading = false, targetBytes = targetBytes)
   }
 }

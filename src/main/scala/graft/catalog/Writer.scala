@@ -156,7 +156,7 @@ object Writer {
         Map.empty
       } else
         fanoutWrite(sorted.withColumn("__gpk", struct(specExprs.toIndexedSeq: _*)),
-          schema, stagingAbs)
+          schema, stagingAbs, targetFileSize(meta))
 
     val specNames = meta.spec.fields.map(_.name)
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
@@ -205,8 +205,13 @@ object Writer {
     * parquet file whenever the key changes. Used by the V1 append path
     * for partitioned tables.
     */
+  /** `write.target-file-size-bytes` table property (no cap if unset). */
+  def targetFileSize(meta: TableMeta): Long =
+    meta.properties.get("write.target-file-size-bytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(Long.MaxValue)
+
   private def fanoutWrite(data: org.apache.spark.sql.DataFrame, schema: StructType,
-      stagingAbs: String): Map[String, List[String]] = {
+      stagingAbs: String, targetBytes: Long): Map[String, List[String]] = {
     val spark = data.sparkSession
     Files.createDirectories(Paths.get(stagingAbs))
     val keyType = data.schema.fields.last.dataType
@@ -215,7 +220,8 @@ object Writer {
     // __gpk already IS the transformed key (specTransformExprs), so
     // the writer compares it raw
     val factory = new GraftDataWriterFactory(stagingAbs, ser, schema,
-      keyFromEnd = Seq(RawKey(1, keyType)), dataLeading = true)
+      keyFromEnd = Seq(RawKey(1, keyType)), dataLeading = true,
+      targetBytes = targetBytes)
     // per-file partition keys flow back with the commit messages
     data.queryExecution.toRdd.mapPartitions {
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>

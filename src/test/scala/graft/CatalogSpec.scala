@@ -876,6 +876,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(mFiles.filter(_.partition("ts_month") == "649").map(_.path).toSet == febBefore)
   }
 
+  test("target file size: a huge partition rolls into bounded, partition-local files") {
+    val wh = freshDir("tfs")
+    mkCatalog("tcTf", wh)
+    spark.sql("CREATE NAMESPACE tcTf.t")
+    spark.sql("CREATE TABLE tcTf.t.t (k INT, payload STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.target-file-size-bytes'='65536')")
+    // one skewed partition: ~8 MB of rows under k=1
+    spark.sql("INSERT INTO tcTf.t.t SELECT 1, repeat(uuid(), 20) FROM range(10000)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcTf")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val files = cat.loadTable(Identifier.of(Array("t"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+    assert(files.size > 3, s"expected size-rolled files, got ${files.size}")
+    assert(files.forall(_.partition("k") == "1"), "rolled files stay partition-local")
+    assert(spark.sql("SELECT COUNT(*) FROM tcTf.t.t").collect()(0).getLong(0) == 10000)
+  }
+
   test("concurrent dynamic overwrites of disjoint partitions both land") {
     val wh = freshDir("ovwconc")
     mkCatalog("tcOc", wh)
