@@ -45,7 +45,18 @@ class GraftTable(
     val pinnedSnapshot: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: an empty overwrite snapshot — metadata-only
+    * (no data file is touched or deleted), history stays time-travelable
+    * until expiry, delete files are cleared with the data they applied
+    * to. */
+  override def truncateTable(): Boolean = {
+    Writer.commitSnapshot(this, Nil, overwrite = true,
+      operation = "overwrite", carryover = Nil)
+    true
+  }
 
   /** `_file` (warehouse-relative data-file path) and `_pos` (row
     * ordinal within that file) — the row-identity pair. Queryable

@@ -876,6 +876,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(mFiles.filter(_.partition("ts_month") == "649").map(_.path).toSet == febBefore)
   }
 
+  test("TRUNCATE TABLE: metadata-only empty snapshot, history stays readable") {
+    val wh = freshDir("trunc")
+    mkCatalog("tcTr", wh)
+    spark.sql("CREATE NAMESPACE tcTr.t")
+    spark.sql("CREATE TABLE tcTr.t.t (id BIGINT)")
+    spark.sql("INSERT INTO tcTr.t.t SELECT id FROM range(100)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcTr")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("t"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val before = tbl.meta.currentSnapshotId.get
+    spark.sql("TRUNCATE TABLE tcTr.t.t")
+    assert(spark.sql("SELECT COUNT(*) FROM tcTr.t.t").collect()(0).getLong(0) == 0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM tcTr.t.t VERSION AS OF $before")
+      .collect()(0).getLong(0) == 100, "pre-truncate snapshot stays readable")
+    spark.sql("INSERT INTO tcTr.t.t SELECT id FROM range(5)")
+    assert(spark.sql("SELECT COUNT(*) FROM tcTr.t.t").collect()(0).getLong(0) == 5)
+  }
+
   test("target file size: a huge partition rolls into bounded, partition-local files") {
     val wh = freshDir("tfs")
     mkCatalog("tcTf", wh)
