@@ -267,7 +267,13 @@ class GraftTable(
         .select(col("__gf").as("file_path"), col("__gp").as("pos"))
       val stagingRel = s"${meta.location}/deletes/${java.util.UUID.randomUUID()}"
       val stagingAbs = RelPaths.absolutize(ops.warehouse, stagingRel)
-      matches.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+      // range-cluster the delete rows by the file they reference:
+      // each delete file then covers a TIGHT, disjoint file_path range
+      // — the unit scan-side delete pruning works at — instead of a
+      // hash-spray across the whole path space
+      matches.repartitionByRange(col("file_path"))
+        .sortWithinPartitions(col("file_path"), col("pos"))
+        .write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
       val delFiles = Writer.collectStats(spark, Mor.deleteSchema, ops.warehouse, stagingAbs,
         exactBoundCols = Set("file_path"))
         .filter(_.records > 0)

@@ -23,9 +23,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap,
     required: StructType, pushedExprs: Seq[Expression]) extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  // Trigger.AvailableNow: pin the end of the backlog at start; batches
+  // then advance toward it (rate limits still apply per batch) and the
+  // query stops once it's reached — later commits wait for the next run
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
 
   private val skipNonAppend =
     Option(options.get("streaming-skip-nonappend")).exists(_.toBoolean)
@@ -43,8 +52,10 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
-  override def latestOffset(): Offset =
-    SeqOffset(freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+  override def latestOffset(): Offset = {
+    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    SeqOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -53,7 +64,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startSeq = start.asInstanceOf[SeqOffset].seq
     val meta = freshMeta
-    val curSeq = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val curSeq = availableNowCap.fold(
+      meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))(
+      math.min(meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L), _))
     if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
       return SeqOffset(curSeq)
     val snaps = meta.snapshots

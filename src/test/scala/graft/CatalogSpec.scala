@@ -804,6 +804,31 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches and stops") {
+    val wh = freshDir("availnow")
+    mkCatalog("tcAn", wh)
+    spark.sql("CREATE NAMESPACE tcAn.st")
+    spark.sql("CREATE TABLE tcAn.st.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcAn.st.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("max-rows-per-trigger", "10")
+      .table("tcAn.st.t")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.count()
+        if (n > 0) batches.synchronized { batches += n }
+        ()
+      })
+      .start()
+    // AvailableNow must terminate on its own once the backlog drains
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    val sizes = batches.synchronized { batches.toList }
+    assert(sizes.sum == 30 && sizes.size == 3, s"$sizes")
+  }
+
   test("column position moves; $manifests and $delete_files metadata tables") {
     val wh = freshDir("mvmeta")
     mkCatalog("tcMv", wh)
