@@ -32,6 +32,18 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 3)
   }
 
+  test("CALL procedures work on the JDBC catalog (pointer-CAS commits)") {
+    val c = fresh("proc")
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(10)")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(10, 30)")
+    spark.sql(s"CALL $c.system.compact(tbl => 'ns.t')")
+    val ex = spark.sql(s"CALL $c.system.expire_snapshots(tbl => 'ns.t', keep_last => 1)").collect()
+    assert(ex(0).getInt(0) >= 0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 30)
+  }
+
   test("atomic CTAS/RTAS land through the pointer CAS") {
     val c = fresh("ctas")
     spark.sql(s"CREATE NAMESPACE $c.ns")
