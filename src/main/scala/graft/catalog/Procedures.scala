@@ -156,6 +156,18 @@ object Procedures {
           .readSnapshot.map(_.files.size).getOrElse(0))
       }),
 
+    ProcDef("verify_table",
+      Seq(in("tbl", StringType)),
+      StructType(Seq(StructField("problems", IntegerType),
+        StructField("detail", StringType))),
+      (cat, args) => {
+        val issues = Maintenance.verifyIntegrity(
+          tbl(cat, args.getUTF8String(0).toString).ops)
+        row(issues.size,
+          if (issues.isEmpty) UTF8String.fromString("ok")
+          else UTF8String.fromString(issues.take(10).mkString("; ")))
+      }),
+
     ProcDef("compute_stats",
       Seq(in("tbl", StringType)),
       StructType(Seq(StructField("total_records", LongType))),

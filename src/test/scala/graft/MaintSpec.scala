@@ -267,6 +267,24 @@ class MaintSpec extends AnyFunSuite {
     assert(newest.nonEmpty, "post-evolution writes carry bucket tuples")
   }
 
+  test("verify_table: healthy table passes; a vanished file is reported") {
+    val wh = "/tmp/graft_test_verify"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcVf", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcVf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcVf.v")
+    spark.sql("CREATE TABLE tcVf.v.t (id BIGINT)")
+    spark.sql("INSERT INTO tcVf.v.t SELECT id FROM range(100)")
+    val ok = spark.sql("CALL tcVf.system.verify_table(tbl => 'v.t')").collect()(0)
+    assert(ok.getInt(0) == 0 && ok.getString(1) == "ok")
+    // vandalize: remove a referenced data file
+    val ops = new TableOps(wh, "v/t")
+    val f = ops.refresh().get._2.currentSnapshot.get.files.head
+    Files.delete(Paths.get(RelPaths.absolutize(wh, f.path)))
+    val bad = spark.sql("CALL tcVf.system.verify_table(tbl => 'v.t')").collect()(0)
+    assert(bad.getInt(0) >= 1 && bad.getString(1).contains("missing file"))
+  }
+
   test("range distribution mode: files get disjoint sort-key ranges") {
     val wh = "/tmp/graft_test_rangedist"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
