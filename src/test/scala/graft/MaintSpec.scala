@@ -267,6 +267,44 @@ class MaintSpec extends AnyFunSuite {
     assert(newest.nonEmpty, "post-evolution writes carry bucket tuples")
   }
 
+  test("relocation carries MOR deletes, stamped tuples, refs; verify_table stays green") {
+    val whA = "/tmp/graft_test_reloc6_a"
+    val whB = "/tmp/graft_test_reloc6_b"
+    Seq(whA, whB).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    spark.conf.set("spark.sql.catalog.tcRlA", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRlA.warehouse", whA)
+    spark.sql("CREATE NAMESPACE tcRlA.r")
+    spark.sql("CREATE TABLE tcRlA.r.t (k INT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcRlA.r.t VALUES (1, 'a1'), (1, 'a2'), (2, 'b1'), (3, 'c1')")
+    spark.sql("DELETE FROM tcRlA.r.t WHERE v = 'a2'")
+    spark.sql("CALL tcRlA.system.create_ref(tbl => 'r.t', ref => 'rel_tag')")
+    spark.sql("INSERT INTO tcRlA.r.t VALUES (4, 'd1')")
+
+    // the relocation: move the whole warehouse, point a NEW catalog at it
+    java.nio.file.Files.move(java.nio.file.Paths.get(whA), java.nio.file.Paths.get(whB))
+    spark.conf.set("spark.sql.catalog.tcRlB", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRlB.warehouse", whB)
+
+    // data + MOR subtraction + tag all work at the new location
+    assert(spark.sql("SELECT COUNT(*) FROM tcRlB.r.t").collect()(0).getLong(0) == 4)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRlB.r.t WHERE v = 'a2'")
+      .collect()(0).getLong(0) == 0, "position delete must survive relocation")
+    assert(spark.sql("SELECT COUNT(*) FROM tcRlB.r.t VERSION AS OF 'rel_tag'")
+      .collect()(0).getLong(0) == 3)
+    // integrity check green, stamped tuples intact → dynamic overwrite classifies
+    val vr = spark.sql("CALL tcRlB.system.verify_table(tbl => 'r.t')").collect()(0)
+    assert(vr.getInt(0) == 0, s"integrity after relocation: ${vr.getString(1)}")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE tcRlB.r.t VALUES (1, 'A-NEW')")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val rows = spark.sql("SELECT k, v FROM tcRlB.r.t ORDER BY k, v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "A-NEW"), (2, "b1"), (3, "c1"), (4, "d1")), s"$rows")
+  }
+
   test("verify_table: healthy table passes; a vanished file is reported") {
     val wh = "/tmp/graft_test_verify"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
