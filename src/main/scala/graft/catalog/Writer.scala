@@ -260,16 +260,33 @@ object Writer {
 
   def collectStatsFromFooters(schema: StructType, warehouse: String,
       stagingAbs: String, exactBoundCols: Set[String] = Set.empty): List[DataFile] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = new org.apache.hadoop.conf.Configuration()
     val boundableNames = schema.fields.map(_.name).toSet
     val files = java.nio.file.Files.walk(Paths.get(stagingAbs)).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
       .toList
-    files.map { p =>
+    // footer reads are independent and IO-bound: a 10k-file ingest
+    // commit should not pay them serially on the driver
+    val par = math.max(1, math.min(16, files.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val tasks = files.map(p => pool.submit(
+        new java.util.concurrent.Callable[DataFile] {
+          override def call(): DataFile =
+            statsOfFile(p, schema, warehouse, conf, boundableNames, exactBoundCols)
+        }))
+      tasks.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  private def statsOfFile(p: java.nio.file.Path, schema: StructType,
+      warehouse: String, conf: org.apache.hadoop.conf.Configuration,
+      boundableNames: Set[String], exactBoundCols: Set[String]): DataFile = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
       try {
