@@ -237,5 +237,24 @@ object Aggs extends Pack {
         .agg(approx_count_distinct($("l_orderkey"), 0.02).as("approx_orders"))
         .orderBy($("l_returnflag").asc_nulls_first),
       None),
+
+    // Histogram: fixed-width bucketing of order totals — one map-side-
+    // combinable aggregation; integer bucket arithmetic is exact in
+    // both engines.
+    Decl("q_agg_histogram", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .withColumn("bucket", floor($("o_totalprice") / 50000.0).cast("long"))
+        .groupBy($("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($("o_totalprice")).cast("decimal(18,2)").as("lo"),
+          max($("o_totalprice")).cast("decimal(18,2)").as("hi"))
+        .orderBy($("bucket").asc_nulls_first),
+      Some(
+        """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+          |  COUNT(*) AS n,
+          |  CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS lo,
+          |  CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS hi
+          |FROM orders GROUP BY bucket
+          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
   )
 }

@@ -171,5 +171,40 @@ object Windows extends Pack {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
         |  first_key ASC NULLS FIRST, last_key ASC NULLS FIRST""".stripMargin)),
+
+    // Batch sessionization (the window-function formulation of the
+    // streaming session_window): a session break is a >30-minute gap,
+    // session ids are the running count of breaks — ONE shuffle on
+    // user_id serves both windows, then a per-user rollup. Gaps are
+    // compared in integer MICROseconds so both engines agree exactly.
+    Decl("q_win_sessionize", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+          max(col("n")).as("longest"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess
+        |      FROM g),
+        |c AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY user_id, sess)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events, CAST(MAX(n) AS BIGINT) AS longest
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
   )
 }
