@@ -246,14 +246,14 @@ object Aggs extends Pack {
         .withColumn("bucket", floor($("o_totalprice") / 50000.0).cast("long"))
         .groupBy($("bucket"))
         .agg(count(lit(1)).as("n"),
-          min($("o_totalprice")).cast("decimal(18,2)").as("lo"),
-          max($("o_totalprice")).cast("decimal(18,2)").as("hi"))
+          min($("o_totalprice")).cast("decimal(18,2)").cast("double").as("lo"),
+          max($("o_totalprice")).cast("decimal(18,2)").cast("double").as("hi"))
         .orderBy($("bucket").asc_nulls_first),
       Some(
         """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
           |  COUNT(*) AS n,
-          |  CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS lo,
-          |  CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS hi
+          |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+          |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi
           |FROM orders GROUP BY bucket
           |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
   )

@@ -495,14 +495,14 @@ object CatalogOps extends Pack {
       finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       spark.sql(
         s"""SELECT c_nationkey, COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
            |FROM $c.demo_dyn.cust
            |GROUP BY c_nationkey
            |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)
     }, Some(
       """SELECT c_nationkey, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(CASE WHEN c_nationkey < 5 THEN 0.0 ELSE c_acctbal END
-        |    AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(ROUND(SUM(CAST(CASE WHEN c_nationkey < 5 THEN 0.0 ELSE c_acctbal END
+        |    AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)),
@@ -591,11 +591,11 @@ object CatalogOps extends Pack {
            |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
            |FROM part_src GROUP BY p_brand""".stripMargin)
       spark.sql(
-        s"""SELECT p_brand, n, total FROM $c.demo_ctas.p
+        s"""SELECT p_brand, n, CAST(total AS DOUBLE) AS total FROM $c.demo_ctas.p
            |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
     }, Some(
       """SELECT p_brand, COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+        |  CAST(CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
 
@@ -634,11 +634,11 @@ object CatalogOps extends Pack {
         cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable].ops, good)
       spark.sql(
         s"""SELECT COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
            |FROM $c.demo_rb.o""".stripMargin)
     }, Some(
       """SELECT COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS total
+        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)),
   )
 }
