@@ -339,9 +339,15 @@ object GraftTable {
     val spark = data.sparkSession
     val snap = table.readSnapshot
     val files = snap.map(_.files).getOrElse(Nil)
-    val cond = filters.flatMap(Writer.filterToColumn).reduceOption(_ && _)
+    // Every filter must translate: a silently dropped conjunct would
+    // widen the delete scope (rows outside the requested overwrite
+    // range would be removed), so fail loudly on any unknown filter.
+    val cond = filters.map(f => Writer.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"INSERT OVERWRITE filter not translatable: $f")))
+      .reduceOption(_ && _)
       .getOrElse(throw new UnsupportedOperationException(
-        s"INSERT OVERWRITE filter not translatable: ${filters.mkString(", ")}"))
+        "INSERT OVERWRITE requires at least one translatable filter"))
     val (affected, untouched) = files.partition(f =>
       filters.forall(FilePruning.keepFile(f, _)))
     val schema = table.schema()

@@ -157,7 +157,12 @@ object Maintenance {
     * moved base and are rejected.
     */
   def cherryPick(table: GraftTable, snapshotId: Long): Unit = {
-    val meta = table.meta
+    // Work from a fresh refresh, not the possibly stale table.meta —
+    // and re-verify inside the OCC loop (metaTransform runs per
+    // attempt on the refreshed base) so a racing commit that lands the
+    // same files (second cherry-pick, fast-forward) can't double-apply.
+    val meta = table.ops.refresh()
+      .map(_._2).getOrElse(throw new IllegalStateException("no such table"))
     val src = meta.snapshot(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"unknown snapshot $snapshotId"))
     require(src.operation == "append",
@@ -165,12 +170,19 @@ object Maintenance {
     val parentPaths = src.parentId.flatMap(meta.snapshot)
       .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val added = src.files.filterNot(f => parentPaths(f.path))
-    val current = meta.currentSnapshot.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    require(!added.exists(f => current(f.path)),
-      s"snapshot $snapshotId is already applied to the current state")
+    val addedPaths = added.map(_.path).toSet
     Writer.commitSnapshot(table, added.map(_.copy(seq = None)),
       overwrite = false, operation = "append", carryover = Nil,
-      extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString))
+      extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString),
+      metaTransform = { base =>
+        val current = base.currentSnapshot.map(_.files.map(_.path).toSet)
+          .getOrElse(Set.empty)
+        val dup = addedPaths.intersect(current)
+        if (dup.nonEmpty) throw new CommitConflictException(
+          s"snapshot $snapshotId is already applied to the current state " +
+          s"(${dup.size} of its files present, e.g. ${dup.head})")
+        base
+      })
   }
 
   /** Compute table-level statistics (ref README.md:99-100 `statistics`
@@ -486,8 +498,14 @@ object Maintenance {
             case "years" => s"${colName}_year"
             case "months" => s"${colName}_month"
             case "hours" => s"${colName}_hour"
-            case b if b.startsWith("bucket[") => s"${colName}_bucket"
-            case tr if tr.startsWith("truncate[") => s"${colName}_trunc"
+            case b if b.startsWith("bucket[") =>
+              require(b.stripPrefix("bucket[").stripSuffix("]").toInt >= 1,
+                s"$b: bucket count must be >= 1")
+              s"${colName}_bucket"
+            case tr if tr.startsWith("truncate[") =>
+              require(tr.stripPrefix("truncate[").stripSuffix("]").toInt >= 1,
+                s"$tr: width must be >= 1")
+              s"${colName}_trunc"
             case other => throw new IllegalArgumentException(s"unsupported transform $other")
           }
           graft.meta.PartField(srcId, nextFieldId, pname, t)

@@ -272,13 +272,19 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         case "years" => ("years", s"${ref}_year")
         case "months" => ("months", s"${ref}_month")
         case "hours" => ("hours", s"${ref}_hour")
-        case "bucket" => (s"bucket[${t.arguments()(0)}]", s"${ref}_bucket")
+        case "bucket" =>
+          val n = t.arguments()(0).toString.toInt
+          // reject a broken width NOW — otherwise the spec commits and
+          // only blows up at first write (floorMod ArithmeticException)
+          require(n >= 1, s"bucket($n, $ref): bucket count must be >= 1")
+          (s"bucket[$n]", s"${ref}_bucket")
         case "truncate" =>
           // SQL truncate(w, col): the width is the literal argument
           val w = t.arguments().collectFirst {
             case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
               l.value().toString.toInt
           }.getOrElse(throw new IllegalArgumentException("truncate needs a width"))
+          require(w >= 1, s"truncate($w, $ref): width must be >= 1")
           (s"truncate[$w]", s"${ref}_trunc")
         case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }

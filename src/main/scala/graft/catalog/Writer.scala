@@ -49,16 +49,33 @@ object Writer {
     meta.spec.fields.flatMap { pf =>
       meta.schema.fields.find(_.id == pf.sourceId).map { src =>
         val srcDt = org.apache.spark.sql.types.DataType.fromJson(src.dataType)
+        // UTC calendar date of the source value, independent of
+        // spark.sql.session.timeZone: TIMESTAMP stores UTC micros, so
+        // floor-divide them to epoch days (exactly the executor-side
+        // KeySpec path, GraftFunctions.daysOf); DATE and TIMESTAMP_NTZ
+        // casts are tz-free already. A session-tz `cast("date")` on
+        // TIMESTAMP would disagree with KeySpec-stamped partition
+        // tuples under any non-UTC session.
+        lazy val utcDate = srcDt match {
+          case _: org.apache.spark.sql.types.DateType => col(src.name)
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            col(src.name).cast("date")
+          case _ => date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            floor(unix_micros(col(src.name).cast("timestamp")) / lit(86400000000L)).cast("int"))
+        }
         pf.name -> (pf.transform match {
-          case "days" => datediff(col(src.name).cast("date"),
-            lit("1970-01-01").cast("date"))
-          case "years" => year(col(src.name).cast("date")) - lit(1970)
+          case "days" => datediff(utcDate, lit("1970-01-01").cast("date"))
+          case "years" => year(utcDate) - lit(1970)
           case "months" =>
-            (year(col(src.name).cast("date")) - lit(1970)) * lit(12) +
-              month(col(src.name).cast("date")) - lit(1)
+            (year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1)
           case "hours" => srcDt match {
             case _: org.apache.spark.sql.types.DateType =>
               datediff(col(src.name), lit("1970-01-01").cast("date")).cast("long") * lit(24L)
+            case _: org.apache.spark.sql.types.TimestampNTZType =>
+              // tz-free: whole days from the date part, hour from the
+              // (wall-clock) time part
+              datediff(col(src.name).cast("date"), lit("1970-01-01").cast("date")).cast("long") * lit(24L) +
+                hour(col(src.name)).cast("long")
             case _ =>
               // exact for any in-range micros: both operands < 2^53 and
               // non-integer quotients sit ≥ 2.8e-10 from integers, far
@@ -415,7 +432,8 @@ object Writer {
         Option(r.getAs[String](s"__min_${f.name}")).map(v =>
           f.name -> (if (v.length > 64 && !exactBoundCols(f.name)) v.substring(0, 64) else v))).toMap
       val maxs = boundable.flatMap(f =>
-        Option(r.getAs[String](s"__max_${f.name}")).filter(_.length <= 64)
+        Option(r.getAs[String](s"__max_${f.name}"))
+          .filter(v => v.length <= 64 || exactBoundCols(f.name))
           .map(f.name -> _)).toMap
       DataFile(
         path = RelPaths.relativize(warehouse, fileAbs),

@@ -1010,6 +1010,58 @@ class CatalogSpec extends AnyFunSuite {
       Seq(54, 650, 40, "he"))
   }
 
+  test("months partition stamping is session-timezone independent") {
+    val wh = freshDir("tzsafe")
+    mkCatalog("tcTz", wh)
+    spark.sql("CREATE NAMESPACE tcTz.p")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      spark.sql("CREATE TABLE tcTz.p.ev (ts TIMESTAMP, v BIGINT) PARTITIONED BY (months(ts))")
+      // 2024-02-29 20:00 LA == 2024-03-01 04:00 UTC: the UTC months
+      // tuple is 650 (March). A session-tz cast("date") would stamp
+      // 649 and disagree with the executor-side KeySpec path.
+      spark.sql("INSERT INTO tcTz.p.ev VALUES (TIMESTAMP '2024-02-29 20:00:00', 1)")
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val cat = spark.sessionState.catalogManager.catalog("tcTz")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val files = cat.loadTable(Identifier.of(Array("p"), "ev"))
+        .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+      assert(files.map(_.partition("ts_month")) == List("650"), s"$files")
+      // the registered SQL function (the executor/KeySpec path) agrees
+      assert(spark.sql("SELECT tcTz.months(TIMESTAMP '2024-02-29 20:00:00')")
+        .collect()(0).getInt(0) == 650)
+      // and a COW rewrite under the non-UTC session keeps the tuple
+      spark.sql("UPDATE tcTz.p.ev SET v = v + 1")
+      val files2 = cat.loadTable(Identifier.of(Array("p"), "ev"))
+        .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.files
+      assert(files2.map(_.partition("ts_month")) == List("650"), s"$files2")
+      assert(spark.sql("SELECT SUM(v) FROM tcTz.p.ev").collect()(0).getLong(0) == 2L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("zero-width truncate/bucket rejected at DDL time, not first write") {
+    val wh = freshDir("badwidth")
+    mkCatalog("tcBw", wh)
+    spark.sql("CREATE NAMESPACE tcBw.p")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE tcBw.p.t (k STRING) PARTITIONED BY (truncate(0, k))") }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE tcBw.p.t2 (k BIGINT) PARTITIONED BY (bucket(0, k))") }
+    // update_spec path refuses too, and commits nothing
+    spark.sql("CREATE TABLE tcBw.p.t3 (k BIGINT, v STRING)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcBw")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def t3 = cat.loadTable(Identifier.of(Array("p"), "t3"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.updateSpec(t3, Seq("k" -> "truncate[0]")) }
+    intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.updateSpec(t3, Seq("k" -> "bucket[-3]")) }
+    assert(t3.meta.spec.fields.isEmpty, "no broken spec was committed")
+  }
+
   test("scan-side delete-file pruning: unrelated delete files drop from pruned scans") {
     val wh = freshDir("delprune")
     mkCatalog("tcDp", wh)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.{Maintenance, TableOps}
+import graft.catalog.{CommitConflictException, Maintenance, TableOps}
 import graft.meta.RelPaths
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
@@ -422,12 +422,17 @@ class MaintSpec extends AnyFunSuite {
     Maintenance.appendToBranch(tbl, (200L until 250L).toDF("id"), "audit")
     val auditSnap = tbl.meta.refs("audit").snapshotId
     spark.sql("INSERT INTO tcRb.r.t SELECT id FROM range(10, 20)")
+    val stale = tbl // handle loaded BEFORE the pick: its meta is stale
     Maintenance.cherryPick(tbl, auditSnap)
     assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t").collect()(0).getLong(0) == 70)
     assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t WHERE id >= 200")
       .collect()(0).getLong(0) == 50)
-    // picking the same snapshot twice must fail, not double the rows
-    intercept[IllegalArgumentException] { Maintenance.cherryPick(tbl, auditSnap) }
+    // picking the same snapshot twice must fail, not double the rows —
+    // the check runs per-attempt inside the OCC loop on the REFRESHED
+    // base, so even a stale handle can't double-apply
+    intercept[CommitConflictException] { Maintenance.cherryPick(tbl, auditSnap) }
+    intercept[CommitConflictException] { Maintenance.cherryPick(stale, auditSnap) }
+    assert(spark.sql("SELECT COUNT(*) FROM tcRb.r.t").collect()(0).getLong(0) == 70)
 
     // $refs metadata table lists main + audit
     val refs = spark.sql("SELECT name, type, snapshot_id FROM tcRb.r.`t$refs`")
