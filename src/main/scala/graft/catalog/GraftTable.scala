@@ -249,7 +249,7 @@ class GraftTable(
         operation = "delete", carryover = Nil, newDeletes = delFiles)
       catch {
         case e: Throwable =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+          Io.deleteRecursiveQuietly(stagingAbs)
           throw e
       }
     } else if (morMode) {
@@ -278,7 +278,7 @@ class GraftTable(
         exactBoundCols = Set("file_path"))
         .filter(_.records > 0)
       if (delFiles.isEmpty) {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
+        Io.deleteRecursiveQuietly(stagingAbs): Unit
         return
       }
       try Writer.commitSnapshot(this, Nil, overwrite = false,
@@ -286,7 +286,7 @@ class GraftTable(
         newDeletes = delFiles, mustExist = affected.map(_.path).toSet)
       catch {
         case e: Throwable =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+          Io.deleteRecursiveQuietly(stagingAbs)
           throw e
       }
     } else {
@@ -695,7 +695,7 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
+    Io.mkdirs(stagingAbs)
     new GraftDataWriterFactory(stagingAbs,
       new org.apache.spark.util.SerializableConfiguration(
         Writer.writerHadoopConf(spark, schema)),
@@ -714,7 +714,7 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
     val snap = table.readSnapshot
     val files = snap.map(_.files).getOrElse(Nil)
     def fail(e: Throwable): Nothing = {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+      Io.deleteRecursiveQuietly(stagingAbs)
       throw e
     }
     val carryover =
@@ -735,7 +735,7 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
+    Io.deleteRecursiveQuietly(stagingAbs): Unit
 }
 
 /** In-memory metadata tables (`t$snapshots` / `t$files` / `t$history`)

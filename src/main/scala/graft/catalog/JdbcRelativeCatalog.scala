@@ -158,23 +158,23 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     override def refresh(): Option[(Int, TableMeta)] = pointer.map { loc =>
       val v = versionOf(loc)
       (v, parseMeta(readMetadataString(
-        Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))))
+        graft.meta.RelPaths.absolutize(warehouse, loc))))
     }
 
     override def commit(base: Int, meta: TableMeta): Int = {
-      require(!meta.location.startsWith("/") && !meta.location.contains("://"),
+      require(!meta.location.startsWith("/") && !meta.location.contains(":/"),
         s"table location must be warehouse-relative: ${meta.location}")
-      Files.createDirectories(metadataDir)
+      Io.mkdirs(metadataDir)
       // unique filename per attempt: a losing committer must only ever
       // delete its OWN file, never the winner's
       val unique = s"v${base + 1}-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
-      val target = metadataDir.resolve(unique)
+      val target = s"$metadataDir/$unique"
       val (json, newManifests) = spillAndSerialize(meta)
       def loseCleanup(): Unit = {
-        Files.deleteIfExists(target)
-        newManifests.foreach(Files.deleteIfExists(_))
+        Io.deleteIfExists(target)
+        newManifests.foreach(Io.deleteIfExists)
       }
-      Files.writeString(target, json)
+      Io.writeString(target, json)
       val newLoc = s"$location/metadata/$unique"
       val prevLoc = pointer.orNull
       if (base != 0 && (prevLoc == null || versionOf(prevLoc) != base)) {
@@ -223,7 +223,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
         "INSERT INTO graft_namespace_properties (catalog_name, namespace, property_key, property_value) VALUES (?,?,?,?)",
         name(), nsKey(ns.toSeq), k, v)
     }
-    Files.createDirectories(dirOf(ns.toSeq))
+    Io.mkdirs(dirOf(ns.toSeq))
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =
@@ -296,7 +296,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     views.foreach(dropView)
     update("DELETE FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
       name(), nsKey(ns.toSeq))
-    deleteRecursively(dirOf(ns.toSeq))
+    Io.deleteRecursiveQuietly(dirOf(ns.toSeq))
     true
   }
 
@@ -335,7 +335,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,
       name(), nsKey(ident.namespace().toSeq), ident.name())
     if (n == 1) {
-      deleteRecursively(dirOf(ident.namespace().toSeq :+ ident.name()))
+      Io.deleteRecursiveQuietly(dirOf(ident.namespace().toSeq :+ ident.name()))
       true
     } else false
   }
@@ -353,8 +353,8 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     if (isV1 && viewExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
     val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
-    Files.createDirectories(to.getParent)
-    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Io.mkdirs(to.substring(0, to.lastIndexOf('/')))
+    if (!Io.renameNoReplace(from, to)) throw new TableAlreadyExistsException(newIdent)
     val prefixOld = tableLocation(oldIdent)
     val prefixNew = tableLocation(newIdent)
     def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
@@ -362,13 +362,13 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       // rewrite the metadata under the moved directory (raw parse —
       // spilled prefixes stay spilled; their chunk files are remapped
       // in place below)
-      RelativeCatalog.remapManifestContents(to.resolve("metadata"), remap)
+      RelativeCatalog.remapManifestContents(s"$to/metadata", remap)
       val loc = queryList(
         "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
         name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name())(_.getString(1)).head
-      val metaPath = Paths.get(graft.meta.RelPaths.absolutize(warehouse, remap(loc)))
-      val meta = TableMeta.fromJson(Files.readString(metaPath))
-      Files.writeString(metaPath, TableMeta.toJson(meta.copy(
+      val metaPath = graft.meta.RelPaths.absolutize(warehouse, remap(loc))
+      val meta = TableMeta.fromJson(Io.readString(metaPath))
+      Io.writeString(metaPath, TableMeta.toJson(meta.copy(
         location = prefixNew,
         snapshots = meta.snapshots.map(s =>
           s.copy(files = s.files.map(f => f.copy(path = remap(f.path))),
@@ -382,7 +382,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       if (n != 1) throw new IllegalStateException("rename row update failed")
     } catch {
       case e: SQLException =>
-        Files.move(to, from, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Io.renameNoReplace(to, from)
         throw new TableAlreadyExistsException(newIdent)
     }
   }
@@ -417,8 +417,8 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     requireV1()
     val loc = viewPointer(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
-    new GraftView(ViewDef.fromJson(Files.readString(
-      Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))))
+    new GraftView(ViewDef.fromJson(Io.readString(
+      graft.meta.RelPaths.absolutize(warehouse, loc))))
   }
 
   /** Write the definition under the namespace dir with a unique
@@ -426,11 +426,11 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     * return its warehouse-relative path for the catalog row. */
   private def writeViewDef(ident: Identifier, d: ViewDef): String = {
     val dir = dirOf(ident.namespace().toSeq)
-    Files.createDirectories(dir)
-    val f = dir.resolve(
-      s"${ident.name()}-${java.util.UUID.randomUUID().toString.take(8)}.view.json")
-    Files.writeString(f, ViewDef.toJson(d))
-    graft.meta.RelPaths.relativize(warehouse, f.toString)
+    Io.mkdirs(dir)
+    val f =
+      s"$dir/${ident.name()}-${java.util.UUID.randomUUID().toString.take(8)}.view.json"
+    Io.writeString(f, ViewDef.toJson(d))
+    graft.meta.RelPaths.relativize(warehouse, f)
   }
 
   override def createView(info: ViewInfo): View = {
@@ -451,7 +451,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
       name(), nsKey(ident.namespace().toSeq), ident.name(), loc)
     catch { case _: SQLException => // PK violation: a racer won
-      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))
+      Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, loc))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     }
     new GraftView(d)
@@ -461,8 +461,8 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     requireV1()
     val oldLoc = viewPointer(ident).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
-    val d0 = ViewDef.fromJson(Files.readString(
-      Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc))))
+    val d0 = ViewDef.fromJson(Io.readString(
+      graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
     val d = changes.foldLeft(d0) {
       case (d, sp: ViewChange.SetProperty) =>
         d.copy(properties = d.properties + (sp.property() -> sp.value()))
@@ -477,11 +477,11 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       "UPDATE graft_tables SET metadata_location=?, previous_metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW' AND metadata_location=?",
       newLoc, oldLoc, name(), nsKey(ident.namespace().toSeq), ident.name(), oldLoc)
     if (n != 1) {
-      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+      Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
       throw new CommitFailedException(
         s"concurrent update to view ${ident.name()} (pointer CAS failed)")
     }
-    Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
+    Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, oldLoc))
     new GraftView(d)
   }
 
@@ -494,7 +494,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
           "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW'",
           name(), nsKey(ident.namespace().toSeq), ident.name())
         if (n == 1)
-          Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, loc)))
+          Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, loc))
         n == 1
     }
   }
@@ -509,8 +509,8 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
     if (viewExists(newIdent) || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
-    val d = ViewDef.fromJson(Files.readString(
-      Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc))))
+    val d = ViewDef.fromJson(Io.readString(
+      graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
     val newLoc = writeViewDef(newIdent, d.copy(name = newIdent.name()))
     try {
       val n = update(
@@ -518,13 +518,13 @@ class JdbcRelativeCatalog extends RelativeCatalog {
         nsKey(newIdent.namespace().toSeq), newIdent.name(), newLoc,
         name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name(), oldLoc)
       if (n != 1) {
-        Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+        Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
       }
-      Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
+      Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, oldLoc))
     } catch {
       case _: SQLException => // PK violation: target appeared concurrently
-        Files.deleteIfExists(Paths.get(graft.meta.RelPaths.absolutize(warehouse, newLoc)))
+        Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     }
   }

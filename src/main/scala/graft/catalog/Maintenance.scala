@@ -45,7 +45,7 @@ object Maintenance {
       try {
         ops.commit(v, next)
         (orphans ++ orphanManifests).foreach(p =>
-          Files.deleteIfExists(Paths.get(RelPaths.absolutize(ops.warehouse, p))))
+          Io.deleteIfExists(RelPaths.absolutize(ops.warehouse, p)))
         return orphans.size
       } catch {
         case _: CommitFailedException => // refresh + retry
@@ -361,18 +361,18 @@ object Maintenance {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
     val snap = meta.currentSnapshot.getOrElse(return Nil)
     snap.manifests.foreach { m =>
-      if (!Files.exists(Paths.get(RelPaths.absolutize(ops.warehouse, m.path))))
+      if (!Io.exists(RelPaths.absolutize(ops.warehouse, m.path)))
         problems += s"missing manifest ${m.path}"
     }
     (snap.files ++ snap.deleteFiles).foreach { f =>
-      val abs = Paths.get(RelPaths.absolutize(ops.warehouse, f.path))
-      if (!Files.exists(abs)) problems += s"missing file ${f.path}"
+      val abs = RelPaths.absolutize(ops.warehouse, f.path)
+      if (!Io.exists(abs)) problems += s"missing file ${f.path}"
       else {
         val actual = scala.util.Try {
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(abs.toString),
-              new org.apache.hadoop.conf.Configuration()))
+              new org.apache.hadoop.fs.Path(abs),
+              Io.hadoopConf()))
           try reader.getRecordCount finally reader.close()
         }
         actual match {
@@ -419,7 +419,7 @@ object Maintenance {
       try {
         ops.commit(v, next)
         (orphans ++ orphanManifests).foreach(p =>
-          Files.deleteIfExists(Paths.get(RelPaths.absolutize(ops.warehouse, p))))
+          Io.deleteIfExists(RelPaths.absolutize(ops.warehouse, p)))
         return orphans.size
       } catch {
         case _: CommitFailedException => // refresh + retry
@@ -441,21 +441,14 @@ object Maintenance {
       .getOrElse(throw new IllegalStateException("no such table"))
     val referenced = meta.snapshots
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
-    val tableAbs = Paths.get(RelPaths.absolutize(ops.warehouse, meta.location))
+    val tableAbs = RelPaths.absolutize(ops.warehouse, meta.location)
     var removed = 0
     for (sub <- Seq("data", "deletes")) {
-      val root = tableAbs.resolve(sub)
-      if (Files.isDirectory(root)) {
-        val stream = Files.walk(root)
-        try {
-          stream.iterator().asScala
-            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-            .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
-            .filterNot(p => referenced(
-              RelPaths.relativize(ops.warehouse, p.toString)))
-            .foreach { p => Files.deleteIfExists(p); removed += 1 }
-        } finally stream.close()
-      }
+      Io.walkFiles(s"$tableAbs/$sub")
+        .filter(_.endsWith(".parquet"))
+        .filter(p => scala.util.Try(Io.mtimeMs(p)).getOrElse(Long.MaxValue) < olderThanMs)
+        .filterNot(p => referenced(RelPaths.relativize(ops.warehouse, p)))
+        .foreach { p => Io.deleteIfExists(p); removed += 1 }
     }
     removed
   }

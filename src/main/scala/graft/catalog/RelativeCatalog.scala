@@ -73,12 +73,31 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   protected var catName: String = _
   var warehouse: String = _
 
+  /** Lock/FS options forwarded to [[TableOps]] (commit.lock-impl…). */
+  protected var catalogProps: java.util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
-    warehouse = Option(options.get("warehouse"))
+    warehouse = Io.normalize(Option(options.get("warehouse"))
       .getOrElse(throw new IllegalArgumentException(
-        s"catalog $name requires a 'warehouse' option"))
-    Files.createDirectories(Paths.get(warehouse))
+        s"catalog $name requires a 'warehouse' option")))
+    catalogProps = new java.util.HashMap(options)
+    Io.mkdirs(warehouse)
+    // Checksum knobs on the warehouse FileSystem (ref
+    // HadoopRelativeCatalog.java:45-48,88-91; README.md:123-124 — what
+    // makes mixed-protocol relocation practical: a posix rsync of a
+    // checksummed warehouse invalidates .crc sidecars, so reads of a
+    // relocated warehouse set fs.verfiy-checksum=false). The ref's
+    // typo'd key is kept for parity; the corrected spelling works too.
+    if (Io.hasScheme(warehouse)) {
+      val fs = Io.fs(warehouse)
+      def flag(k: String) = Option(options.get(k)).map(_.toBoolean)
+      fs.setVerifyChecksum(
+        flag("fs.verfiy-checksum").orElse(flag("fs.verify-checksum")).getOrElse(true))
+      fs.setWriteChecksum(
+        flag("fs.write-checksum").getOrElse(true))
+    }
     // Field-id-based parquet column resolution (see schemaToSpark):
     // SessionState.newHadoopConf copies every SQL conf into the parquet
     // reader's Configuration, so one session-level switch covers all
@@ -96,35 +115,27 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 
   // ---- helpers -----------------------------------------------------
 
-  protected def dirOf(parts: Seq[String]): Path =
-    parts.foldLeft(Paths.get(warehouse))(_.resolve(_))
+  protected def dirOf(parts: Seq[String]): String =
+    (warehouse.stripSuffix("/") +: parts).mkString("/")
 
-  /** Files.list with the stream closed (long-lived driver safety). */
-  protected def listDir(p: Path): Seq[Path] = {
-    val st = Files.list(p)
-    try st.iterator().asScala.toSeq finally st.close()
-  }
-
-  protected def isTableDir(p: Path): Boolean = {
-    val md = p.resolve("metadata")
-    Files.isDirectory(md) && listDir(md).exists { f =>
-      val n = f.getFileName.toString
+  protected def isTableDir(p: String): Boolean =
+    Io.listNames(s"$p/metadata").exists { n =>
       n.startsWith("v") &&
         (n.endsWith(".metadata.json") || n.endsWith(".metadata.json.gz"))
     }
-  }
 
   protected def tableLocation(ident: Identifier): String =
     (ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  protected def opsFor(ident: Identifier) = new TableOps(warehouse, tableLocation(ident))
+  protected def opsFor(ident: Identifier) =
+    new TableOps(warehouse, tableLocation(ident), catalogProps)
 
   // ---- namespaces (C1–C5) -----------------------------------------
 
   override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit = {
     val d = dirOf(ns.toSeq)
-    if (Files.isDirectory(d)) throw new NamespaceAlreadyExistsException(ns)
-    Files.createDirectories(d)
+    if (Io.isDir(d)) throw new NamespaceAlreadyExistsException(ns)
+    Io.mkdirs(d)
   }
 
   override def listNamespaces(): Array[Array[String]] =
@@ -137,15 +148,14 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
 
   private def childNamespaces(parent: Seq[String]): Seq[String] = {
     val d = dirOf(parent)
-    if (!Files.isDirectory(d)) Nil
-    else listDir(d)
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")).sorted
+    Io.listNames(d)
+      .filter(n => Io.isDir(s"$d/$n") && !isTableDir(s"$d/$n"))
+      .filterNot(_.startsWith(".")).sorted
   }
 
   override def namespaceExists(ns: Array[String]): Boolean = {
     val d = dirOf(ns.toSeq)
-    Files.isDirectory(d) && !isTableDir(d)
+    Io.isDir(d) && !isTableDir(d)
   }
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
@@ -161,25 +171,20 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val d = dirOf(ns.toSeq)
     if (!namespaceExists(ns)) return false
-    val empty = listDir(d).isEmpty
+    val empty = Io.listNames(d).isEmpty
     if (!empty && !cascade) throw new NonEmptyNamespaceException(ns)
-    deleteRecursively(d)
+    Io.deleteRecursiveQuietly(d)
     true
-  }
-
-  protected def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 
   // ---- tables (C6–C11) --------------------------------------------
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val d = dirOf(ns.toSeq)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(ns)
-    listDir(d)
-      .filter(p => Files.isDirectory(p) && isTableDir(p))
-      .map(p => Identifier.of(ns, p.getFileName.toString)).toArray
+    if (!Io.isDir(d)) throw new NoSuchNamespaceException(ns)
+    Io.listNames(d)
+      .filter(n => Io.isDir(s"$d/$n") && isTableDir(s"$d/$n"))
+      .map(n => Identifier.of(ns, n)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -465,7 +470,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident.namespace().toSeq :+ ident.name())
     if (!isTableDir(d)) return false
-    deleteRecursively(d) // includes data: purge semantics (ref C8)
+    Io.deleteRecursiveQuietly(d) // includes data: purge semantics (ref C8)
     true
   }
 
@@ -478,22 +483,23 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     val from = dirOf(oldIdent.namespace().toSeq :+ oldIdent.name())
     val to = dirOf(newIdent.namespace().toSeq :+ newIdent.name())
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
-    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (Io.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace().nonEmpty && !namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
     // materialize BEFORE the move — the spilled manifest chunks are
     // still at their recorded (old) paths here
-    val (v, meta) = new TableOps(warehouse, tableLocation(oldIdent)).refresh()
+    val (v, meta) = new TableOps(warehouse, tableLocation(oldIdent), catalogProps).refresh()
       .getOrElse(throw new NoSuchTableException(oldIdent))
-    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (!Io.renameNoReplace(from, to))
+      throw new TableAlreadyExistsException(newIdent)
     // the stored location must track the new path: rewrite + commit
     val prefixOld = tableLocation(oldIdent)
     val prefixNew = tableLocation(newIdent)
     def remap(p: String) = if (p.startsWith(prefixOld)) prefixNew + p.stripPrefix(prefixOld) else p
     // chunk CONTENTS embed table-prefixed data-file paths — remap the
     // moved files in place
-    RelativeCatalog.remapManifestContents(to.resolve("metadata"), remap)
-    val ops = new TableOps(warehouse, tableLocation(newIdent))
+    RelativeCatalog.remapManifestContents(s"$to/metadata", remap)
+    val ops = new TableOps(warehouse, tableLocation(newIdent), catalogProps)
     ops.commit(v, meta.copy(
       location = prefixNew,
       snapshots = meta.snapshots.map(s => s.copy(
@@ -506,23 +512,21 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   // ---- views (C10, path-based analog of the JDBC catalog's view
   // records, JdbcRelativeCatalog.java:157-201,476-547) ---------------
 
-  private def viewFile(ident: Identifier): Path =
-    dirOf(ident.namespace().toSeq).resolve(s"${ident.name()}.view.json")
+  private def viewFile(ident: Identifier): String =
+    s"${dirOf(ident.namespace().toSeq)}/${ident.name()}.view.json"
 
   override def listViews(ns: String*): Array[Identifier] = {
     val d = dirOf(ns)
-    if (!Files.isDirectory(d)) Array.empty
-    else listDir(d).filter(p => p.getFileName.toString.endsWith(".view.json"))
-      .map(p => Identifier.of(ns.toArray,
-        p.getFileName.toString.stripSuffix(".view.json"))).toArray
+    Io.listNames(d).filter(_.endsWith(".view.json"))
+      .map(n => Identifier.of(ns.toArray, n.stripSuffix(".view.json"))).toArray
   }
 
-  override def viewExists(ident: Identifier): Boolean = Files.exists(viewFile(ident))
+  override def viewExists(ident: Identifier): Boolean = Io.exists(viewFile(ident))
 
   override def loadView(ident: Identifier): View = {
     if (!viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    new GraftView(ViewDef.fromJson(Files.readString(viewFile(ident))))
+    new GraftView(ViewDef.fromJson(Io.readString(viewFile(ident))))
   }
 
   override def createView(info: ViewInfo): View = {
@@ -539,12 +543,12 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       info.queryColumnNames().toList, info.columnAliases().toList,
       info.columnComments().toList.map(c => if (c == null) "" else c),
       info.properties().asScala.toMap)
-    Files.writeString(viewFile(ident), ViewDef.toJson(d))
+    Io.writeString(viewFile(ident), ViewDef.toJson(d))
     new GraftView(d)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val d0 = ViewDef.fromJson(Files.readString(viewFile(ident)))
+    val d0 = ViewDef.fromJson(Io.readString(viewFile(ident)))
     val d = changes.foldLeft(d0) {
       case (d, sp: ViewChange.SetProperty) =>
         d.copy(properties = d.properties + (sp.property() -> sp.value()))
@@ -552,12 +556,12 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         d.copy(properties = d.properties - rp.property())
       case (d, _) => d
     }
-    Files.writeString(viewFile(ident), ViewDef.toJson(d))
+    Io.writeString(viewFile(ident), ViewDef.toJson(d))
     new GraftView(d)
   }
 
   override def dropView(ident: Identifier): Boolean =
-    Files.deleteIfExists(viewFile(ident))
+    Io.deleteIfExists(viewFile(ident))
 
   override def renameView(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
     val newIdent =
@@ -568,9 +572,9 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
     if (viewExists(newIdent) || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
-    val d = ViewDef.fromJson(Files.readString(viewFile(oldIdent)))
-    Files.writeString(viewFile(newIdent), ViewDef.toJson(d.copy(name = newIdent.name())))
-    Files.delete(viewFile(oldIdent))
+    val d = ViewDef.fromJson(Io.readString(viewFile(oldIdent)))
+    Io.writeString(viewFile(newIdent), ViewDef.toJson(d.copy(name = newIdent.name())))
+    Io.deleteIfExists(viewFile(oldIdent)): Unit
   }
 
   // ---- metadata tables --------------------------------------------
@@ -731,19 +735,15 @@ object RelativeCatalog {
     * the chunk files move with the table directory, but their embedded
     * paths carry the old table prefix).
     */
-  private[catalog] def remapManifestContents(metadataDir: java.nio.file.Path,
+  private[catalog] def remapManifestContents(metadataDir: String,
       remap: String => String): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(metadataDir)) return
-    val st = java.nio.file.Files.list(metadataDir)
-    val chunks = try st.iterator().asScala.toList finally st.close()
-    chunks.filter { p =>
-      val n = p.getFileName.toString
-      n.startsWith("manifest-") && n.endsWith(".json")
-    }.foreach { p =>
-      val files = graft.meta.TableMeta.manifestFromJson(java.nio.file.Files.readString(p))
-      java.nio.file.Files.writeString(p, graft.meta.TableMeta.manifestToJson(
-        files.map(f => f.copy(path = remap(f.path)))))
-    }
+    Io.listNames(metadataDir)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .foreach { n =>
+        val p = s"$metadataDir/$n"
+        val files = graft.meta.TableMeta.manifestFromJson(Io.readString(p))
+        Io.writeString(p, graft.meta.TableMeta.manifestToJson(
+          files.map(f => f.copy(path = remap(f.path)))))
+      }
   }
 }

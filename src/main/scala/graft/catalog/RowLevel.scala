@@ -338,7 +338,7 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(stagingAbs))
+    Io.mkdirs(stagingAbs)
     // session-derived hadoop conf: carries every SQL conf
     // ParquetWriteSupport.init expects (rebase modes, legacy format,
     // timestamp type, …)
@@ -369,13 +369,13 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
       validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
     catch {
       case e: Throwable =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+        Io.deleteRecursiveQuietly(stagingAbs)
         throw e
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
+    Io.deleteRecursiveQuietly(stagingAbs): Unit
 }
 
 case class GraftCommitMessage(records: Long,
@@ -536,7 +536,7 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
 
   private def closeCurrent(): Unit = if (writer != null) {
     writer.close()
-    if (curCount == 0) { Files.deleteIfExists(Paths.get(curPath)); written -= curPath }
+    if (curCount == 0) { deleteFile(curPath); written -= curPath }
     writer = null
   }
 
@@ -581,8 +581,14 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
 
   override def abort(): Unit = {
     scala.util.Try(if (writer != null) writer.close())
-    written.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    written.foreach(deleteFile)
   }
+
+  /** Executor-safe delete: scheme paths go through the task's Hadoop
+    * conf (credentials!), posix through java.nio. */
+  private def deleteFile(p: String): Unit =
+    if (Io.hasScheme(p)) { scala.util.Try(new Path(p).getFileSystem(conf).delete(new Path(p), false)): Unit }
+    else { Files.deleteIfExists(Paths.get(p)): Unit }
 
   override def close(): Unit = ()
 }
@@ -642,8 +648,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
-    Files.createDirectories(Paths.get(dataAbs))
-    Files.createDirectories(Paths.get(delAbs))
+    Io.mkdirs(dataAbs)
+    Io.mkdirs(delAbs)
     val spark = org.apache.spark.sql.SparkSession.active
     new GraftDeltaWriterFactory(dataAbs, delAbs,
       new SerializableConfiguration(Writer.writerHadoopConf(spark, schema)),
@@ -678,15 +684,15 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
       newDeletes = delFiles, mustExist = mustExist)
     catch {
       case e: Throwable =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataAbs))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delAbs))
+        Io.deleteRecursiveQuietly(dataAbs)
+        Io.deleteRecursiveQuietly(delAbs)
         throw e
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataAbs))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delAbs)): Unit
+    Io.deleteRecursiveQuietly(dataAbs)
+    Io.deleteRecursiveQuietly(delAbs): Unit
   }
 }
 

@@ -73,7 +73,7 @@ class GraftStagedTable(catalogName: String, ident: Identifier, ops: TableOps,
     val (stagingAbs, files) = staged.getOrElse(("", Nil))
     def cleanup(): Unit =
       if (stagingAbs.nonEmpty)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs)): Unit
+        Io.deleteRecursiveQuietly(stagingAbs): Unit
     base match {
       case Some(b) =>
         val (v, cur) = ops.refresh().getOrElse {
@@ -142,6 +142,6 @@ class GraftStagedTable(catalogName: String, ident: Identifier, ops: TableOps,
 
   override def abortStagedChanges(): Unit =
     staged.foreach { case (dir, _) =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+      Io.deleteRecursiveQuietly(dir): Unit
     }
 }

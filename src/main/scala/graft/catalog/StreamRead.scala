@@ -277,13 +277,13 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
       s.summary.get("streaming-query-id").contains(queryId) &&
         s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
     if (committed) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+      Io.deleteRecursiveQuietly(dir): Unit
       return
     }
     val epochKeys = messages.collect { case m: GraftCommitMessage => m }
       .flatMap(_.fileKeys).toMap
     val newFiles =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) Nil
+      if (!Io.isDir(dir)) Nil
       else Writer.collectStats(spark, table.schema(), table.ops.warehouse, dir)
         .filter(_.records > 0)
         .map(f => Writer.stampPartition(f, epochKeys,
@@ -295,13 +295,13 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
         "streaming-epoch-id" -> epochId.toString))
     catch {
       case e: Throwable =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        Io.deleteRecursiveQuietly(dir)
         throw e
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(epochDir(epochId))): Unit
+    Io.deleteRecursiveQuietly(epochDir(epochId)): Unit
 }
 
 class GraftStreamingWriterFactory(stagingAbs: String,
@@ -312,7 +312,7 @@ class GraftStreamingWriterFactory(stagingAbs: String,
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
     val dir = s"$stagingAbs/ep-$epochId"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Io.mkdirs(dir)
     new GraftDataWriter(dir, s"part-$partitionId-$taskId", conf.value, schema,
       keySpecs, dataLeading = false, targetBytes = targetBytes)
   }

@@ -1,9 +1,6 @@
 package graft.catalog
 
 import graft.meta.{DataFile, Manifest, RelPaths, TableMeta}
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 class CommitFailedException(msg: String) extends RuntimeException(msg)
@@ -25,21 +22,32 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
   *  - refresh: read hint, forward-scan to the newest version, parse,
   *    UUID continuity check (ref :96-141, checkUUID :79-85)
   *  - commit: stale-base check, no-absolute-path invariant, temp
-  *    `<UUID>.metadata.json`, file-lock + exists-check + ATOMIC_MOVE
-  *    rename to `v<N+1>` — the commit point; losers of the rename race
-  *    get CommitFailedException and retry on a refreshed base
+  *    `<UUID>.metadata.json`, lock + exists-check + rename-no-replace
+  *    to `v<N+1>` — the commit point; losers of the rename race get
+  *    CommitFailedException and retry on a refreshed base
   *    (ref :144-180, renameToFinal :346-376)
   *  - findVersion crash recovery: if the hint is corrupt/missing, scan
   *    `v*.metadata.json` and take the max that parses (ref :302-337)
   *  - metadata GC: drop all but the newest K metadata files after a
   *    successful commit (ref deleteRemovedMetadataFiles :400-416)
+  *
+  * All byte IO routes through [[Io]], so the warehouse may be a plain
+  * posix dir or any Hadoop FileSystem URI (file://, hdfs://, s3a://…
+  * — ref README.md:112-121's posix→object-store relocation). The lock
+  * around the commit rename is pluggable ([[CommitLock]], the ref's
+  * LockManager seam): posix/file warehouses default to an OS FileLock,
+  * remote schemes to rename-no-replace CAS.
   */
-class TableOps(val warehouse: String, val tableLocation: String) {
+class TableOps(val warehouse: String, val tableLocation: String,
+    val lockProps: java.util.Map[String, String] =
+      java.util.Collections.emptyMap[String, String]()) {
 
-  def tableDir: Path = Paths.get(RelPaths.absolutize(warehouse, tableLocation))
-  def metadataDir: Path = tableDir.resolve("metadata")
-  def versionHintFile: Path = metadataDir.resolve("version-hint.text")
-  def metadataFile(v: Int): Path = metadataDir.resolve(s"v$v.metadata.json")
+  def tableDir: String = RelPaths.absolutize(warehouse, tableLocation)
+  def metadataDir: String = s"$tableDir/metadata"
+  def versionHintFile: String = s"$metadataDir/version-hint.text"
+  def metadataFile(v: Int): String = s"$metadataDir/v$v.metadata.json"
+
+  protected lazy val commitLock: CommitLock = CommitLock.from(warehouse, lockProps)
 
   /** Codec probing (ref HadoopRelativeTableOperations.java:243-251
     * getMetadataFile): a version may exist as plain JSON or gzip —
@@ -48,24 +56,24 @@ class TableOps(val warehouse: String, val tableLocation: String) {
     * so every read probes the known spellings in codec order. A
     * gzip-metadata warehouse written by the reference opens unchanged.
     */
-  private def metadataCandidates(v: Int): Seq[Path] = Seq(
+  private def metadataCandidates(v: Int): Seq[String] = Seq(
     metadataFile(v),
-    metadataDir.resolve(s"v$v.gz.metadata.json"),
-    metadataDir.resolve(s"v$v.metadata.json.gz"))
+    s"$metadataDir/v$v.gz.metadata.json",
+    s"$metadataDir/v$v.metadata.json.gz")
 
-  def existingMetadataFile(v: Int): Option[Path] =
-    metadataCandidates(v).find(Files.exists(_))
+  def existingMetadataFile(v: Int): Option[String] =
+    metadataCandidates(v).find(Io.exists)
 
   private val VersionName = """^v(\d+)(?:\.gz)?\.metadata\.json(?:\.gz)?$""".r
 
   /** Read metadata JSON, transparently gunzipping the gz spellings. */
-  def readMetadataString(p: Path): String = {
-    val n = p.getFileName.toString
+  def readMetadataString(p: String): String = {
+    val n = p.substring(p.lastIndexOf('/') + 1)
     if (n.endsWith(".gz") || n.endsWith(".gz.metadata.json")) {
-      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+      val in = new java.util.zip.GZIPInputStream(Io.inputStream(p))
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    } else Files.readString(p)
+    } else Io.readString(p)
   }
 
   @volatile private var cachedUuid: Option[String] = None
@@ -86,8 +94,8 @@ class TableOps(val warehouse: String, val tableLocation: String) {
         if (s.manifests.isEmpty) s
         else {
           val chunked = s.manifests.flatMap(m => cache.getOrElseUpdate(m.path,
-            TableMeta.manifestFromJson(Files.readString(
-              Paths.get(RelPaths.absolutize(warehouse, m.path))))))
+            TableMeta.manifestFromJson(Io.readString(
+              RelPaths.absolutize(warehouse, m.path)))))
           s.copy(files = chunked ++ s.files)
         }
       })
@@ -99,21 +107,21 @@ class TableOps(val warehouse: String, val tableLocation: String) {
     * manifests). Returns the JSON and the manifest files written by
     * THIS call — the committer must delete them if the commit loses.
     */
-  protected def spillAndSerialize(meta: TableMeta): (String, List[Path]) = {
+  protected def spillAndSerialize(meta: TableMeta): (String, List[String]) = {
     val chunkSize = meta.properties.get("write.metadata.manifest-chunk-size")
       .flatMap(s => Try(s.toInt).toOption).filter(_ > 0).getOrElse(1000)
-    var written = List.empty[Path]
+    var written = List.empty[String]
     val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
       val inline = s.inlineFiles
       if (inline.size <= chunkSize) s
       else {
-        Files.createDirectories(metadataDir)
+        Io.mkdirs(metadataDir)
         val groups = inline.grouped(chunkSize).toList
         val (full, rest) = groups.partition(_.size == chunkSize)
         val newManifests = full.map { g =>
           val fname = s"manifest-${java.util.UUID.randomUUID()}.json"
-          val p = metadataDir.resolve(fname)
-          Files.writeString(p, TableMeta.manifestToJson(g))
+          val p = s"$metadataDir/$fname"
+          Io.writeString(p, TableMeta.manifestToJson(g))
           written ::= p
           Manifest(s"$tableLocation/metadata/$fname", g.size)
         }
@@ -129,12 +137,10 @@ class TableOps(val warehouse: String, val tableLocation: String) {
   /** Version-hint read with recovery scan fallback. 0 = table absent. */
   def findVersion(): Int = {
     val hinted = Try {
-      Files.readString(versionHintFile).trim.toInt
+      Io.readString(versionHintFile).trim.toInt
     }.toOption.filter(v => v > 0 && existingMetadataFile(v).isDefined)
     hinted.getOrElse {
-      if (!Files.isDirectory(metadataDir)) 0
-      else Files.list(metadataDir).iterator().asScala
-        .map(_.getFileName.toString)
+      Io.listNames(metadataDir)
         .collect { case VersionName(d) => Try(d.toInt).getOrElse(0) }
         .foldLeft(0)(math.max)
     }
@@ -165,54 +171,58 @@ class TableOps(val warehouse: String, val tableLocation: String) {
 
     // Relocation invariant (ref :155-158): nothing absolute may reach
     // the metadata file, or a warehouse move would break the table.
-    require(!meta.location.startsWith("/") && !meta.location.contains("://"),
+    require(!meta.location.startsWith("/") && !meta.location.contains(":/"),
       s"table location must be warehouse-relative: ${meta.location}")
     meta.snapshots.flatMap(s => s.files ++ s.deleteFiles).foreach { f =>
-      require(!f.path.startsWith("/") && !f.path.contains("://"),
+      require(!f.path.startsWith("/") && !f.path.contains(":/"),
         s"data/delete file path must be warehouse-relative: ${f.path}")
     }
     meta.snapshots.flatMap(_.manifests).foreach { m =>
-      require(!m.path.startsWith("/") && !m.path.contains("://"),
+      require(!m.path.startsWith("/") && !m.path.contains(":/"),
         s"manifest path must be warehouse-relative: ${m.path}")
     }
 
-    Files.createDirectories(metadataDir)
+    Io.mkdirs(metadataDir)
     val (json, newManifests) = spillAndSerialize(meta)
     // write codec comes from the Iceberg-named table property; readers
     // probe, so mixed-codec version chains are fine
     val gzip = meta.properties.get("write.metadata.compression-codec")
       .exists(_.equalsIgnoreCase("gzip"))
     val target =
-      if (gzip) metadataDir.resolve(s"v${base + 1}.gz.metadata.json")
+      if (gzip) s"$metadataDir/v${base + 1}.gz.metadata.json"
       else metadataFile(base + 1)
-    val tmp = metadataDir.resolve(s".${java.util.UUID.randomUUID()}.metadata.json")
+    val tmp = s"$metadataDir/.${java.util.UUID.randomUUID()}.metadata.json"
     if (gzip) {
-      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp))
+      val out = new java.util.zip.GZIPOutputStream(Io.outputStream(tmp))
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } else Files.writeString(tmp, json)
+    } else Io.writeString(tmp, json)
 
     def loseCleanup(): Unit = {
-      Files.deleteIfExists(tmp)
-      newManifests.foreach(Files.deleteIfExists(_))
+      Io.deleteIfExists(tmp)
+      newManifests.foreach(Io.deleteIfExists)
     }
-    val lockFile = metadataDir.resolve(".commit.lock")
-    val ch = FileChannel.open(lockFile, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    // the reference's renameToFinal double guard (:346-376): lock,
+    // re-check the target, then a rename that must not clobber
+    if (!commitLock.acquire(target, tmp)) {
+      loseCleanup()
+      throw new CommitFailedException(s"failed to acquire commit lock on $target")
+    }
     try {
-      val lock = ch.lock()
-      try {
-        if (existingMetadataFile(base + 1).isDefined) {
-          loseCleanup()
-          throw new CommitFailedException(s"version ${base + 1} already committed")
-        }
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      } finally lock.release()
+      if (existingMetadataFile(base + 1).isDefined) {
+        loseCleanup()
+        throw new CommitFailedException(s"version ${base + 1} already committed")
+      }
+      if (!Io.renameNoReplace(tmp, target)) {
+        loseCleanup()
+        throw new CommitFailedException(s"rename to $target lost the commit race")
+      }
     } catch {
       case e: CommitFailedException => throw e
       case e: Throwable =>
         loseCleanup()
         throw new CommitFailedException(s"rename to $target failed: ${e.getMessage}")
-    } finally ch.close()
+    } finally commitLock.release(target, tmp)
 
     writeVersionHint(base + 1)
     gcOldMetadata(keep = 10)
@@ -221,18 +231,16 @@ class TableOps(val warehouse: String, val tableLocation: String) {
 
   /** Best-effort hint rewrite via temp + atomic replace (ref :283-300). */
   def writeVersionHint(v: Int): Unit = Try {
-    val tmp = metadataDir.resolve(s".hint-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, versionHintFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = s"$metadataDir/.hint-${java.util.UUID.randomUUID()}"
+    Io.writeString(tmp, v.toString)
+    Io.renameReplace(tmp, versionHintFile)
   }
 
   private def gcOldMetadata(keep: Int): Unit = Try {
-    val vs = Files.list(metadataDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val vs = Io.listNames(metadataDir)
       .collect { case VersionName(d) => Try(d.toInt).getOrElse(0) }
       .toSeq.sorted
     vs.dropRight(keep).filter(_ > 0)
-      .foreach(v => metadataCandidates(v).foreach(Files.deleteIfExists(_)))
+      .foreach(v => metadataCandidates(v).foreach(Io.deleteIfExists))
   }
 }

@@ -108,7 +108,7 @@ object Writer {
       validateFrom, clearDeletes = clearDeletes)
     catch {
       case e: Throwable =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagingAbs))
+        Io.deleteRecursiveQuietly(stagingAbs)
         throw e
     }
   }
@@ -230,7 +230,7 @@ object Writer {
   private def fanoutWrite(data: org.apache.spark.sql.DataFrame, schema: StructType,
       stagingAbs: String, targetBytes: Long): Map[String, List[String]] = {
     val spark = data.sparkSession
-    Files.createDirectories(Paths.get(stagingAbs))
+    Io.mkdirs(stagingAbs)
     val keyType = data.schema.fields.last.dataType
     val ser = new org.apache.spark.util.SerializableConfiguration(
       writerHadoopConf(spark, schema))
@@ -277,11 +277,9 @@ object Writer {
 
   def collectStatsFromFooters(schema: StructType, warehouse: String,
       stagingAbs: String, exactBoundCols: Set[String] = Set.empty): List[DataFile] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = Io.hadoopConf()
     val boundableNames = schema.fields.map(_.name).toSet
-    val files = java.nio.file.Files.walk(Paths.get(stagingAbs)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
-      .toList
+    val files = Io.walkFiles(stagingAbs).filter(_.endsWith(".parquet")).toList
     // footer reads are independent and IO-bound: a 10k-file ingest
     // commit should not pay them serially on the driver
     val par = math.max(1, math.min(16, files.size))
@@ -296,7 +294,7 @@ object Writer {
     } finally pool.shutdown()
   }
 
-  private def statsOfFile(p: java.nio.file.Path, schema: StructType,
+  private def statsOfFile(p: String, schema: StructType,
       warehouse: String, conf: org.apache.hadoop.conf.Configuration,
       boundableNames: Set[String], exactBoundCols: Set[String]): DataFile = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -305,7 +303,7 @@ object Writer {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     {
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val records = blocks.map(_.getRowCount).sum
@@ -355,9 +353,9 @@ object Writer {
         dropped.foreach { n => mins.remove(n); maxs.remove(n) }
         nullsUnknown.foreach(nulls.remove)
         DataFile(
-          path = RelPaths.relativize(warehouse, p.toString),
+          path = RelPaths.relativize(warehouse, p),
           records = records,
-          bytes = scala.util.Try(Files.size(p)).getOrElse(0L),
+          bytes = scala.util.Try(Io.size(p)).getOrElse(0L),
           // exactBoundCols (e.g. a position-delete file's file_path)
           // keep full-length bounds: scan-side delete pruning needs a
           // real range, and paths are ~100 chars, not documents
@@ -423,7 +421,13 @@ object Writer {
       .collect()
 
     stats.map { r =>
-      val fileAbs = r.getAs[String]("__file").replaceFirst("^file:(//)?", "")
+      // input_file_name URIs: keep the scheme form for a URI warehouse
+      // (normalized to Hadoop's spelling so RelPaths prefix-matches);
+      // strip it for posix warehouses, as before
+      val rawFile = r.getAs[String]("__file")
+      val fileAbs =
+        if (Io.hasScheme(warehouse)) Io.normalize(rawFile)
+        else rawFile.replaceFirst("^file:(//)?", "")
       // long string bounds would embed whole documents into
       // metadata.json: a 64-char PREFIX stays a valid lower bound;
       // an over-long upper bound is dropped (conservative: the file
@@ -438,7 +442,7 @@ object Writer {
       DataFile(
         path = RelPaths.relativize(warehouse, fileAbs),
         records = r.getAs[Long]("__n"),
-        bytes = scala.util.Try(Files.size(Paths.get(fileAbs))).getOrElse(0L),
+        bytes = scala.util.Try(Io.size(fileAbs)).getOrElse(0L),
         minBound = mins, maxBound = maxs)
     }.toList
   }

@@ -104,12 +104,12 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO tcH.h.t VALUES (1), (2)")
     val ops = new TableOps(wh, "h/t")
     assert(ops.findVersion() == 2)
-    Files.writeString(ops.versionHintFile, "not-a-number")
+    Files.writeString(Paths.get(ops.versionHintFile), "not-a-number")
     assert(ops.findVersion() == 2)
-    Files.delete(ops.versionHintFile)
+    Files.delete(Paths.get(ops.versionHintFile))
     assert(ops.findVersion() == 2)
     // hint pointing past the newest version is ignored too
-    Files.writeString(ops.versionHintFile, "99")
+    Files.writeString(Paths.get(ops.versionHintFile), "99")
     assert(ops.findVersion() == 2)
   }
 
@@ -569,7 +569,7 @@ class CatalogSpec extends AnyFunSuite {
     val alt = mdDir.resolve(s"v$v.metadata.json.gz")
     val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(alt))
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    java.nio.file.Files.delete(cur)
+    java.nio.file.Files.delete(Paths.get(cur))
     java.nio.file.Files.writeString(mdDir.resolve("version-hint.text"), v.toString)
     val ops2 = new graft.catalog.TableOps(wh, "g/t")
     assert(ops2.refresh().get._1 == v)
