@@ -80,6 +80,30 @@ object Maintenance {
     }
   }
 
+  /** Drop a named ref (branch or tag). Snapshots it pinned become
+    * expirable on the next retention pass — nothing is deleted here
+    * (Iceberg `remove_ref` semantics). `main` is not droppable.
+    */
+  def dropRef(ops: TableOps, refName: String): Unit = {
+    require(refName != "main", "cannot drop the main branch")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      require(meta.refs.contains(refName), s"no ref $refName")
+      try {
+        ops.commit(v, meta.copy(
+          lastUpdatedMs = System.currentTimeMillis(),
+          refs = meta.refs - refName))
+        done = true
+      } catch {
+        case _: CommitFailedException if attempts < 10 =>
+      }
+    }
+  }
+
   /** Write-audit-publish: append `df` to a named BRANCH — `main` (and
     * every reader not asking for the branch) is untouched until
     * [[fastForward]] publishes it.

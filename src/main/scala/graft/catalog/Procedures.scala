@@ -116,6 +116,15 @@ object Procedures {
           .meta.refs(args.getUTF8String(1).toString).snapshotId)
       }),
 
+    ProcDef("drop_ref",
+      Seq(in("tbl", StringType), in("ref", StringType)),
+      StructType(Seq(StructField("dropped", StringType))),
+      (cat, args) => {
+        Maintenance.dropRef(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getUTF8String(1).toString)
+        row(UTF8String.fromString(args.getUTF8String(1).toString))
+      }),
+
     ProcDef("fast_forward",
       Seq(in("tbl", StringType), in("branch", StringType)),
       StructType(Seq(StructField("current_snapshot_id", LongType))),

@@ -507,6 +507,43 @@ object CatalogOps extends Pack {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)),
 
+    // Write-audit-publish over branch refs (README.md:67-103 `refs`):
+    // even orderkeys land on main; odd ones are appended to an `audit`
+    // BRANCH (invisible to main readers), audited via
+    // VERSION AS OF 'audit', then published with fast_forward. The
+    // result proves all three read states: the branch saw everything,
+    // main pre-publish saw only the base, main post-publish sees all.
+    Decl("q_scan_branch", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_br")
+      spark.sql(s"CREATE TABLE $c.demo_br.o (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_br.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_br.o', ref => 'audit', ref_type => 'branch')")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_br"), "o")
+      def t = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      graft.catalog.Maintenance.appendToBranch(t,
+        spark.sql("SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 1"),
+        "audit")
+      val mainBefore = spark.sql(s"SELECT COUNT(*) FROM $c.demo_br.o").collect()(0).getLong(0)
+      val branchSees = spark.sql(s"SELECT COUNT(*) FROM $c.demo_br.o VERSION AS OF 'audit'")
+        .collect()(0).getLong(0)
+      spark.sql(s"CALL $c.system.fast_forward(tbl => 'demo_br.o', branch => 'audit')")
+      spark.sql(s"CALL $c.system.drop_ref(tbl => 'demo_br.o', ref => 'audit')")
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_published, $mainBefore AS n_main_before,
+           |  $branchSees AS n_branch,
+           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM $c.demo_br.o""".stripMargin)
+    }, Some(
+      """SELECT COUNT(*) AS n_published,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_main_before,
+        |  COUNT(*) AS n_branch,
+        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders""".stripMargin)),
+
     // months(ts)-partitioned scan: hidden partitioning over a time
     // transform; the ts predicate prunes whole month files (the
     // fanout writer made them partition-local with tight ts bounds).

@@ -446,6 +446,39 @@ class MaintSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Maintenance.cherryPick(tbl, delSnap) }
   }
 
+  test("drop_ref: unpins the branch for expiry; main is not droppable") {
+    val wh = "/tmp/graft_test_dropref"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcDr", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcDr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcDr.r")
+    spark.sql("CREATE TABLE tcDr.r.t (id BIGINT)")
+    spark.sql("INSERT INTO tcDr.r.t SELECT id FROM range(10)")
+    val cat = spark.sessionState.catalogManager.catalog("tcDr")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("r"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    spark.sql("CALL tcDr.system.create_ref(tbl => 'r.t', ref => 'keepme', ref_type => 'branch')")
+    val pinnedSnap = tbl.meta.refs("keepme").snapshotId
+    spark.sql("INSERT INTO tcDr.r.t SELECT id FROM range(10, 20)")
+    spark.sql("INSERT INTO tcDr.r.t SELECT id FROM range(20, 30)")
+    // pinned: expiry keeps the ref'd snapshot
+    Maintenance.expireSnapshots(tbl.ops, keepLast = 1)
+    assert(tbl.meta.snapshot(pinnedSnap).isDefined, "branch pin survives expiry")
+    assert(spark.sql("SELECT COUNT(*) FROM tcDr.r.t VERSION AS OF 'keepme'")
+      .collect()(0).getLong(0) == 10)
+    // dropped: the next expiry can reap it
+    spark.sql("CALL tcDr.system.drop_ref(tbl => 'r.t', ref => 'keepme')")
+    assert(!tbl.meta.refs.contains("keepme"))
+    Maintenance.expireSnapshots(tbl.ops, keepLast = 1)
+    assert(tbl.meta.snapshot(pinnedSnap).isEmpty, "unpinned snapshot expires")
+    // guards
+    intercept[Exception] {
+      spark.sql("CALL tcDr.system.drop_ref(tbl => 'r.t', ref => 'main')") }
+    intercept[Exception] {
+      spark.sql("CALL tcDr.system.drop_ref(tbl => 'r.t', ref => 'nope')") }
+  }
+
   test("streaming upsert (CDC): foreachBatch MERGE INTO per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
