@@ -56,20 +56,26 @@ object Bench {
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       (name, times.min, heapMb)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // stdout line stays SMALL so the driver's tail-capture never
+    // truncates mid-JSON (round-6's full heap map broke its parser):
+    // per-query seconds at ms precision, heap profile file-only
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, _, h) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // heap_mb before queries: the driver captures the TAIL of sbt output,
-    // so the per-query numbers must be last to survive truncation; the
-    // full line is also persisted to a file the driver can read directly
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","heap_mb":$heaps,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs}"""
     println(line)
+    // the full-precision record (plus heap profile) for direct reads
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${
+        results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      },"heap_mb":$heaps}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     spark.stop()
   }
 }

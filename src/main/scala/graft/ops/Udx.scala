@@ -20,8 +20,12 @@ object Udx extends Pack {
     private val mc = java.math.MathContext.DECIMAL128
     override def zero: WBuf = WBuf(BigDecimal(0), BigDecimal(0))
     override def reduce(b: WBuf, a: (Double, Double)): WBuf = {
-      val v = BigDecimal(a._1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      val w = BigDecimal(a._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      // fixed-point 6dp via valueOf(long, scale): same value as
+      // BigDecimal(double).setScale(6, HALF_UP) for these ≤2dp inputs,
+      // but skips the full binary-fraction expansion + re-round that
+      // dominated this aggregator's per-row cost (bench r6: 0.96 s)
+      val v = BigDecimal(java.math.BigDecimal.valueOf(Math.round(a._1 * 1e6), 6))
+      val w = BigDecimal(java.math.BigDecimal.valueOf(Math.round(a._2 * 1e6), 6))
       WBuf(b.swx + v * w, b.sw + w)
     }
     override def merge(x: WBuf, y: WBuf): WBuf = WBuf(x.swx + y.swx, x.sw + y.sw)
