@@ -22,6 +22,7 @@ object SparkEntry {
     ops.LlmOps,
     ops.LlmOps2,
     ops.LlmOps3,
+    ops.LlmOps4,
     ops.StreamOps,
     ops.CatalogOps,
   )
