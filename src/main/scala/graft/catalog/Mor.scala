@@ -41,16 +41,29 @@ object Mor {
     * generous because the decoded two-column set stays small) */
   private val BroadcastMaxBytes: Long = 64L << 20
 
-  /** `_metadata.file_path` (a file: URI) → warehouse-relative path,
-    * the exact representation stored in delete files. Used identically
-    * on the write and read sides so the anti-join keys always agree.
+  /** `_metadata.file_path` (a URI) → warehouse-relative path, the
+    * exact representation stored in delete files. Used identically on
+    * the write and read sides so the anti-join keys always agree.
+    * Spark may spell the same location `file:/w/x`, `file:///w/x`,
+    * `/w/x`, or `s3a://bucket/w/x` — every spelling of the warehouse
+    * prefix is matched so a URI warehouse gets correct keys too.
     */
   def relFileCol(warehouse: String): Column = {
-    val w = if (warehouse.endsWith("/")) warehouse else warehouse + "/"
-    // strip the URI scheme, then the warehouse prefix
-    val noScheme = regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
-    when(noScheme.startsWith(w), noScheme.substr(lit(w.length + 1), lit(Int.MaxValue)))
-      .otherwise(noScheme)
+    val norm = Io.normalize(warehouse).stripSuffix("/")
+    val posix =
+      if (norm.startsWith("file:")) new org.apache.hadoop.fs.Path(norm).toUri.getPath
+      else norm
+    val prefixes = (Seq(norm) ++                     // file:/w | s3a://b/w | /w
+      (if (posix.startsWith("/"))
+        Seq(s"file:$posix", s"file://$posix", posix) // every local spelling
+       else Nil)
+    ).distinct.map(_ + "/")
+    val raw = col("_metadata.file_path")
+    val relChain = prefixes.foldLeft(when(lit(false), lit(""))) { (acc, w) =>
+      acc.when(raw.startsWith(w), raw.substr(lit(w.length + 1), lit(Int.MaxValue)))
+    }
+    // fallback: strip a file: scheme (pre-URI behavior, conservative)
+    relChain.otherwise(regexp_replace(raw, "^file:(//)?", ""))
   }
 
   /** The committed delete set as (__gf relative-path, __gp position). */

@@ -229,6 +229,49 @@ object Aggs extends Pack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
+    // PIVOT: rows → columns over an explicit value list (explicit
+    // values keep it one pass — Spark's value-discovering overload
+    // prepends a distinct job). Same partial-agg shuffle as a groupBy;
+    // each pivot column is one conditional aggregate.
+    Decl("q_agg_pivot", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(d4(sum(dec($("l_quantity")))))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS F,
+          |  CAST(CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS O
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // UNPIVOT (melt): columns → rows. Pure narrow map (each input row
+    // emits k rows, no shuffle until the final sort) — the wide-table
+    // → long-table reshape feature stores need.
+    Decl("q_agg_unpivot", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter($("l_orderkey") < 200)
+        .unpivot(
+          Array($("l_orderkey"), $("l_linenumber")),
+          Array($("l_quantity"), $("l_extendedprice"), $("l_discount")),
+          "metric", "val")
+        .orderBy($("l_orderkey").asc_nulls_first, $("l_linenumber").asc_nulls_first,
+          $("metric").asc_nulls_first, $("val").asc_nulls_first),
+      Some(
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+          |FROM lineitem WHERE l_orderkey < 200
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          |FROM lineitem WHERE l_orderkey < 200
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          |FROM lineitem WHERE l_orderkey < 200
+          |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+          |  metric ASC NULLS FIRST, val ASC NULLS FIRST""".stripMargin)),
+
     // Approx distinct: engine-side only (HLL sketches differ between
     // engines); OpsSpec asserts relative error vs the exact count.
     Decl("q_agg_hll", (spark, dir) =>

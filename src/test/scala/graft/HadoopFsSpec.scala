@@ -56,6 +56,21 @@ class HadoopFsSpec extends AnyFunSuite {
     val ops = new TableOps(s"file://$local", "n/t")
     val (v, meta) = ops.refresh().get
     meta.snapshots.flatMap(_.files).foreach(f => assert(!f.path.contains(":/"), f.path))
+    // merge-on-read DML: position-delete keys must relativize the
+    // URI-spelled _metadata.file_path against the URI warehouse
+    spark.sql("CREATE TABLE hfs.n.mor (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')")
+    spark.sql("INSERT INTO hfs.n.mor SELECT id, CONCAT('v', id) FROM range(1000)")
+    spark.sql("DELETE FROM hfs.n.mor WHERE id % 10 = 3")
+    assert(spark.sql("SELECT COUNT(*) FROM hfs.n.mor").collect()(0).getLong(0) == 900)
+    spark.sql("UPDATE hfs.n.mor SET v = 'x' WHERE id < 50")
+    assert(spark.sql("SELECT COUNT(*) FROM hfs.n.mor WHERE v = 'x'")
+      .collect()(0).getLong(0) == 45)
+    val morTbl = cat.loadTable(Identifier.of(Array("n"), "mor"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(morTbl.readSnapshot.get.deleteFiles.nonEmpty,
+      "DML must have gone merge-on-read (delete files present)")
+
     // views round-trip through the FS too (API-driven: Spark 4.1's
     // CREATE VIEW DDL only routes to the session catalog)
     val vid = Identifier.of(Array("n"), "big")
