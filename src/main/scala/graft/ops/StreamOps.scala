@@ -116,7 +116,77 @@ object StreamOps extends Pack {
     out
   }
 
+  /** Two independent file-source streams over the same replay payload
+    * (separate sources, separate offsets — both see every wave and the
+    * sentinel), for stream-stream joins. Same sink/cleanup protocol as
+    * [[streamed]].
+    */
+  private def streamed2(spark: SparkSession, dir: String)(
+      build: (Dataset[Ev], Dataset[Ev]) => DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_stream_src2")
+    linkWave(src, eventsSrc(spark, dir), "w0")
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    def mkStream = spark.readStream.schema(Encoders.product[Ev].schema)
+      .parquet(src.toString).as[Ev]
+    val q = build(mkStream, mkStream).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      linkWave(src, sentinelSrc(spark), "zz-sentinel")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    rmTree(src)
+    out
+  }
+
   def decls: Seq[Decl] = Seq(
+
+    // STREAM-STREAM inner join (funnel attribution): clicks matched to
+    // purchases by the same user within 10 event-time minutes. Both
+    // sides carry watermarks so join state is EVICTED once the
+    // watermark passes the interval — the property that lets this run
+    // forever at 100 TB/day (state is O(watermark window), not O(
+    // stream)). Matches emit append-mode as they form; the memory sink
+    // holds only matched pairs, aggregated batch-side below.
+    Decl("q_str_joinstream", (spark, dir) =>
+      streamed2(spark, dir) { (a, b) =>
+        // the join path requires TimestampType event time (ntz is only
+        // allowed for windowed aggs); identity cast under the UTC session
+        val clicks = a.filter(col("event_type") === "click")
+          .select(col("user_id").as("u"), col("ts").cast("timestamp").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "30 minutes")
+        val buys = b.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("bu"), col("ts").cast("timestamp").as("buy_ts"),
+            col("event_id").as("buy_id"))
+          .withWatermark("buy_ts", "30 minutes")
+        clicks.join(buys,
+          col("u") === col("bu") &&
+            col("buy_ts") >= col("click_ts") &&
+            col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+          "inner")
+          .select(col("u").as("user_id"), col("click_id"), col("buy_id"))
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("click_id")).as("first_click"),
+          min(col("buy_id")).as("first_buy"))
+        .orderBy(col("user_id").asc_nulls_first),
+      Some(
+        """SELECT a.user_id, COUNT(*) AS n_pairs,
+          |  MIN(a.event_id) AS first_click, MIN(b.event_id) AS first_buy
+          |FROM events a JOIN events b ON a.user_id = b.user_id
+          |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+          |GROUP BY a.user_id
+          |ORDER BY a.user_id ASC NULLS FIRST""".stripMargin)),
 
     Decl("q_str_tumble", (spark, dir) =>
       streamed(spark, dir, OutputMode.Complete()) { ds =>
