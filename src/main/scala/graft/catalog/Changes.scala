@@ -76,6 +76,11 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
   // hand them through the V1 boundary unconverted (see MorRelation)
   override def needConversion: Boolean = false
 
+  // changed-file bytes upper-bounds the diff volume: without this the
+  // V1 boundary reports Long.Max and a small changelog never broadcasts
+  override def sizeInBytes: Long =
+    meta.snapshots.flatMap(_.files).map(_.bytes).sum max 1L
+
   private def resolve(v: String): Snapshot =
     (scala.util.Try(v.toLong).toOption match {
       case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))

@@ -476,6 +476,11 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
   // IS the overhead, everything below it is codegen'd
   override def needConversion: Boolean = false
 
+  // exact committed bytes of the PRUNED file set: without this the V1
+  // fallback reports conf.defaultSizeInBytes (Long.Max) and a small
+  // MOR table on the build side of a join would never broadcast
+  override def sizeInBytes: Long = files.map(_.bytes).sum max 1L
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val w = table.ops.warehouse
@@ -518,6 +523,9 @@ class MetaRelation(ctx: SQLContext, table: GraftTable, required: StructType,
 
   // serve the inner plan's InternalRows directly (see [[MorRelation]])
   override def needConversion: Boolean = false
+
+  // exact committed bytes (see [[MorRelation.sizeInBytes]])
+  override def sizeInBytes: Long = files.map(_.bytes).sum max 1L
 
   override def buildScan(): RDD[Row] = {
     import org.apache.spark.sql.functions.col
@@ -761,5 +769,8 @@ class MemRelation(ctx: SQLContext, sch: StructType, rows: Seq[Row])
   extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = sch
+  // driver-side metadata rows are tiny — report them so joins against
+  // metadata tables ($snapshots, $files…) broadcast, never shuffle
+  override def sizeInBytes: Long = (rows.size.toLong * 128) max 1L
   override def buildScan(): RDD[Row] = ctx.sparkContext.parallelize(rows, 1)
 }

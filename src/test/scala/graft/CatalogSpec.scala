@@ -1010,6 +1010,31 @@ class CatalogSpec extends AnyFunSuite {
       Seq(54, 650, 40, "he"))
   }
 
+  test("small MOR table reports real size and broadcasts in a join") {
+    val wh = freshDir("morstats")
+    mkCatalog("tcMs", wh)
+    spark.sql("CREATE NAMESPACE tcMs.s")
+    spark.sql("CREATE TABLE tcMs.s.dim (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcMs.s.dim SELECT id, CONCAT('n', id) FROM range(100)")
+    spark.sql("DELETE FROM tcMs.s.dim WHERE id >= 90") // live delete file → MorScan
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcMs")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    assert(cat.loadTable(Identifier.of(Array("s"), "dim"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get.deleteFiles.nonEmpty)
+    val big = spark.range(0, 100000).toDF("id2")
+    big.createOrReplaceTempView("big_probe")
+    val joined = spark.sql(
+      "SELECT COUNT(*) FROM big_probe b JOIN tcMs.s.dim d ON b.id2 = d.id")
+    // committed-bytes sizeInBytes (not defaultSizeInBytes=Long.Max) →
+    // the MOR side is broadcastable
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small MOR side must broadcast:\n$plan")
+    assert(joined.collect()(0).getLong(0) == 90)
+  }
+
   test("months partition stamping is session-timezone independent") {
     val wh = freshDir("tzsafe")
     mkCatalog("tcTz", wh)
