@@ -63,6 +63,29 @@ object CatalogOps extends Pack {
         |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS v1_rows,
         |  (SELECT COUNT(*) FROM customer) AS v2_rows""".stripMargin)),
 
+    // TIMESTAMP AS OF over the snapshot log: a wall-clock captured
+    // between the two commits resolves to the first snapshot (the
+    // "as of yesterday's load" read). The second commit is forced onto
+    // a LATER millisecond so the boundary is deterministic.
+    Decl("q_scan_timetravel_ts", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_tts")
+      spark.sql(s"CREATE TABLE $c.demo_tts.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_tts.cust SELECT c_custkey, c_acctbal FROM customer_src WHERE c_custkey % 3 = 0")
+      val between = System.currentTimeMillis()
+      Thread.sleep(5) // commit timestamps are ms-resolution
+      spark.sql(s"INSERT INTO $c.demo_tts.cust SELECT c_custkey, c_acctbal FROM customer_src WHERE c_custkey % 3 <> 0")
+      val asOf = java.time.Instant.ofEpochMilli(between).toString.replace("T", " ").replace("Z", "")
+      spark.sql(
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM $c.demo_tts.cust TIMESTAMP AS OF '$asOf') AS old_rows,
+           |  (SELECT COUNT(*) FROM $c.demo_tts.cust) AS now_rows""".stripMargin)
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS old_rows,
+        |  (SELECT COUNT(*) FROM customer) AS now_rows""".stripMargin)),
+
     // Snapshots metadata table (q_meta_snapshots): stable columns only
     // (ids/timestamps are generation-dependent).
     Decl("q_meta_snapshots", (spark, dir) => {

@@ -232,6 +232,25 @@ object ScalarFns extends Pack {
           |FROM events
           |ORDER BY event_id ASC NULLS FIRST, k_str ASC NULLS FIRST""".stripMargin)),
 
+    // Regex surface: extract / replace-all / match predicate — the
+    // workhorse trio of any text-cleaning pipeline. Narrow codegen'd
+    // projection; both engines use '' for a no-match extract.
+    Decl("q_fn_regexp", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "[a-z]*an[a-z]*", 0).as("first_an_word"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"),
+          col("text").rlike("scan .*join").as("has_scan_join"))
+        .orderBy(col("doc_id").asc_nulls_first),
+      Some(
+        """SELECT doc_id,
+          |  regexp_extract(text, '[a-z]*an[a-z]*', 0) AS first_an_word,
+          |  len(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+          |  regexp_matches(text, 'scan .*join') AS has_scan_join
+          |FROM documents WHERE doc_id < 300
+          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     Decl("q_fn_hash", (spark, dir) =>
       Tables(spark, dir, "part")
         .select(

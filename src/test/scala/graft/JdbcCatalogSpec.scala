@@ -20,6 +20,28 @@ class JdbcCatalogSpec extends AnyFunSuite {
     s"j$tag"
   }
 
+  test("JDBC catalog over a file:// URI warehouse (pointer rows + Hadoop FS bytes)") {
+    val local = "/tmp/graft_test_jdbc_uri"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+    val db = "/tmp/graft_test_jdbc_uri_db"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(db))
+    spark.conf.set("spark.sql.catalog.juri", "graft.catalog.JdbcRelativeCatalog")
+    spark.conf.set("spark.sql.catalog.juri.warehouse", s"file://$local")
+    // the derby default path derives from the warehouse string — give
+    // an explicit uri when the warehouse is not a posix path
+    spark.conf.set("spark.sql.catalog.juri.uri", s"jdbc:derby:$db;create=true")
+    spark.sql("CREATE NAMESPACE juri.ns")
+    spark.sql("CREATE TABLE juri.ns.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO juri.ns.t SELECT id, id * 0.5 FROM range(500)")
+    assert(spark.sql("SELECT COUNT(*) FROM juri.ns.t").collect()(0).getLong(0) == 500)
+    spark.sql("UPDATE juri.ns.t SET v = 0 WHERE id < 10")
+    assert(spark.sql("SELECT SUM(v) FROM juri.ns.t WHERE id < 10")
+      .collect()(0).getDouble(0) == 0.0)
+    // metadata physically lives under the local dir, pointer in the DB
+    assert(new java.io.File(s"$local/ns/t/metadata").listFiles()
+      .exists(_.getName.endsWith(".metadata.json")))
+  }
+
   test("DDL + DML round-trip with pointer rows as source of truth") {
     val c = fresh("rt")
     spark.sql(s"CREATE NAMESPACE $c.ns")
