@@ -48,16 +48,23 @@ object Mor {
     * `/w/x`, or `s3a://bucket/w/x` — every spelling of the warehouse
     * prefix is matched so a URI warehouse gets correct keys too.
     */
-  def relFileCol(warehouse: String): Column = {
+  /** Every spelling under which `_metadata.file_path` may present the
+    * warehouse prefix (pure — unit-tested for schemes the sandbox
+    * can't mount). */
+  def warehousePrefixes(warehouse: String): Seq[String] = {
     val norm = Io.normalize(warehouse).stripSuffix("/")
     val posix =
       if (norm.startsWith("file:")) new org.apache.hadoop.fs.Path(norm).toUri.getPath
       else norm
-    val prefixes = (Seq(norm) ++                     // file:/w | s3a://b/w | /w
+    (Seq(norm) ++                                    // file:/w | s3a://b/w | /w
       (if (posix.startsWith("/"))
         Seq(s"file:$posix", s"file://$posix", posix) // every local spelling
        else Nil)
     ).distinct.map(_ + "/")
+  }
+
+  def relFileCol(warehouse: String): Column = {
+    val prefixes = warehousePrefixes(warehouse)
     val raw = col("_metadata.file_path")
     val relChain = prefixes.foldLeft(when(lit(false), lit(""))) { (acc, w) =>
       acc.when(raw.startsWith(w), raw.substr(lit(w.length + 1), lit(Int.MaxValue)))
