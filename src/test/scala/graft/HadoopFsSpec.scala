@@ -49,6 +49,12 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(graft.catalog.Maintenance.verifyIntegrity(tbl.ops).isEmpty)
     assert(graft.catalog.Maintenance.expireSnapshots(tbl.ops, keepLast = 1) >= 0)
     assert(spark.sql("SELECT COUNT(*) FROM hfs.n.t").collect()(0).getLong(0) == 1900)
+    // orphan vacuum walks the FS: plant debris, reclaim it
+    Io.writeString(s"file://$local/n/t/data/orphan-debris.parquet", "junk")
+    assert(graft.catalog.Maintenance.removeOrphanFiles(tbl.ops,
+      olderThanMs = System.currentTimeMillis() + 60000) == 1)
+    assert(!Io.exists(s"file://$local/n/t/data/orphan-debris.parquet"))
+    assert(spark.sql("SELECT COUNT(*) FROM hfs.n.t").collect()(0).getLong(0) == 1900)
     // metadata on disk is plain files under the local dir (the URI and
     // the posix path address the same bytes)
     assert(Files.exists(Paths.get(s"$local/n/t/metadata/version-hint.text")))
@@ -163,6 +169,23 @@ class HadoopFsSpec extends AnyFunSuite {
     // restore the shared-instance default for later suites
     Io.fs(s"file://$on").setWriteChecksum(true)
     Io.fs(s"file://$on").setVerifyChecksum(true)
+  }
+
+  test("gzip metadata codec round-trips through the FS streams") {
+    val local = freshDir("hfs_gz")
+    spark.conf.set("spark.sql.catalog.hgz", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.hgz.warehouse", s"file://$local")
+    spark.sql("CREATE NAMESPACE hgz.g")
+    spark.sql("CREATE TABLE hgz.g.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.metadata.compression-codec'='gzip')")
+    spark.sql("INSERT INTO hgz.g.t SELECT id FROM range(50)")
+    spark.sql("INSERT INTO hgz.g.t SELECT id FROM range(50, 80)")
+    assert(spark.sql("SELECT COUNT(*) FROM hgz.g.t").collect()(0).getLong(0) == 80)
+    // versions ≥2 are gz-spelled on disk and read back via Io streams
+    val names = Io.listNames(s"file://$local/g/t/metadata")
+    assert(names.exists(_.endsWith(".gz.metadata.json")), s"$names")
+    val ops = new TableOps(s"file://$local", "g/t")
+    assert(ops.refresh().get._2.currentSnapshot.get.files.nonEmpty)
   }
 
   test("MOR warehouse-prefix spellings cover posix, file URIs, and remote schemes") {
