@@ -98,20 +98,30 @@ object Mor {
 
   def isEquality(d: DataFile): Boolean = d.content.contains("equality")
 
-  /** Delete files that can possibly reference any of `files`, decided
-    * by the delete files' `file_path` column bounds (position-delete
-    * writes keep them EXACT — untruncated — for this purpose). A
-    * pruned point-lookup over a trickle-deleted 100 TB table then
-    * reads only the handful of delete files whose path range overlaps
-    * the scanned files, not every delete ever committed. Equality
-    * deletes are value-keyed, not file-keyed → always kept (their
-    * applicability is decided per row by sequence number). Missing
-    * bounds (legacy/fallback stats) conservatively keep the file.
+  /** Delete files that can possibly reference any of `files`:
+    *
+    *  - POSITION deletes prune by their `file_path` column bounds
+    *    (delete writes keep them EXACT — untruncated — for this). A
+    *    pruned point-lookup over a trickle-deleted 100 TB table then
+    *    reads only the handful of delete files whose path range
+    *    overlaps the scanned files, not every delete ever committed.
+    *  - EQUALITY deletes apply only to data files with STRICTLY older
+    *    sequence numbers, so one whose seq is ≤ every scanned file's
+    *    can't kill any row — pruned on metadata alone. The CDC shape
+    *    this serves: a time-partitioned upsert table's recent-partition
+    *    scans see only recent (high-seq) files and skip the long tail
+    *    of old equality deletes entirely.
+    *
+    * Missing bounds/seqs (legacy or fallback stats) conservatively
+    * keep the file.
     */
   def relevantDeletes(deletes: Seq[DataFile], files: Seq[DataFile]): Seq[DataFile] = {
     val paths = files.map(_.path)
+    val minSeq = files.map(_.seq.getOrElse(0L)).minOption.getOrElse(0L)
     deletes.filter { d =>
-      isEquality(d) || {
+      if (isEquality(d))
+        d.seq.forall(_ > minSeq)
+      else {
         val lb = d.minBound.get("file_path")
         val ub = d.maxBound.get("file_path")
         paths.exists(p => lb.forall(p >= _) && ub.forall(p <= _))

@@ -1010,6 +1010,24 @@ class CatalogSpec extends AnyFunSuite {
       Seq(54, 650, 40, "he"))
   }
 
+  test("equality deletes prune by sequence number against the scanned file set") {
+    import graft.catalog.Mor
+    import graft.meta.DataFile
+    def df(path: String, seq: Option[Long], content: Option[String] = None) =
+      DataFile(path = path, records = 1, bytes = 1, seq = seq, content = content)
+    val eqOld = df("deletes/d1.parquet", Some(3L), Some("equality"))
+    val eqNew = df("deletes/d2.parquet", Some(9L), Some("equality"))
+    val eqNoSeq = df("deletes/d3.parquet", None, Some("equality"))
+    val scanned = Seq(df("data/a.parquet", Some(5L)), df("data/b.parquet", Some(7L)))
+    val kept = Mor.relevantDeletes(Seq(eqOld, eqNew, eqNoSeq), scanned)
+    // seq 3 ≤ every scanned file's seq → can't kill any row → pruned;
+    // seq 9 applies to both; missing seq kept conservatively
+    assert(kept == Seq(eqNew, eqNoSeq), s"$kept")
+    // a legacy file without a recorded seq counts as seq 0 → everything applies
+    val legacy = scanned :+ df("data/old.parquet", None)
+    assert(Mor.relevantDeletes(Seq(eqOld, eqNew, eqNoSeq), legacy).size == 3)
+  }
+
   test("small MOR table reports real size and broadcasts in a join") {
     val wh = freshDir("morstats")
     mkCatalog("tcMs", wh)
