@@ -63,6 +63,32 @@ object CatalogOps extends Pack {
         |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS v1_rows,
         |  (SELECT COUNT(*) FROM customer) AS v2_rows""".stripMargin)),
 
+    // Id-based schema evolution (ref README.md:30-51): add a column
+    // (old rows read NULL), rename it (metadata-only — field ids keep
+    // old parquet columns resolving), then read the mixed history.
+    Decl("q_cat_evolve", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ev")
+      spark.sql(s"CREATE TABLE $c.demo_ev.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_ev.cust SELECT c_custkey, c_acctbal FROM customer_src WHERE c_custkey % 2 = 0")
+      spark.sql(s"ALTER TABLE $c.demo_ev.cust ADD COLUMN seg STRING")
+      spark.sql(s"INSERT INTO $c.demo_ev.cust SELECT c_custkey, c_acctbal, c_mktsegment FROM customer_src WHERE c_custkey % 2 = 1")
+      spark.sql(s"ALTER TABLE $c.demo_ev.cust RENAME COLUMN seg TO segment")
+      spark.sql(
+        s"""SELECT segment, COUNT(*) AS n,
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM $c.demo_ev.cust
+           |GROUP BY segment
+           |ORDER BY segment ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM customer
+        |GROUP BY segment
+        |ORDER BY segment ASC NULLS FIRST""".stripMargin)),
+
     // TIMESTAMP AS OF over the snapshot log: a wall-clock captured
     // between the two commits resolves to the first snapshot (the
     // "as of yesterday's load" read). The second commit is forced onto

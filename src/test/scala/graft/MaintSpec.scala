@@ -446,6 +446,37 @@ class MaintSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Maintenance.cherryPick(tbl, delSnap) }
   }
 
+  test("concurrent branch append and main write both land via OCC rebase") {
+    val wh = "/tmp/graft_test_brrace"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcBr2", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcBr2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcBr2.r")
+    spark.sql("CREATE TABLE tcBr2.r.t (id BIGINT)")
+    spark.sql("INSERT INTO tcBr2.r.t SELECT id FROM range(10)")
+    val cat = spark.sessionState.catalogManager.catalog("tcBr2")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def tbl = cat.loadTable(Identifier.of(Array("r"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    Maintenance.createRef(tbl.ops, "audit", "branch")
+    import spark.implicits._
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t1 = new Thread(() => {
+      try Maintenance.appendToBranch(tbl, (100L until 150L).toDF("id"), "audit")
+      catch { case e: Throwable => errs.set(e) }
+    })
+    val t2 = new Thread(() => {
+      try spark.sql("INSERT INTO tcBr2.r.t SELECT id FROM range(200, 230)")
+      catch { case e: Throwable => errs.set(e) }
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.get() == null, s"racing commit failed: ${errs.get()}")
+    // main got only its insert; the branch kept base + its append
+    assert(spark.sql("SELECT COUNT(*) FROM tcBr2.r.t").collect()(0).getLong(0) == 40)
+    assert(spark.sql("SELECT COUNT(*) FROM tcBr2.r.t VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 60)
+  }
+
   test("drop_ref: unpins the branch for expiry; main is not droppable") {
     val wh = "/tmp/graft_test_dropref"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
