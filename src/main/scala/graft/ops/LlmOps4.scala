@@ -141,9 +141,37 @@ object LlmOps4 extends Pack {
 
     // Int8 scalar quantization of embeddings (the storage path for a
     // 100 TB vector corpus: 4× smaller than fp32, reconstruction error
-    // bounded by half a quantization step). Engine-side only — float
-    // arithmetic differs across engines — Llm4Spec bounds the error.
-    Decl("q_llm_sq", (spark, dir) => sqQuantize(spark, dir), None),
+    // bounded by half a quantization step). The declared output keeps
+    // only scalar columns (the verifier sorts rows; an array<int>
+    // column is unsortable there) — codes ship as their canonical
+    // string form, which DuckDB's LIST→VARCHAR cast matches exactly.
+    // All arithmetic is double-precision IEEE in an identical op
+    // order in both engines, so values are bit-identical and
+    // hash-comparable; Llm4Spec additionally bounds the error.
+    Decl("q_llm_sq", (spark, dir) =>
+      sqQuantize(spark, dir)
+        .select(col("vec_id"), col("qmin"), col("scale"),
+          col("codes").cast("string").as("codes_str"), col("max_err"))
+        .orderBy(col("vec_id").asc_nulls_first),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, embedding,
+          |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+          |    CASE WHEN CAST(list_max(embedding) AS DOUBLE)
+          |            - CAST(list_min(embedding) AS DOUBLE) > 0
+          |      THEN (CAST(list_max(embedding) AS DOUBLE)
+          |            - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+          |      ELSE 1.0 END AS scale
+          |  FROM embeddings)
+          |SELECT vec_id, qmin, scale,
+          |  CAST(list_transform(embedding,
+          |    x -> CAST(round((CAST(x AS DOUBLE) - qmin) / scale) AS INT))
+          |    AS VARCHAR) AS codes_str,
+          |  list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE)
+          |      - (qmin + CAST(round((CAST(x AS DOUBLE) - qmin) / scale) AS INT)
+          |         * scale)))) AS max_err
+          |FROM q ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
   )
 
   /** Per-vector min/max int8 quantize + dequantized max abs error. */

@@ -48,7 +48,7 @@ class Llm4Spec extends AnyFunSuite {
   }
 
   test("q_llm_sq: int8 codes in range, reconstruction error within half a step") {
-    val rows = SparkEntry.queries("q_llm_sq")(spark, sf).collect()
+    val rows = graft.ops.LlmOps4.sqQuantize(spark, sf).collect()
     assert(rows.size >= 100)
     rows.foreach { r =>
       val scale = r.getDouble(2)
@@ -59,5 +59,15 @@ class Llm4Spec extends AnyFunSuite {
       assert(maxErr <= scale / 2 * 1.001 + 1e-6,
         s"vec ${r.getLong(0)}: err $maxErr > step/2 ${scale / 2}")
     }
+  }
+
+  test("q_llm_sq declared output is scalar-only (verifier-sortable)") {
+    val df = SparkEntry.queries("q_llm_sq")(spark, sf)
+    df.schema.fields.foreach { f =>
+      assert(!f.dataType.typeName.startsWith("array"),
+        s"declared q_llm_sq column ${f.name} is ${f.dataType}; arrays break the checker")
+    }
+    val r = df.limit(1).collect().head
+    assert(r.getString(3).startsWith("["), "codes_str should be the canonical [a, b, …] form")
   }
 }
