@@ -72,14 +72,19 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = outSchema
 
+  // chunk loads for the per-snapshot file lists (adjacent snapshots
+  // share most chunks, so the cache makes the walk O(unique chunks))
+  private val ops = new TableOps(warehouse, meta.location)
+
   // the diffed state is a full Catalyst plan producing InternalRows;
   // hand them through the V1 boundary unconverted (see MorRelation)
   override def needConversion: Boolean = false
 
   // changed-file bytes upper-bounds the diff volume: without this the
   // V1 boundary reports Long.Max and a small changelog never broadcasts
+  // (dataBytes sums the chunks' byte keys — no chunk is loaded)
   override def sizeInBytes: Long =
-    meta.snapshots.flatMap(_.files).map(_.bytes).sum max 1L
+    meta.snapshots.map(_.dataBytes).sum max 1L
 
   private def resolve(v: String): Snapshot =
     (scala.util.Try(v.toLong).toOption match {
@@ -89,11 +94,12 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
 
   /** Materialized state of one snapshot: its files minus its deletes. */
   private def state(spark: SparkSession, snap: Snapshot, dataSchema: StructType): DataFrame = {
-    if (snap.files.isEmpty)
+    val files = ops.allFiles(snap)
+    if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-    val paths = snap.files.map(f => RelPaths.absolutize(warehouse, f.path))
+    val paths = files.map(f => RelPaths.absolutize(warehouse, f.path))
     val raw = spark.read.schema(dataSchema).parquet(paths: _*)
-    Mor.applyDeletes(spark, raw, warehouse, snap.deleteFiles, snap.files)
+    Mor.applyDeletes(spark, raw, warehouse, snap.deleteFiles, files)
   }
 
   override def buildScan(): RDD[Row] = {
@@ -116,9 +122,24 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
     var prev = from
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
-      val prevPaths = prev.files.map(_.path).toSet
-      val addedData = snap.files.filterNot(f => prevPaths(f.path))
-      val removedData = prev.files.exists(f => !snap.files.exists(_.path == f.path))
+      // appends never remove files and their added set is exactly the
+      // files stamped with their own seq — the seq-pruned chunk walk
+      // finds them without materializing either snapshot; the full
+      // lists (lazy, chunk-cached) are only paid by row-level commits
+      lazy val prevFiles = ops.allFiles(prev)
+      lazy val snapFiles = ops.allFiles(snap)
+      lazy val addedData =
+        if (snap.operation == "append")
+          ops.filesAtSeq(snap, snap.sequenceNumber)
+            .filter(_.seq.contains(snap.sequenceNumber))
+        else {
+          val prevPaths = prevFiles.map(_.path).toSet
+          snapFiles.filterNot(f => prevPaths(f.path))
+        }
+      lazy val removedData = {
+        val snapPaths = snapFiles.map(_.path).toSet
+        prevFiles.exists(f => !snapPaths(f.path))
+      }
       val prevDels = prev.deleteFiles.map(_.path).toSet
       val addedDels = snap.deleteFiles.filterNot(d => prevDels(d.path))
       def readAdded: Seq[DataFrame] =
@@ -144,7 +165,7 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
               val delSet = Mor.deleteSet(spark, warehouse, posAdded)
               val referenced = delSet.select(col("__gf")).distinct()
                 .collect().map(_.getString(0)).toSet
-              val refFiles = prev.files.filter(f => referenced(f.path))
+              val refFiles = prevFiles.filter(f => referenced(f.path))
               if (refFiles.isEmpty) Nil
               else {
                 val raw = spark.read.schema(dataSchema).parquet(
@@ -157,16 +178,16 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
               }
             }
           val eqDeleted: Seq[DataFrame] =
-            if (eqAdded.isEmpty || prev.files.isEmpty) Nil
+            if (eqAdded.isEmpty || prevFiles.isEmpty) Nil
             else {
               // eq deletes only hit strictly-older files; the commit's
               // own added files are never candidates
               val raw = spark.read.schema(dataSchema).parquet(
-                prev.files.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
+                prevFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
               val aliveBefore = Mor.applyDeletesKeepPositions(spark,
-                raw, warehouse, prev.deleteFiles, prev.files)
+                raw, warehouse, prev.deleteFiles, prevFiles)
               val survivors = Mor.subtractEquality(spark, aliveBefore,
-                warehouse, eqAdded, prev.files)
+                warehouse, eqAdded, prevFiles)
               Seq(tag(aliveBefore.join(
                   survivors.select(col("__gf"), col("__gp")),
                   Seq("__gf", "__gp"), "left_anti"),

@@ -181,7 +181,9 @@ class GraftTable(
     require(nonAppend.isEmpty,
       s"incremental read supports append-only ranges; found ${nonAppend.map(_.operation).distinct.mkString(",")} " +
         s"snapshot(s) in range — read the `$$changes` changelog table instead")
-    to.files.filter(_.seq.exists(_ > from.sequenceNumber))
+    // chunk maxSeq keys skip manifests frozen before `from` entirely
+    ops.filesNewerThan(to, from.sequenceNumber)
+      .filter(_.seq.exists(_ > from.sequenceNumber))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -208,7 +210,8 @@ class GraftTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = sparkSession
     val snap = readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    // full materialization: the untouched complement must carry over
+    val files = snap.map(ops.allFiles).getOrElse(Nil)
     if (files.isEmpty) return
     val (affected, untouched) = files.partition(f =>
       filters.forall(FilePruning.keepFile(f, _)))
@@ -338,7 +341,7 @@ object GraftTable {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val spark = data.sparkSession
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     // Every filter must translate: a silently dropped conjunct would
     // widen the delete scope (rows outside the requested overwrite
     // range would be removed), so fail loudly on any unknown filter.
@@ -384,7 +387,10 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   private var pushedPreds: Array[Predicate] = Array.empty
   private var required: StructType = table.schema()
 
-  private def allFiles: Seq[DataFile] =
+  // inline tail only — enough for the pushdown PROBE delegate (it
+  // consults the schema, never the file index); the real candidate
+  // set is chunk-pruned at build() time against the pushed filters
+  private def probeFiles: Seq[DataFile] =
     filesOverride.getOrElse(table.readSnapshot.map(_.files).getOrElse(Nil))
 
   // an incremental (append-only) range has no applicable deletes:
@@ -412,7 +418,7 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     } else {
       // compute residuals + pushed predicates on a throwaway delegate;
       // the real (pruned) delegate is built at build() time
-      val probe = mkDelegate(allFiles)
+      val probe = mkDelegate(probeFiles)
       val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
       pushedPreds = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
       residual
@@ -426,7 +432,13 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def build(): Scan = {
     val v1 = pushedExprs.flatMap(e => GraftFilterShim.translate(e))
-    val pruned = allFiles.filter(f => v1.forall(keepFile(f, _)))
+    // two-level pruning: manifest chunks whose range keys can't match
+    // are never even read (O(matching chunks) driver work on a
+    // million-file table), then per-file min/max bounds prune within
+    // the loaded candidates
+    val candidates = filesOverride.getOrElse(
+      table.readSnapshot.map(s => table.ops.filesMatching(s, v1)).getOrElse(Nil))
+    val pruned = candidates.filter(f => v1.forall(keepFile(f, _)))
     // only delete files whose path range can reference a surviving
     // data file ride along (file-pruned scans skip unrelated deletes)
     val prunedDeletes = Mor.relevantDeletes(liveDeletes, pruned)

@@ -29,10 +29,13 @@ object Maintenance {
         meta.snapshots.filter(s => pinned(s.snapshotId))).distinct
       if (kept.size == meta.snapshots.size) return 0
       val keptIds = kept.map(_.snapshotId).toSet
-      val keptFiles = kept.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      // expiry decides physical deletion → full lists (chunk cache
+      // dedups the shared majority between adjacent snapshots)
+      val keptFiles = kept.flatMap(s =>
+        ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet
       val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
       val orphans = expired
-        .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+        .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
       // manifest chunks referenced only by expired snapshots go too
       val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
@@ -192,14 +195,15 @@ object Maintenance {
     require(src.operation == "append",
       s"only append snapshots can be cherry-picked; $snapshotId is '${src.operation}'")
     val parentPaths = src.parentId.flatMap(meta.snapshot)
-      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    val added = src.files.filterNot(f => parentPaths(f.path))
+      .map(s => table.ops.allFiles(s).map(_.path).toSet).getOrElse(Set.empty)
+    val added = table.ops.allFiles(src).filterNot(f => parentPaths(f.path))
     val addedPaths = added.map(_.path).toSet
     Writer.commitSnapshot(table, added.map(_.copy(seq = None)),
       overwrite = false, operation = "append", carryover = Nil,
       extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString),
       metaTransform = { base =>
-        val current = base.currentSnapshot.map(_.files.map(_.path).toSet)
+        val current = base.currentSnapshot
+          .map(s => table.ops.allFiles(s).map(_.path).toSet)
           .getOrElse(Set.empty)
         val dup = addedPaths.intersect(current)
         if (dup.nonEmpty) throw new CommitConflictException(
@@ -219,7 +223,7 @@ object Maintenance {
   def computeStats(spark: SparkSession, table: GraftTable): Unit = {
     import org.apache.spark.sql.functions._
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     val deleteFiles = snap.map(_.deleteFiles).getOrElse(Nil)
     val snapId = snap.map(_.snapshotId).getOrElse(return)
     val schema = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
@@ -319,7 +323,7 @@ object Maintenance {
     */
   def compact(spark: SparkSession, table: GraftTable, targetFiles: Int = 1): Unit = {
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     if (files.isEmpty) return
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val df = Mor.applyDeletes(spark,
@@ -350,7 +354,7 @@ object Maintenance {
   def compactBinpack(spark: SparkSession, table: GraftTable,
       targetSizeBytes: Long, minInputFiles: Int = 2): Int = {
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
     val small = files.filter(_.bytes < targetSizeBytes / 2)
     if (small.size < minInputFiles) return 0
@@ -388,7 +392,7 @@ object Maintenance {
       if (!Io.exists(RelPaths.absolutize(ops.warehouse, m.path)))
         problems += s"missing manifest ${m.path}"
     }
-    (snap.files ++ snap.deleteFiles).foreach { f =>
+    (ops.allFiles(snap) ++ snap.deleteFiles).foreach { f =>
       val abs = RelPaths.absolutize(ops.warehouse, f.path)
       if (!Io.exists(abs)) problems += s"missing file ${f.path}"
       else {
@@ -428,10 +432,11 @@ object Maintenance {
         s.timestampMs >= olderThanMs || pinned(s.snapshotId))
       if (kept.size == meta.snapshots.size) return 0
       val keptIds = kept.map(_.snapshotId).toSet
-      val keptFiles = kept.flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      val keptFiles = kept.flatMap(s =>
+        ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet
       val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
       val orphans = expired
-        .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path))
+        .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
       val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
       val orphanManifests = expired.flatMap(_.manifests.map(_.path))
@@ -464,7 +469,7 @@ object Maintenance {
     val (_, meta) = ops.refresh()
       .getOrElse(throw new IllegalStateException("no such table"))
     val referenced = meta.snapshots
-      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val tableAbs = RelPaths.absolutize(ops.warehouse, meta.location)
     var removed = 0
     for (sub <- Seq("data", "deletes")) {
@@ -556,7 +561,7 @@ object Maintenance {
         "(partitioned tables cluster by their spec; z-order within " +
         "partitions would need a per-partition range)")
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     if (files.isEmpty) return
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val data = Mor.applyDeletes(spark,

@@ -74,7 +74,7 @@ object Procedures {
         val t = tbl(cat, args.getUTF8String(0).toString)
         Maintenance.compact(SparkSession.active, t, args.getInt(1))
         row(tbl(cat, args.getUTF8String(0).toString)
-          .readSnapshot.map(_.files.size).getOrElse(0))
+          .readSnapshot.map(_.dataFileCount).getOrElse(0))
       }),
 
     ProcDef("compact_binpack",
@@ -162,7 +162,7 @@ object Procedures {
           args.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
           args.getInt(2))
         row(tbl(cat, args.getUTF8String(0).toString)
-          .readSnapshot.map(_.files.size).getOrElse(0))
+          .readSnapshot.map(_.dataFileCount).getOrElse(0))
       }),
 
     ProcDef("verify_table",

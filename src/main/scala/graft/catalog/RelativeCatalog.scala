@@ -486,8 +486,8 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     if (Io.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace().nonEmpty && !namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
-    // materialize BEFORE the move — the spilled manifest chunks are
-    // still at their recorded (old) paths here
+    // read the metadata BEFORE the move (snapshots stay inline-only;
+    // chunk CONTENTS are remapped in place after the move)
     val (v, meta) = new TableOps(warehouse, tableLocation(oldIdent), catalogProps).refresh()
       .getOrElse(throw new NoSuchTableException(oldIdent))
     if (!Io.renameNoReplace(from, to))
@@ -597,11 +597,18 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           StructField("total_records", LongType),
           StructField("total_data_files", LongType),
           StructField("schema_id", IntegerType)))
-        val rows = meta.snapshots.sortBy(_.sequenceNumber).map(s => Row(
-          s.sequenceNumber, s.snapshotId, s.parentId.map(Long.box).orNull,
-          s.timestampMs, s.operation,
-          s.files.map(_.records).sum, s.files.size.toLong,
-          s.schemaId.map(Int.box).orNull))
+        // totals from the commit summary (rolled forward without any
+        // chunk load); a real count only on pre-summary metadata
+        val rows = meta.snapshots.sortBy(_.sequenceNumber).map { s =>
+          val recs = s.summary.get("total-records")
+            .flatMap(x => scala.util.Try(x.toLong).toOption)
+            .getOrElse(ops.allFiles(s).map(_.records).sum)
+          Row(
+            s.sequenceNumber, s.snapshotId, s.parentId.map(Long.box).orNull,
+            s.timestampMs, s.operation,
+            recs, s.dataFileCount.toLong,
+            s.schemaId.map(Int.box).orNull)
+        }
         new MemTable(s"${ident.name()}$$snapshots", sch, rows)
       case "files" =>
         val sch = StructType(Seq(
@@ -611,7 +618,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           StructField("file_size_in_bytes", LongType),
           StructField("sequence_number", LongType),
           StructField("bounded_columns", IntegerType)))
-        val rows = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+        val rows = meta.currentSnapshot.map(ops.allFiles).getOrElse(Nil)
           .map(f => Row(f.path,
             if (f.partition.isEmpty) null
             else f.partition.toSeq.sortBy(_._1)
@@ -697,7 +704,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
           case None =>
             val snap = meta.currentSnapshot
             val snapId = snap.map(_.snapshotId).getOrElse(-1L)
-            snap.map(_.files).getOrElse(Nil)
+            snap.map(ops.allFiles).getOrElse(Nil)
               .groupBy(f =>
                 if (f.partition.isEmpty) "(unstamped)"
                 else f.partition.toSeq.sortBy(_._1)
@@ -744,6 +751,9 @@ object RelativeCatalog {
         val files = graft.meta.TableMeta.manifestFromJson(Io.readString(p))
         Io.writeString(p, graft.meta.TableMeta.manifestToJson(
           files.map(f => f.copy(path = remap(f.path)))))
+        // the one in-place chunk rewrite — drop any cached copy (a
+        // rename-then-rename-back could otherwise resurrect it)
+        ChunkCache.invalidate(p)
       }
   }
 }

@@ -53,7 +53,7 @@ class GraftRowLevelOperation(table: GraftTable, info: RowLevelOperationInfo)
     // worth paying the per-file planning + row-based readers only when
     // there are enough files for runtime pruning to skip some — a 1-3
     // file table rewrites cheaper through the vectorized path
-    val enoughFiles = snap.map(_.files.size).getOrElse(0) >= 4
+    val enoughFiles = snap.map(_.dataFileCount).getOrElse(0) >= 4
     !hasIdentity && deletes.isEmpty && enoughFiles
   }
 
@@ -98,7 +98,8 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def build(): Scan = {
     val snap = table.readSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    // full list: the untouched complement becomes the carryover set
+    val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     val v1 = exprs.flatMap(e => GraftFilterShim.translate(e))
     val (affected, untouched) = files.partition(f =>
       v1.forall(FilePruning.keepFile(f, _)))

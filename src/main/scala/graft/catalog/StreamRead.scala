@@ -76,7 +76,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     var stop = false
     for (s <- snaps if !stop) {
       val added =
-        if (s.operation == "append") s.files.filter(_.seq.contains(s.sequenceNumber))
+        if (s.operation == "append")
+          table.ops.filesAtSeq(s, s.sequenceNumber)
+            .filter(_.seq.contains(s.sequenceNumber))
         else Nil
       val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
         maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
@@ -110,7 +112,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     // compactions drop the file from the current snapshot (retention
     // must cover streaming lag, as with any table-tail source)
     snaps.filter(_.operation == "append")
-      .flatMap(s => s.files.filter(_.seq.contains(s.sequenceNumber)))
+      .flatMap(s => table.ops.filesAtSeq(s, s.sequenceNumber)
+        .filter(_.seq.contains(s.sequenceNumber)))
   }
 
   private def delegate(files: Seq[DataFile]): Scan = {
@@ -131,7 +134,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    delegate(freshMeta.currentSnapshot.map(_.files).getOrElse(Nil)).toBatch
+    delegate(freshMeta.currentSnapshot.map(table.ops.allFiles).getOrElse(Nil)).toBatch
       .createReaderFactory()
 
   override def commit(end: Offset): Unit = ()

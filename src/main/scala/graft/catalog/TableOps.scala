@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.meta.{DataFile, Manifest, RelPaths, TableMeta}
+import graft.meta.{DataFile, Manifest, RelPaths, Snapshot, TableMeta}
 import scala.util.Try
 
 class CommitFailedException(msg: String) extends RuntimeException(msg)
@@ -81,57 +81,118 @@ class TableOps(val warehouse: String, val tableLocation: String,
   // ---- manifest chunking (the reference's manifest-list indirection,
   // README.md:96): a snapshot's file list above the chunk size spills
   // to immutable side files so metadata.json — the commit payload —
-  // stays O(chunk size) no matter how many files the table has. ------
+  // stays O(chunk size) no matter how many files the table has.
+  // Chunks are loaded LAZILY, per scan, pruned by the range keys each
+  // Manifest carries — a refresh never materializes the table's file
+  // list, so loadTable on a million-file table is O(inline tail). ----
 
-  /** Parse metadata JSON and materialize every snapshot's full file
-    * list from its manifests (each unique chunk is read once). */
-  def parseMeta(json: String): TableMeta = {
-    val meta = TableMeta.fromJson(json)
-    if (meta.snapshots.forall(_.manifests.isEmpty)) meta
-    else {
-      val cache = scala.collection.mutable.Map.empty[String, List[DataFile]]
-      meta.copy(snapshots = meta.snapshots.map { s =>
-        if (s.manifests.isEmpty) s
-        else {
-          val chunked = s.manifests.flatMap(m => cache.getOrElseUpdate(m.path,
-            TableMeta.manifestFromJson(Io.readString(
-              RelPaths.absolutize(warehouse, m.path)))))
-          s.copy(files = chunked ++ s.files)
-        }
-      })
-    }
+  /** Parse metadata JSON. Snapshots keep only their inline file tail
+    * in memory (`Snapshot.files` docs); full lists come from
+    * [[allFiles]]/[[filesMatching]] on demand. */
+  def parseMeta(json: String): TableMeta = TableMeta.fromJson(json)
+
+  /** Read one manifest chunk through the process-wide [[ChunkCache]]
+    * (chunks are immutable once written, so cached contents stay valid
+    * across refreshes and across snapshots that share the chunk). */
+  def loadChunk(m: Manifest): List[DataFile] = {
+    val abs = RelPaths.absolutize(warehouse, m.path)
+    ChunkCache.get(abs)(TableMeta.manifestFromJson(Io.readString(abs)))
   }
 
-  /** Spill oversized inline tails to new manifest files and serialize
-    * with each snapshot's chunked prefix stripped (it lives in the
-    * manifests). Returns the JSON and the manifest files written by
-    * THIS call — the committer must delete them if the commit loses.
+  /** Full materialized file list of ONE snapshot. Use only where the
+    * operation genuinely needs every file (rewrites, expiry, $files);
+    * scans go through [[filesMatching]] so pruned chunks never load. */
+  def allFiles(s: Snapshot): List[DataFile] =
+    if (s.manifests.isEmpty) s.files
+    else s.manifests.flatMap(loadChunk) ++ s.files
+
+  /** Chunk-pruned scan candidates: loads only manifests whose range
+    * keys can satisfy `filters` (a chunk with no keys always loads —
+    * sound, just unpruned). The keys are per-column bounds, so the
+    * same [[FilePruning]] logic that skips files skips whole chunks;
+    * callers still file-prune the result. This is what a partition-
+    * filtered query on a 100×-scale table pays instead of O(all
+    * files): O(matching chunks) driver parse + heap.
+    */
+  def filesMatching(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): List[DataFile] =
+    if (s.manifests.isEmpty || filters.isEmpty) allFiles(s)
+    else s.manifests.filter { m =>
+      val probe = DataFile(m.path, records = m.count.toLong, bytes = m.bytes,
+        minBound = m.minBound, maxBound = m.maxBound)
+      filters.forall(FilePruning.keepFile(probe, _))
+    }.flatMap(loadChunk) ++ s.files
+
+  /** Candidates that may carry seq > `after` — incremental append
+    * scans stay O(recent chunks), not O(table). */
+  def filesNewerThan(s: Snapshot, after: Long): List[DataFile] =
+    s.manifests.filter(_.maxSeq.forall(_ > after)).flatMap(loadChunk) ++ s.files
+
+  /** Candidates that may carry exactly seq = `seq` — the streaming
+    * source's per-snapshot added-file listing. */
+  def filesAtSeq(s: Snapshot, seq: Long): List[DataFile] =
+    s.manifests.filter(m => m.minSeq.forall(_ <= seq) && m.maxSeq.forall(_ >= seq))
+      .flatMap(loadChunk) ++ s.files
+
+  /** Spill oversized inline tails to new manifest files (stamping each
+    * chunk's pruning keys) and serialize. Returns the JSON and the
+    * manifest files written by THIS call — the committer must delete
+    * them if the commit loses.
     */
   protected def spillAndSerialize(meta: TableMeta): (String, List[String]) = {
     val chunkSize = meta.properties.get("write.metadata.manifest-chunk-size")
       .flatMap(s => Try(s.toInt).toOption).filter(_ > 0).getOrElse(1000)
     var written = List.empty[String]
+    // chunk pruning keys = partition SOURCE columns (union across spec
+    // evolution): the columns scans filter on at scale, and the ones
+    // the fanout writer clusters by — so chunk ranges stay tight when
+    // appends are partition-scoped (the daily-ingest shape). Numeric
+    // columns min/max numerically, mirroring FilePruning.compareBound.
+    val keyCols: Map[String, Boolean] = {
+      val srcIds = meta.partitionSpecs.flatMap(_.fields.map(_.sourceId)).toSet
+      meta.schemas.flatMap(_.fields).filter(f => srcIds(f.id))
+        .map(f => f.name -> Try(
+          org.apache.spark.sql.types.DataType.fromJson(f.dataType)
+            .isInstanceOf[org.apache.spark.sql.types.NumericType]).getOrElse(false))
+        .toMap
+    }
+    def lt(num: Boolean)(a: String, b: String): Boolean =
+      if (num) Try(BigDecimal(a) < BigDecimal(b)).getOrElse(a < b) else a < b
+    def mkManifest(relPath: String, g: List[DataFile]): Manifest = {
+      // a key is stamped only when EVERY member file carries the bound
+      // — an absent key must mean "unknown", never "no matches"
+      def agg(sel: DataFile => Map[String, String], pickMin: Boolean) =
+        keyCols.flatMap { case (c, num) =>
+          val vs = g.map(f => sel(f).get(c))
+          if (vs.exists(_.isEmpty)) None
+          else Some(c -> vs.flatten.reduce((a, b) =>
+            if (lt(num)(a, b) == pickMin) a else b))
+        }
+      val seqs = g.map(_.seq)
+      Manifest(relPath, g.size,
+        minBound = agg(_.minBound, pickMin = true),
+        maxBound = agg(_.maxBound, pickMin = false),
+        minSeq = if (seqs.exists(_.isEmpty)) None else Some(seqs.flatten.min),
+        maxSeq = if (seqs.exists(_.isEmpty)) None else Some(seqs.flatten.max),
+        bytes = g.map(_.bytes).sum)
+    }
     val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
-      val inline = s.inlineFiles
-      if (inline.size <= chunkSize) s
+      if (s.files.size <= chunkSize) s
       else {
         Io.mkdirs(metadataDir)
-        val groups = inline.grouped(chunkSize).toList
+        val groups = s.files.grouped(chunkSize).toList
         val (full, rest) = groups.partition(_.size == chunkSize)
         val newManifests = full.map { g =>
           val fname = s"manifest-${java.util.UUID.randomUUID()}.json"
           val p = s"$metadataDir/$fname"
           Io.writeString(p, TableMeta.manifestToJson(g))
           written ::= p
-          Manifest(s"$tableLocation/metadata/$fname", g.size)
+          mkManifest(s"$tableLocation/metadata/$fname", g)
         }
-        s.copy(files = s.files.take(s.chunkedCount) ++ full.flatten ++ rest.flatten,
-          manifests = s.manifests ++ newManifests)
+        s.copy(files = rest.flatten, manifests = s.manifests ++ newManifests)
       }
     })
-    val json = TableMeta.toJson(spilled.copy(snapshots =
-      spilled.snapshots.map(s => s.copy(files = s.inlineFiles))))
-    (json, written)
+    (TableMeta.toJson(spilled), written)
   }
 
   /** Version-hint read with recovery scan fallback. 0 = table absent. */
@@ -243,4 +304,53 @@ class TableOps(val warehouse: String, val tableLocation: String,
     vs.dropRight(keep).filter(_ > 0)
       .foreach(v => metadataCandidates(v).foreach(Io.deleteIfExists))
   }
+}
+
+/** Process-wide cache of loaded manifest chunks, keyed by ABSOLUTE
+  * chunk path. Chunks are content-frozen at spill time and UUID-named,
+  * so an entry never goes stale across refreshes or snapshots — the
+  * one in-place rewrite (table rename remapping embedded paths)
+  * invalidates explicitly. Bounded by total cached FILE ENTRIES with
+  * LRU eviction, so a long-lived driver planning against many large
+  * tables keeps each table's hot chunks rather than one table's
+  * entire list. Loads run under the cache lock: concurrent planners
+  * asking for the same chunk read it once (driver-side metadata IO,
+  * where single-flight beats parallel duplicate reads).
+  */
+object ChunkCache {
+  private val maxFileEntries: Long =
+    sys.props.get("graft.chunk-cache.max-file-entries")
+      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L)
+  private val map =
+    new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true)
+  private var totalEntries = 0L
+
+  def get(absPath: String)(load: => List[DataFile]): List[DataFile] = synchronized {
+    val hit = map.get(absPath)
+    if (hit != null) hit
+    else {
+      val v = load
+      map.put(absPath, v)
+      totalEntries += v.size
+      val it = map.entrySet().iterator()
+      while (totalEntries > maxFileEntries && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
+      }
+      v
+    }
+  }
+
+  def invalidate(absPath: String): Unit = synchronized {
+    val v = map.remove(absPath)
+    if (v != null) totalEntries -= v.size
+  }
+
+  def invalidateAll(): Unit = synchronized {
+    map.clear()
+    totalEntries = 0L
+  }
+
+  /** Test/diagnostic hook: number of chunks currently cached. */
+  def cachedChunks: Int = synchronized(map.size)
 }

@@ -497,74 +497,92 @@ object Writer {
       val baseSnap = branch.flatMap(b => baseMeta.refs.get(b))
         .flatMap(r => baseMeta.snapshot(r.snapshotId))
         .orElse(baseMeta.currentSnapshot)
-      val baseFiles = baseSnap.map(_.files).getOrElse(Nil)
       val baseDeletes = baseSnap.map(_.deleteFiles).getOrElse(Nil)
-      val prevFiles =
-        if (!overwrite) {
-          val gone = mustExist -- baseFiles.map(_.path).toSet
-          if (gone.nonEmpty)
-            throw new CommitConflictException(
-              s"concurrent operation rewrote ${gone.size} data file(s) referenced " +
-              s"by this '$operation''s position deletes (e.g. ${gone.head})")
-          baseFiles
-        } else validateFrom match {
-          case Some(expected) if baseSnap.map(_.snapshotId) != expected =>
-            val readSnap = expected.map(id => baseMeta.snapshot(id).getOrElse(
-              throw new CommitConflictException(
-                s"snapshot $id read by '$operation' was expired mid-operation")))
-            val readPaths = readSnap.map(_.files).getOrElse(Nil).map(_.path).toSet
-            val affected = readPaths -- carryover.map(_.path).toSet
-            val curPaths = baseFiles.map(_.path).toSet
-            val removedAffected = affected -- curPaths
-            if (removedAffected.nonEmpty)
-              throw new CommitConflictException(
-                s"conflicting concurrent operation removed ${removedAffected.size} " +
-                s"file(s) rewritten by '$operation' (e.g. ${removedAffected.head})")
-            val readDeletes = readSnap.map(_.deleteFiles).getOrElse(Nil).map(_.path).toSet
-            if (affected.nonEmpty && baseDeletes.exists(d => !readDeletes(d.path)))
-              throw new CommitConflictException(
-                s"concurrent position-delete committed while '$operation' was " +
-                "rewriting rows; retrying would lose the delete")
-            baseFiles.filterNot(f => affected(f.path))
-          case _ => carryover.toList
-        }
-      // INSERT OVERWRITE (truncate: no scan snapshot) replaces all data,
-      // so carried delete files could reference nothing — drop them
-      val prevDeletes =
-        if (clearDeletes || (overwrite && validateFrom.isEmpty)) Nil else baseDeletes
-      // Manifest-chunk reuse: retained files all come from baseSnap,
-      // so any base chunk whose members ALL survive is carried into
-      // the new snapshot verbatim — its contents never re-enter the
-      // commit payload. Chunks with a removed member dissolve into the
-      // inline tail (respilled by TableOps if it grows past the chunk
-      // size). Appends keep every base chunk; a trickle DELETE
-      // dissolves only the chunks it touched.
-      val retainedPaths = prevFiles.map(_.path).toSet
-      val keptM = scala.collection.mutable.ListBuffer.empty[graft.meta.Manifest]
-      val keptF = scala.collection.mutable.ListBuffer.empty[DataFile]
-      baseSnap.foreach { b =>
-        var idx = 0
-        b.manifests.foreach { m =>
-          val chunk = b.files.slice(idx, idx + m.count); idx += m.count
-          if (chunk.forall(f => retainedPaths(f.path))) {
-            keptM += m
-            keptF ++= chunk
-          }
-        }
-      }
-      val keptManifests = keptM.toList
-      val keptChunkFiles = keptF.toList
-      val keptPaths = keptChunkFiles.map(_.path).toSet
+      // materialized only off the append fast path (lazy): removals
+      // must know the full base list, plain appends must not pay for it
+      lazy val baseFiles = baseSnap.map(table.ops.allFiles).getOrElse(Nil)
       // stamp the commit's sequence number on everything it ADDS (files
       // carried from the base keep theirs) — what scopes equality
       // deletes to strictly-older data files
       val seqNo = baseMeta.lastSequenceNumber + 1
       val stampedNew = newFiles.map(f => if (f.seq.isEmpty) f.copy(seq = Some(seqNo)) else f)
       val stampedDeletes = newDeletes.map(f => if (f.seq.isEmpty) f.copy(seq = Some(seqNo)) else f)
+      // INSERT OVERWRITE (truncate: no scan snapshot) replaces all data,
+      // so carried delete files could reference nothing — drop them
+      val prevDeletes =
+        if (clearDeletes || (overwrite && validateFrom.isEmpty)) Nil else baseDeletes
       val allStampedDeletes = prevDeletes ++ stampedDeletes
-      val orderedFiles =
-        keptChunkFiles ++ prevFiles.filterNot(f => keptPaths(f.path)) ++ stampedNew
       val addedRecords = newFiles.map(_.records).sum
+      // Build the new snapshot's (kept manifests, inline tail) and the
+      // prev totals for the summary.
+      //
+      // APPEND FAST PATH: nothing is removed, so every base chunk
+      // survives verbatim WITHOUT being read — the commit is O(inline
+      // tail + new files) even on a million-file table — and the
+      // summary totals roll forward from the base summary (a real
+      // count only on pre-summary metadata).
+      //
+      // Otherwise (overwrite / MOR mustExist): manifest-chunk reuse —
+      // any base chunk whose members ALL survive (checked through the
+      // chunk cache) is carried verbatim; chunks with a removed member
+      // dissolve into the inline tail (respilled by TableOps when it
+      // outgrows the chunk size). A trickle DELETE dissolves only the
+      // chunks it touched.
+      val (keptManifests, inlineTail, prevRecords, prevCount) =
+        if (!overwrite && mustExist.isEmpty) {
+          val recs = baseSnap.flatMap(_.summary.get("total-records"))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .getOrElse(baseFiles.map(_.records).sum)
+          (baseSnap.map(_.manifests).getOrElse(Nil),
+            baseSnap.map(_.files).getOrElse(Nil) ++ stampedNew,
+            recs,
+            baseSnap.map(_.dataFileCount).getOrElse(0).toLong)
+        } else {
+          val prevFiles: List[DataFile] =
+            if (!overwrite) {
+              val gone = mustExist -- baseFiles.map(_.path).toSet
+              if (gone.nonEmpty)
+                throw new CommitConflictException(
+                  s"concurrent operation rewrote ${gone.size} data file(s) referenced " +
+                  s"by this '$operation''s position deletes (e.g. ${gone.head})")
+              baseFiles
+            } else validateFrom match {
+              case Some(expected) if baseSnap.map(_.snapshotId) != expected =>
+                val readSnap = expected.map(id => baseMeta.snapshot(id).getOrElse(
+                  throw new CommitConflictException(
+                    s"snapshot $id read by '$operation' was expired mid-operation")))
+                val readPaths = readSnap.map(table.ops.allFiles).getOrElse(Nil)
+                  .map(_.path).toSet
+                val affected = readPaths -- carryover.map(_.path).toSet
+                val curPaths = baseFiles.map(_.path).toSet
+                val removedAffected = affected -- curPaths
+                if (removedAffected.nonEmpty)
+                  throw new CommitConflictException(
+                    s"conflicting concurrent operation removed ${removedAffected.size} " +
+                    s"file(s) rewritten by '$operation' (e.g. ${removedAffected.head})")
+                val readDeletes = readSnap.map(_.deleteFiles).getOrElse(Nil).map(_.path).toSet
+                if (affected.nonEmpty && baseDeletes.exists(d => !readDeletes(d.path)))
+                  throw new CommitConflictException(
+                    s"concurrent position-delete committed while '$operation' was " +
+                    "rewriting rows; retrying would lose the delete")
+                baseFiles.filterNot(f => affected(f.path))
+              case _ => carryover.toList
+            }
+          val retainedPaths = prevFiles.map(_.path).toSet
+          val keptM = scala.collection.mutable.ListBuffer.empty[graft.meta.Manifest]
+          val keptPaths = scala.collection.mutable.Set.empty[String]
+          baseSnap.foreach(_.manifests.foreach { m =>
+            val chunk = table.ops.loadChunk(m)
+            if (chunk.forall(f => retainedPaths(f.path))) {
+              keptM += m
+              keptPaths ++= chunk.map(_.path)
+            }
+          })
+          (keptM.toList,
+            prevFiles.filterNot(f => keptPaths(f.path)) ++ stampedNew,
+            prevFiles.map(_.records).sum,
+            prevFiles.size.toLong)
+        }
       val (eqDel, posDel) = allStampedDeletes.partition(Mor.isEquality)
       val xBase = metaTransform(baseMeta)
       val snap = Snapshot(
@@ -584,9 +602,9 @@ object Writer {
             newDeletes.filter(Mor.isEquality).map(_.records).sum.toString,
           "total-position-deletes" -> posDel.map(_.records).sum.toString,
           "total-equality-deletes" -> eqDel.map(_.records).sum.toString,
-          "total-records" -> (prevFiles.map(_.records).sum + addedRecords).toString,
-          "total-data-files" -> (prevFiles.size + newFiles.size).toString) ++ extraSummary,
-        files = orderedFiles,
+          "total-records" -> (prevRecords + addedRecords).toString,
+          "total-data-files" -> (prevCount + newFiles.size).toString) ++ extraSummary,
+        files = inlineTail,
         deleteFiles = allStampedDeletes,
         // the post-transform schema: an RTAS snapshot is written under
         // the schema it installs, everything else under the base's

@@ -69,8 +69,27 @@ final case class DataFile(
   * snapshots — an append reuses the parent's chunks and only spills
   * its own inline tail, so the commit payload is O(chunk size), not
   * O(table files).
+  *
+  * The remaining fields are PRUNING KEYS stamped at spill time, the
+  * analog of Iceberg's manifest-list partition summaries (README.md:96):
+  * `minBound`/`maxBound` aggregate the member files' per-column bounds
+  * for the partition SOURCE columns (a key is present only when every
+  * member file carries that bound, so an absent key honestly means
+  * "unknown — must load"); `minSeq`/`maxSeq` bound the member files'
+  * commit sequence numbers; `bytes` sums member file sizes (size
+  * estimation without loading). They let the planner decide "can this
+  * chunk contain a matching file?" WITHOUT reading the chunk — a
+  * partition-pruned scan of a million-file table loads only the
+  * chunks whose key range overlaps the filter. All default empty/None
+  * so pre-upgrade metadata reads as "no keys → always load" (sound,
+  * just unpruned).
   */
-final case class Manifest(path: String, count: Int)
+final case class Manifest(path: String, count: Int,
+    minBound: Map[String, String] = Map.empty,
+    maxBound: Map[String, String] = Map.empty,
+    minSeq: Option[Long] = None,
+    maxSeq: Option[Long] = None,
+    bytes: Long = 0L)
 
 final case class Snapshot(
     snapshotId: Long,
@@ -79,10 +98,12 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String, // append | overwrite | delete | replace
     summary: Map[String, String],
-    // IN MEMORY: always the full materialized list (chunk contents in
-    // manifest order, then the inline tail). IN JSON: only the inline
-    // tail — TableOps strips the chunked prefix on write and reloads
-    // it from the manifests on read.
+    // The INLINE TAIL of the file list — exactly the files NOT covered
+    // by `manifests`, in memory and in JSON alike. The full list is
+    // `manifests` chunk contents ++ `files`, materialized LAZILY (and
+    // chunk-pruned) through TableOps.allFiles/filesMatching — a query
+    // on a million-file table no longer pays an O(all files) driver
+    // parse per refresh, only the chunks its filter can match.
     files: List[DataFile],
     // merge-on-read POSITION-delete files (ref README.md:89-90
     // `total-position-deletes`): parquet of (file_path STRING, pos
@@ -98,11 +119,15 @@ final case class Snapshot(
     // metadata → readers fall back to the current schema.
     schemaId: Option[Int] = None) {
 
-  /** Files covered by spilled chunks (a prefix of `files` in memory). */
+  /** Files covered by spilled chunks (disjoint from `files`). */
   def chunkedCount: Int = manifests.map(_.count).sum
 
-  /** The inline (not-yet-spilled) tail of the file list. */
-  def inlineFiles: List[DataFile] = files.drop(chunkedCount)
+  /** Total data-file count — computable WITHOUT loading any chunk. */
+  def dataFileCount: Int = chunkedCount + files.size
+
+  /** Total data bytes (chunk `bytes` keys + inline) — 0-bytes chunks
+    * from pre-upgrade metadata undercount; used for size estimates. */
+  def dataBytes: Long = manifests.map(_.bytes).sum + files.map(_.bytes).sum
 }
 
 /** Table-level statistics slot (ref README.md:99-100 `statistics` /

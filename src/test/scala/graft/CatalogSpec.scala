@@ -594,8 +594,8 @@ class CatalogSpec extends AnyFunSuite {
     val s1 = rawSnapshots.last
     assert(s1.manifests.size == 2 && s1.manifests.map(_.count).sum == 20)
     assert(s1.files.size == 5, s"inline tail should be 5, got ${s1.files.size}")
-    // materialized view still shows all 25 files and all rows
-    assert(ops.refresh().get._2.currentSnapshot.get.files.size == 25)
+    // lazy materialization still yields all 25 files and all rows
+    assert(ops.allFiles(ops.refresh().get._2.currentSnapshot.get).size == 25)
     assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t").collect()(0).getLong(0) == 100)
 
     // appends REUSE the parent's chunks: after another 25-file insert,
@@ -635,7 +635,8 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE tcMf.m.t RENAME TO tcMf.m.t2")
     assert(spark.sql("SELECT COUNT(*) FROM tcMf.m.t2").collect()(0).getLong(0) == 196)
     val ops2 = new TableOps(wh, "m/t2")
-    assert(ops2.refresh().get._2.currentSnapshot.get.files.forall(_.path.startsWith("m/t2/")))
+    assert(ops2.allFiles(ops2.refresh().get._2.currentSnapshot.get)
+      .forall(_.path.startsWith("m/t2/")))
   }
 
   test("function catalog serves bucket/days; MERGE on a days table keeps files day-local") {
