@@ -177,11 +177,20 @@ trait CommitLock {
 }
 
 object CommitLock {
+  /** Schemes whose rename is copy-based or otherwise NOT an atomic
+    * no-replace CAS — the commit race these stores lose silently is
+    * exactly what the reference's LockManager exists for
+    * (HadoopRelativeTableOperations.java:346-376). */
+  private val nonAtomicRenameSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss")
+
   /** Resolve from properties: `commit.lock-impl` names a zero-arg
     * CommitLock class (the distributed-lock hook); otherwise posix and
     * file:// warehouses get the single-node FileLock guard and remote
-    * schemes rely on rename-no-replace (atomic on HDFS/object stores
-    * with a CAS rename; supply a lock impl where it isn't). */
+    * schemes rely on rename-no-replace (atomic on HDFS; NOT on
+    * s3a/gs/abfs-style object stores — those must supply a lock impl,
+    * and get a loud warning here rather than silent lost-commit risk).
+    */
   def from(warehouse: String, props: java.util.Map[String, String]): CommitLock = {
     val impl = Option(props.get("commit.lock-impl"))
     impl match {
@@ -189,7 +198,14 @@ object CommitLock {
         Class.forName(cls).getDeclaredConstructor().newInstance().asInstanceOf[CommitLock]
       case None =>
         val scheme = if (Io.hasScheme(warehouse)) warehouse.takeWhile(_ != ':') else "file"
-        if (scheme == "file") new FileCommitLock else NoopCommitLock
+        if (scheme == "file") new FileCommitLock
+        else {
+          if (nonAtomicRenameSchemes(scheme))
+            System.err.println(s"[graft] WARNING: warehouse scheme '$scheme' has no " +
+              "atomic no-replace rename; concurrent commits can silently lose one. " +
+              "Set commit.lock-impl (and commit.rename-atomic=false) for safe commits.")
+          NoopCommitLock
+        }
     }
   }
 }
@@ -206,7 +222,12 @@ object NoopCommitLock extends CommitLock {
   * where a local rename would silently replace an existing target).
   */
 class FileCommitLock extends CommitLock {
-  private var ch: java.nio.channels.FileChannel = _
+  // channel per in-flight acquire, keyed by (entity, owner): a shared
+  // instance under concurrent acquires must not let a losing thread
+  // clobber the winner's channel (that leaked the OS lock for the JVM
+  // lifetime and bricked every later commit to the table)
+  private val held =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.channels.FileChannel]
 
   private def lockPathFor(entity: String): java.nio.file.Path = {
     val noScheme =
@@ -214,23 +235,28 @@ class FileCommitLock extends CommitLock {
     Paths.get(noScheme).getParent.resolve(".commit.lock")
   }
 
-  override def acquire(entity: String, owner: String): Boolean = try {
-    val p = lockPathFor(entity)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    ch = java.nio.channels.FileChannel.open(p,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    ch.lock() // blocks until acquired; released via close()
-    true
-  } catch {
-    // same-JVM contention surfaces as OverlappingFileLockException —
-    // report acquire failure so the committer retries on a fresh base
-    case _: Throwable =>
-      if (ch != null) { Try(ch.close()); ch = null }
-      false
+  override def acquire(entity: String, owner: String): Boolean = {
+    var ch: java.nio.channels.FileChannel = null
+    try {
+      val p = lockPathFor(entity)
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+      ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      ch.lock() // blocks until acquired; released via close()
+      held.put((entity, owner), ch)
+      true
+    } catch {
+      // same-JVM contention surfaces as OverlappingFileLockException —
+      // report acquire failure so the committer retries on a fresh base
+      case _: Throwable =>
+        if (ch != null) Try(ch.close())
+        false
+    }
   }
 
   override def release(entity: String, owner: String): Boolean = {
-    if (ch != null) { Try(ch.close()); ch = null }
+    val ch = held.remove((entity, owner))
+    if (ch != null) Try(ch.close())
     true
   }
 }

@@ -49,6 +49,20 @@ class TableOps(val warehouse: String, val tableLocation: String,
 
   protected lazy val commitLock: CommitLock = CommitLock.from(warehouse, lockProps)
 
+  /** `commit.rename-atomic=false` declares the warehouse's rename NOT
+    * an atomic no-replace CAS (s3a/gs/abfs-style object stores, where
+    * rename is copy+delete). Commit correctness then rests ENTIRELY on
+    * the CommitLock's mutual exclusion + the exists re-check inside the
+    * critical section — so a lock is mandatory (ref LockManager
+    * double-guard, HadoopRelativeTableOperations.java:346-376). */
+  protected lazy val renameAtomic: Boolean =
+    Option(lockProps.get("commit.rename-atomic")).forall(_.toBoolean)
+
+  /** The physical commit-point move. Overridable in tests to simulate
+    * a store whose rename silently clobbers a concurrent winner. */
+  protected def finalizeRename(tmp: String, target: String): Boolean =
+    Io.renameNoReplace(tmp, target)
+
   /** Codec probing (ref HadoopRelativeTableOperations.java:243-251
     * getMetadataFile): a version may exist as plain JSON or gzip —
     * the reference stack's `gz` codec writes `v<N>.gz.metadata.json`
@@ -264,7 +278,17 @@ class TableOps(val warehouse: String, val tableLocation: String,
       newManifests.foreach(Io.deleteIfExists)
     }
     // the reference's renameToFinal double guard (:346-376): lock,
-    // re-check the target, then a rename that must not clobber
+    // re-check the target, then a rename that must not clobber.
+    // In lock-only mode (rename-atomic=false) the rename primitive is
+    // allowed to be a dumb copy — the exists re-check INSIDE the lock's
+    // critical section is then the whole CAS, so refusing to run
+    // without a real lock is the difference between "safe" and
+    // "silently loses one of two racing commits".
+    if (!renameAtomic && (commitLock eq NoopCommitLock)) {
+      loseCleanup()
+      throw new CommitFailedException(
+        "commit.rename-atomic=false requires a commit lock: set commit.lock-impl")
+    }
     if (!commitLock.acquire(target, tmp)) {
       loseCleanup()
       throw new CommitFailedException(s"failed to acquire commit lock on $target")
@@ -274,7 +298,7 @@ class TableOps(val warehouse: String, val tableLocation: String,
         loseCleanup()
         throw new CommitFailedException(s"version ${base + 1} already committed")
       }
-      if (!Io.renameNoReplace(tmp, target)) {
+      if (!finalizeRename(tmp, target)) {
         loseCleanup()
         throw new CommitFailedException(s"rename to $target lost the commit race")
       }

@@ -243,8 +243,11 @@ object RelPaths {
   private def norm(warehouse: String): String =
     if (warehouse.endsWith("/")) warehouse else warehouse + "/"
 
+  // ":/" (not "://") so this agrees with Io.normalize's canonical
+  // single-slash spellings (file:/x) and with the commit invariant —
+  // an already-absolute URI must never get the warehouse prefix
   def absolutize(warehouse: String, location: String): String =
-    if (location.startsWith("/") || location.contains("://")) location
+    if (location.startsWith("/") || location.contains(":/")) location
     else norm(warehouse) + location
 
   def relativize(warehouse: String, location: String): String = {

@@ -141,6 +141,63 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(mk().refresh().get._1 == 41)
   }
 
+  test("lock-only commit mode survives a non-atomic rename primitive") {
+    // commit.rename-atomic=false models s3a/gs/abfs: rename is a dumb
+    // check-then-copy that CLOBBERS a concurrent winner. Correctness
+    // must come from CommitLock mutual exclusion + the exists re-check
+    // inside the critical section alone (ref LockManager double-guard,
+    // HadoopRelativeTableOperations.java:346-376).
+    val local = freshDir("hfs_lockonly")
+    val wh = s"file://$local"
+    spark.conf.set("spark.sql.catalog.hfsL", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.hfsL.warehouse", wh)
+    spark.sql("CREATE NAMESPACE hfsL.r")
+    spark.sql("CREATE TABLE hfsL.r.t (id BIGINT)") // commits v1
+    val props = new java.util.HashMap[String, String]()
+    props.put("commit.rename-atomic", "false")
+    // worst-case rename, s3a-faithful: the copied object appears
+    // atomically (PUT semantics) but the exists probe → copy window is
+    // wide open and the copy CLOBBERS — any two committers that both
+    // enter this method concurrently WILL lose one commit.
+    val sharedLock = new graft.catalog.FileCommitLock
+    def mk(): TableOps = new TableOps(wh, "r/t", props) {
+      override protected lazy val commitLock: CommitLock = sharedLock
+      override protected def finalizeRename(tmp: String, target: String): Boolean = {
+        if (Io.exists(target)) return false
+        Thread.sleep(2)
+        Io.renameReplace(tmp, target) // atomic visibility, NO no-replace guard
+        true
+      }
+    }
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val ops = mk()
+        var done = 0
+        while (done < 5) {
+          val (v, m) = ops.refresh().get
+          try { ops.commit(v, m.copy(lastUpdatedMs = System.nanoTime())); done += 1 }
+          catch {
+            case _: CommitFailedException => // lost the race; retry
+            case _: Throwable => errs.incrementAndGet(); done += 1
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.get() == 0, "non-CommitFailed errors during the lock-only race")
+    assert(mk().refresh().get._1 == 41, "all 40 racing commits must land, none lost")
+
+    // and WITHOUT a lock, lock-only mode refuses to run rather than
+    // silently risking a lost commit
+    val noLock = new TableOps(wh, "r/t", props) {
+      override protected lazy val commitLock: CommitLock = graft.catalog.NoopCommitLock
+    }
+    val (v, m) = noLock.refresh().get
+    val ex = intercept[CommitFailedException](noLock.commit(v, m))
+    assert(ex.getMessage.contains("commit.lock-impl"))
+  }
+
   test("fs.write-checksum / fs.verfiy-checksum reach the warehouse FileSystem") {
     // LocalFileSystem is a ChecksumFileSystem: with write-checksums ON
     // (ref default) every metadata write leaves a .crc sidecar; the
