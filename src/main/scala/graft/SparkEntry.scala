@@ -43,7 +43,9 @@ object SparkEntry {
     allDecls.map(d => d.name -> d.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables (D2/D4/D6/D4SUM decimal-determinism macros
+    * expanded here — [[Dsl.expandOracle]]). Omit for non-SQL-expressible
+    * ops. */
   def oracleSql: Map[String, String] =
-    allDecls.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    allDecls.flatMap(d => d.oracle.map(o => d.name -> Dsl.expandOracle(o))).toMap
 }

@@ -62,6 +62,55 @@ object Dsl {
     * engines, so equality is preserved. */
   def d4(c: Column): Column = c.cast("decimal(18,4)").cast("double")
 
+  /** DuckDB-oracle macros — ONE definition of the decimal-trap
+    * incantation (SURVEY §7: DuckDB's decimal downcast truncates where
+    * Spark rounds HALF_UP, and a physical DECIMAL output column breaks
+    * the driver's hash). Oracle strings write the short forms and
+    * [[SparkEntry.oracleSql]] expands them, so the next decimal-trap
+    * fix is one edit here instead of one per oracle:
+    *
+    *   D4SUM(x) — the money-sum shape, [[d4]](SUM([[dec]](x)))
+    *   D2(x)/D4(x)/D6(x) — ROUND to that scale, exact decimal(18,n),
+    *     final cast to DOUBLE
+    */
+  def expandOracle(sql: String): String = {
+    def expand(s: String, name: String, render: String => String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val at = s.indexOf(name + "(", i)
+        val boundary = at == 0 || (at > 0 && !s.charAt(at - 1).isLetterOrDigit)
+        if (at < 0) { out.append(s.substring(i)); i = s.length }
+        else if (!boundary) { out.append(s.substring(i, at + name.length)); i = at + name.length }
+        else {
+          out.append(s.substring(i, at))
+          var depth = 0
+          var j = at + name.length
+          var end = -1
+          while (end < 0 && j < s.length) {
+            s.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = j
+              case _ =>
+            }
+            j += 1
+          }
+          require(end > 0, s"unbalanced $name( in oracle SQL")
+          out.append(render(s.substring(at + name.length + 1, end)))
+          i = end + 1
+        }
+      }
+      out.toString
+    }
+    def dN(n: Int)(x: String) =
+      s"CAST(CAST(ROUND($x, $n) AS DECIMAL(18,$n)) AS DOUBLE)"
+    var r = expand(sql, "D4SUM",
+      x => dN(4)(s"SUM(CAST($x AS DECIMAL(18,6)))"))
+    r = expand(r, "D2", dN(2))
+    r = expand(r, "D4", dN(4))
+    expand(r, "D6", dN(6))
+  }
+
   def spark(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()

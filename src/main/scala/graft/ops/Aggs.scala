@@ -30,11 +30,11 @@ object Aggs extends Pack {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
-      |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-      |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6)) * CAST(1 + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(7,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_charge,
-      |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty,
+      |  D4SUM(l_quantity) AS sum_qty,
+      |  D4SUM(l_extendedprice) AS sum_base_price,
+      |  D4(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6)))) AS sum_disc_price,
+      |  D4(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6)) * CAST(1 + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(7,6)))) AS sum_charge,
+      |  D4(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(*)) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -56,11 +56,11 @@ object Aggs extends Pack {
         d4(sum(dec($("l_discount"))) / count($("l_discount"))).as("avg_disc"))
     }, Some(
       """SELECT
-        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+        |  D4SUM(l_extendedprice) AS sum_price,
         |  COUNT(*) AS n_rows,
-        |  CAST(CAST(ROUND(MIN(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS min_qty,
-        |  CAST(CAST(ROUND(MAX(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS max_qty,
-        |  CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc
+        |  D4(MIN(CAST(l_quantity AS DECIMAL(18,6)))) AS min_qty,
+        |  D4(MAX(CAST(l_quantity AS DECIMAL(18,6)))) AS max_qty,
+        |  D4(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount)) AS avg_disc
         |FROM lineitem""".stripMargin)),
 
     Decl("q_agg_distinct", (spark, dir) => {
@@ -90,7 +90,7 @@ object Aggs extends Pack {
     }, Some(
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-        |  CAST(CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS big_total,
+        |  D4(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)) AS big_total,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
@@ -103,7 +103,7 @@ object Aggs extends Pack {
         .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first),
       Some(
         """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
+          |  D4SUM(o_totalprice) AS total
           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
@@ -115,7 +115,7 @@ object Aggs extends Pack {
         .orderBy($("o_orderstatus").asc_nulls_first, $("o_orderpriority").asc_nulls_first),
       Some(
         """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
+          |  D4SUM(o_totalprice) AS total
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
@@ -149,8 +149,8 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       Some(
         """SELECT l_returnflag,
-          |  CAST(CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sd_qty,
-          |  CAST(CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS var_qty,
+          |  D4(STDDEV_SAMP(l_quantity)) AS sd_qty,
+          |  D4(VAR_SAMP(l_quantity)) AS var_qty,
           |  COUNT(*) AS n
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
@@ -164,8 +164,8 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       Some(
         """SELECT l_returnflag,
-          |  CAST(CAST(ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty,
-          |  CAST(CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p90_price
+          |  D4(QUANTILE_CONT(l_quantity, 0.5)) AS median_qty,
+          |  D4(QUANTILE_CONT(l_extendedprice, 0.9)) AS p90_price
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
@@ -224,7 +224,7 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first)
     }, Some(
       """SELECT l_returnflag,
-        |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        |  D4SUM(l_quantity) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
@@ -241,10 +241,10 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       Some(
         """SELECT l_returnflag,
-          |  CAST(CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
-          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS F,
-          |  CAST(CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
-          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DECIMAL(18,4)) AS DOUBLE) AS O
+          |  D4(SUM(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END)) AS F,
+          |  D4(SUM(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(l_quantity AS DECIMAL(18,6)) END)) AS O
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 

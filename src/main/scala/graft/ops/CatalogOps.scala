@@ -75,16 +75,16 @@ object CatalogOps extends Pack {
       spark.sql(s"ALTER TABLE $c.demo_ev.cust ADD COLUMN seg STRING")
       spark.sql(s"INSERT INTO $c.demo_ev.cust SELECT c_custkey, c_acctbal, c_mktsegment FROM customer_src WHERE c_custkey % 2 = 1")
       spark.sql(s"ALTER TABLE $c.demo_ev.cust RENAME COLUMN seg TO segment")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT segment, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |  D2(SUM(CAST(c_acctbal AS DECIMAL(18,6)))) AS total
            |FROM $c.demo_ev.cust
            |GROUP BY segment
-           |ORDER BY segment ASC NULLS FIRST""".stripMargin)
+           |ORDER BY segment ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment,
         |  COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  D2(SUM(CAST(c_acctbal AS DECIMAL(18,6)))) AS total
         |FROM customer
         |GROUP BY segment
         |ORDER BY segment ASC NULLS FIRST""".stripMargin)),
@@ -162,15 +162,15 @@ object CatalogOps extends Pack {
       Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
       spark.sql(s"INSERT INTO $c.demo_del.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
       spark.sql(s"DELETE FROM $c.demo_del.cust WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |  D4SUM(c_acctbal) AS bal
            |FROM $c.demo_del.cust
            |GROUP BY c_mktsegment
-           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |  D4SUM(c_acctbal) AS bal
         |FROM customer
         |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING')
         |GROUP BY c_mktsegment
@@ -190,15 +190,15 @@ object CatalogOps extends Pack {
       spark.sql(s"INSERT INTO $c.demo_mor.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src WHERE c_custkey % 2 = 1")
       spark.sql(s"DELETE FROM $c.demo_mor.cust WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'")
       spark.sql(s"DELETE FROM $c.demo_mor.cust WHERE c_custkey <= 50")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |  D4SUM(c_acctbal) AS bal
            |FROM $c.demo_mor.cust
            |GROUP BY c_mktsegment
-           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |  D4SUM(c_acctbal) AS bal
         |FROM customer
         |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING') AND NOT (c_custkey <= 50)
         |GROUP BY c_mktsegment
@@ -221,15 +221,15 @@ object CatalogOps extends Pack {
       spark.sql(s"DELETE FROM $c.demo_eq.cust WHERE c_custkey IN (2, 4, 6, 8, 10)")
       spark.sql(s"INSERT INTO $c.demo_eq.cust SELECT c_custkey, c_mktsegment, c_acctbal " +
         "FROM customer_src WHERE c_custkey = 4")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |  D4SUM(c_acctbal) AS bal
            |FROM $c.demo_eq.cust
            |GROUP BY c_mktsegment
-           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |  D4SUM(c_acctbal) AS bal
         |FROM (
         |  SELECT c_mktsegment, c_acctbal FROM customer
         |  WHERE c_mktsegment <> 'BUILDING' AND c_custkey NOT IN (2, 4, 6, 8, 10)
@@ -247,16 +247,16 @@ object CatalogOps extends Pack {
       Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
       spark.sql(s"INSERT INTO $c.demo_up.ord SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders_src")
       spark.sql(s"UPDATE $c.demo_up.ord SET o_totalprice = o_totalprice * 1.1 WHERE o_orderstatus = 'F'")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT o_orderstatus, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
            |FROM $c.demo_up.ord
            |GROUP BY o_orderstatus
-           |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+           |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F'
-        |        THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  D2(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |        THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(18,6)))) AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
@@ -275,10 +275,10 @@ object CatalogOps extends Pack {
            |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1000
            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
            |  VALUES (s.c_custkey, s.c_acctbal, s.c_mktsegment)""".stripMargin)
-      spark.sql(
-        s"""SELECT c_custkey, CAST(CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT c_custkey, D2(CAST(c_acctbal AS DECIMAL(18,6))) AS bal
            |FROM $c.demo_mg.cust
-           |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin))
     }, Some(
       """WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
         |src AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
@@ -289,7 +289,7 @@ object CatalogOps extends Pack {
         |  UNION ALL
         |  SELECT s.c_custkey, s.c_acctbal FROM src s
         |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.c_custkey = s.c_custkey))
-        |SELECT c_custkey, CAST(CAST(ROUND(CAST(bal AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |SELECT c_custkey, D2(CAST(bal AS DECIMAL(18,6))) AS bal
         |FROM merged
         |ORDER BY c_custkey ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)),
 
@@ -358,15 +358,15 @@ object CatalogOps extends Pack {
       Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
       spark.sql(s"INSERT INTO $c.demo_umor.cust SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
       spark.sql(s"UPDATE $c.demo_umor.cust SET c_mktsegment = 'CAPPED', c_acctbal = 0.0 WHERE c_acctbal < 0")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT c_mktsegment, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+           |  D4SUM(c_acctbal) AS bal
            |FROM $c.demo_umor.cust
            |GROUP BY c_mktsegment
-           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bal
+        |  D4SUM(c_acctbal) AS bal
         |FROM (SELECT c_custkey,
         |        CASE WHEN c_acctbal < 0 THEN 'CAPPED' ELSE c_mktsegment END AS c_mktsegment,
         |        CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
@@ -492,12 +492,12 @@ object CatalogOps extends Pack {
       spark.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        spark.sql(
+        spark.sql(graft.Dsl.expandOracle(
           s"""SELECT n.n_name, COUNT(*) AS n_cust,
-             |  CAST(CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal
+             |  D4SUM(c.c_acctbal) AS sum_bal
              |FROM $c.demo_spj.cust c JOIN $c.demo_spj.nat n
              |  ON c.c_nationkey = n.n_nationkey
-             |GROUP BY n.n_name""".stripMargin)
+             |GROUP BY n.n_name""".stripMargin))
           .localCheckpoint()
           .orderBy(col("n_name").asc_nulls_first)
       } finally {
@@ -506,7 +506,7 @@ object CatalogOps extends Pack {
       }
     }, Some(
       """SELECT n_name, COUNT(*) AS n_cust,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal
+        |  D4SUM(c_acctbal) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
@@ -542,16 +542,16 @@ object CatalogOps extends Pack {
         spark.sql(s"""INSERT OVERWRITE $c.demo_dyn.cust
           |SELECT c_custkey, c_nationkey, 0.0 FROM customer_src WHERE c_nationkey < 5""".stripMargin)
       finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT c_nationkey, COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |  D2(SUM(CAST(c_acctbal AS DECIMAL(18,6)))) AS total
            |FROM $c.demo_dyn.cust
            |GROUP BY c_nationkey
-           |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)
+           |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin))
     }, Some(
       """SELECT c_nationkey, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(CASE WHEN c_nationkey < 5 THEN 0.0 ELSE c_acctbal END
-        |    AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  D2(SUM(CAST(CASE WHEN c_nationkey < 5 THEN 0.0 ELSE c_acctbal END
+        |    AS DECIMAL(18,6)))) AS total
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)),
@@ -581,16 +581,16 @@ object CatalogOps extends Pack {
         .collect()(0).getLong(0)
       spark.sql(s"CALL $c.system.fast_forward(tbl => 'demo_br.o', branch => 'audit')")
       spark.sql(s"CALL $c.system.drop_ref(tbl => 'demo_br.o', ref => 'audit')")
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT COUNT(*) AS n_published, $mainBefore AS n_main_before,
            |  $branchSees AS n_branch,
-           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
-           |FROM $c.demo_br.o""".stripMargin)
+           |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
+           |FROM $c.demo_br.o""".stripMargin))
     }, Some(
       """SELECT COUNT(*) AS n_published,
         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_main_before,
         |  COUNT(*) AS n_branch,
-        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
         |FROM orders""".stripMargin)),
 
     // months(ts)-partitioned scan: hidden partitioning over a time
@@ -681,7 +681,7 @@ object CatalogOps extends Pack {
            |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
     }, Some(
       """SELECT p_brand, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
+        |  D4SUM(p_retailprice) AS total
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
 
@@ -718,13 +718,13 @@ object CatalogOps extends Pack {
       spark.sql(s"INSERT INTO $c.demo_rb.o SELECT o_orderkey + 1000000000, 0.0 FROM orders_src")
       graft.catalog.Maintenance.rollbackTo(
         cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable].ops, good)
-      spark.sql(
+      spark.sql(graft.Dsl.expandOracle(
         s"""SELECT COUNT(*) AS n,
-           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
-           |FROM $c.demo_rb.o""".stripMargin)
+           |  D4SUM(o_totalprice) AS total
+           |FROM $c.demo_rb.o""".stripMargin))
     }, Some(
       """SELECT COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
+        |  D4SUM(o_totalprice) AS total
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)),
   )
 }

@@ -140,7 +140,7 @@ object Joins extends Pack {
         .orderBy(col("p_size").asc_nulls_first)
     }, Some(
       """SELECT p_size, COUNT(*) AS n_li,
-        |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+        |  D4SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN (SELECT DISTINCT p_size FROM part) p
         |  ON l_quantity >= p_size AND l_quantity < p_size + 5
         |GROUP BY p_size
@@ -160,7 +160,7 @@ object Joins extends Pack {
         .orderBy(col("r_name").asc_nulls_first)
     }, Some(
       """SELECT r_name, COUNT(*) AS n_orders,
-        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |  D4SUM(o_totalprice) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -178,7 +178,7 @@ object Joins extends Pack {
         .orderBy(col("n_name").asc_nulls_first)
     }, Some(
       """SELECT n_name, COUNT(*) AS n_cust,
-        |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal
+        |  D4SUM(c_acctbal) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS FIRST""".stripMargin)),
@@ -204,7 +204,7 @@ object Joins extends Pack {
         .orderBy(col("o_orderpriority").asc_nulls_first)
     }, Some(
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |  D4SUM(l_extendedprice) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),

@@ -102,7 +102,7 @@ object LlmOps extends Pack {
         """SELECT lang,
           |  COUNT(*) AS n_docs,
           |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_words,
-          |  CAST(CAST(ROUND(SUM(CAST(length(text) AS DECIMAL(18,6))) / COUNT(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars,
+          |  D4(SUM(CAST(length(text) AS DECIMAL(18,6))) / COUNT(*)) AS avg_chars,
           |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))) AS BIGINT) AS n_stopwords,
           |  CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_ok
           |FROM documents

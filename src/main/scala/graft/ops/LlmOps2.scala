@@ -327,11 +327,11 @@ object LlmOps2 extends Pack {
             .otherwise("zz"))
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("stop_ratio")), 4).cast("decimal(10,4)").cast("double").as("avg_stop_ratio"))
+          round(avg(col("stop_ratio")), 4).cast("decimal(18,4)").cast("double").as("avg_stop_ratio"))
         .orderBy(col("pred").asc_nulls_first),
       Some(
         """SELECT pred, COUNT(*) AS n_docs,
-          |  CAST(CAST(ROUND(AVG(stop_ratio), 4) AS DECIMAL(10,4)) AS DOUBLE) AS avg_stop_ratio
+          |  D4(AVG(stop_ratio)) AS avg_stop_ratio
           |FROM (
           |  SELECT
           |    CASE WHEN stop_ratio >= 0.08 THEN 'en'

@@ -87,8 +87,8 @@ object LlmOps4 extends Pack {
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
         |  len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct,
-        |  CAST(CAST(ROUND(CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DECIMAL(18,6))
-        |    / CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DECIMAL(9,3)), 4) AS DECIMAL(18,4)) AS DOUBLE) AS ttr
+        |  D4(CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DECIMAL(18,6))
+        |    / CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DECIMAL(9,3))) AS ttr
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
@@ -111,9 +111,9 @@ object LlmOps4 extends Pack {
         """SELECT source, COUNT(*) AS n_docs,
           |  COUNT(DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text),
           |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS n_kept,
-          |  CAST(CAST(ROUND(CAST(COUNT(DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text),
+          |  D2(CAST(COUNT(DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text),
           |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS DECIMAL(18,6)) * 100
-          |    / CAST(COUNT(*) AS DECIMAL(9,3)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS keep_pct
+          |    / CAST(COUNT(*) AS DECIMAL(9,3))) AS keep_pct
           |FROM documents
           |GROUP BY source
           |ORDER BY source ASC NULLS FIRST""".stripMargin)),

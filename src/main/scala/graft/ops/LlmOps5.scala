@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators, part 5: context-window chunking
+  * (the doc → training-sequence split) and cross-document boilerplate
+  * span detection (the RefinedWeb/C4-style repeated-span filter) —
+  * the two corpus-preparation passes between cleaning ([[LlmOps2]]-
+  * [[LlmOps4]]) and packing ([[LlmOps3]]'s q_llm_pack).
+  */
+object LlmOps5 extends Pack {
+
+  def decls: Seq[Decl] = Seq(
+
+    // Context-window chunking: split each doc's token stream into
+    // fixed windows (W=32) on a fixed stride (S=24, so 8 tokens of
+    // overlap carry context across boundaries) — how corpora become
+    // training sequences. Pure per-doc projection + explode: no
+    // shuffle at all until the output sort, so it streams at any
+    // corpus size.
+    Decl("q_llm_chunk", (spark, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      Tables(spark, dir, "documents")
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(toks)-1, 24)")).as("start"),
+          col("toks"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          least(lit(32), size(col("toks")) - col("start")).cast("long").as("n_tokens"),
+          element_at(col("toks"), col("start") + 1).as("head_token"))
+        .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc_nulls_first)
+    }, Some(
+      """WITH t AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |          FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(LEAST(32, len(toks) - start) AS BIGINT) AS n_tokens,
+        |  toks[start + 1] AS head_token
+        |FROM s
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin)),
+
+    // Cross-document boilerplate: word 8-grams appearing in >= 3
+    // distinct docs are "boilerplate spans" (headers, footers, licence
+    // blurbs); report each doc's share of gram instances that are
+    // boilerplate. Two gram-keyed shuffles — the df aggregation and
+    // the gram join — and Catalyst reuses the exploded-gram exchange
+    // for both sides (same subplan, same partitioning), so the corpus
+    // is scanned once and shuffled on gram once. Zipf-headed gram keys
+    // are absorbed by partial aggregation before the shuffle; the
+    // doc-keyed final agg is skew-free. Never O(n^2), never a driver
+    // collect: scales to any corpus that fits the gram shuffle.
+    Decl("q_llm_boilerplate", (spark, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val g = Tables(spark, dir, "documents")
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8)))")).as("gm"))
+      val df = g.groupBy(col("gm")).agg(countDistinct(col("doc_id")).as("df"))
+      g.join(df, "gm")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_share",
+          round(col("n_boiler").cast("decimal(18,6)") /
+            col("n_grams").cast("decimal(9,3)"), 4)
+            .cast("decimal(18,4)").cast("double"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }, Some(
+      """WITH w AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |          FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gm
+        |      FROM w WHERE len(toks) >= 8),
+        |d AS (SELECT gm, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gm)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+        |  D4(CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+        |    / CAST(COUNT(*) AS DECIMAL(9,3))) AS boiler_share
+        |FROM g JOIN d USING (gm)
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+  )
+}

@@ -102,14 +102,14 @@ object ScalarFns extends Pack {
         .orderBy(col("p_partkey").asc_nulls_first, col("abs_diff").asc_nulls_first),
       Some(
         """SELECT p_partkey,
-          |  CAST(CAST(ROUND(abs(p_retailprice - 1000), 4) AS DECIMAL(18,4)) AS DOUBLE) AS abs_diff,
+          |  D4(abs(p_retailprice - 1000)) AS abs_diff,
           |  CAST(ceil(p_retailprice) AS BIGINT) AS ceiled,
           |  CAST(floor(p_retailprice) AS BIGINT) AS floored,
           |  CAST(pow(p_size, 2) AS BIGINT) AS size_sq,
-          |  CAST(CAST(ROUND(sqrt(p_size), 6) AS DECIMAL(18,6)) AS DOUBLE) AS size_sqrt,
-          |  CAST(CAST(ROUND(exp(p_size / 100.0), 6) AS DECIMAL(18,6)) AS DOUBLE) AS e_small,
-          |  CAST(CAST(ROUND(ln(p_retailprice), 6) AS DECIMAL(18,6)) AS DOUBLE) AS ln_price,
-          |  CAST(CAST(ROUND(log10(p_retailprice), 6) AS DECIMAL(18,6)) AS DOUBLE) AS log10_price,
+          |  D6(sqrt(p_size)) AS size_sqrt,
+          |  D6(exp(p_size / 100.0)) AS e_small,
+          |  D6(ln(p_retailprice)) AS ln_price,
+          |  D6(log10(p_retailprice)) AS log10_price,
           |  ((p_partkey % 7) + 7) % 7 AS key_mod,
           |  CAST(sign(p_retailprice - 1000) AS INT) AS sgn,
           |  greatest(p_size, 10) AS gr,

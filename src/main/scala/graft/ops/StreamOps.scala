@@ -200,7 +200,7 @@ object StreamOps extends Pack {
       Some(
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
           |  COUNT(*) AS n,
-          |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total
+          |  D4SUM(value) AS total
           |FROM events
           |GROUP BY win_start, event_type
           |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST,
@@ -323,7 +323,7 @@ object StreamOps extends Pack {
         .orderBy(col("user_id").asc_nulls_first, col("n_events").asc_nulls_first),
       Some(
         """SELECT user_id, COUNT(*) AS n_events,
-          |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+          |  D4SUM(value) AS total_value
           |FROM events GROUP BY user_id
           |ORDER BY user_id ASC NULLS FIRST, n_events ASC NULLS FIRST""".stripMargin)),
 

@@ -68,9 +68,9 @@ object Udx extends Pack {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }, Some(
       """SELECT l_returnflag,
-        |  CAST(CAST(ROUND(
+        |  D4(
         |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(9,6)))
-        |      / SUM(CAST(l_quantity AS DECIMAL(9,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS wavg_price
+        |      / SUM(CAST(l_quantity AS DECIMAL(9,6)))) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 

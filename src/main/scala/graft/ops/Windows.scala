@@ -117,9 +117,9 @@ object Windows extends Pack {
           col("running_total").asc_nulls_first),
       Some(
         """SELECT o_custkey, o_orderkey,
-          |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+          |  D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
           |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS DOUBLE) AS running_total
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS running_total
           |FROM orders
           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
           |  running_total ASC NULLS FIRST""".stripMargin)),
@@ -137,7 +137,7 @@ object Windows extends Pack {
       Tables(spark, dir, "orders")
         .withColumn("n_near", expr(s"COUNT(*) $over"))
         .withColumn("near_sum",
-          expr(s"CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) $over, 4) AS DECIMAL(18,4)) AS DOUBLE)"))
+          expr(graft.Dsl.expandOracle(s"D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) $over)")))
         .select(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"), col("n_near"), col("near_sum"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
@@ -146,7 +146,7 @@ object Windows extends Pack {
     }, Some(
       """SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_near,
-        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS near_sum
+        |  D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w) AS near_sum
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice ASC
         |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
