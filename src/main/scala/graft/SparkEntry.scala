@@ -23,6 +23,7 @@ object SparkEntry {
     ops.LlmOps2,
     ops.LlmOps3,
     ops.LlmOps4,
+    ops.LlmOps5,
     ops.StreamOps,
     ops.CatalogOps,
   )
