@@ -40,34 +40,40 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .map { case (name, fn) =>
-      // two timed runs, report the min: a single-shot suite bills
-      // whichever query happens to absorb a GC pause / JIT warm-up for
-      // the whole JVM's accumulated state, which round-3 showed can
-      // inflate individual entries 10x over their reproducible cost
-      val times = (1 to 2).map { _ =>
+      // one untimed warm-up + two timed runs, report the min: a
+      // single-shot suite bills whichever query happens to absorb a GC
+      // pause / JIT warm-up for the whole JVM's accumulated state
+      // (round-3: 10x inflation; round-7: first-run warm-up still
+      // generated false "regressions" even under min-of-2)
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
+      }.drop(1)
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       (name, times.min, heapMb)
     }
-    // stdout line stays SMALL so the driver's tail-capture never
-    // truncates mid-JSON (round-6's full heap map broke its parser):
-    // per-query seconds at ms precision, heap profile file-only
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val heaps = results.map { case (k, _, h) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs}"""
-    println(line)
+    // full map first, small headline line LAST: the driver tail-captures
+    // ~3.5 KB of stdout, which chops the HEAD of a single big line
+    // (round-7's BENCH parsed:null) — the closing small line always
+    // survives the tail whole, so the total + slowest entries always
+    // parse; the complete per-query map lives in target/bench.json
+    println(
+      s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
     // the full-precision record (plus heap profile) for direct reads
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${
