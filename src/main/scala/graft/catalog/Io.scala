@@ -118,10 +118,25 @@ object Io {
     if (hasScheme(p)) Try(fs(p).delete(new HPath(p), false)).getOrElse(false)
     else Files.deleteIfExists(Paths.get(p))
 
-  /** Quiet recursive delete (staging cleanup). */
+  /** Quiet recursive delete (staging cleanup, where a leftover temp dir
+    * is harmless). PURGE paths use [[deleteRecursiveChecked]] instead —
+    * a swallowed failure there silently reports a successful purge
+    * while leaving the data behind. */
   def deleteRecursiveQuietly(p: String): Unit =
     if (hasScheme(p)) { Try(fs(p).delete(new HPath(p), true)): Unit }
     else { org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)): Unit }
+
+  /** Recursive delete that THROWS when the target survives (permission
+    * or transient remote-FS failures): DROP ... PURGE must not report
+    * success with the data still on disk. */
+  def deleteRecursiveChecked(p: String): Unit = {
+    if (hasScheme(p)) {
+      if (!fs(p).delete(new HPath(p), true) && fs(p).exists(new HPath(p)))
+        throw new java.io.IOException(s"recursive delete failed for $p")
+    } else {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    }
+  }
 
   /** Immediate child NAMES of a directory (empty when absent). */
   def listNames(p: String): Seq[String] =

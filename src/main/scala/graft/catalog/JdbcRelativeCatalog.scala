@@ -296,7 +296,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     views.foreach(dropView)
     update("DELETE FROM graft_namespace_properties WHERE catalog_name=? AND namespace=?",
       name(), nsKey(ns.toSeq))
-    Io.deleteRecursiveQuietly(dirOf(ns.toSeq))
+    Io.deleteRecursiveChecked(dirOf(ns.toSeq))
     true
   }
 
@@ -335,7 +335,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?" + tableRowCond,
       name(), nsKey(ident.namespace().toSeq), ident.name())
     if (n == 1) {
-      Io.deleteRecursiveQuietly(dirOf(ident.namespace().toSeq :+ ident.name()))
+      Io.deleteRecursiveChecked(dirOf(ident.namespace().toSeq :+ ident.name()))
       true
     } else false
   }

@@ -90,6 +90,12 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     // checksummed warehouse invalidates .crc sidecars, so reads of a
     // relocated warehouse set fs.verfiy-checksum=false). The ref's
     // typo'd key is kept for parity; the corrected spelling works too.
+    // SIDE EFFECT (shared deliberately, matching the ref's use of the
+    // JVM-cached FileSystem): these flags flip the process-wide cached
+    // FS for this scheme/authority, so the last-initialized catalog
+    // wins and other users of the same FS see the change. A catalog
+    // needing isolation should set fs.<scheme>.impl.disable.cache in
+    // its Hadoop conf (FileSystem.newInstance semantics) instead.
     if (Io.hasScheme(warehouse)) {
       val fs = Io.fs(warehouse)
       def flag(k: String) = Option(options.get(k)).map(_.toBoolean)
@@ -173,7 +179,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     if (!namespaceExists(ns)) return false
     val empty = Io.listNames(d).isEmpty
     if (!empty && !cascade) throw new NonEmptyNamespaceException(ns)
-    Io.deleteRecursiveQuietly(d)
+    Io.deleteRecursiveChecked(d)
     true
   }
 
@@ -470,7 +476,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident.namespace().toSeq :+ ident.name())
     if (!isTableDir(d)) return false
-    Io.deleteRecursiveQuietly(d) // includes data: purge semantics (ref C8)
+    Io.deleteRecursiveChecked(d) // includes data: purge semantics (ref C8)
     true
   }
 
