@@ -50,13 +50,13 @@ object LlmOps5 extends Pack {
     // Cross-document boilerplate: word 8-grams appearing in >= 3
     // distinct docs are "boilerplate spans" (headers, footers, licence
     // blurbs); report each doc's share of gram instances that are
-    // boilerplate. Two gram-keyed shuffles — the df aggregation and
-    // the gram join — and Catalyst reuses the exploded-gram exchange
-    // for both sides (same subplan, same partitioning), so the corpus
-    // is scanned once and shuffled on gram once. Zipf-headed gram keys
-    // are absorbed by partial aggregation before the shuffle; the
-    // doc-keyed final agg is skew-free. Never O(n^2), never a driver
-    // collect: scales to any corpus that fits the gram shuffle.
+    // boilerplate. ONE corpus scan, no self-join: per-(doc, gram)
+    // instance counts first (collapses within-doc repeats before any
+    // wide state), then the doc-frequency is a plain COUNT(*) window
+    // over the gram — each (doc, gram) row is unique, so no DISTINCT
+    // buffering — then a doc-keyed final agg. Window partitions for
+    // Zipf-head grams are row-count-bounded by df and spill-safe.
+    // Never O(n^2), never a driver collect.
     Decl("q_llm_boilerplate", (spark, dir) => {
       val toks = filter(split(col("text"), " "), t => t =!= "")
       val g = Tables(spark, dir, "documents")
@@ -65,11 +65,12 @@ object LlmOps5 extends Pack {
         .select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8)))")).as("gm"))
-      val df = g.groupBy(col("gm")).agg(countDistinct(col("doc_id")).as("df"))
-      g.join(df, "gm")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gm"))
+      g.groupBy(col("doc_id"), col("gm")).agg(count(lit(1)).as("inst"))
+        .withColumn("df", count(lit(1)).over(w))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .agg(sum(col("inst")).as("n_grams"),
+          sum(when(col("df") >= 3, col("inst")).otherwise(0L)).as("n_boiler"))
         .withColumn("boiler_share",
           round(col("n_boiler").cast("decimal(18,6)") /
             col("n_grams").cast("decimal(9,3)"), 4)
