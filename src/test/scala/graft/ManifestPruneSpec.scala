@@ -121,6 +121,35 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(again.size == 50, "cache must serve chunks across instances/refreshes")
   }
 
+  test("pre-upgrade metadata (chunks without range keys) loads unpruned but sound") {
+    // round-7 metadata spelled Manifest as {path, count} only; the new
+    // pruning keys must default to "unknown -> always load", never
+    // "no keys -> no matches"
+    val wh = buildChunkedTable("mfcompat", "tmp5")
+    val ops = new TableOps(wh, "p/t")
+    val (v, _) = ops.refresh().get
+    // strip every pruning key from the CURRENT metadata file, as if an
+    // old writer had produced it
+    val p = ops.existingMetadataFile(v).get
+    val json = graft.catalog.Io.readString(p)
+    val stripped = Seq("minBound", "maxBound", "minSeq", "maxSeq")
+      .foldLeft(json)((j, k) => j.replace("\"" + k + "\"", "\"legacy_" + k + "\""))
+    assert(stripped != json, "expected to strip pruning keys from metadata JSON")
+    graft.catalog.Io.writeString(p, stripped)
+    ChunkCache.invalidateAll()
+
+    val ops2 = new CountingOps(wh, "p/t")
+    val snap = ops2.refresh().get._2.currentSnapshot.get
+    assert(snap.manifests.forall(m => m.minBound.isEmpty && m.minSeq.isEmpty))
+    // a filtered scan must now load EVERY chunk (sound) and still
+    // return the right candidates
+    val hit = ops2.filesMatching(snap, Seq(EqualTo("k", 37)))
+    assert(ops2.chunkLoads == snap.manifests.size,
+      s"keyless chunks must all load; loaded ${ops2.chunkLoads}/${snap.manifests.size}")
+    assert(hit.size == 50, "all files become candidates; file-level pruning narrows later")
+    assert(ops2.filesNewerThan(snap, after = 9L).count(_.seq.contains(10L)) == 5)
+  }
+
   test("end-to-end: filtered SQL over a chunked table stays correct") {
     val wh = buildChunkedTable("mfsql", "tmp4")
     assert(spark.sql("SELECT COUNT(*) FROM tmp4.p.t WHERE k = 37").collect()(0).getLong(0) == 20)
