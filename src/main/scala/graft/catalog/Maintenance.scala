@@ -57,6 +57,67 @@ object Maintenance {
     throw new CommitFailedException("expireSnapshots: commit retries exhausted")
   }
 
+  /** Metadata-only manifest rewrite (Iceberg's rewrite_manifests):
+    * materialize the current snapshot's file list, re-sort it by the
+    * partition source values, and re-spill value-tight chunks. After
+    * trickle appends leave many chunks with overlapping key ranges —
+    * where a partition-filtered scan must load most of them — this
+    * restores planning to O(matching chunks). Data files untouched;
+    * the snapshot keeps its id (same data, same history). Chunk files
+    * no longer referenced by any snapshot are reclaimed AFTER the
+    * commit point (a crash leaves only harmless orphans). Returns the
+    * number of chunks dissolved.
+    */
+  def rewriteManifests(ops: TableOps): Int = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val (v, meta) = ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val cur = meta.currentSnapshot.getOrElse(return 0)
+      if (cur.manifests.size <= 1) return 0
+      val keyCols = ops.partitionKeyCols(meta).toSeq.sortBy(_._1)
+      def cmpVal(num: Boolean, x: String, y: String): Int =
+        if (num) scala.util.Try(BigDecimal(x).compare(BigDecimal(y)))
+          .getOrElse(x.compareTo(y))
+        else x.compareTo(y)
+      val ord = new Ordering[graft.meta.DataFile] {
+        override def compare(a: graft.meta.DataFile, b: graft.meta.DataFile): Int = {
+          var i = 0
+          while (i < keyCols.size) {
+            val (c, num) = keyCols(i)
+            val r = (a.minBound.get(c), b.minBound.get(c)) match {
+              case (Some(x), Some(y)) => cmpVal(num, x, y)
+              case (None, Some(_)) => 1 // unbounded files sort last
+              case (Some(_), None) => -1
+              case (None, None) => 0
+            }
+            if (r != 0) return r
+            i += 1
+          }
+          a.path.compareTo(b.path)
+        }
+      }
+      val sorted = ops.allFiles(cur).sorted(ord)
+      val next = meta.copy(
+        lastUpdatedMs = System.currentTimeMillis(),
+        snapshots = meta.snapshots.map(s =>
+          if (s.snapshotId == cur.snapshotId) s.copy(files = sorted, manifests = Nil)
+          else s))
+      try {
+        ops.commit(v, next)
+        val live = ops.refresh().map(_._2).toList
+          .flatMap(_.snapshots.flatMap(_.manifests.map(_.path))).toSet
+        cur.manifests.map(_.path).filterNot(live)
+          .foreach(p => Io.deleteIfExists(RelPaths.absolutize(ops.warehouse, p)))
+        return cur.manifests.size
+      } catch {
+        case _: CommitFailedException => // refresh + retry
+      }
+    }
+    throw new CommitFailedException("rewriteManifests: commit retries exhausted")
+  }
+
   /** Create (or move) a named ref — `tag` pins a snapshot forever,
     * `branch` tracks it until moved (README.md:67-75 `refs`). Readable
     * through `VERSION AS OF '<name>'`.

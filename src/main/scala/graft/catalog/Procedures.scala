@@ -85,6 +85,12 @@ object Procedures {
         Maintenance.compactBinpack(SparkSession.active,
           tbl(cat, args.getUTF8String(0).toString), args.getLong(1), args.getInt(2)))),
 
+    ProcDef("rewrite_manifests",
+      Seq(in("tbl", StringType)),
+      StructType(Seq(StructField("rewritten_chunks", IntegerType))),
+      (cat, args) => row(
+        Maintenance.rewriteManifests(tbl(cat, args.getUTF8String(0).toString).ops))),
+
     ProcDef("rollback_to_snapshot",
       Seq(in("tbl", StringType), in("snapshot_id", LongType)),
       StructType(Seq(StructField("current_snapshot_id", LongType))),

@@ -153,23 +153,26 @@ class TableOps(val warehouse: String, val tableLocation: String,
     * manifest files written by THIS call — the committer must delete
     * them if the commit loses.
     */
+  /** Chunk pruning-key columns = partition SOURCE columns (union
+    * across spec evolution): the columns scans filter on at scale, and
+    * the ones the fanout writer clusters by — so chunk ranges stay
+    * tight when appends are partition-scoped (the daily-ingest shape).
+    * Value = whether the column compares numerically (mirroring
+    * FilePruning.compareBound). */
+  def partitionKeyCols(meta: TableMeta): Map[String, Boolean] = {
+    val srcIds = meta.partitionSpecs.flatMap(_.fields.map(_.sourceId)).toSet
+    meta.schemas.flatMap(_.fields).filter(f => srcIds(f.id))
+      .map(f => f.name -> Try(
+        org.apache.spark.sql.types.DataType.fromJson(f.dataType)
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]).getOrElse(false))
+      .toMap
+  }
+
   protected def spillAndSerialize(meta: TableMeta): (String, List[String]) = {
     val chunkSize = meta.properties.get("write.metadata.manifest-chunk-size")
       .flatMap(s => Try(s.toInt).toOption).filter(_ > 0).getOrElse(1000)
     var written = List.empty[String]
-    // chunk pruning keys = partition SOURCE columns (union across spec
-    // evolution): the columns scans filter on at scale, and the ones
-    // the fanout writer clusters by — so chunk ranges stay tight when
-    // appends are partition-scoped (the daily-ingest shape). Numeric
-    // columns min/max numerically, mirroring FilePruning.compareBound.
-    val keyCols: Map[String, Boolean] = {
-      val srcIds = meta.partitionSpecs.flatMap(_.fields.map(_.sourceId)).toSet
-      meta.schemas.flatMap(_.fields).filter(f => srcIds(f.id))
-        .map(f => f.name -> Try(
-          org.apache.spark.sql.types.DataType.fromJson(f.dataType)
-            .isInstanceOf[org.apache.spark.sql.types.NumericType]).getOrElse(false))
-        .toMap
-    }
+    val keyCols: Map[String, Boolean] = partitionKeyCols(meta)
     def lt(num: Boolean)(a: String, b: String): Boolean =
       if (num) Try(BigDecimal(a) < BigDecimal(b)).getOrElse(a < b) else a < b
     def mkManifest(relPath: String, g: List[DataFile]): Manifest = {

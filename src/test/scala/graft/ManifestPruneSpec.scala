@@ -150,6 +150,47 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(ops2.filesNewerThan(snap, after = 9L).count(_.seq.contains(10L)) == 5)
   }
 
+  test("rewrite_manifests re-clusters overlapping chunks value-tight") {
+    // every append spans the whole key range, so every chunk's k-range
+    // overlaps every partition filter — the shape trickle ingest
+    // produces, where planning-time pruning degrades to "load all"
+    val wh = freshDir("mfrw")
+    mkCatalog("tmp6", wh)
+    spark.sql("CREATE NAMESPACE tmp6.p")
+    spark.sql("CREATE TABLE tmp6.p.t (k INT, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.metadata.manifest-chunk-size'='10')")
+    for (i <- 0 until 10)
+      spark.sql(s"INSERT INTO tmp6.p.t " +
+        s"SELECT CAST(id % 20 AS INT) AS k, id AS v FROM range(${i * 100}, ${i * 100 + 100})")
+    val ops = new CountingOps(wh, "p/t")
+    val snap0 = ops.refresh().get._2.currentSnapshot.get
+    assert(snap0.manifests.size == 20, s"got ${snap0.manifests.size}")
+    ops.filesMatching(snap0, Seq(EqualTo("k", 5)))
+    assert(ops.chunkLoads >= 10,
+      s"k=5 appears in every append; expected >=10 chunk loads, got ${ops.chunkLoads}")
+
+    // single-snapshot history so the rewrite can reclaim every chunk
+    graft.catalog.Maintenance.expireSnapshots(ops, keepLast = 1)
+    assert(spark.sql("CALL tmp6.system.rewrite_manifests(tbl => 'p.t')")
+      .collect()(0).getInt(0) == 20)
+
+    val ops2 = new CountingOps(wh, "p/t")
+    val snap1 = ops2.refresh().get._2.currentSnapshot.get
+    assert(snap1.manifests.size == 20 && snap1.files.isEmpty)
+    val hit = ops2.filesMatching(snap1, Seq(EqualTo("k", 5)))
+    assert(ops2.chunkLoads == 1,
+      s"value-tight chunks: expected 1 load for k=5, got ${ops2.chunkLoads}")
+    assert(hit.size == 10 &&
+      hit.forall(f => f.minBound("k") == "5" && f.maxBound("k") == "5"))
+    // data identical through SQL
+    assert(spark.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM tmp6.p.t").collect()(0) ==
+      org.apache.spark.sql.Row(1000L, (0L until 1000L).sum))
+    // dissolved chunk files physically reclaimed: only the 20 live ones remain
+    val mdChunks = new java.io.File(s"$wh/p/t/metadata").listFiles()
+      .map(_.getName).count(_.startsWith("manifest-"))
+    assert(mdChunks == 20, s"expected 20 chunk files after reclaim, got $mdChunks")
+  }
+
   test("end-to-end: filtered SQL over a chunked table stays correct") {
     val wh = buildChunkedTable("mfsql", "tmp4")
     assert(spark.sql("SELECT COUNT(*) FROM tmp4.p.t WHERE k = 37").collect()(0).getLong(0) == 20)
