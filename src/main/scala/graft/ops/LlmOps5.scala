@@ -92,5 +92,99 @@ object LlmOps5 extends Pack {
         |FROM g JOIN d USING (gm)
         |GROUP BY g.doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Deterministic stratified train/val/test split (96/2/2): the
+    // split assignment every training run needs, reproducible across
+    // engines and re-runs because the bucket is pure integer hashing
+    // on doc_id (same multiplicative hash as q_llm_sample). Per-doc
+    // projection + one source×split agg — embarrassingly parallel.
+    Decl("q_llm_split", (spark, dir) => {
+      val bucket = ((col("doc_id") % 100000L) * 2654435761L % 1000000007L) % 100L
+      Tables(spark, dir, "documents")
+        .withColumn("split",
+          when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source").asc_nulls_first, col("split").asc_nulls_first)
+    }, Some(
+      """SELECT source,
+        |  CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM (SELECT source, doc_id,
+        |        ((doc_id % 100000) * 2654435761 % 1000000007) % 100 AS b
+        |      FROM documents)
+        |GROUP BY source, split
+        |ORDER BY source ASC NULLS FIRST, split ASC NULLS FIRST""".stripMargin)),
+
+    // Near-duplicate CLUSTERS, not just pairs: docs sharing any whole
+    // word 12-gram are edges; connected components (min-label
+    // propagation to fixpoint) give each dup family one canonical
+    // root — what a dedup pass actually keys its "keep one per
+    // cluster" decision on. Scale shape: the candidate edge join is
+    // gram-keyed (Σ|gram bucket|², never all-pairs), and each
+    // propagation round is two keyed shuffles with lineage truncated
+    // per round; rounds needed = component diameter, which for
+    // near-dup families (near-cliques) is a small constant. The
+    // fixpoint is order-independent, so the result is deterministic
+    // and DuckDB's recursive-CTE closure agrees exactly.
+    Decl("q_llm_dupcluster", (spark, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val g = Tables(spark, dir, "documents")
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 12)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks)-12, 1), i -> concat_ws(' ', slice(toks, i+1, 12)))")).as("gm"))
+        .distinct()
+      val e = g.as("x").join(g.as("y"),
+          col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var lab = sym.select(col("a").as("doc")).distinct()
+        .withColumn("root", col("doc")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 15) {
+        rounds += 1
+        val nbr = sym.join(
+            lab.select(col("doc").as("nb"), col("root").as("nbroot")),
+            col("b") === col("nb"))
+          .groupBy(col("a")).agg(min(col("nbroot")).as("nmin"))
+        val next = lab.join(nbr, lab("doc") === nbr("a"), "left")
+          .select(col("doc"),
+            least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+          .localCheckpoint()
+        converged = next.as("n").join(lab.as("o"), "doc")
+          .filter(col("n.root") =!= col("o.root")).isEmpty
+        lab = next
+      }
+      lab.groupBy(col("root"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+        .orderBy(col("root").asc_nulls_first)
+    }, Some(
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 10),
+        |          i -> array_to_string(toks[i:i+11], ' '))) AS gm
+        |      FROM w WHERE len(toks) >= 12),
+        |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |      FROM g x JOIN g y ON x.gm = y.gm AND x.doc_id < y.doc_id),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |node AS (SELECT DISTINCT a AS doc FROM sym),
+        |lab AS (SELECT n.doc, LEAST(n.doc, MIN(r.b)) AS root
+        |        FROM node n LEFT JOIN reach r ON r.a = n.doc
+        |        GROUP BY n.doc)
+        |SELECT root, COUNT(*) AS n_docs, MAX(doc) AS max_doc
+        |FROM lab GROUP BY root
+        |ORDER BY root ASC NULLS FIRST""".stripMargin)),
   )
 }
