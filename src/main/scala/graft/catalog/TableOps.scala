@@ -340,9 +340,12 @@ class TableOps(val warehouse: String, val tableLocation: String,
   * invalidates explicitly. Bounded by total cached FILE ENTRIES with
   * LRU eviction, so a long-lived driver planning against many large
   * tables keeps each table's hot chunks rather than one table's
-  * entire list. Loads run under the cache lock: concurrent planners
-  * asking for the same chunk read it once (driver-side metadata IO,
-  * where single-flight beats parallel duplicate reads).
+  * entire list. Loads are SINGLE-FLIGHT PER PATH with the IO outside
+  * the cache lock: concurrent planners asking for the same chunk read
+  * it once, while loads of different chunks (different queries,
+  * different tables) proceed in parallel — a global lock around
+  * driver-side metadata IO would serialize every concurrent planner
+  * in the process.
   */
 object ChunkCache {
   private val maxFileEntries: Long =
@@ -351,21 +354,33 @@ object ChunkCache {
   private val map =
     new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true)
   private var totalEntries = 0L
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[List[DataFile]]]
 
-  def get(absPath: String)(load: => List[DataFile]): List[DataFile] = synchronized {
-    val hit = map.get(absPath)
-    if (hit != null) hit
-    else {
-      val v = load
-      map.put(absPath, v)
-      totalEntries += v.size
-      val it = map.entrySet().iterator()
-      while (totalEntries > maxFileEntries && it.hasNext) {
-        val e = it.next()
-        if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
-      }
-      v
+  def get(absPath: String)(load: => List[DataFile]): List[DataFile] = {
+    synchronized {
+      val hit = map.get(absPath)
+      if (hit != null) return hit
     }
+    val fut = new java.util.concurrent.CompletableFuture[List[DataFile]]()
+    val prev = inflight.putIfAbsent(absPath, fut)
+    if (prev != null) return prev.join()
+    try {
+      val v = load // IO with no lock held
+      synchronized {
+        map.put(absPath, v)
+        totalEntries += v.size
+        val it = map.entrySet().iterator()
+        while (totalEntries > maxFileEntries && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
+        }
+      }
+      fut.complete(v)
+      v
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally inflight.remove(absPath)
   }
 
   def invalidate(absPath: String): Unit = synchronized {

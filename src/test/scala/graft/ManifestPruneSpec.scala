@@ -150,6 +150,29 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(ops2.filesNewerThan(snap, after = 9L).count(_.seq.contains(10L)) == 5)
   }
 
+  test("chunk cache loads are single-flight per path, parallel across paths") {
+    ChunkCache.invalidateAll()
+    val loads = new java.util.concurrent.atomic.AtomicInteger
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 16).map { i =>
+      new Thread(() => {
+        try {
+          val v = ChunkCache.get(s"/synthetic/chunk-${i % 2}") {
+            loads.incrementAndGet()
+            Thread.sleep(20) // widen the in-flight window
+            List(graft.meta.DataFile(s"f${i % 2}", records = 1L, bytes = 1L))
+          }
+          if (v.head.path != s"f${i % 2}") errs.incrementAndGet()
+        } catch { case _: Throwable => errs.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.get() == 0)
+    assert(loads.get() == 2, s"each distinct path must load exactly once, got ${loads.get()}")
+    ChunkCache.invalidate("/synthetic/chunk-0")
+    ChunkCache.invalidate("/synthetic/chunk-1")
+  }
+
   test("rewrite_manifests re-clusters overlapping chunks value-tight") {
     // every append spans the whole key range, so every chunk's k-range
     // overlaps every partition filter — the shape trickle ingest
