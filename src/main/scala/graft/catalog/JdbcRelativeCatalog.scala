@@ -373,7 +373,8 @@ class JdbcRelativeCatalog extends RelativeCatalog {
         snapshots = meta.snapshots.map(s =>
           s.copy(files = s.files.map(f => f.copy(path = remap(f.path))),
             deleteFiles = s.deleteFiles.map(f => f.copy(path = remap(f.path))),
-            manifests = s.manifests.map(m => m.copy(path = remap(m.path))))),
+            manifests = s.manifests.map(m => m.copy(path = remap(m.path))),
+            deleteManifests = s.deleteManifests.map(m => m.copy(path = remap(m.path))))),
         metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile))))))
       val n = update(
         "UPDATE graft_tables SET table_namespace=?, table_name=?, metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=?",

@@ -38,8 +38,10 @@ object Maintenance {
         .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
       // manifest chunks referenced only by expired snapshots go too
-      val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
-      val orphanManifests = expired.flatMap(_.manifests.map(_.path))
+      val keptManifests = kept.flatMap(s =>
+        (s.manifests ++ s.deleteManifests).map(_.path)).toSet
+      val orphanManifests = expired
+        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path))
         .distinct.filterNot(keptManifests)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),
@@ -449,7 +451,7 @@ object Maintenance {
       .getOrElse(throw new IllegalStateException("no such table"))
     val problems = scala.collection.mutable.ListBuffer.empty[String]
     val snap = meta.currentSnapshot.getOrElse(return Nil)
-    snap.manifests.foreach { m =>
+    (snap.manifests ++ snap.deleteManifests).foreach { m =>
       if (!Io.exists(RelPaths.absolutize(ops.warehouse, m.path)))
         problems += s"missing manifest ${m.path}"
     }
@@ -499,8 +501,10 @@ object Maintenance {
       val orphans = expired
         .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
-      val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
-      val orphanManifests = expired.flatMap(_.manifests.map(_.path))
+      val keptManifests = kept.flatMap(s =>
+        (s.manifests ++ s.deleteManifests).map(_.path)).toSet
+      val orphanManifests = expired
+        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path))
         .distinct.filterNot(keptManifests)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),

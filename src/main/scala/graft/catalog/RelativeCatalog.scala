@@ -511,7 +511,8 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       snapshots = meta.snapshots.map(s => s.copy(
         files = s.files.map(f => f.copy(path = remap(f.path))),
         deleteFiles = s.deleteFiles.map(f => f.copy(path = remap(f.path))),
-        manifests = s.manifests.map(m => m.copy(path = remap(m.path))))),
+        manifests = s.manifests.map(m => m.copy(path = remap(m.path))),
+        deleteManifests = s.deleteManifests.map(m => m.copy(path = remap(m.path))))),
       metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile)))))
   }
 

@@ -102,8 +102,18 @@ class TableOps(val warehouse: String, val tableLocation: String,
 
   /** Parse metadata JSON. Snapshots keep only their inline file tail
     * in memory (`Snapshot.files` docs); full lists come from
-    * [[allFiles]]/[[filesMatching]] on demand. */
-  def parseMeta(json: String): TableMeta = TableMeta.fromJson(json)
+    * [[allFiles]]/[[filesMatching]] on demand. DELETE chunks are the
+    * exception — materialized here (cache-deduped across snapshots)
+    * because every scan needs the full delete set for correctness
+    * (`Snapshot.deleteManifests` docs). */
+  def parseMeta(json: String): TableMeta = {
+    val meta = TableMeta.fromJson(json)
+    if (meta.snapshots.forall(_.deleteManifests.isEmpty)) meta
+    else meta.copy(snapshots = meta.snapshots.map { s =>
+      if (s.deleteManifests.isEmpty) s
+      else s.copy(deleteFiles = s.deleteManifests.flatMap(loadChunk) ++ s.deleteFiles)
+    })
+  }
 
   /** Read one manifest chunk through the process-wide [[ChunkCache]]
     * (chunks are immutable once written, so cached contents stay valid
@@ -193,20 +203,33 @@ class TableOps(val warehouse: String, val tableLocation: String,
         maxSeq = if (seqs.exists(_.isEmpty)) None else Some(seqs.flatten.max),
         bytes = g.map(_.bytes).sum)
     }
+    def spillList(files: List[DataFile]): (List[Manifest], List[DataFile]) = {
+      Io.mkdirs(metadataDir)
+      val groups = files.grouped(chunkSize).toList
+      val (full, rest) = groups.partition(_.size == chunkSize)
+      val newManifests = full.map { g =>
+        val fname = s"manifest-${java.util.UUID.randomUUID()}.json"
+        val p = s"$metadataDir/$fname"
+        Io.writeString(p, TableMeta.manifestToJson(g))
+        written ::= p
+        mkManifest(s"$tableLocation/metadata/$fname", g)
+      }
+      (newManifests, rest.flatten)
+    }
     val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
-      if (s.files.size <= chunkSize) s
-      else {
-        Io.mkdirs(metadataDir)
-        val groups = s.files.grouped(chunkSize).toList
-        val (full, rest) = groups.partition(_.size == chunkSize)
-        val newManifests = full.map { g =>
-          val fname = s"manifest-${java.util.UUID.randomUUID()}.json"
-          val p = s"$metadataDir/$fname"
-          Io.writeString(p, TableMeta.manifestToJson(g))
-          written ::= p
-          mkManifest(s"$tableLocation/metadata/$fname", g)
+      val s1 =
+        if (s.files.size <= chunkSize) s
+        else {
+          val (nm, rest) = spillList(s.files)
+          s.copy(files = rest, manifests = s.manifests ++ nm)
         }
-        s.copy(files = rest.flatten, manifests = s.manifests ++ newManifests)
+      // delete list: strip the chunked prefix (in-memory full list →
+      // inline tail), spilling the tail too if it outgrew the chunk
+      val delTail = s1.inlineDeleteFiles
+      if (delTail.size <= chunkSize) s1.copy(deleteFiles = delTail)
+      else {
+        val (nm, rest) = spillList(delTail)
+        s1.copy(deleteFiles = rest, deleteManifests = s1.deleteManifests ++ nm)
       }
     })
     (TableMeta.toJson(spilled), written)

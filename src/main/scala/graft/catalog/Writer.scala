@@ -609,7 +609,16 @@ object Writer {
         // the post-transform schema: an RTAS snapshot is written under
         // the schema it installs, everything else under the base's
         schemaId = Some(xBase.currentSchemaId),
-        manifests = keptManifests)
+        manifests = keptManifests,
+        // delete chunks carry forward whenever the base delete list is
+        // kept whole (appends, MOR adds, validated overwrites): the
+        // in-memory list then still starts with the chunks' contents,
+        // so serialization strips them back out. Any path that drops
+        // or filters deletes (truncate, compaction clear) dissolves
+        // the chunks into the inline tail.
+        deleteManifests =
+          if (prevDeletes.nonEmpty) baseSnap.map(_.deleteManifests).getOrElse(Nil)
+          else Nil)
       val next = branch match {
         case Some(b) => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,

@@ -117,10 +117,28 @@ final case class Snapshot(
     // schema-id): time travel reads THIS schema, not the current one,
     // so evolution/RTAS never reshapes history. None on pre-upgrade
     // metadata → readers fall back to the current schema.
-    schemaId: Option[Int] = None) {
+    schemaId: Option[Int] = None,
+    // Delete-list chunking (Iceberg's delete manifests): IN MEMORY
+    // `deleteFiles` is always the FULL list whose prefix (in chunk
+    // order) is the chunk contents; IN JSON only the tail past
+    // `chunkedDeleteCount` is inline. Unlike data chunks, delete
+    // chunks load EAGERLY at parse (through the ChunkCache): every
+    // scan must see the whole delete set for correctness before
+    // file-level pruning, and delete volume is compaction-bounded —
+    // what grows with table age is the COMMIT PAYLOAD, which this
+    // keeps O(chunk size).
+    deleteManifests: List[Manifest] = Nil) {
 
   /** Files covered by spilled chunks (disjoint from `files`). */
   def chunkedCount: Int = manifests.map(_.count).sum
+
+  /** Delete files covered by spilled delete chunks (a PREFIX of the
+    * in-memory `deleteFiles`). */
+  def chunkedDeleteCount: Int = deleteManifests.map(_.count).sum
+
+  /** The not-yet-spilled tail of `deleteFiles` — what serialization
+    * writes inline. */
+  def inlineDeleteFiles: List[DataFile] = deleteFiles.drop(chunkedDeleteCount)
 
   /** Total data-file count — computable WITHOUT loading any chunk. */
   def dataFileCount: Int = chunkedCount + files.size

@@ -214,6 +214,37 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(mdChunks == 20, s"expected 20 chunk files after reclaim, got $mdChunks")
   }
 
+  test("delete lists spill to chunks: commit payload stays O(chunk)") {
+    val wh = freshDir("mfdel")
+    mkCatalog("tmp7", wh)
+    spark.sql("CREATE NAMESPACE tmp7.p")
+    spark.sql("CREATE TABLE tmp7.p.t (k INT, v BIGINT) TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read', 'write.metadata.manifest-chunk-size'='2')")
+    spark.sql("INSERT INTO tmp7.p.t SELECT CAST(id % 10 AS INT) AS k, id AS v FROM range(1000)")
+    for (i <- 0 until 5) // trickle MOR deletes stack position-delete files
+      spark.sql(s"DELETE FROM tmp7.p.t WHERE v = $i")
+    val ops = new TableOps(wh, "p/t")
+    val (v, meta) = ops.refresh().get
+    val snap = meta.currentSnapshot.get
+    assert(snap.deleteFiles.size >= 5, s"got ${snap.deleteFiles.size}")
+    assert(snap.deleteManifests.nonEmpty, "delete chunks must have spilled")
+    // the JSON on disk carries only the inline tail past the chunks
+    val raw = graft.meta.TableMeta.fromJson(
+      ops.readMetadataString(ops.existingMetadataFile(v).get))
+    val rawSnap = raw.currentSnapshot.get
+    assert(rawSnap.deleteFiles.size <= 2,
+      s"inline delete tail must stay <= chunk size, got ${rawSnap.deleteFiles.size}")
+    assert(rawSnap.chunkedDeleteCount + rawSnap.deleteFiles.size == snap.deleteFiles.size)
+    // reads still subtract every delete; integrity sees the chunks
+    assert(spark.sql("SELECT COUNT(*) FROM tmp7.p.t").collect()(0).getLong(0) == 995)
+    assert(graft.catalog.Maintenance.verifyIntegrity(ops).isEmpty)
+    // compaction settles deletes -> list and chunks both clear
+    spark.sql("CALL tmp7.system.compact(tbl => 'p.t')")
+    val snap2 = ops.refresh().get._2.currentSnapshot.get
+    assert(snap2.deleteFiles.isEmpty && snap2.deleteManifests.isEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM tmp7.p.t").collect()(0).getLong(0) == 995)
+  }
+
   test("end-to-end: filtered SQL over a chunked table stays correct") {
     val wh = buildChunkedTable("mfsql", "tmp4")
     assert(spark.sql("SELECT COUNT(*) FROM tmp4.p.t WHERE k = 37").collect()(0).getLong(0) == 20)
