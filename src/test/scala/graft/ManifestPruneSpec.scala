@@ -245,6 +245,36 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tmp7.p.t").collect()(0).getLong(0) == 995)
   }
 
+  test("fuzz: chunk pruning never drops a file that file-level pruning keeps") {
+    val wh = buildChunkedTable("mffuzz", "tmp8")
+    val ops = new TableOps(wh, "p/t")
+    val snap = ops.refresh().get._2.currentSnapshot.get
+    val all = ops.allFiles(snap)
+    val rnd = new scala.util.Random(42)
+    import org.apache.spark.sql.sources._
+    def randFilter(): Filter = rnd.nextInt(7) match {
+      case 0 => EqualTo("k", rnd.nextInt(60) - 5)
+      case 1 => GreaterThan("k", rnd.nextInt(60) - 5)
+      case 2 => LessThan("k", rnd.nextInt(60) - 5)
+      case 3 => In("k", Array.fill(3)(rnd.nextInt(60) - 5: Any))
+      case 4 => And(GreaterThanOrEqual("k", rnd.nextInt(50)),
+        LessThan("k", rnd.nextInt(50)))
+      case 5 => Or(EqualTo("k", rnd.nextInt(50)), EqualTo("k", rnd.nextInt(50)))
+      case _ => GreaterThan("v", (rnd.nextInt(1000) - 100).toLong) // non-key col
+    }
+    for (_ <- 1 to 300) {
+      val fs = Seq.fill(1 + rnd.nextInt(2))(randFilter())
+      val exact = all.filter(f => fs.forall(graft.catalog.FilePruning.keepFile(f, _)))
+        .map(_.path).toSet
+      val viaChunks = ops.filesMatching(snap, fs)
+        .filter(f => fs.forall(graft.catalog.FilePruning.keepFile(f, _)))
+        .map(_.path).toSet
+      assert(viaChunks == exact,
+        s"chunk pruning changed the survivor set for $fs: " +
+          s"missing=${exact -- viaChunks}, extra=${viaChunks -- exact}")
+    }
+  }
+
   test("end-to-end: filtered SQL over a chunked table stays correct") {
     val wh = buildChunkedTable("mfsql", "tmp4")
     assert(spark.sql("SELECT COUNT(*) FROM tmp4.p.t WHERE k = 37").collect()(0).getLong(0) == 20)
