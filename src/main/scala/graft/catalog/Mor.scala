@@ -105,28 +105,81 @@ object Mor {
     *    pruned point-lookup over a trickle-deleted 100 TB table then
     *    reads only the handful of delete files whose path range
     *    overlaps the scanned files, not every delete ever committed.
+    *    Because data paths embed the partition directories, the path
+    *    range IS partition-scoped: a partition-filtered scan keeps
+    *    only delete files that reference that partition's files.
     *  - EQUALITY deletes apply only to data files with STRICTLY older
-    *    sequence numbers, so one whose seq is ≤ every scanned file's
-    *    can't kill any row — pruned on metadata alone. The CDC shape
-    *    this serves: a time-partitioned upsert table's recent-partition
+    *    sequence numbers AND whose key-column value ranges can reach
+    *    the file's ([[equalityDeleteMayApply]]). The CDC shape this
+    *    serves: a time-partitioned upsert table's recent-partition
     *    scans see only recent (high-seq) files and skip the long tail
-    *    of old equality deletes entirely.
+    *    of old equality deletes entirely; a DELETE whose keys include
+    *    a partition source column additionally prunes against every
+    *    partition its values can't touch — the partition-scoped
+    *    delete-file path without a separate partition stamp (the
+    *    delete file's own column stats carry the scope).
     *
     * Missing bounds/seqs (legacy or fallback stats) conservatively
     * keep the file.
     */
   def relevantDeletes(deletes: Seq[DataFile], files: Seq[DataFile]): Seq[DataFile] = {
     val paths = files.map(_.path)
-    val minSeq = files.map(_.seq.getOrElse(0L)).minOption.getOrElse(0L)
     deletes.filter { d =>
       if (isEquality(d))
-        d.seq.forall(_ > minSeq)
+        files.exists(f => equalityDeleteMayApply(d, f))
       else {
         val lb = d.minBound.get("file_path")
         val ub = d.maxBound.get("file_path")
         paths.exists(p => lb.forall(p >= _) && ub.forall(p <= _))
       }
     }
+  }
+
+  /** Can equality-delete file `d` kill any row of data file `f`?
+    * Mirrors [[subtractEquality]]'s join exactly, on stats alone:
+    * the delete's commit must be strictly newer than the file's
+    * (`__dseq > __gseq`; missing seqs degrade to MaxValue/0 on the
+    * same sides the join does), and every key column must be able to
+    * match under null-safe `<=>` — a non-null match needs the two
+    * value ranges to overlap; a null match needs BOTH sides to
+    * possibly hold a null (bounds never cover nulls; an ABSENT null
+    * count means unknown, never zero). Renames can desync the
+    * name-keyed bound maps between old delete files and new data
+    * files; a key missing from either side keeps the pair
+    * (conservative), it never prunes.
+    */
+  def equalityDeleteMayApply(d: DataFile, f: DataFile): Boolean =
+    d.seq.getOrElse(Long.MaxValue) > f.seq.getOrElse(0L) && {
+      def mayHaveNull(x: DataFile, c: String) = x.nullCount.get(c).forall(_ > 0)
+      (d.minBound.keySet ++ d.maxBound.keySet).forall { c =>
+        boundsMayOverlap(d.minBound.get(c), d.maxBound.get(c),
+          f.minBound.get(c), f.maxBound.get(c)) ||
+          (mayHaveNull(d, c) && mayHaveNull(f, c))
+      }
+    }
+
+  /** Whether the closed intervals [dmin,dmax] and [fmin,fmax] may
+    * intersect. Bounds are the string encodings `collectStats` writes
+    * and carry no type tag, so two orderings are candidates: numeric
+    * (when every present bound parses as a decimal — numbers, and
+    * digit-strings in a string column) and lexicographic (strings,
+    * dates, timestamps — all encoded to sort lexically). Prunes only
+    * when the intervals are disjoint under EVERY ordering the values
+    * admit, so it is sound whichever one the real column type means.
+    * Missing bounds → may overlap (one-sided stats prune one-sidedly).
+    */
+  private[catalog] def boundsMayOverlap(
+      dmin: Option[String], dmax: Option[String],
+      fmin: Option[String], fmax: Option[String]): Boolean = {
+    def disjoint(lt: (String, String) => Boolean) =
+      dmax.zip(fmin).exists { case (a, b) => lt(a, b) } ||
+        fmax.zip(dmin).exists { case (a, b) => lt(a, b) }
+    val present = Seq(dmin, dmax, fmin, fmax).flatten
+    val allNumeric = present.nonEmpty &&
+      present.forall(s => scala.util.Try(BigDecimal(s)).isSuccess)
+    if (allNumeric)
+      !(disjoint(_ < _) && disjoint(BigDecimal(_) < BigDecimal(_)))
+    else !disjoint(_ < _)
   }
 
   /** Subtract EQUALITY deletes from a __gf-annotated frame. `dataFiles`

@@ -1029,6 +1029,88 @@ class CatalogSpec extends AnyFunSuite {
     assert(Mor.relevantDeletes(Seq(eqOld, eqNew, eqNoSeq), legacy).size == 3)
   }
 
+  test("equality deletes prune by key-column value bounds (partition-scoped deletes)") {
+    import graft.catalog.Mor
+    import graft.meta.DataFile
+    def del(min: String, max: String, nulls: Long = 0) = DataFile(
+      "deletes/d.parquet", 1, 1, seq = Some(9L), content = Some("equality"),
+      minBound = Map("k" -> min), maxBound = Map("k" -> max),
+      nullCount = Map("k" -> nulls))
+    def data(min: String, max: String, nulls: Long = 0, seq: Long = 1L) = DataFile(
+      "data/a.parquet", 1, 1, seq = Some(seq),
+      minBound = Map("k" -> min), maxBound = Map("k" -> max),
+      nullCount = Map("k" -> nulls))
+
+    // ranges disjoint under BOTH orderings (numeric and lexicographic),
+    // no nulls on either side → pruned. (e.g. [60,80] vs [10,49]:
+    // 49 < 60 numerically AND "49" < "60" lexically)
+    assert(!Mor.equalityDeleteMayApply(del("60", "80"), data("10", "49")))
+    // overlapping ranges → kept
+    assert(Mor.equalityDeleteMayApply(del("40", "45"), data("10", "49")))
+    // disjoint ranges but BOTH sides may hold nulls → null-safe <=> can
+    // still match → kept
+    assert(Mor.equalityDeleteMayApply(del("60", "80", nulls = 1), data("10", "49", nulls = 1)))
+    // nulls only on one side → no null match possible → pruned
+    assert(!Mor.equalityDeleteMayApply(del("60", "80", nulls = 1), data("10", "49", nulls = 0)))
+    // disjoint numerically but lexically interleaved ([100,200] spans
+    // "1xx" strings that sort inside ["1","50"]) → without a type tag
+    // the column could be a string → kept
+    assert(Mor.equalityDeleteMayApply(del("100", "200"), data("1", "50")))
+    // digit-string trap: [2,5] vs [10,30] is numerically disjoint but
+    // overlaps LEXICALLY ("2" ∈ ["10","30"]) — without a type tag the
+    // column could be a string, so it must be kept
+    assert(Mor.equalityDeleteMayApply(del("2", "5"), data("10", "30")))
+    // disjoint under both orderings → pruned
+    assert(!Mor.equalityDeleteMayApply(del("5", "9"), data("10", "30")))
+    // non-numeric encodings (dates/timestamps/strings) compare lexically
+    assert(!Mor.equalityDeleteMayApply(
+      del("2024-05-01", "2024-05-02"), data("2024-01-01", "2024-02-01")))
+    // missing stats on the data file → conservative keep
+    assert(Mor.equalityDeleteMayApply(del("100", "200"),
+      DataFile("data/old.parquet", 1, 1, seq = Some(1L))))
+    // a delete key column ABSENT from the data file's bounds (rename
+    // desync) → conservative keep
+    assert(Mor.equalityDeleteMayApply(
+      del("100", "200").copy(minBound = Map("renamed" -> "100"),
+        maxBound = Map("renamed" -> "200")),
+      data("1", "50")))
+    // seq gate still applies regardless of bounds
+    assert(!Mor.equalityDeleteMayApply(del("40", "120"), data("1", "50", seq = 9L)))
+  }
+
+  test("partition-scoped equality DELETE is pruned from other partitions' scans") {
+    val wh = freshDir("eqpart")
+    mkCatalog("tcEqP", wh)
+    spark.sql("CREATE NAMESPACE tcEqP.p")
+    spark.sql("CREATE TABLE tcEqP.p.t (id BIGINT, part INT) PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'write.delete.granularity'='equality')")
+    spark.sql("INSERT INTO tcEqP.p.t SELECT id, CAST(id % 3 AS INT) FROM range(30)")
+    spark.sql("DELETE FROM tcEqP.p.t WHERE id = 4 AND part = 1")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("tcEqP")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    val t = cat.loadTable(Identifier.of(Array("p"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val snap = t.readSnapshot.get
+    val dels = snap.deleteFiles
+    assert(dels.nonEmpty && dels.forall(graft.catalog.Mor.isEquality))
+    // the DELETE bound part=1, so files of part=2 can never be touched:
+    // the delete list prunes to empty for a part=2 scan…
+    val part2 = snap.files.filter(_.partition.get("part").contains("2"))
+    assert(part2.nonEmpty)
+    assert(graft.catalog.Mor.relevantDeletes(dels, part2).isEmpty,
+      "equality delete with part=1 bounds must not ride along on a part=2 scan")
+    // …and stays live for part=1 (where it actually kills a row)
+    val part1 = snap.files.filter(_.partition.get("part").contains("1"))
+    assert(graft.catalog.Mor.relevantDeletes(dels, part1) == dels)
+    // correctness end-to-end
+    assert(spark.sql("SELECT COUNT(*) FROM tcEqP.p.t WHERE part = 1")
+      .collect()(0).getLong(0) == 9)
+    assert(spark.sql("SELECT COUNT(*) FROM tcEqP.p.t WHERE part = 2")
+      .collect()(0).getLong(0) == 10)
+  }
+
   test("small MOR table reports real size and broadcasts in a join") {
     val wh = freshDir("morstats")
     mkCatalog("tcMs", wh)

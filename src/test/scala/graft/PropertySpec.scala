@@ -56,6 +56,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("equality-delete bounds pruning soundness vs brute-force row matching") {
+    import graft.meta.DataFile
+    val rnd = new scala.util.Random(7)
+    // values a key column might hold: ints, digit-strings (the
+    // lex-vs-numeric trap), words, and nulls
+    def randValue(): Option[String] = rnd.nextInt(10) match {
+      case 0 => None // null key
+      case 1 | 2 | 3 => Some(rnd.nextInt(40).toString) // digit-string / int
+      case _ => Some(Seq("apple", "pear", "zebra", "kiwi", "fig")(rnd.nextInt(5)))
+    }
+    (1 to 500).foreach { _ =>
+      val delRows = Seq.fill(1 + rnd.nextInt(4))(randValue())
+      val fileRows = Seq.fill(1 + rnd.nextInt(6))(randValue())
+      val dSeq = 1L + rnd.nextInt(5)
+      val fSeq = 1L + rnd.nextInt(5)
+      def stats(rows: Seq[Option[String]]) = {
+        val nonNull = rows.flatten
+        // ground truth ordering is LEXICOGRAPHIC here (string column of
+        // mixed digit-strings and words) — exactly the ambiguous case
+        (if (nonNull.isEmpty) Map.empty[String, String] else Map("k" -> nonNull.min),
+          if (nonNull.isEmpty) Map.empty[String, String] else Map("k" -> nonNull.max),
+          Map("k" -> rows.count(_.isEmpty).toLong))
+      }
+      val (dmin, dmax, dnull) = stats(delRows)
+      val (fmin, fmax, fnull) = stats(fileRows)
+      val d = DataFile("deletes/d.parquet", delRows.size.toLong, 1, seq = Some(dSeq),
+        content = Some("equality"), minBound = dmin, maxBound = dmax, nullCount = dnull)
+      val f = DataFile("data/f.parquet", fileRows.size.toLong, 1, seq = Some(fSeq),
+        minBound = fmin, maxBound = fmax, nullCount = fnull)
+      // brute force: some row of f is null-safe-equal to some delete row
+      // and the delete's commit is strictly newer
+      val kills = dSeq > fSeq && delRows.exists(dv => fileRows.exists(_ == dv))
+      if (kills)
+        assert(graft.catalog.Mor.equalityDeleteMayApply(d, f),
+          s"unsound prune: delRows=$delRows fileRows=$fileRows dSeq=$dSeq fSeq=$fSeq")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("q_llm_exactdedup")(spark, TestSpark.sf)
     // dedup of already-deduped keepers finds nothing further
