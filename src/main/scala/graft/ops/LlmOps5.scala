@@ -1,13 +1,18 @@
 package graft.ops
 
 import graft.{Decl, Pack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Training-data pipeline operators, part 5: context-window chunking
-  * (the doc → training-sequence split) and cross-document boilerplate
+  * (the doc → training-sequence split), cross-document boilerplate
   * span detection (the RefinedWeb/C4-style repeated-span filter) —
   * the two corpus-preparation passes between cleaning ([[LlmOps2]]-
-  * [[LlmOps4]]) and packing ([[LlmOps3]]'s q_llm_pack).
+  * [[LlmOps4]]) and packing ([[LlmOps3]]'s q_llm_pack) — and product
+  * quantization, the codebook-trained sibling of [[LlmOps4]]'s scalar
+  * quantizer for the ANN-index storage path.
   */
 object LlmOps5 extends Pack {
 
@@ -186,5 +191,81 @@ object LlmOps5 extends Pack {
         |SELECT root, COUNT(*) AS n_docs, MAX(doc) AS max_doc
         |FROM lab GROUP BY root
         |ORDER BY root ASC NULLS FIRST""".stripMargin)),
+
+    // Product quantization: split each 64-d embedding into M=8
+    // subspaces of 8 dims, train a 256-entry codebook per subspace
+    // (driver-local Lloyd over the same deterministic 4 MB-bounded
+    // sample as q_llm_embdup_lsh), code every vector as its 8
+    // per-subspace nearest centroids — 256 B fp32 → 8 bytes, the
+    // memory step that makes a 100 TB-corpus ANN index fit RAM.
+    // Codebooks are engine-seeded k-means → no DuckDB oracle; Llm5Spec
+    // bounds reconstruction error against the K=1 (subspace-mean)
+    // baseline, checks ADC top-k recall vs exact search, determinism,
+    // and code range. Declared output is scalar-only (codes as their
+    // canonical string form) so the driver's rows-only check can sort.
+    Decl("q_llm_pq", (spark, dir) =>
+      pqCode(spark, dir)
+        .select(col("vec_id"), col("codes").cast("string").as("codes_str"),
+          round(col("l2_err"), 4).as("l2_err"))
+        .orderBy(col("vec_id").asc_nulls_first),
+      None),
   )
+
+  /** PQ-code `embeddings` under a per-subspace codebook: returns
+    * (vec_id, codes array<int> of length m, l2_err).
+    *
+    * Scale shape: ONE bounded-sample collect trains all m codebooks
+    * driver-local (microseconds of math, no per-iteration jobs); the
+    * m·k codebook rows (KBs) broadcast; coding is explode(m) →
+    * broadcast hash join on the subspace id → per-(vec, subspace)
+    * argmin → vec-keyed regroup. Nothing shuffles proportional to the
+    * corpus except the two keyed aggs, and AQE keeps the regroup local
+    * to the join output. No driver path in the data plane.
+    */
+  def pqCode(spark: SparkSession, dir: String, m: Int = 8, k: Int = 256,
+      iters: Int = 8): DataFrame = pqModel(spark, dir, m, k, iters)._2
+
+  /** [[pqCode]] plus the trained codebooks (`books(sub)(cid)` =
+    * centroid), for consumers that reconstruct or ADC-search. */
+  def pqModel(spark: SparkSession, dir: String, m: Int = 8, k: Int = 256,
+      iters: Int = 8): (Array[Array[Array[Double]]], DataFrame) = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sample = LlmOps2.collectSample(emb)
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = Array.tabulate(m) { s =>
+      LlmOps2.trainFromSample(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        k, iters)
+    }
+    val bookDf = broadcast(spark.createDataFrame(
+      (for { s <- 0 until m; c <- 0 until k }
+        yield org.apache.spark.sql.Row(s, c, books(s)(c).toSeq)).asJava,
+      StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("ce", ArrayType(DoubleType), nullable = false)))))
+    val sliced = emb.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(e, s*$sub + 1, $sub) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val d2 = aggregate(zip_with(col("sv"), col("ce"), (a, b) => (a - b) * (a - b)),
+      lit(0d), (acc, x) => acc + x)
+    // argmin with a DETERMINISTIC tie-break: min over (d2, cid) structs
+    // orders lexicographically, so equidistant centroids resolve to the
+    // smallest code instead of whichever task finished first
+    val coded = sliced.join(bookDf, "sub")
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cid").as("code"), col("best.d2").as("err2"))
+    val out = coded.groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        sqrt(sum(col("err2"))).as("l2_err"))
+    (books, out)
+  }
 }

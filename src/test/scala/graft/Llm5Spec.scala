@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_llm_pq invariants the DuckDB oracle can't express (engine-seeded
+  * k-means codebooks): code well-formedness, determinism, distortion
+  * vs the trivial K=1 baseline, and ADC search recall vs exact.
+  */
+class Llm5Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val model = ops.LlmOps5.pqModel(spark, sf)
+  private lazy val coded = model._2.collect()
+    .map(r => (r.getLong(0), r.getSeq[Int](1).toArray, r.getDouble(2)))
+    .sortBy(_._1)
+
+  test("q_llm_pq codes are well-formed: 8 codes per vector, each in [0,256)") {
+    assert(coded.nonEmpty)
+    coded.foreach { case (id, codes, err) =>
+      assert(codes.length == 8, s"vec $id has ${codes.length} codes")
+      assert(codes.forall(c => c >= 0 && c < 256), s"vec $id codes out of range: ${codes.toSeq}")
+      assert(err >= 0.0 && !err.isNaN, s"vec $id err $err")
+    }
+  }
+
+  test("q_llm_pq is deterministic run-to-run") {
+    val again = ops.LlmOps5.pqCode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray.toSeq, r.getDouble(2)))
+      .sortBy(_._1)
+    assert(coded.map(t => (t._1, t._2.toSeq, t._3)).toSeq == again.toSeq)
+  }
+
+  test("q_llm_pq distortion beats the K=1 (subspace-mean) baseline") {
+    val base = ops.LlmOps5.pqCode(spark, sf, k = 1)
+      .agg(avg(col("l2_err") * col("l2_err"))).collect()(0).getDouble(0)
+    val pq = coded.map(t => t._3 * t._3).sum / coded.length
+    assert(pq < base,
+      s"16-entry codebooks must reconstruct better than the mean: $pq vs $base")
+    assert(pq < base * 0.8, s"expected a clear distortion win, got $pq vs $base")
+  }
+
+  test("q_llm_pq ADC top-10 recall vs exact search >= 0.5 on average") {
+    val books = model._1
+    val m = books.length
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sub = vecs.values.head.length / m
+    val codeOf = coded.map(t => t._1 -> t._2).toMap
+    def recon(id: Long): Array[Double] =
+      (0 until m).flatMap(s => books(s)(codeOf(id)(s))).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    assert(sub * m == vecs.values.head.length)
+    val ids = vecs.keys.toArray.sorted
+    val queries = ids.take(20)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      def top10(score: Long => Double) =
+        ids.filter(_ != q).sortBy(i => (score(i), i)).take(10).toSet
+      val exact = top10(i => d2(qv, vecs(i)))
+      // asymmetric distance: raw query against PQ-reconstructed corpus
+      val adc = top10(i => d2(qv, recon(i)))
+      exact.intersect(adc).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"ADC recall@10 too low: $mean (${recalls.toSeq})")
+  }
+}
