@@ -169,6 +169,34 @@ object Aggs extends Pack {
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
+    // Most-frequent value per group (mode). Spark's native mode() and
+    // DuckDB's mode() both break frequency ties arbitrarily, so the
+    // declared semantics pin the tie: the SMALLEST modal value wins —
+    // count per (group, value), then a one-row-per-group window top-1
+    // ordered (count DESC, value ASC). Scale shape: the heavy agg is
+    // the (group, value)-keyed count; the window partitions are
+    // value-cardinality-sized, not row-sized.
+    Decl("q_agg_mode", (spark, dir) => {
+      val counts = Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"), $("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($("l_returnflag"))
+        .orderBy($("c").desc, $("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter($("rn") === 1)
+        .select($("l_returnflag"), $("l_quantity").as("mode_qty"), $("c").as("mode_n"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY c DESC, l_quantity ASC) = 1
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // Nested outputs are serialized with to_json on BOTH sides: the
     // driver's checker sorts/hashes via pandas, which cannot sort raw
     // array cells — the JSON text forms are byte-identical between

@@ -192,6 +192,59 @@ object LlmOps5 extends Pack {
         |FROM lab GROUP BY root
         |ORDER BY root ASC NULLS FIRST""".stripMargin)),
 
+    // Zipf rank-frequency slope: regress log(freq) on log(rank) over
+    // the corpus vocabulary — natural text sits near -1, templated or
+    // synthetic text drifts off, making the slope a cheap one-number
+    // corpus-health signal. Determinism shape: ln() outputs are
+    // rounded to 6dp (the two engines' libm may differ in the last
+    // ulp) and summed as EXACT decimals; the closed-form slope then
+    // runs on five scalar doubles in one fixed expression order, so
+    // both engines produce bit-identical results. Scale shape: one
+    // token explode + word-keyed count; the rank window and the
+    // regression run over the VOCABULARY (≪ corpus, Heaps' law),
+    // and the final agg is five scalars.
+    Decl("q_llm_zipf", (spark, dir) => {
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val freq = Tables(spark, dir, "documents")
+        .select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w").asc)
+      val xy = freq.withColumn("r", row_number().over(w))
+        .select(
+          round(log(col("r").cast("double")), 6).cast("decimal(18,6)").as("x"),
+          round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("y"))
+      xy.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(
+          col("n").cast("long").as("n_vocab"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+    }, Some(
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                 x -> x <> '')) AS w
+        |           FROM documents),
+        |f AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM f),
+        |xy AS (SELECT
+        |    CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM r),
+        |s AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_vocab,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+        |FROM s""".stripMargin)),
+
     // Product quantization: split each 64-d embedding into M=8
     // subspaces of 8 dims, train a 256-entry codebook per subspace
     // (driver-local Lloyd over the same deterministic 4 MB-bounded
