@@ -268,12 +268,14 @@ object LlmOps5 extends Pack {
     * (vec_id, codes array<int> of length m, l2_err).
     *
     * Scale shape: ONE bounded-sample collect trains all m codebooks
-    * driver-local (microseconds of math, no per-iteration jobs); the
-    * m·k codebook rows (KBs) broadcast; coding is explode(m) →
-    * broadcast hash join on the subspace id → per-(vec, subspace)
-    * argmin → vec-keyed regroup. Nothing shuffles proportional to the
-    * corpus except the two keyed aggs, and AQE keeps the regroup local
-    * to the join output. No driver path in the data plane.
+    * driver-local (no per-iteration jobs); coding is then a single
+    * narrow projection through [[graft.functions.PqEncode]] — a
+    * native codegen expression looping over the codebook constant —
+    * so the data plane is scan → project with NO join, NO shuffle,
+    * and no driver path. (The first cut joined a broadcast codebook
+    * and paid m·k candidate rows per vector plus two keyed aggs:
+    * 7 s for 2 000 vectors; the expression encodes them in
+    * milliseconds.)
     */
   def pqCode(spark: SparkSession, dir: String, m: Int = 8, k: Int = 256,
       iters: Int = 8): DataFrame = pqModel(spark, dir, m, k, iters)._2
@@ -293,32 +295,12 @@ object LlmOps5 extends Pack {
         sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
         k, iters)
     }
-    val bookDf = broadcast(spark.createDataFrame(
-      (for { s <- 0 until m; c <- 0 until k }
-        yield org.apache.spark.sql.Row(s, c, books(s)(c).toSeq)).asJava,
-      StructType(Seq(
-        StructField("sub", IntegerType, nullable = false),
-        StructField("cid", IntegerType, nullable = false),
-        StructField("ce", ArrayType(DoubleType), nullable = false)))))
-    val sliced = emb.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(e, s*$sub + 1, $sub) AS sv))")).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-    val d2 = aggregate(zip_with(col("sv"), col("ce"), (a, b) => (a - b) * (a - b)),
-      lit(0d), (acc, x) => acc + x)
-    // argmin with a DETERMINISTIC tie-break: min over (d2, cid) structs
-    // orders lexicographically, so equidistant centroids resolve to the
-    // smallest code instead of whichever task finished first
-    val coded = sliced.join(bookDf, "sub")
-      .withColumn("d2", d2)
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("sub"),
-        col("best.cid").as("code"), col("best.d2").as("err2"))
-    val out = coded.groupBy(col("vec_id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-          x => x.getField("code")).as("codes"),
-        sqrt(sum(col("err2"))).as("l2_err"))
+    val enc = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnShim.expression(col("e")), books))
+    val out = emb.select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id"), col("enc.codes").as("codes"),
+        sqrt(col("enc.err2")).as("l2_err"))
     (books, out)
   }
 }
