@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.{Decl, Pack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
@@ -245,6 +246,10 @@ object LlmOps5 extends Pack {
         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
         |FROM s""".stripMargin)),
 
+    // IVF-PQ ANN search (coarse pruning + residual PQ codes + ADC
+    // lookup-table scoring + exact re-rank) — see [[ivfPqTopK]].
+    Decl("q_llm_simsearch_ivfpq", (spark, dir) => ivfPqTopK(spark, dir), None),
+
     // Product quantization: split each 64-d embedding into M=8
     // subspaces of 8 dims, train a 256-entry codebook per subspace
     // (driver-local Lloyd over the same deterministic 4 MB-bounded
@@ -263,6 +268,121 @@ object LlmOps5 extends Pack {
         .orderBy(col("vec_id").asc_nulls_first),
       None),
   )
+
+  /** IVF-PQ approximate nearest neighbour — the composition a RAM-
+    * resident 100 TB-corpus ANN index actually runs: coarse IVF
+    * centroids prune the search to `nprobe` buckets, vectors are
+    * PQ-coded on their RESIDUAL against the assigned coarse centroid
+    * (residuals are smaller → same codebook budget buys less
+    * distortion), queries score candidates with an ADC lookup table
+    * (per query+bucket: m·k precomputed sub-distances, so scoring a
+    * candidate is m table reads — never a d-dim loop), and the ADC
+    * top-`rerank` get ONE exact re-rank pass. Scale shape: the coded
+    * index is (vec_id, bucket, 8 bytes); LUTs are driver-computed
+    * from the 5 collected query vectors (KBs) and broadcast; the only
+    * corpus-sized work is the bucket-pruned LUT join. Engine-seeded
+    * k-means → no oracle; Llm5Spec bounds recall vs the exact
+    * brute-force search.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 6, m: Int = 8, kcode: Int = 256,
+      iters: Int = 4, rerank: Int = 40): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sample = LlmOps2.collectSample(emb)
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val coarse = LlmOps2.trainFromSample(sample, nlist, iters)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def nearestCoarse(v: Array[Double]): Int =
+      coarse.indices.minBy(c => (d2(v, coarse(c)), c))
+    def residual(v: Array[Double], cid: Int): Array[Double] =
+      v.indices.map(i => v(i) - coarse(cid)(i)).toArray
+
+    // PQ codebooks trained on the SAMPLE's residuals (driver-local)
+    val resSample = sample.map(v => residual(v, nearestCoarse(v)))
+    val books = Array.tabulate(m) { s =>
+      LlmOps2.trainFromSample(
+        resSample.map(r => java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)),
+        kcode, iters)
+    }
+
+    // index: assign each vector its coarse bucket, PQ-encode the
+    // residual via the codegen expression — scan → broadcast-join
+    // (tiny centroid side) → project; no corpus-sized shuffle
+    val cdf = LlmOps2.centroidDf(spark, coarse)
+    val enc = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnShim.expression(
+          zip_with(col("e"), col("ce"), (a, b) => a - b)), books))
+    val coded = LlmOps2.assignNearest(emb, coarse)
+      .join(cdf, "cid")
+      .select(col("vec_id"), col("cid").as("bucket"), enc.getField("codes").as("codes"))
+
+    // queries: collect the 5 query vectors, build per-(query, probed
+    // bucket) ADC lookup tables driver-side (nprobe · m · kcode
+    // doubles per query — KBs), broadcast them
+    val queries = emb.filter(col("vec_id") < 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val lutRows = queries.flatMap { case (qid, qv) =>
+      val probed = coarse.indices
+        .sortBy(c => (d2(qv, coarse(c)), c)).take(nprobe)
+      probed.map { cid =>
+        val qr = residual(qv, cid)
+        val lut = new Array[Double](m * kcode)
+        for (s <- 0 until m; c <- 0 until kcode) {
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = qr(s * sub + i) - books(s)(c)(i); d += t * t; i += 1 }
+          lut(s * kcode + c) = d
+        }
+        org.apache.spark.sql.Row(qid, cid, lut.toSeq)
+      }
+    }
+    val lutDf = broadcast(spark.createDataFrame(
+      lutRows.toList.asJava,
+      StructType(Seq(
+        StructField("q_id", LongType, nullable = false),
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("lut", ArrayType(DoubleType), nullable = false)))))
+
+    // ADC scoring: m table reads per candidate (never a d-dim loop)
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("lut"), s * kcode + c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    val cands = coded.join(lutDf, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact re-rank of the bounded candidate set (k·rerank rows)
+    val qdf = broadcast(spark.createDataFrame(
+      queries.map { case (qid, qv) => org.apache.spark.sql.Row(qid, qv.toSeq) }.toList.asJava,
+      StructType(Seq(
+        StructField("q_id", LongType, nullable = false),
+        StructField("qe", ArrayType(DoubleType), nullable = false)))))
+    val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val norm = (c: Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    cands.join(emb, "vec_id").join(qdf, "q_id")
+      .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first,
+        col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)
+  }
 
   /** PQ-code `embeddings` under a per-subspace codebook: returns
     * (vec_id, codes array<int> of length m, l2_err).

@@ -42,6 +42,22 @@ class Llm5Spec extends AnyFunSuite {
     assert(pq < base * 0.8, s"expected a clear distortion win, got $pq vs $base")
   }
 
+  test("q_llm_simsearch_ivfpq: recall vs exact brute-force top-5 >= 0.8, deterministic") {
+    val exact = SparkEntry.queries("q_llm_simsearch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val approx = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(approx.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ids) =>
+      approx(q).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVF-PQ recall too low: $mean")
+    val again = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect().toSeq
+    val first = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect().toSeq
+    assert(again == first, "IVF-PQ result must be deterministic")
+  }
+
   test("q_llm_pq ADC top-10 recall vs exact search >= 0.5 on average") {
     val books = model._1
     val m = books.length
