@@ -55,15 +55,11 @@ object LlmOps extends Pack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val norm = (c: org.apache.spark.sql.Column) =>
-        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+        .withColumn("sim", round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))

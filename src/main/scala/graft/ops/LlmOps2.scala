@@ -158,14 +158,10 @@ object LlmOps2 extends Pack {
     val probes = q.crossJoin(cdf).withColumn("qd2", qd2)
       .withColumn("prk", row_number().over(wq)).filter(col("prk") <= nprobe)
       .select(col("q_id"), col("qe"), col("cid").as("bucket"))
-    val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
-    val norm = (c: Column) =>
-      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     indexed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+      .withColumn("sim", round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
@@ -285,12 +281,8 @@ object LlmOps2 extends Pack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val a = emb.select(col("vec_id").as("id_a"), col("e").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("e").as("eb"))
-      val dot = aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val norm = (c: Column) =>
-        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", round(dot / (norm(col("ea")) * norm(col("eb"))), 6))
+        .withColumn("cos", round(graft.functions.VecMath.cosineSim(col("ea"), col("eb")), 6))
         .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy(col("id_a").asc_nulls_first, col("id_b").asc_nulls_first,

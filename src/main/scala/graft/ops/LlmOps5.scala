@@ -370,13 +370,9 @@ object LlmOps5 extends Pack {
       StructType(Seq(
         StructField("q_id", LongType, nullable = false),
         StructField("qe", ArrayType(DoubleType), nullable = false)))))
-    val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
-    val norm = (c: Column) =>
-      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     cands.join(emb, "vec_id").join(qdf, "q_id")
-      .withColumn("sim", round(dot / (norm(col("qe")) * norm(col("e"))), 6))
+      .withColumn("sim", round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
