@@ -70,17 +70,20 @@ object LlmOps2 extends Pack {
         StructField("cid", IntegerType, nullable = false),
         StructField("ce", ArrayType(DoubleType), nullable = false)))))
 
-  /** Nearest-centroid assignment: one broadcast pass, argmin via
-    * min_by — no shuffle of the vector table beyond the final groupBy
-    * on vec_id (which AQE keeps local because the crossJoin preserves
-    * partitioning). */
+  /** Nearest-centroid assignment as a pure projection:
+    * [[graft.functions.PqEncode]] with ONE subspace is exactly the
+    * argmin-over-centroids kernel, run inside whole-stage codegen.
+    * The previous spelling (crossJoin with the centroid frame →
+    * per-pair HOF distance → corpus-wide groupBy argmin) multiplied
+    * every vector into nlist rows and then SHUFFLED the whole corpus
+    * to regroup — at 100 TB that shuffle is the scan's entire cost.
+    * This one is shuffle-free and ties break to the smallest cid
+    * (deterministic, same as the window spelling's cid tie order). */
   private[ops] def assignNearest(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val cdf = centroidDf(df.sparkSession, cents)
-    val d2 = aggregate(zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x)
-    df.crossJoin(cdf).withColumn("d2", d2)
-      .groupBy(col("vec_id"), col("e"))
-      .agg(min_by(col("cid"), col("d2")).as("cid"))
+    val enc = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnShim.expression(col("e")), Array(cents)))
+    df.select(col("vec_id"), col("e"), enc.getField("codes").getItem(0).as("cid"))
   }
 
   /** Lloyd's k-means over a deterministic hash-ordered sample. ONE
