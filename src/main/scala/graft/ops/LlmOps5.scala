@@ -307,11 +307,7 @@ object LlmOps5 extends Pack {
 
     // PQ codebooks trained on the SAMPLE's residuals (driver-local)
     val resSample = sample.map(v => residual(v, nearestCoarse(v)))
-    val books = Array.tabulate(m) { s =>
-      LlmOps2.trainFromSample(
-        resSample.map(r => java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)),
-        kcode, iters)
-    }
+    val books = LlmOps5.trainBooks(resSample, m, sub, kcode, iters)
 
     // index: assign each vector its coarse bucket, PQ-encode the
     // residual via the codegen expression — scan → broadcast-join
@@ -406,11 +402,7 @@ object LlmOps5 extends Pack {
     val dim = sample.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val books = Array.tabulate(m) { s =>
-      LlmOps2.trainFromSample(
-        sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
-        k, iters)
-    }
+    val books = LlmOps5.trainBooks(sample, m, sub, k, iters)
     val enc = org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftColumnShim.expression(col("e")), books))
@@ -418,5 +410,22 @@ object LlmOps5 extends Pack {
       .select(col("vec_id"), col("enc.codes").as("codes"),
         sqrt(col("enc.err2")).as("l2_err"))
     (books, out)
+  }
+
+  /** Train the m per-subspace codebooks concurrently — Lloyd over a
+    * bounded sample is pure driver math with no shared state, and the
+    * subspaces are independent, so the wall time is one subspace's
+    * train instead of m of them. */
+  private def trainBooks(sample: Array[Array[Double]], m: Int, sub: Int,
+      k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).toList.map(s => Future {
+        LlmOps2.trainFromSample(
+          sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+          k, iters)
+      })), Duration.Inf).toArray
   }
 }
