@@ -58,6 +58,80 @@ class Llm5Spec extends AnyFunSuite {
     assert(again == first, "IVF-PQ result must be deterministic")
   }
 
+  test("CosineSim: codegen, interpreted, and driver math agree; HOF spelling preserved") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val a = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      // driver math in the same accumulation order
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      val interp = graft.functions.CosineSim(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType))).eval(null)
+      assert(interp == expect, s"interpreted mismatch: $interp vs $expect")
+    }
+    // end-to-end through the codegen path (a real projection), against
+    // the original HOF spelling — must be BIT-identical, it is what
+    // keeps the DuckDB oracles green
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(-1.0, 0.5, 2.0)),
+      (Seq(0.1, 0.0, -0.3), Seq(0.4, 0.4, 0.4))).toDF("x", "y")
+    val hof = sqrt(aggregate(transform(col("x"), v => v * v), lit(0.0), (s, v) => s + v)) *
+      sqrt(aggregate(transform(col("y"), v => v * v), lit(0.0), (s, v) => s + v))
+    val dotHof = aggregate(zip_with(col("x"), col("y"), (p, q) => p * q),
+      lit(0.0), (s, v) => s + v)
+    val both = df.select(
+      graft.functions.VecMath.cosineSim(col("x"), col("y")).as("native"),
+      (dotHof / hof).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"codegen vs HOF: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("PqEncode: interpreted eval matches a driver brute force") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(5)
+    val m = 4; val k = 3; val sub = 2
+    val books = Array.fill(m, k, sub)(rnd.nextDouble())
+    (1 to 30).foreach { _ =>
+      val v = Array.fill(m * sub)(rnd.nextDouble())
+      val out = graft.functions.PqEncode(
+        Literal.create(v, ArrayType(DoubleType)), books)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val codes = out.getArray(0).toIntArray()
+      val err2 = out.getDouble(1)
+      var expectErr = 0.0
+      (0 until m).foreach { s =>
+        val ds = (0 until k).map { c =>
+          (0 until sub).map { i =>
+            val t = v(s * sub + i) - books(s)(c)(i); t * t
+          }.sum
+        }
+        val best = ds.zipWithIndex.minBy { case (d, c) => (d, c) }
+        assert(codes(s) == best._2, s"subspace $s: ${codes(s)} vs ${best._2}")
+        expectErr += best._1
+      }
+      assert(math.abs(err2 - expectErr) < 1e-12)
+    }
+  }
+
+  test("PQ coding plan is shuffle-free whole-stage codegen") {
+    val plan = ops.LlmOps5.pqCode(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PQ encode must not shuffle the corpus:\n${plan.take(2000)}")
+    // "*(n)" prefixes mark WholeStageCodegen spans in the tree string
+    assert(plan.contains("*(1) Project"),
+      s"PQ encode must stay inside codegen:\n${plan.take(2000)}")
+  }
+
   test("q_llm_pq ADC top-10 recall vs exact search >= 0.5 on average") {
     val books = model._1
     val m = books.length
