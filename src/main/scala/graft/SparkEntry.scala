@@ -24,6 +24,7 @@ object SparkEntry {
     ops.LlmOps3,
     ops.LlmOps4,
     ops.LlmOps5,
+    ops.LlmOps6,
     ops.StreamOps,
     ops.CatalogOps,
   )
