@@ -388,5 +388,69 @@ object StreamOps extends Pack {
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming CDC upsert: each micro-batch first collapses to its
+    // latest row per key (the mandatory pre-MERGE reduction — multiple
+    // source matches per key would be ambiguous), then MERGEs into a
+    // catalog table guarded by a (ts, event_id) recency predicate so
+    // out-of-order batches can never regress a key. The final table
+    // state is batching-independent — exactly latest-per-key — which
+    // is what the DuckDB oracle checks. This is the standard
+    // stream-to-serving-table upsert; at 100 TB/day the per-batch
+    // window is keyed state sharded across executors and the MERGE's
+    // group-based rewrite touches only files containing matched keys
+    // (runtime group filtering), not the whole table.
+    Decl("q_str_upsert", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cname = s"graftups${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.cdc CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.cdc")
+      spark.sql(s"CREATE TABLE $cname.cdc.users " +
+        "(user_id BIGINT, event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE)")
+      val norm = eventsSrc(spark, dir)
+      val parts = Files.list(Paths.get(norm)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      val (waveA, waveB) = parts.splitAt(parts.size / 2 max 1)
+      val src = Files.createTempDirectory("graft_stream_upsert")
+      waveA.foreach(p => Files.createLink(src.resolve(s"w0-${p.getFileName}"), p))
+      val view = s"${cname}_updates"
+      val q = spark.readStream.schema(Encoders.product[Ev].schema)
+        .parquet(src.toString).as[Ev](Encoders.product[Ev]).writeStream
+        .foreachBatch { (batch: Dataset[Ev], id: Long) =>
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          batch.toDF()
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"), col("value"))
+            .createOrReplaceTempView(view)
+          batch.sparkSession.sql(
+            s"""MERGE INTO $cname.cdc.users t USING $view s
+               |ON t.user_id = s.user_id
+               |WHEN MATCHED AND (s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id))
+               |  THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
+        q.processAllAvailable()
+      } finally q.stop()
+      rmTree(src)
+      spark.table(s"$cname.cdc.users")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }, Some(
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
   )
 }
