@@ -22,12 +22,13 @@ object LlmOps6 extends Pack {
     // distribution, the "is this text degenerate?" filter (spam and
     // keyword-stuffed pages score low, natural prose high). Identity
     // used: H = log2(n) - sum(c*log2(c))/n, so the aggregate needs
-    // only per-(doc,word) counts — a doc-keyed two-level agg with
-    // map-side partial combine, ONE shuffle on doc_id (the (doc,word)
-    // agg and the doc agg share the doc_id-prefixed key), no window,
-    // no join. Scales to any corpus: state per task is bounded by the
-    // doc's vocabulary, never the corpus's. Rounded to 4dp so the
-    // double-sum order can't flake the cross-engine hash.
+    // only per-(doc,word) counts — a two-level agg whose shuffles both
+    // carry per-doc VOCABULARY rows, never the raw token stream
+    // (map-side partial combine collapses within-doc repeats before
+    // the first exchange), no window, no join. Scales to any corpus:
+    // state per task is bounded by the doc's vocabulary, never the
+    // corpus's. Rounded to 4dp so the double-sum order can't flake
+    // the cross-engine hash.
     Decl("q_llm_entropy", (spark, dir) => {
       val ws = filter(split(lower(col("text")), " "), w => w =!= "")
       Tables(spark, dir, "documents")

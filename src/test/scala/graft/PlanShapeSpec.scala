@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression suite: pins the physical-plan properties the
+  * 100 TB design depends on — pushed filters, pruned read schemas,
+  * broadcast choices, no nested-loop/cartesian joins on corpus-sized
+  * inputs, bounded shuffle counts, single-scan guarantees. Correctness
+  * oracles can't see these (a plan that re-scans or cross-joins still
+  * returns the right rows), so each property gets an explicit
+  * assertion here; a refactor that silently degrades a plan fails the
+  * suite, not just the bench.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  /** Physical plan string (initial plan under AQE — the shapes pinned
+    * here are decided at planning time, not by runtime re-opt). */
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  /** Physical plan with the AQE wrapper peeled off — collect() does
+    * not descend into AdaptiveSparkPlanExec's captive plan. */
+  private def physical(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  private def scansOf(df: DataFrame, table: String): Seq[FileSourceScanExec] =
+    physical(df).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
+    }
+
+  test("q_scan_proj: the parquet scan reads ONLY the projected columns") {
+    val scans = physical(q("q_scan_proj")).collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    scans.foreach { s =>
+      assert(s.requiredSchema.fields.length <= 3,
+        s"scan reads ${s.requiredSchema.fieldNames.mkString(",")} — column pruning lost")
+    }
+  }
+
+  test("q_filter_cmp: the comparison predicate is pushed into the scan") {
+    val scans = physical(q("q_filter_cmp")).collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      scans.map(_.metadata.getOrElse("PushedFilters", "?")).mkString("; "))
+  }
+
+  test("q_join_broadcast: the small dimension broadcasts, no sort-merge join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_join_theta / q_join_interval: bucketed equi-rewrites, no cartesian or nested-loop join") {
+    for (name <- Seq("q_join_theta", "q_join_interval")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_topk: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_llm_contamination: the corpus is scanned exactly once") {
+    val scans = scansOf(q("q_llm_contamination"), "documents")
+    assert(scans.length == 1,
+      s"documents scanned ${scans.length} times — gram-subtree reuse lost")
+  }
+
+  test("q_llm_bm25: the tiny df/avgdl aggregates broadcast back, corpus never cartesian-joined") {
+    val p = plan("q_llm_bm25")
+    assert(p.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") >= 2,
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_llm_winnow: window + distinct share ONE corpus hash-shuffle") {
+    val p = plan("q_llm_winnow")
+    val hashShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"expected 1 hash shuffle (doc_id window; doc_id-prefixed distinct reuses it), got $hashShuffles:\n${p.take(2500)}")
+  }
+
+  test("q_llm_entropy: both agg shuffles carry vocabulary rows (map-side combine present)") {
+    val p = plan("q_llm_entropy")
+    val hashShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 2, s"expected <= 2 hash shuffles, got $hashShuffles")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "map-side partial aggregation lost")
+  }
+
+  test("q_llm_exactdedup: one corpus shuffle on the content hash") {
+    val p = plan("q_llm_exactdedup")
+    val hashShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 2, s"got $hashShuffles hash shuffles:\n${p.take(2000)}")
+  }
+}
