@@ -110,6 +110,80 @@ object LlmOps6 extends Pack {
         |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
         |LIMIT 20""".stripMargin)),
 
+    // TF-IDF document scoring: the vector-space sibling of q_llm_bm25
+    // (same plan skeleton: corpus-sized work is ONE doc-keyed tf agg;
+    // df is a |vocab∩query|-row aggregate broadcast back). Scores are
+    // ln(1+tf) * ln(N/df) summed over the query terms, the classic
+    // lnc.ltc-ish weighting; per-term partials go through
+    // DECIMAL(18,6) so the cross-engine sum is exact and order-free.
+    // With an embedding ANN (q_llm_simsearch*) and BM25 this completes
+    // the hybrid-retrieval triad used to mine domain corpora.
+    Decl("q_llm_tfidf", (spark, dir) => {
+      val terms = Seq("vector", "stream", "merge")
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(ws).as("w"))
+      val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+      val tf = docs.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val partial = (log(lit(1.0) + col("tf").cast("double")) *
+        log(col("n").cast("double") / col("df").cast("double")))
+        .cast("decimal(18,6)")
+      tf.join(broadcast(df), "w").crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(partial).cast("double").as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(20)
+    }, Some(
+      """WITH w AS (SELECT doc_id,
+        |            unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        |          FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(ln(1.0 + CAST(tf AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN df USING (w) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin)),
+
+    // Deterministic global corpus shuffle: the "shuffle your training
+    // data" step, made reproducible across runs AND engines by sorting
+    // on a salted cryptographic hash of the key instead of a RNG —
+    // md5(seed || doc_id) gives a uniform pseudo-random permutation
+    // any engine replays bit-identically. The sort is Spark's
+    // range-partitioned global sort (sampled bounds → balanced
+    // partitions at any scale); epoch reshuffles are just a new seed.
+    // The declared result is the permutation's head: top-100 by
+    // shuffle key plans as a distributed TakeOrderedAndProject (per-
+    // partition heaps, no global sort materialized), and only the 100
+    // surviving rows see the rank window — a global window over the
+    // corpus would single-partition it, which is exactly what this
+    // shape avoids.
+    Decl("q_llm_shuffle", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), key.as("shuffle_key"))
+        .orderBy(col("shuffle_key").asc_nulls_first, col("doc_id").asc_nulls_first)
+        .limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id"))))
+        .orderBy(col("rank").asc_nulls_first)
+    }, Some(
+      """SELECT doc_id, source, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+        |FROM documents
+        |QUALIFY rank <= 100
+        |ORDER BY rank ASC NULLS FIRST""".stripMargin)),
+
     // Winnowing fingerprints (MOSS): hash every k=4-word gram, slide
     // a w=4 window over the hash sequence, keep each window's min —
     // any shared token run of >= w+k-1 = 7 words between two docs is

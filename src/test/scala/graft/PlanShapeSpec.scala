@@ -108,6 +108,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "map-side partial aggregation lost")
   }
 
+  test("q_llm_shuffle: permutation head is TakeOrderedAndProject; no corpus-wide single-partition window") {
+    val p = plan("q_llm_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    val shuffles = p.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles <= 1, s"expected the window to run on the bounded head only, got $shuffles exchanges:\n${p.take(2000)}")
+  }
+
+  test("q_llm_bm25/tfidf: the corpus-sized tf agg is the only non-broadcast shuffle producer") {
+    for (name <- Seq("q_llm_bm25", "q_llm_tfidf")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(1500)}")
+    }
+  }
+
   test("q_llm_exactdedup: one corpus shuffle on the content hash") {
     val p = plan("q_llm_exactdedup")
     val hashShuffles = p.linesIterator.count(l =>
