@@ -309,6 +309,21 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       None),
 
+    // Approx percentile: Greenwald-Khanna quantile sketch (mergeable,
+    // bounded memory) — at 100 TB the exact percentile's full sort-
+    // per-group is the thing you can't afford; the sketch is one
+    // map-side-combinable agg. Engine-side only (sketch boundaries
+    // are implementation-specific); OpsSpec bounds the rank error
+    // against the exact percentile.
+    Decl("q_agg_approxpct", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      None),
+
     // Histogram: fixed-width bucketing of order totals — one map-side-
     // combinable aggregation; integer bucket arithmetic is exact in
     // both engines.

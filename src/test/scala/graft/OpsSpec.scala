@@ -26,6 +26,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within GK rank-error bound of exact (q_agg_approxpct)") {
+    val approx = SparkEntry.queries("q_agg_approxpct")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.nonEmpty)
+    // accuracy=1000 → rank error <= 1/1000; verify the approx value's
+    // true rank lands within 1% of the requested percentile (+ slop
+    // for ties at the boundary value)
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for ((flag, (p50, p99)) <- approx; vals = li(flag); n = vals.length.toDouble;
+         (q, v) <- Seq(0.5 -> p50, 0.99 -> p99)) {
+      val rankLo = vals.count(_ < v) / n
+      val rankHi = vals.count(_ <= v) / n
+      assert(rankLo - 0.011 <= q && q <= rankHi + 0.011,
+        s"$flag q=$q value=$v true-rank=[$rankLo,$rankHi]")
+    }
+  }
+
   test("minhash candidates find planted exact and near duplicates") {
     // plant duplicates: copy 10 docs verbatim (ids +10000) and 10 docs
     // with one word altered (ids +20000); exact copies share every band
