@@ -25,6 +25,7 @@ object SparkEntry {
     ops.LlmOps4,
     ops.LlmOps5,
     ops.LlmOps6,
+    ops.LlmOps7,
     ops.StreamOps,
     ops.CatalogOps,
   )
