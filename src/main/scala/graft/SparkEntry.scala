@@ -26,6 +26,7 @@ object SparkEntry {
     ops.LlmOps5,
     ops.LlmOps6,
     ops.LlmOps7,
+    ops.LlmOps8,
     ops.StreamOps,
     ops.CatalogOps,
   )
