@@ -55,13 +55,14 @@ object LlmOps extends Pack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      emb.crossJoin(broadcast(q))
+      val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      // two-phase top-k (TopK.perGroup): per-query candidates are
+      // corpus-sized, so a single per-q_id window would shuffle the
+      // whole scan into |queries| tasks
+      TopK.perGroup(scored, Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id").asc), 5, "rk")
         .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
         .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first,
           col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)

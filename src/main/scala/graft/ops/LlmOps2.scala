@@ -161,12 +161,13 @@ object LlmOps2 extends Pack {
     val probes = q.crossJoin(cdf).withColumn("qd2", qd2)
       .withColumn("prk", row_number().over(wq)).filter(col("prk") <= nprobe)
       .select(col("q_id"), col("qe"), col("cid").as("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    indexed.join(broadcast(probes), Seq("bucket"))
+    // probed candidates are still a corpus-scale slice → two-phase
+    // top-k instead of one per-q_id window (see TopK.perGroup)
+    val scored = indexed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id").asc), k, "rk")
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first,
         col("vec_id").asc_nulls_first, col("sim").asc_nulls_first)

@@ -352,12 +352,14 @@ object LlmOps5 extends Pack {
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, s) => element_at(col("lut"), s * kcode + c + 1)),
       lit(0.0), (a, x) => a + x)
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
-    val cands = coded.join(lutDf, "bucket")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc)
-      .withColumn("ark", row_number().over(wAdc))
-      .filter(col("ark") <= rerank)
+    // ADC candidates are a corpus-scale slice → two-phase top-k
+    // (TopK.perGroup) instead of one per-q_id window
+    val cands = TopK.perGroup(
+        coded.join(lutDf, "bucket")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adc", adc),
+        Seq(col("q_id")), Seq(col("adc").asc, col("vec_id").asc),
+        rerank, "ark")
       .select(col("q_id"), col("vec_id"))
 
     // exact re-rank of the bounded candidate set (k·rerank rows)

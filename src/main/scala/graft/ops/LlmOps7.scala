@@ -154,14 +154,14 @@ object LlmOps7 extends Pack {
       val q = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("label").as("true_label"),
           col("e").as("qe"))
-      val wSim = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      val nbrs = emb.crossJoin(broadcast(q))
+      val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim",
           round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
-        .withColumn("rk", row_number().over(wSim))
-        .filter(col("rk") <= 10)
+      // neighbor candidates are corpus-sized per query → two-phase
+      // top-k (TopK.perGroup), not one per-q_id window
+      val nbrs = TopK.perGroup(scored, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id").asc), 10, "rk")
       val wVote = Window.partitionBy(col("q_id"))
         .orderBy(col("n_votes").desc, col("label").asc)
       nbrs.groupBy(col("q_id"), col("true_label"), col("label"))

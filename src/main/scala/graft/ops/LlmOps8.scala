@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Decl, Pack, Tables}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators, part 8: mixture design and
@@ -57,10 +56,10 @@ object LlmOps8 extends Pack {
     // q_llm_pq's codebooks); Hamming distance on packed words is a
     // single XOR+POPCNT — whole-stage codegen, no doubles anywhere, so
     // results are bit-exact across engines. Scale shape: the corpus is
-    // scanned once against <= 20 broadcast codes; the top-5 window
-    // partitions by query over corpus-sized partitions — at real scale
-    // swap for a per-partition partial top-k (TakeOrderedAndProject
-    // shape); candidate CODES travel as 8 bytes/row either way.
+    // scanned once against <= 20 broadcast codes; top-5 per query runs
+    // as a two-phase partial top-k ([[TopK.perGroup]]) so no task ever
+    // holds one query's full corpus-sized candidate set; candidate
+    // CODES travel as 8 bytes/row.
     Decl("q_llm_hamming", (spark, dir) => {
       val coded = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -71,13 +70,11 @@ object LlmOps8 extends Pack {
         .select(col("vec_id"), col("code"))
       val q = coded.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("code").as("qcode"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("dist").asc, col("vec_id").asc)
-      coded.crossJoin(broadcast(q))
+      val scored = coded.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("dist", bit_count(col("qcode").bitwiseXOR(col("code"))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      TopK.perGroup(scored, Seq(col("q_id")),
+          Seq(col("dist").asc, col("vec_id").asc), 5, "rk")
         .select(col("q_id"), col("rk"), col("vec_id"), col("dist"))
         .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first)
     }, Some(
