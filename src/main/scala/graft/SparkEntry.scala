@@ -27,6 +27,7 @@ object SparkEntry {
     ops.LlmOps6,
     ops.LlmOps7,
     ops.LlmOps8,
+    ops.LlmOps9,
     ops.StreamOps,
     ops.CatalogOps,
   )

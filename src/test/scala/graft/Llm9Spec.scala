@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed BPE merge sequences pin q_llm_bpe (no SQL oracle —
+  * the merge loop is data-dependent iteration). */
+class Llm9Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def train(texts: Seq[String], k: Int = 10) = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("llm9").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    ops.LlmOps9.trainBpe(spark, dir, k)
+  }
+
+  test("q_llm_bpe: merges follow hand-computed pair counts and stop when no pairs remain") {
+    // vocab: "ab" x3, "abc" x1. pairs: (a,b)=4, (b,c)=1 → merge 1 = (a,b,4).
+    // then "ab"→[ab], "abc"→[ab,c]: pairs: (ab,c)=1 → merge 2 = (ab,c,1).
+    // then every word is a single symbol → training stops early.
+    val (merges, _) = train(Seq("ab ab ab", "abc"))
+    assert(merges == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)),
+      s"unexpected merge sequence: $merges")
+  }
+
+  test("q_llm_bpe: greedy leftmost merge handles overlapping pairs") {
+    // "aaa" x2: pairs (a,a) = 2 occurrences x 2 freq = 4 → merge (a,a,4).
+    // greedy leftmost: [a,a,a] → [aa,a] (NOT [a,aa]).
+    // next round pairs: (aa,a)=2 → merge 2 = (aa,a,2).
+    val (merges, _) = train(Seq("aaa aaa"))
+    assert(merges.take(2) == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
+      s"unexpected merge sequence: $merges")
+  }
+
+  test("q_llm_bpe: ties break on (count desc, left asc, right asc)") {
+    // "xy" x1 and "ab" x1: both pairs count 1 → (a,b) merges first.
+    val (merges, _) = train(Seq("xy ab"))
+    assert(merges.head == ((1, "a", "b", 1L)), s"tie-break violated: $merges")
+  }
+
+  test("q_llm_bpe_compress: single-char words compress to exactly 1 token per word") {
+    import org.apache.spark.sql.functions.col
+    val dir = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("llm9c").toString
+      Seq((0L, "ab ab cd cd")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val r = ops.LlmOps9.decls.find(_.name == "q_llm_bpe_compress").get
+      .fn(spark, dir).collect().head
+    // 4 words x 2 chars; both bigrams merge within 10 steps → 1 token/word
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L && r.getLong(2) == 4L,
+      s"unexpected compression row: $r")
+    assert(r.getDouble(3) == 2.0, s"chars per token: $r")
+  }
+}
