@@ -28,6 +28,7 @@ object SparkEntry {
     ops.LlmOps7,
     ops.LlmOps8,
     ops.LlmOps9,
+    ops.EventOps,
     ops.StreamOps,
     ops.CatalogOps,
   )

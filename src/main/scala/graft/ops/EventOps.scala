@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` stream table:
+  * weekly cohort retention, the strict-order conversion funnel, and
+  * daily activity rollups. Time bucketing is integer arithmetic on
+  * epoch microseconds throughout (the q_win_sessionize precedent) —
+  * `date_trunc` week/day anchoring differs across engines, integer
+  * division doesn't.
+  *
+  * Scale shapes: user-keyed aggregations and user-keyed joins only —
+  * every shuffle key is the natural analysis key; funnel stage frames
+  * shrink monotonically (stage k joins only stage k-1 survivors) and
+  * AQE broadcasts them as they collapse.
+  */
+object EventOps extends Pack {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+  private val DayUs = 86400L * 1000000L
+
+  private def ev(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+
+  def decls: Seq[Decl] = Seq(
+
+    // Weekly cohort retention: cohort = the user's first active epoch
+    // week; each (cohort, weeks-since) cell counts the cohort's users
+    // still active that week. One distinct-activity aggregation, one
+    // per-user min, one user-keyed join back.
+    Decl("q_evt_retention", (spark, dir) => {
+      val act = ev(spark, dir)
+        .select(col("user_id"), expr(s"us div $WeekUs").as("wk"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk").asc_nulls_first, col("week_n").asc_nulls_first)
+    }, Some(
+      s"""WITH act AS (SELECT DISTINCT user_id,
+         |    epoch_us(ts) // $WeekUs AS wk FROM events),
+         |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY 1)
+         |SELECT cohort_wk, wk - cohort_wk AS week_n,
+         |  COUNT(DISTINCT act.user_id) AS n_users
+         |FROM act JOIN cohort ON act.user_id = cohort.user_id
+         |GROUP BY 1, 2
+         |ORDER BY cohort_wk ASC NULLS FIRST, week_n ASC NULLS FIRST""".stripMargin)),
+
+    // Strict-order funnel view -> click -> purchase: stage k counts
+    // users whose earliest stage-k event happens strictly after their
+    // earliest surviving stage-(k-1) event.
+    Decl("q_evt_funnel", (spark, dir) => {
+      val e = ev(spark, dir)
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionAll(t2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionAll(t3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+        .select(col("stage"), col("n_users"))
+        .orderBy(col("stage").asc_nulls_first)
+    }, Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM t3)
+        |ORDER BY stage ASC NULLS FIRST""".stripMargin)),
+
+    // Daily activity rollup: DAU, event volume, and revenue-ish value
+    // sum per epoch day — one keyed aggregation, the D4SUM money shape.
+    Decl("q_evt_daily", (spark, dir) =>
+      ev(spark, dir)
+        .groupBy(expr(s"us div $DayUs").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"),
+          graft.Dsl.d4(sum(graft.Dsl.dec(col("value")))).as("sum_value"))
+        .orderBy(col("day").asc_nulls_first),
+      Some(
+        s"""SELECT epoch_us(ts) // $DayUs AS day,
+           |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events,
+           |  D4SUM(value) AS sum_value
+           |FROM events GROUP BY 1
+           |ORDER BY day ASC NULLS FIRST""".stripMargin)))
+}
