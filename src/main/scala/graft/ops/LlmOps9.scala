@@ -97,5 +97,56 @@ object LlmOps9 extends Pack {
           sum(col("freq") * col("n_toks")).as("n_tokens_total"),
           round(sum(col("freq") * col("n_chars")).cast("double") /
             sum(col("freq") * col("n_toks")), 4).as("chars_per_token"))
+    }, None),
+
+    // MMR (maximal marginal relevance) diversified retrieval: rank 5
+    // results for query vec 0 trading relevance against redundancy,
+    // mmr_i = 0.5 rel_i - 0.5 max_{j in S} sim(i, j) — the standard
+    // post-ANN diversification step (near-duplicate hits shouldn't
+    // fill the result page). Scale shape: relevance scoring + the
+    // top-20 pool are fully distributed (one corpus scan, two-phase
+    // top-k); the greedy selection is inherently sequential, runs on
+    // the PROVABLY bounded 20-row pool driver-side (the k-means/PQ
+    // trainer precedent), and ties break on vec_id. No SQL oracle —
+    // greedy iteration isn't a query; Llm9Spec plants a near-dup pair
+    // and asserts redundancy is punished.
+    Decl("q_llm_mmr", (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("rel",
+          round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
+        .withColumn("g", lit(1))
+      val pool = TopK.perGroup(scored, Seq(col("g")),
+          Seq(col("rel").desc, col("vec_id").asc), 20, "rk")
+        .select(col("vec_id"), col("rel"), col("e"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Double](2).toArray))
+
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Double)]
+      val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+      while (selected.size < 5 && remaining.nonEmpty) {
+        val best = remaining.map { case (id, rel, e) =>
+          val red = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(e, pool.find(_._1 == s._2).get._3)).max
+          (id, rel, 0.5 * rel - 0.5 * red)
+        }.minBy { case (id, _, m) => (-m, id) }
+        selected += ((selected.size + 1, best._1, best._2,
+          math.rint(best._3 * 1e6) / 1e6))
+        remaining --= remaining.filter(_._1 == best._1)
+      }
+      import spark.implicits._
+      selected.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+        .orderBy(col("rank").asc_nulls_first)
     }, None))
 }

@@ -41,6 +41,24 @@ class Llm9Spec extends AnyFunSuite {
     assert(merges.head == ((1, "a", "b", 1L)), s"tie-break violated: $merges")
   }
 
+  test("q_llm_mmr: a redundant near-duplicate of the top hit is deferred for a diverse one") {
+    import spark.implicits._
+    // query 0 along e1; vecs 1,2 nearly identical high-relevance;
+    // vec 3 slightly less relevant but diverse → MMR order 1, 3, 2.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f)),
+      (3L, Array(0.8f, 0.0f, 0.6f)))
+    val dir = java.nio.file.Files.createTempDirectory("llm9mmr").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val order = ops.LlmOps9.decls.find(_.name == "q_llm_mmr").get
+      .fn(spark, dir).collect().map(_.getLong(1)).toSeq
+    assert(order == Seq(1L, 3L, 2L),
+      s"diverse vec must outrank the near-duplicate: $order")
+  }
+
   test("q_llm_bpe_compress: single-char words compress to exactly 1 token per word") {
     import org.apache.spark.sql.functions.col
     val dir = {
