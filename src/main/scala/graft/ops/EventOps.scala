@@ -51,21 +51,43 @@ object EventOps extends Pack {
 
     // Strict-order funnel view -> click -> purchase: stage k counts
     // users whose earliest stage-k event happens strictly after their
-    // earliest surviving stage-(k-1) event.
+    // earliest surviving stage-(k-1) event. Plan shape: ONE scan of
+    // the three relevant event types (type filter pushed to parquet),
+    // ONE user-keyed shuffle, two stacked running windows over the
+    // same sort (no re-exchange), one rollup — vs the naive
+    // three-scans-three-joins funnel. A click qualifies iff ANY view
+    // precedes it (us > running min view-time), which is exactly
+    // "after the user's first view"; purchases chain off qualifying
+    // clicks the same way.
     Decl("q_evt_funnel", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val e = ev(spark, dir)
-      val t1 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-      val t2 = e.filter(col("event_type") === "click")
-        .join(t1, "user_id").filter(col("us") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
-      val t3 = e.filter(col("event_type") === "purchase")
-        .join(t2, "user_id").filter(col("us") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-      t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
-        .unionAll(t2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
-        .unionAll(t3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
-        .select(col("stage"), col("n_users"))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+      val qualified = e
+        .withColumn("min_view_b",
+          min(when(col("event_type") === "view", col("us"))).over(before))
+        .withColumn("click_q", coalesce(
+          col("event_type") === "click" && col("us") > col("min_view_b"),
+          lit(false)))
+        .withColumn("min_clickq_b",
+          min(when(col("click_q"), col("us"))).over(before))
+        .withColumn("purch_q", coalesce(
+          col("event_type") === "purchase" && col("us") > col("min_clickq_b"),
+          lit(false)))
+      qualified.groupBy(col("user_id"))
+        .agg(max(col("event_type") === "view").as("r1"),
+          max(col("click_q")).as("r2"), max(col("purch_q")).as("r3"))
+        .agg(sum(when(col("r1"), 1L).otherwise(0L)).as("v"),
+          sum(when(col("r2"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("r3"), 1L).otherwise(0L)).as("p"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("v").as("n_users")),
+          struct(lit("2_click").as("stage"), col("c").as("n_users")),
+          struct(lit("3_purchase").as("stage"), col("p").as("n_users")))).as("s"))
+        .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"))
         .orderBy(col("stage").asc_nulls_first)
     }, Some(
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
