@@ -128,4 +128,34 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning"))
     assert(hashShuffles <= 2, s"got $hashShuffles hash shuffles:\n${p.take(2000)}")
   }
+
+  test("q_evt_funnel: the events table is scanned exactly once, type filter pushed") {
+    val df = q("q_evt_funnel")
+    val scans = scansOf(df, "events")
+    assert(scans.length == 1,
+      s"events scanned ${scans.length} times — single-scan funnel lost")
+    assert(scans.head.metadata.get("PushedFilters").exists(_.contains("In(event_type")),
+      scans.head.metadata.getOrElse("PushedFilters", "?"))
+  }
+
+  test("q_evt_funnel: both running windows reuse ONE user-keyed shuffle") {
+    val p = plan("q_evt_funnel")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // window shuffle on user_id; the per-user rollup reuses it (group
+    // key = partition key), leaving only the final single-row agg
+    assert(hashShuffles <= 1,
+      s"expected the stacked windows + rollup to share one user shuffle, got $hashShuffles:\n${p.take(2500)}")
+  }
+
+  test("q_llm_simsearch/hamming/knnlabel: two-phase top-k — query-side broadcast, no single-query-wide sort") {
+    for (name <- Seq("q_llm_simsearch", "q_llm_hamming", "q_llm_knnlabel")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$name query set must broadcast:\n${p.take(1500)}")
+      // the slice window keys on (_pid, q_id): its exchange must
+      // mention the synthetic slice column so no corpus-sized
+      // per-query partition exists before the bounded global ranking
+      assert(p.contains("_pid"), s"$name slice-phase partial top-k lost:\n${p.take(2500)}")
+    }
+  }
 }
