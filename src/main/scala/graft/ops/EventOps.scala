@@ -28,18 +28,23 @@ object EventOps extends Pack {
 
     // Weekly cohort retention: cohort = the user's first active epoch
     // week; each (cohort, weeks-since) cell counts the cohort's users
-    // still active that week. One distinct-activity aggregation, one
-    // per-user min, one user-keyed join back.
-    Decl("q_evt_retention", (spark, dir) => {
-      val act = ev(spark, dir)
-        .select(col("user_id"), expr(s"us div $WeekUs").as("wk"))
-        .distinct()
-      val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
-      act.join(cohort, "user_id")
+    // still active that week. Plan shape: ONE user-keyed corpus
+    // shuffle — collect_set(wk) per user (bounded by the timeline's
+    // week count, with map-side partial sets) subsumes the naive
+    // distinct + per-user-min + join-back triple shuffle; exploding
+    // the per-user week set against its array_min yields every
+    // (cohort, week_n) membership exactly once, so a plain count is
+    // the distinct-user count and the final rollup shuffles only
+    // cohort-cell cardinality.
+    Decl("q_evt_retention", (spark, dir) =>
+      ev(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(collect_set(expr(s"us div $WeekUs")).as("wks"))
+        .select(array_min(col("wks")).as("cohort_wk"), explode(col("wks")).as("wk"))
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_n"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_wk").asc_nulls_first, col("week_n").asc_nulls_first)
-    }, Some(
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk").asc_nulls_first, col("week_n").asc_nulls_first),
+      Some(
       s"""WITH act AS (SELECT DISTINCT user_id,
          |    epoch_us(ts) // $WeekUs AS wk FROM events),
          |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY 1)

@@ -147,6 +147,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the stacked windows + rollup to share one user shuffle, got $hashShuffles:\n${p.take(2500)}")
   }
 
+  test("q_evt_retention: one user-keyed corpus shuffle (collect_set subsumes distinct+min+join)") {
+    val p = plan("q_evt_retention")
+    assert(!p.contains("Join"), s"join-back crept in:\n${p.take(2000)}")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // user-keyed set agg + the tiny cohort-cell rollup
+    assert(hashShuffles <= 2, s"got $hashShuffles hash shuffles:\n${p.take(2500)}")
+  }
+
   test("q_llm_simsearch/hamming/knnlabel: two-phase top-k — query-side broadcast, no single-query-wide sort") {
     for (name <- Seq("q_llm_simsearch", "q_llm_hamming", "q_llm_knnlabel")) {
       val p = plan(name)
