@@ -124,5 +124,61 @@ object EventOps extends Pack {
            |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events,
            |  D4SUM(value) AS sum_value
            |FROM events GROUP BY 1
-           |ORDER BY day ASC NULLS FIRST""".stripMargin)))
+           |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    // Daily error-rate anomaly: z-score of each day's error share
+    // against the whole timeline's mean/stddev — the monitoring query
+    // every event pipeline runs. Two keyed aggregations (days, then a
+    // single stats row broadcast back); integer-exact error counts,
+    // one final 4dp rounding on the z-score (double-sum order noise —
+    // the entropy precedent). Flag = |z| > 2 computed on the ROUNDED
+    // value so both engines compare identical doubles.
+    Decl("q_evt_anomaly", (spark, dir) => {
+      val daily = ev(spark, dir)
+        .groupBy(expr(s"us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .withColumn("err_rate", col("n_err").cast("double") / col("n"))
+      val stats = daily.agg(
+        avg(col("err_rate")).as("mu"),
+        stddev_samp(col("err_rate")).as("sigma"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("err_rate") - col("mu")) / col("sigma"), 4))
+        .select(col("day"), col("n"), col("n_err"),
+          round(col("err_rate"), 4).as("err_rate"), col("z"),
+          (abs(col("z")) > 2.0).as("anomalous"))
+        .orderBy(col("day").asc_nulls_first)
+    }, Some(
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day, COUNT(*) AS n,
+         |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+         |  FROM events GROUP BY 1),
+         |d AS (SELECT day, n, CAST(n_err AS BIGINT) AS n_err,
+         |    CAST(n_err AS DOUBLE) / n AS err_rate FROM daily),
+         |s AS (SELECT AVG(err_rate) AS mu, STDDEV_SAMP(err_rate) AS sigma FROM d)
+         |SELECT day, n, n_err, ROUND(err_rate, 4) AS err_rate,
+         |  ROUND((err_rate - mu) / sigma, 4) AS z,
+         |  abs(ROUND((err_rate - mu) / sigma, 4)) > 2.0 AS anomalous
+         |FROM d, s
+         |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    // JSON property histogram: parse the `props` payload's `k` key and
+    // bucket by decile — the "what's in the event payloads" profiling
+    // query. JSON extraction is a codegen'd projection; one keyed
+    // aggregation; integer-exact buckets.
+    Decl("q_evt_props", (spark, dir) =>
+      ev(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type").asc_nulls_first, col("k_bucket").asc_nulls_first),
+      Some(
+        """SELECT event_type,
+          |  CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+          |  COUNT(*) AS n,
+          |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+          |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+          |FROM events GROUP BY 1, 2
+          |ORDER BY event_type ASC NULLS FIRST, k_bucket ASC NULLS FIRST""".stripMargin)))
 }
