@@ -162,6 +162,38 @@ object EventOps extends Pack {
          |FROM d, s
          |ORDER BY day ASC NULLS FIRST""".stripMargin)),
 
+    // Rolling 7-day distinct active users: each (user, active day)
+    // fact is exploded into the 7 report days it covers, so the
+    // rolling-distinct count — normally the awkward one (a sliding
+    // window can't dedup users across its frame) — becomes one exact
+    // distinct + one keyed count. Blowup is a constant 7x on the
+    // per-user-day frame (already distinct-reduced), shuffles stay
+    // keyed, no self-join over days. Report days past the timeline's
+    // end are clipped so every window is a true trailing window.
+    Decl("q_evt_rolling7", (spark, dir) => {
+      val userDays = ev(spark, dir)
+        .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+        .distinct()
+      val maxDay = userDays.agg(max(col("day")).as("max_day"))
+      userDays.crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          explode(sequence(col("day"),
+            least(col("day") + 6, col("max_day")))).as("report_day"))
+        .distinct()
+        .groupBy(col("report_day"))
+        .agg(count(lit(1)).as("wau_7d"))
+        .orderBy(col("report_day").asc_nulls_first)
+    }, Some(
+      s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+         |  FROM events),
+         |mx AS (SELECT MAX(day) AS max_day FROM ud),
+         |cover AS (SELECT DISTINCT user_id,
+         |    unnest(generate_series(day, least(day + 6, max_day))) AS report_day
+         |  FROM ud, mx)
+         |SELECT report_day, COUNT(*) AS wau_7d
+         |FROM cover GROUP BY 1
+         |ORDER BY report_day ASC NULLS FIRST""".stripMargin)),
+
     // JSON property histogram: parse the `props` payload's `k` key and
     // bucket by decile — the "what's in the event payloads" profiling
     // query. JSON extraction is a codegen'd projection; one keyed

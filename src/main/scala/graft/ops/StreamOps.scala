@@ -452,5 +452,68 @@ object StreamOps extends Pack {
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming corpus dedup: documents replayed TWICE through a
+    // stateful exact-dedup on (lang, content-hash) — the online
+    // ingest-time variant of q_llm_exactdedup (drop re-crawls before
+    // they ever land). State is hash-keyed, which is exactly the
+    // shard key Structured Streaming distributes; in production a
+    // watermark on an ingest-time column bounds it. The dedup key
+    // includes lang so the surviving row's group is deterministic
+    // regardless of arrival order (same text may recur across docs);
+    // Complete-mode counts make the final snapshot the answer — no
+    // sentinel/watermark flush needed.
+    Decl("q_str_docdedup", (spark, dir) =>
+      streamedDocs(spark, dir, twice = true) { ds =>
+        ds.withColumn("h", sha2(lower(trim(col("text"))), 256))
+          .dropDuplicates("lang", "h")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+      }.orderBy(col("lang").asc_nulls_first),
+      Some(
+        """SELECT lang, COUNT(DISTINCT sha256(lower(trim(text)))) AS n_unique
+          |FROM documents GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
   )
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String)
+
+  private val docCols = Seq(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  /** Documents replay payload, normalized like [[eventsSrc]]. */
+  private def docsSrc(spark: SparkSession, dir: String): String =
+    normCache.getOrElseUpdate(s"documents:$dir", {
+      val out = Files.createTempDirectory("graft_stream_docs").toString
+      Tables(spark, dir, "documents").select(docCols: _*)
+        .repartition(4).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** [[streamed]] for the documents table: Complete-mode aggregations
+    * only (no watermark/sentinel machinery — the final snapshot IS the
+    * result). */
+  private def streamedDocs(spark: SparkSession, dir: String,
+      twice: Boolean = false)(
+      build: org.apache.spark.sql.Dataset[Doc] => DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_stream_docsrc")
+    linkWave(src, docsSrc(spark, dir), "w0")
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = spark.readStream.schema(Encoders.product[Doc].schema)
+      .parquet(src.toString).as[Doc]
+    val q = build(stream).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      if (twice) { linkWave(src, docsSrc(spark, dir), "w1"); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    rmTree(src)
+    out
+  }
 }
