@@ -29,6 +29,7 @@ object SparkEntry {
     ops.LlmOps8,
     ops.LlmOps9,
     ops.EventOps,
+    ops.TpchOps,
     ops.StreamOps,
     ops.CatalogOps,
   )

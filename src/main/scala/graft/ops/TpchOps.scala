@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import graft.Dsl.{d4, dec, frac}
+import org.apache.spark.sql.functions._
+
+/** Composite analytic queries in the classic TPC-H shapes (Q3 / Q5 /
+  * Q10 analogs over the driver's TPC-H-ish tables): multi-join +
+  * filtered date ranges + money aggregation + top-k, end-to-end. The
+  * atomic operator inventory proves each piece; these prove the pieces
+  * COMPOSE — the plans Catalyst should produce (dimension broadcasts,
+  * pushed date filters, one fact shuffle per aggregation,
+  * TakeOrderedAndProject heads) are pinned in PlanShapeSpec.
+  *
+  * Revenue arithmetic follows the flagship q1 exact-decimal shape so
+  * both engines sum identically regardless of order.
+  */
+object TpchOps extends Pack {
+
+  private def revenue = dec(col("l_extendedprice")) *
+    (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)")
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+      "CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(7,6))"
+
+  def decls: Seq[Decl] = Seq(
+
+    // Q3 shape — shipping-priority: top-10 open orders of one market
+    // segment by outstanding revenue. customer is a broadcast dim;
+    // orders⋈lineitem is the one fact shuffle; the head is bounded.
+    Decl("q_tpch_q3", (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") < expr("TIMESTAMP '1998-03-15 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > expr("TIMESTAMP '1998-03-15 00:00:00'"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(d4(sum(revenue)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), col("revenue"))
+    }, Some(
+      s"""SELECT l_orderkey, o_orderdate,
+         |  D4(SUM($revenueSql)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // Q5 shape — local-supplier volume: revenue per nation where the
+    // supplier and customer share the nation, one year, one region.
+    // nation/region/supplier/customer all broadcast; lineitem⋈orders
+    // is the only fact-sized join.
+    Decl("q_tpch_q5", (spark, dir) => {
+      val nat = Tables(spark, dir, "nation")
+        .join(broadcast(Tables(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(d4(sum(revenue)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }, Some(
+      s"""SELECT n_name, D4(SUM($revenueSql)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // Q10 shape — returned-item revenue: top-20 customers by revenue
+    // lost to returns in one quarter. The r-flag + date filters push
+    // to the scans; customer⋈nation broadcast onto the aggregated
+    // fact.
+    Decl("q_tpch_q10", (spark, dir) => {
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val cust = Tables(spark, dir, "customer")
+        .join(broadcast(Tables(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(d4(sum(revenue)).as("revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          d4(col("c_acctbal")).as("c_acctbal"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }, Some(
+      s"""WITH rev AS (
+         |  SELECT o_custkey, D4(SUM($revenueSql)) AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, D4(c_acctbal) AS c_acctbal, n_name, revenue
+         |FROM rev
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)))
+}

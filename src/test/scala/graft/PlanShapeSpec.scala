@@ -147,6 +147,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the stacked windows + rollup to share one user shuffle, got $hashShuffles:\n${p.take(2500)}")
   }
 
+  test("q_tpch_q3/q5/q10: dimensions broadcast, no sort-merge dim joins, bounded heads take-ordered") {
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name dims must broadcast:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(1500)}")
+    }
+    for (name <- Seq("q_tpch_q3", "q_tpch_q10"))
+      assert(plan(name).contains("TakeOrderedAndProject"),
+        s"$name top-k head must not global-sort")
+  }
+
   test("q_evt_retention: one user-keyed corpus shuffle (collect_set subsumes distinct+min+join)") {
     val p = plan("q_evt_retention")
     assert(!p.contains("Join"), s"join-back crept in:\n${p.take(2000)}")
