@@ -473,6 +473,45 @@ object StreamOps extends Pack {
         """SELECT lang, COUNT(DISTINCT sha256(lower(trim(text)))) AS n_unique
           |FROM documents GROUP BY lang
           |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming decontamination gate: corpus documents stream through
+    // a 5-gram match against the STATIC benchmark gram set (docs 0-9,
+    // computed batch-side, broadcast into every micro-batch) — the
+    // ingest-time variant of q_llm_contamination, same oracle. The
+    // stream side explodes grams and dedups (doc_id, gram) in state
+    // before counting, because streaming aggs can't COUNT(DISTINCT);
+    // the dedup key is also the natural state shard key.
+    Decl("q_str_contamination", (spark, dir) => {
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val bench = Tables(spark, dir, "documents")
+        .withColumn("ws", ws)
+        .filter(col("doc_id") < 10 && size(col("ws")) >= 5)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))")).as("g"))
+        .distinct().localCheckpoint()
+      streamedDocs(spark, dir) { docs =>
+        docs.toDF()
+          .withColumn("ws", ws)
+          .filter(col("doc_id") >= 10 && size(col("ws")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))")).as("g"))
+          .join(broadcast(bench), "g")
+          .dropDuplicates("doc_id", "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      }.orderBy(col("doc_id").asc_nulls_first)
+    }, Some(
+      """WITH w AS (SELECT doc_id,
+        |            list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |          FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> array_to_string(ws[i:i+4], ' '))) AS g
+        |      FROM w WHERE len(ws) >= 5),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS hits
+        |FROM g JOIN b USING (g) WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
   )
 
   case class Doc(doc_id: Long, text: String, lang: String, source: String)
