@@ -718,7 +718,7 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
     Io.mkdirs(stagingAbs)
     new GraftDataWriterFactory(stagingAbs,
       new org.apache.spark.util.SerializableConfiguration(
-        Writer.writerHadoopConf(spark, schema)),
+        Writer.writerHadoopConf(spark, schema, Writer.bloomColumns(table.meta))),
       schema, keyFromEnd = KeySpec.forSpec(table, schema), dataLeading = false,
       targetBytes = Writer.targetFileSize(table.meta))
   }

@@ -343,7 +343,8 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
     // session-derived hadoop conf: carries every SQL conf
     // ParquetWriteSupport.init expects (rebase modes, legacy format,
     // timestamp type, …)
-    val conf = Writer.writerHadoopConf(org.apache.spark.sql.SparkSession.active, schema)
+    val conf = Writer.writerHadoopConf(org.apache.spark.sql.SparkSession.active, schema,
+      Writer.bloomColumns(table.meta))
     // partitioned tables: roll to a new file whenever the partition
     // key changes (input is clustered + ordered by it via
     // RequiresDistributionAndOrdering), keeping rewritten files
@@ -528,10 +529,21 @@ class GraftDataWriter(dir: String, prefix: String, conf: Configuration,
       override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
         new ParquetWriteSupport
     }
-    writer = new B(new Path(curPath))
+    val builder = new B(new Path(curPath))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.ZSTD)
-      .build()
+    // ParquetWriter.Builder ignores ParquetOutputFormat's per-column
+    // conf keys — translate `parquet.bloom.filter.enabled#col`
+    // (stamped by Writer.writerHadoopConf from the table property)
+    // into the explicit builder calls
+    import scala.jdk.CollectionConverters._
+    val bloomPrefix = "parquet.bloom.filter.enabled#"
+    conf.asScala.foreach { e =>
+      if (e.getKey.startsWith(bloomPrefix))
+        builder.withBloomFilterEnabled(
+          e.getKey.substring(bloomPrefix.length), e.getValue.toBoolean): Unit
+    }
+    writer = builder.build()
     written += curPath
   }
 
@@ -653,7 +665,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
     Io.mkdirs(delAbs)
     val spark = org.apache.spark.sql.SparkSession.active
     new GraftDeltaWriterFactory(dataAbs, delAbs,
-      new SerializableConfiguration(Writer.writerHadoopConf(spark, schema)),
+      new SerializableConfiguration(Writer.writerHadoopConf(spark, schema,
+        Writer.bloomColumns(table.meta))),
       new SerializableConfiguration(Writer.writerHadoopConf(spark, Mor.deleteSchema)),
       schema, specKeySpecs(schema))
   }

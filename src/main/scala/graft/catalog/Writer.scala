@@ -169,11 +169,13 @@ object Writer {
     val stagingAbs = RelPaths.absolutize(warehouse, stagingRel)
     val fileKeys: Map[String, List[String]] =
       if (specExprs.isEmpty) {
-        sorted.write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+        val w = sorted.write.mode("errorifexists").option("compression", "zstd")
+        bloomColumns(meta).foldLeft(w)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(stagingAbs)
         Map.empty
       } else
         fanoutWrite(sorted.withColumn("__gpk", struct(specExprs.toIndexedSeq: _*)),
-          schema, stagingAbs, targetFileSize(meta))
+          schema, stagingAbs, targetFileSize(meta), bloomColumns(meta))
 
     val specNames = meta.spec.fields.map(_.name)
     val newFiles = collectStats(spark, schema, warehouse, stagingAbs)
@@ -198,11 +200,26 @@ object Writer {
     * ParquetWriteSupport outside a FileFormatWriter (the same settings
     * ParquetFileFormat.prepareWrite would install).
     */
+  /** `write.parquet.bloom-filter-columns` table property: columns that
+    * get a parquet bloom filter stamped per row group. At 100 TB a
+    * point lookup on a high-cardinality NON-sort column (doc_id,
+    * user_id…) can't be served by min/max bounds — every file's range
+    * covers it — but the bloom lets parquet-mr's row-group filter drop
+    * whole row groups on the pushed equality predicate with no false
+    * negatives.
+    */
+  def bloomColumns(meta: TableMeta): Seq[String] =
+    meta.properties.get("write.parquet.bloom-filter-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   def writerHadoopConf(spark: org.apache.spark.sql.SparkSession,
-      schema: StructType): org.apache.hadoop.conf.Configuration = {
+      schema: StructType,
+      bloomCols: Seq[String] = Nil): org.apache.hadoop.conf.Configuration = {
     val conf = spark.sessionState.newHadoopConf()
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
       .setSchema(schema, conf)
+    bloomCols.foreach(c => conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     conf.set("spark.sql.parquet.binaryAsString", "false")
@@ -228,12 +245,13 @@ object Writer {
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(Long.MaxValue)
 
   private def fanoutWrite(data: org.apache.spark.sql.DataFrame, schema: StructType,
-      stagingAbs: String, targetBytes: Long): Map[String, List[String]] = {
+      stagingAbs: String, targetBytes: Long,
+      bloomCols: Seq[String] = Nil): Map[String, List[String]] = {
     val spark = data.sparkSession
     Io.mkdirs(stagingAbs)
     val keyType = data.schema.fields.last.dataType
     val ser = new org.apache.spark.util.SerializableConfiguration(
-      writerHadoopConf(spark, schema))
+      writerHadoopConf(spark, schema, bloomCols))
     // __gpk already IS the transformed key (specTransformExprs), so
     // the writer compares it raw
     val factory = new GraftDataWriterFactory(stagingAbs, ser, schema,
