@@ -58,6 +58,33 @@ object TpchOps extends Pack {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
 
+    // Q6 shape — forecast revenue change: one filtered scan, one
+    // global exact-decimal sum. All three predicates push to parquet
+    // (row-group stats + dictionary), so the scan reads only matching
+    // row groups; discount bounds compare as exact decimals to dodge
+    // double-literal edge rounding.
+    Decl("q_tpch_q6", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          frac(col("l_discount")).between(
+            expr("CAST(0.05 AS DECIMAL(8,6))"), expr("CAST(0.07 AS DECIMAL(8,6))")) &&
+          col("l_quantity") < 24)
+        .agg(d4(sum(dec(col("l_extendedprice")) * frac(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some(
+        """SELECT
+          |  D4(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+          |         CAST(l_discount AS DECIMAL(8,6)))) AS revenue,
+          |  COUNT(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND CAST(l_discount AS DECIMAL(8,6))
+          |    BETWEEN CAST(0.05 AS DECIMAL(8,6)) AND CAST(0.07 AS DECIMAL(8,6))
+          |  AND l_quantity < 24""".stripMargin)),
+
     // Q5 shape — local-supplier volume: revenue per nation where the
     // supplier and customer share the nation, one year, one region.
     // nation/region/supplier/customer all broadcast; lineitem⋈orders
