@@ -99,6 +99,62 @@ object LlmOps9 extends Pack {
             sum(col("freq") * col("n_toks")), 4).as("chars_per_token"))
     }, None),
 
+    // Curriculum staging: assign every document to one of 4 difficulty
+    // stages by quartiles of a composite difficulty score (mean word
+    // length — short-word docs first, the classic easy→hard ordering).
+    // Scale shape: a GLOBAL ntile/percent_rank window would
+    // single-partition the corpus; instead the three exact quartile
+    // breakpoints are ONE aggregated row broadcast back, and the stage
+    // is a codegen'd comparison — corpus scanned twice (once for
+    // breakpoints, once to stage), zero wide shuffles on rows. The
+    // exact-percentile interpolation matches DuckDB's QUANTILE_CONT
+    // (the q_agg_percentile precedent); breakpoints round to 6dp
+    // before comparison so both engines bucket identical doubles.
+    Decl("q_llm_curriculum", (spark, dir) => {
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val scored = Tables(spark, dir, "documents")
+        .withColumn("wsc", ws)
+        .filter(size(col("wsc")) > 0)
+        .withColumn("difficulty", round(
+          aggregate(col("wsc"), lit(0L), (a, x) => a + length(x)).cast("double") /
+            size(col("wsc")), 6))
+        .select(col("doc_id"), col("source"), col("difficulty"))
+      val brk = scored.agg(
+        round(expr("percentile(difficulty, 0.25)"), 6).as("q1"),
+        round(expr("percentile(difficulty, 0.5)"), 6).as("q2"),
+        round(expr("percentile(difficulty, 0.75)"), 6).as("q3"))
+      scored.crossJoin(broadcast(brk))
+        .withColumn("stage",
+          when(col("difficulty") <= col("q1"), 1)
+            .when(col("difficulty") <= col("q2"), 2)
+            .when(col("difficulty") <= col("q3"), 3)
+            .otherwise(4))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("difficulty")), 6).as("d_min"),
+          round(max(col("difficulty")), 6).as("d_max"))
+        .orderBy(col("stage").asc_nulls_first)
+    }, Some(
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |      / len(ws), 6) AS difficulty
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |        FROM documents)
+        |  WHERE len(ws) > 0),
+        |b AS (SELECT ROUND(QUANTILE_CONT(difficulty, 0.25), 6) AS q1,
+        |             ROUND(QUANTILE_CONT(difficulty, 0.5), 6) AS q2,
+        |             ROUND(QUANTILE_CONT(difficulty, 0.75), 6) AS q3 FROM s)
+        |SELECT CASE WHEN difficulty <= q1 THEN 1
+        |            WHEN difficulty <= q2 THEN 2
+        |            WHEN difficulty <= q3 THEN 3 ELSE 4 END AS stage,
+        |  COUNT(*) AS n_docs,
+        |  ROUND(MIN(difficulty), 6) AS d_min,
+        |  ROUND(MAX(difficulty), 6) AS d_max
+        |FROM s, b GROUP BY 1
+        |ORDER BY stage ASC NULLS FIRST""".stripMargin)),
+
     // MMR (maximal marginal relevance) diversified retrieval: rank 5
     // results for query vec 0 trading relevance against redundancy,
     // mmr_i = 0.5 rel_i - 0.5 max_{j in S} sim(i, j) — the standard

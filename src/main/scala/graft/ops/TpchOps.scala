@@ -127,6 +127,41 @@ object TpchOps extends Pack {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
 
+    // Q18 shape — large-volume orders: orders whose total quantity
+    // clears a HAVING threshold, joined back to their customer. The
+    // qualifying-order set is tiny (the point of the filter) so it
+    // broadcasts into the enrichment joins; the only fact-sized work
+    // is the first lineitem aggregation.
+    Decl("q_tpch_q18", (spark, dir) => {
+      val big = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(d4(sum(dec(col("l_quantity")))).as("total_qty"))
+        .filter(col("total_qty") > 85.0)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), d4(col("o_totalprice")).as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }, Some(
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    D4(SUM(CAST(l_quantity AS DECIMAL(18,6)))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING D4(SUM(CAST(l_quantity AS DECIMAL(18,6)))) > 85.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  D4(o_totalprice) AS o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
     // Q10 shape — returned-item revenue: top-20 customers by revenue
     // lost to returns in one quarter. The r-flag + date filters push
     // to the scans; customer⋈nation broadcast onto the aggregated
