@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batch scan must report the EXACT committed row count from
+  * manifest stats (parquet footers aren't read at planning time), and
+  * the estimate must shrink when file pruning drops files — the CBO
+  * inputs join planning leans on at scale.
+  */
+class StatsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def scanStats(sql: String) = {
+    val scans = spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.nonEmpty, "expected a V2 scan")
+    scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+  }
+
+  test("scan statistics report exact committed row counts, pruned scans report fewer") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_stats_wh").toString
+    val c = "graftstatcat"
+    spark.conf.set(s"spark.sql.catalog.$c", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $c.s")
+    spark.sql(s"CREATE TABLE $c.s.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $c.s.t SELECT id, " +
+      "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END FROM range(0, 1000)")
+
+    val full = scanStats(s"SELECT * FROM $c.s.t")
+    assert(full.numRows.isPresent && full.numRows.getAsLong == 1000L,
+      s"full scan numRows: ${full.numRows}")
+
+    val pruned = scanStats(s"SELECT * FROM $c.s.t WHERE cat = 'a'")
+    assert(pruned.numRows.isPresent && pruned.numRows.getAsLong == 250L,
+      s"partition-pruned scan must report only surviving files' rows: ${pruned.numRows}")
+
+    spark.sql(s"DROP NAMESPACE $c.s CASCADE")
+  }
+}
