@@ -194,6 +194,41 @@ object EventOps extends Pack {
          |FROM cover GROUP BY 1
          |ORDER BY report_day ASC NULLS FIRST""".stripMargin)),
 
+    // Event-type transition matrix: per-user LAG over the time-ordered
+    // stream, counted into (prev, next) cells with an exact per-prev
+    // probability — the Markov view of user behavior (what follows a
+    // view? does error loop?). One user-keyed window shuffle; the cell
+    // rollup is |types|² tiny. Probability is integer-ratio rounded at
+    // 4dp so both engines divide identical longs.
+    Decl("q_evt_transitions", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val pairs = ev(spark, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
+      pairs.join(tot, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_prev"), 4).as("p"))
+        .orderBy(col("prev_type").asc_nulls_first, col("next_type").asc_nulls_first)
+    }, Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, SUM(n) AS n_prev FROM pairs GROUP BY 1)
+        |SELECT pairs.prev_type, next_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / n_prev, 4) AS p
+        |FROM pairs JOIN tot ON pairs.prev_type = tot.prev_type
+        |ORDER BY pairs.prev_type ASC NULLS FIRST, next_type ASC NULLS FIRST""".stripMargin)),
+
     // JSON property histogram: parse the `props` payload's `k` key and
     // bucket by decile — the "what's in the event payloads" profiling
     // query. JSON extraction is a codegen'd projection; one keyed
