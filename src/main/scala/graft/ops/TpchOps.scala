@@ -127,6 +127,37 @@ object TpchOps extends Pack {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
 
+    // Q14 shape — promotion revenue share: one fact⋈dim join (part
+    // broadcasts), conditional revenue in the numerator, exact decimal
+    // division rounded at 4dp. The promo share is a ratio of two
+    // exact decimal sums so neither engine accumulates float drift.
+    Decl("q_tpch_q14", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-02-01 00:00:00'"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(Tables(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          d4(sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(18,6)")))).as("promo_revenue"),
+          d4(sum(revenue)).as("total_revenue"),
+          round(sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(18,6)"))) * 100 / sum(revenue), 4)
+            .cast("double").as("promo_pct"))
+    }, Some(
+      s"""SELECT
+         |  D4(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END)) AS promo_revenue,
+         |  D4(SUM($revenueSql)) AS total_revenue,
+         |  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+         |    / SUM($revenueSql), 4) AS DOUBLE) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin)),
+
     // Q18 shape — large-volume orders: orders whose total quantity
     // clears a HAVING threshold, joined back to their customer. The
     // qualifying-order set is tiny (the point of the filter) so it
