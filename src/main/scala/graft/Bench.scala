@@ -45,23 +45,30 @@ object Bench {
       // pause / JIT warm-up for the whole JVM's accumulated state
       // (round-3: 10x inflation; round-7: first-run warm-up still
       // generated false "regressions" even under min-of-2)
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-      (name, times.min, heapMb)
+      (name, times.min, heapMb, failed)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val heaps = results.map { case (k, _, h) => "\"" + k + "\":" + h }
+    val heaps = results.map { case (k, _, h, _) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
+    // a failed query's wall time is an exception path, not a measurement
+    // — list failures explicitly so a broken query can never masquerade
+    // as a fast one (round-10: 21 events queries "ran" in 0.05 s)
+    val failedList = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // full map first, small headline line LAST: the driver tail-captures
     // ~3.5 KB of stdout, which chops the HEAD of a single big line
@@ -71,13 +78,13 @@ object Bench {
     println(
       s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
     // the full-precision record (plus heap profile) for direct reads
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${
-        results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedList,"queries":${
+        results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       },"heap_mb":$heaps}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

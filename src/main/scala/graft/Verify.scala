@@ -16,15 +16,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Parallel dump: the suite is 180+ queries and the driver's wall
+    // budget is finite — run POOL at a time, each under its OWN
+    // spark.newSession() (independent SQLConf + temp-view registry +
+    // catalog cache, shared SparkContext), because several operators
+    // legitimately toggle session confs (SPJ gating, dynamic
+    // partitionOverwriteMode, streaming shuffle sizing) that must not
+    // cross-talk. Results are byte-identical to the serial run: every
+    // query is internally ordered and written to its own directory.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("GRAFT_VERIFY_POOL", "6").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val todo = SparkEntry.queries
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val futures = todo.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        val t0 = System.nanoTime
+        try {
+          fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok ${(System.nanoTime - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

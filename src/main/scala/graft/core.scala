@@ -24,14 +24,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and floor-truncate to µs —
-      // exactly what DuckDB does when it reads the same file, so oracle
-      // comparisons see identical values.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — read as raw nanos and
+      // floor-truncate to µs, exactly what DuckDB does) and plain
+      // TIMESTAMP(MICROS) ntz. Dispatch on the actual file schema so
+      // either fixture vintage yields the same timestamp_ntz column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

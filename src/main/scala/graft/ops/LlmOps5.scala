@@ -92,7 +92,7 @@ object LlmOps5 extends Pack {
         |      FROM w WHERE len(toks) >= 8),
         |d AS (SELECT gm, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gm)
         |SELECT g.doc_id, COUNT(*) AS n_grams,
-        |  SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+        |  CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         |  D4(CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS DECIMAL(18,6))
         |    / CAST(COUNT(*) AS DECIMAL(9,3))) AS boiler_share
         |FROM g JOIN d USING (gm)

@@ -229,5 +229,107 @@ object TpchOps extends Pack {
          |FROM rev
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
-         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)))
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
+    // Q12 shape — shipping-priority audit: per line status, how many
+    // late-shipped lines belong to urgent vs non-urgent orders
+    // (fixture has no l_shipmode/l_receiptdate; l_linestatus stands in
+    // for the mode axis and "shipped after the order quarter closes"
+    // for lateness). lineitem is the fact scan with the date filter
+    // pushed; orders projects two columns and joins on the order key —
+    // one fact shuffle, integer-exact CASE counts.
+    Decl("q_tpch_q12", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Q19 shape — discounted revenue under a DISJUNCTION of brand ×
+    // size × quantity band predicates. The point is the plan: the OR
+    // of ANDs must not block pushdown — Catalyst extracts the common
+    // p_size/p_brand domain into the broadcast dim scan, the quantity
+    // bands evaluate post-join, and no shuffle exists at all (part is
+    // a broadcast dim). Exact-decimal revenue.
+    Decl("q_tpch_q19", (spark, dir) => {
+      val part = Tables(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(d4(sum(revenue)).as("revenue"), count(lit(1)).as("n_lines"))
+    }, Some(
+      s"""SELECT D4(SUM($revenueSql)) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q22 shape — dormant high-balance accounts: customers whose
+    // balance beats the mean positive balance and who placed no order
+    // in the final trading year (every fixture customer has SOME
+    // order, so classic "never ordered" is degenerate — the recency
+    // cutoff keeps the anti-join live). The scalar mean is one tiny
+    // agg broadcast into the filter; the dormancy test is a LEFT ANTI
+    // join against the recent-buyer key set (date filter pushed to the
+    // orders scan, distinct-reduced BEFORE the join so the anti build
+    // side is keys, not the fact); grouped by nation bucket.
+    Decl("q_tpch_q22", (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(dec(col("c_acctbal"))).as("avg_bal"))
+      val recentBuyers = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(dec(col("c_acctbal")) > col("avg_bal"))
+        .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("int").as("cntry_bucket"))
+        .agg(count(lit(1)).as("n_cust"),
+          d4(sum(dec(col("c_acctbal")))).as("total_bal"))
+        .orderBy(col("cntry_bucket").asc_nulls_first)
+    }, Some(
+      """WITH a AS (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,6))) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey % 5 AS INT) AS cntry_bucket,
+        |  COUNT(*) AS n_cust,
+        |  D4(SUM(CAST(c_acctbal AS DECIMAL(18,6)))) AS total_bal
+        |FROM customer, a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntry_bucket
+        |ORDER BY cntry_bucket ASC NULLS FIRST""".stripMargin)))
 }
