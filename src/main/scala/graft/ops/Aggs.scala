@@ -342,5 +342,69 @@ object Aggs extends Pack {
           |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi
           |FROM orders GROUP BY bucket
           |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Pearson correlation, computed from exact decimal power sums
+    // rather than the built-in corr() (whose double accumulation is
+    // partition-order-dependent — unbenchmarkable across engines).
+    // Sxy fits decimal(38,12): qty ≤ 50 (scale 6) × price ≤ 1e5
+    // (scale 6) summed over the group. The final expression is pure
+    // double IEEE arithmetic on bit-identical inputs, so both engines
+    // emit the same bits; one map-side-combinable aggregation.
+    Decl("q_agg_corr", (spark, dir) => {
+      val x = dec($("l_quantity"))
+      val y = dec($("l_extendedprice"))
+      val n = count(lit(1)).cast("double")
+      val sx = sum(x).cast("double");  val sy = sum(y).cast("double")
+      val sxx = sum((x * x).cast("decimal(38,12)")).cast("double")
+      val syy = sum((y * y).cast("decimal(38,12)")).cast("double")
+      val sxy = sum((x * y).cast("decimal(38,12)")).cast("double")
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) *
+        |      CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  n_rows AS n
+        |FROM s ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // arg-max/arg-min: the value of one column at another's extremum
+    // (max_by/min_by ↔ DuckDB arg_max/arg_min). max_by on a tied key
+    // is explicitly unspecified in both engines — and the fixture DOES
+    // tie (duplicate (orderkey,linenumber) rows with different parts),
+    // so the ordering key folds the reported value in as its low
+    // digits: ties then agree on the value by construction.
+    Decl("q_agg_argmax", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .withColumn("uk",
+          ($("l_orderkey") * 10 + $("l_linenumber")) * 10000000L + $("l_partkey"))
+        .groupBy($("l_returnflag"))
+        .agg(
+          max_by($("l_partkey"), $("uk")).as("last_part"),
+          min_by($("l_partkey"), $("uk")).as("first_part"),
+          max($("uk")).as("max_uk"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS last_part,
+          |  arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS first_part,
+          |  MAX((l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS max_uk
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
   )
 }

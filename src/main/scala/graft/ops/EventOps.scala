@@ -247,5 +247,37 @@ object EventOps extends Pack {
           |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
           |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
           |FROM events GROUP BY 1, 2
-          |ORDER BY event_type ASC NULLS FIRST, k_bucket ASC NULLS FIRST""".stripMargin)))
+          |ORDER BY event_type ASC NULLS FIRST, k_bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Stickiness (DAU/WAU): per epoch week, summed daily actives over
+    // distinct weekly actives in basis points — the engagement ratio
+    // every product dashboard carries. ONE corpus-sized shuffle (the
+    // (day,user) distinct); the weekly rollups aggregate that reduced
+    // frame twice (day-level, then week-level) and join at week
+    // cardinality. The ratio is integer division — engine-exact.
+    Decl("q_evt_stickiness", (spark, dir) => {
+      val ud = ev(spark, dir)
+        .select(expr(s"us div $DayUs").as("day"), col("user_id"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .groupBy(expr("day div 7").as("wk")).agg(sum(col("dau")).as("sum_dau"))
+      val wau = ud.select(expr("day div 7").as("wk"), col("user_id")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "wk")
+        .select(col("wk"), col("sum_dau"), col("wau"),
+          expr("sum_dau * 10000 div (7 * wau)").as("stickiness_bp"))
+        .orderBy(col("wk").asc_nulls_first)
+    }, Some(
+      s"""WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id
+         |            FROM events),
+         |dau AS (SELECT day // 7 AS wk, CAST(SUM(dau) AS BIGINT) AS sum_dau
+         |        FROM (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+         |        GROUP BY 1),
+         |wau AS (SELECT wk, COUNT(*) AS wau
+         |        FROM (SELECT DISTINCT day // 7 AS wk, user_id FROM ud)
+         |        GROUP BY wk)
+         |SELECT wk, sum_dau, wau,
+         |  sum_dau * 10000 // (7 * wau) AS stickiness_bp
+         |FROM dau JOIN wau USING (wk)
+         |ORDER BY wk ASC NULLS FIRST""".stripMargin)))
 }

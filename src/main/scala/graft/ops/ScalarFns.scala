@@ -299,5 +299,36 @@ object ScalarFns extends Pack {
           |          deep := struct_pack(sz := p_size)) AS s
           |      FROM part)
           |ORDER BY p_partkey ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin)),
+
+    // Bitwise surface: &, |, xor, shifts, bit_count, complement — all
+    // codegen'd long arithmetic, pushable projections. Operand values
+    // are bounded (p_partkey small, shift distances fixed) so no
+    // overflow-wrap divergence between engines.
+    Decl("q_fn_bitwise", (spark, dir) =>
+      Tables(spark, dir, "part")
+        .select(
+          col("p_partkey"),
+          (col("p_partkey").cast("long") % 256L).as("b"),
+          ((col("p_partkey").cast("long") % 256L)
+            .bitwiseAND(lit(170L))).as("b_and"),
+          ((col("p_partkey").cast("long") % 256L)
+            .bitwiseOR(lit(12L))).as("b_or"),
+          ((col("p_partkey").cast("long") % 256L)
+            .bitwiseXOR(lit(255L))).as("b_xor"),
+          shiftleft(col("p_partkey").cast("long") % 256L, 3).as("b_shl"),
+          shiftright(col("p_partkey").cast("long"), 2).as("b_shr"),
+          bit_count(col("p_partkey").cast("long") % 256L).cast("int").as("b_pop"))
+        .orderBy(col("p_partkey").asc_nulls_first),
+      Some(
+        """SELECT p_partkey,
+          |  CAST(p_partkey % 256 AS BIGINT) AS b,
+          |  CAST((p_partkey % 256) & 170 AS BIGINT) AS b_and,
+          |  CAST((p_partkey % 256) | 12 AS BIGINT) AS b_or,
+          |  CAST(xor(p_partkey % 256, 255) AS BIGINT) AS b_xor,
+          |  CAST((p_partkey % 256) << 3 AS BIGINT) AS b_shl,
+          |  CAST(p_partkey >> 2 AS BIGINT) AS b_shr,
+          |  CAST(bit_count(p_partkey % 256) AS INT) AS b_pop
+          |FROM part
+          |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
   )
 }
