@@ -251,33 +251,31 @@ object EventOps extends Pack {
 
     // Stickiness (DAU/WAU): per epoch week, summed daily actives over
     // distinct weekly actives in basis points — the engagement ratio
-    // every product dashboard carries. ONE corpus-sized shuffle (the
-    // (day,user) distinct); the weekly rollups aggregate that reduced
-    // frame twice (day-level, then week-level) and join at week
-    // cardinality. The ratio is integer division — engine-exact.
-    Decl("q_evt_stickiness", (spark, dir) => {
-      val ud = ev(spark, dir)
+    // every product dashboard carries. Single pass: per (week, user)
+    // count the user's distinct active days (sum of those = Σdau for
+    // the week, row count = wau), then one week-cardinality rollup —
+    // one scan, user-keyed shuffles only, NO self-join (the naive
+    // dau-frame ⋈ wau-frame plan scans twice; PlanShapeSpec pins
+    // this). The ratio is integer division — engine-exact.
+    Decl("q_evt_stickiness", (spark, dir) =>
+      ev(spark, dir)
         .select(expr(s"us div $DayUs").as("day"), col("user_id"))
-        .distinct()
-      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-        .groupBy(expr("day div 7").as("wk")).agg(sum(col("dau")).as("sum_dau"))
-      val wau = ud.select(expr("day div 7").as("wk"), col("user_id")).distinct()
-        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
-      dau.join(wau, "wk")
+        .groupBy(expr("day div 7").as("wk"), col("user_id"))
+        .agg(countDistinct(col("day")).as("nd"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("wau"), sum(col("nd")).as("sum_dau"))
         .select(col("wk"), col("sum_dau"), col("wau"),
           expr("sum_dau * 10000 div (7 * wau)").as("stickiness_bp"))
-        .orderBy(col("wk").asc_nulls_first)
-    }, Some(
-      s"""WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id
-         |            FROM events),
-         |dau AS (SELECT day // 7 AS wk, CAST(SUM(dau) AS BIGINT) AS sum_dau
-         |        FROM (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
-         |        GROUP BY 1),
-         |wau AS (SELECT wk, COUNT(*) AS wau
-         |        FROM (SELECT DISTINCT day // 7 AS wk, user_id FROM ud)
-         |        GROUP BY wk)
+        .orderBy(col("wk").asc_nulls_first),
+      Some(
+      s"""WITH wu AS (
+         |  SELECT (epoch_us(ts) // $DayUs) // 7 AS wk, user_id,
+         |    COUNT(DISTINCT epoch_us(ts) // $DayUs) AS nd
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT wk, COUNT(*) AS wau, CAST(SUM(nd) AS BIGINT) AS sum_dau
+         |      FROM wu GROUP BY wk)
          |SELECT wk, sum_dau, wau,
          |  sum_dau * 10000 // (7 * wau) AS stickiness_bp
-         |FROM dau JOIN wau USING (wk)
+         |FROM w
          |ORDER BY wk ASC NULLS FIRST""".stripMargin)))
 }

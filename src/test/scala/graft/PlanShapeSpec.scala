@@ -177,4 +177,31 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("_pid"), s"$name slice-phase partial top-k lost:\n${p.take(2500)}")
     }
   }
+
+  test("q_tpch_q12/q19/q22: date filter pushed, part broadcast, anti-join not nested-loop") {
+    val q12scans = scansOf(q("q_tpch_q12"), "lineitem")
+    assert(q12scans.nonEmpty &&
+      q12scans.head.metadata.get("PushedFilters").exists(_.contains("l_shipdate")),
+      q12scans.headOption.flatMap(_.metadata.get("PushedFilters")).getOrElse("no scan"))
+    val p19 = plan("q_tpch_q19")
+    assert(p19.contains("BroadcastHashJoin"), s"part must broadcast:\n${p19.take(1500)}")
+    assert(!p19.contains("CartesianProduct") && !p19.contains("SortMergeJoin"),
+      s"q19 single-dim join must not shuffle:\n${p19.take(1500)}")
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), s"dormancy test must be an anti-join:\n${p22.take(2000)}")
+    assert(!p22.contains("BroadcastNestedLoopJoin") || p22.contains("LeftAnti"),
+      s"q22:\n${p22.take(2000)}")
+    // the recent-buyer key set is distinct-reduced before the anti join
+    val scans22 = scansOf(q("q_tpch_q22"), "orders")
+    assert(scans22.head.metadata.get("PushedFilters").exists(_.contains("o_orderdate")),
+      scans22.head.metadata.getOrElse("PushedFilters", "?"))
+  }
+
+  test("q_evt_stickiness: single scan, user-keyed shuffles, no self-join") {
+    val df = q("q_evt_stickiness")
+    val scans = scansOf(df, "events")
+    assert(scans.length == 1, s"events scanned ${scans.length} times")
+    val p = plan("q_evt_stickiness")
+    assert(!p.contains("Join"), s"dau⋈wau self-join crept back:\n${p.take(2000)}")
+  }
 }
