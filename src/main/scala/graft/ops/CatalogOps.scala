@@ -472,6 +472,56 @@ object CatalogOps extends Pack {
         |ORDER BY _change_ordinal ASC NULLS FIRST, _change_type ASC NULLS FIRST,
         |  r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // Incremental view maintenance off the changelog: a downstream
+    // aggregate is kept current by applying $changes deltas to the
+    // LAST materialized state instead of re-aggregating the table —
+    // THE cost model that makes a 100 TB rollup maintainable (work is
+    // O(changed rows), the base is never re-scanned). Base = the
+    // aggregate at the pre-DML snapshot (time travel); deltas = the
+    // signed changelog rows across a DELETE + INSERT; maintained =
+    // base ⊕ delta with groups dying when their count reaches zero.
+    // The oracle recomputes the FINAL state from scratch — so this
+    // row is green only if incremental == full recompute, exactly.
+    Decl("q_cat_ivm", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.Dsl.{d4, dec}
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ivm")
+      spark.sql(s"CREATE TABLE $c.demo_ivm.ord (o_orderstatus STRING, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_ivm.ord SELECT o_orderstatus, o_totalprice FROM orders_src")
+      spark.sql(s"DELETE FROM $c.demo_ivm.ord WHERE o_totalprice < 50000.0")
+      spark.sql(s"INSERT INTO $c.demo_ivm.ord " +
+        "SELECT o_orderstatus, o_totalprice + 1000.0 FROM orders_src WHERE o_totalprice < 10000.0")
+      val base = spark.sql(s"SELECT * FROM $c.demo_ivm.ord VERSION AS OF 1")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"), sum(dec(col("o_totalprice"))).as("t0"))
+      val delta = spark.read.option("start-snapshot-id", "1")
+        .table(s"$c.demo_ivm.`ord$$changes`")
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("sgn")).as("nd"),
+          sum(col("sgn") * dec(col("o_totalprice"))).as("td"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"),
+          (coalesce(col("t0"), lit(BigDecimal(0)).cast("decimal(18,6)")) +
+            coalesce(col("td"), lit(BigDecimal(0)).cast("decimal(18,6)"))).as("t"))
+        .filter(col("n") > 0)
+        .select(col("o_orderstatus"), col("n"), d4(col("t")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }, Some(
+      """WITH final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_totalprice >= 50000.0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 1000.0 FROM orders
+        |  WHERE o_totalprice < 10000.0)
+        |SELECT o_orderstatus, COUNT(*) AS n, D4SUM(o_totalprice) AS total
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
     // Storage-partitioned join: both tables identity-partitioned on
     // the join key, scans report KeyGroupedPartitioning, and the join
     // aligns the key groups with NO exchange (CatalogSpec asserts the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Decl, Pack, Tables}
+import graft.Dsl.d4
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -167,5 +168,72 @@ object LlmOps8 extends Pack {
         |  ROUND(AVG(ln(CAST(n_docs AS DOUBLE) / df)), 4) AS novelty
         |FROM dw JOIN dfreq ON dw.w = dfreq.w CROSS JOIN n
         |GROUP BY doc_id
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)))
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Filter-calibration curve: before committing to a min-length
+    // cutoff, sweep candidate thresholds and report what each keeps —
+    // doc survival AND token survival per (source, threshold), in
+    // integer basis points. One corpus scan reduces to a per-doc
+    // token count; the 5-way threshold explode happens on that
+    // reduced frame (5× doc-count rows, already past the text), then
+    // one (source, threshold) rollup. The curve every length/quality
+    // filter decision should be read off, as a relation.
+    Decl("q_llm_filtercurve", (spark, dir) => {
+      val perDoc = Tables(spark, dir, "documents")
+        .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      perDoc
+        .select(col("source"), col("nt"),
+          explode(expr("array(16L, 32L, 64L, 128L, 256L)")).as("thr"))
+        .groupBy(col("source"), col("thr"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("nt") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("nt")).as("tok_total"),
+          sum(when(col("nt") >= col("thr"), col("nt")).otherwise(0L)).as("tok_kept"))
+        .select(col("source"), col("thr"), col("n_kept"),
+          expr("n_kept * 10000 div n_docs").as("doc_share_bp"),
+          expr("tok_kept * 10000 div tok_total").as("tok_share_bp"))
+        .orderBy(col("source").asc_nulls_first, col("thr").asc_nulls_first)
+    }, Some(
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |e AS (SELECT source, nt, unnest([16, 32, 64, 128, 256]) AS thr FROM d)
+        |SELECT source, CAST(thr AS BIGINT) AS thr,
+        |  CAST(SUM(CASE WHEN nt >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN nt >= thr THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // COUNT(*) AS doc_share_bp,
+        |  CAST(SUM(CASE WHEN nt >= thr THEN nt ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(SUM(nt) AS BIGINT) AS tok_share_bp
+        |FROM e GROUP BY source, thr
+        |ORDER BY source ASC NULLS FIRST, thr ASC NULLS FIRST""".stripMargin)),
+
+    // Per-source token-length percentiles: the distribution summary a
+    // corpus card reports (and packing/chunking parameters are sized
+    // from). Exact interpolated percentiles over per-doc token counts
+    // — per-doc reduction first, so the percentile state is doc-count
+    // not token-count; one keyed aggregation.
+    Decl("q_llm_lenpct", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("source"), size(words(col("text"))).cast("double").as("nt"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          d4(round(expr("percentile(nt, 0.5)"), 4)).as("p50"),
+          d4(round(expr("percentile(nt, 0.9)"), 4)).as("p90"),
+          d4(round(expr("percentile(nt, 0.99)"), 4)).as("p99"),
+          max(col("nt").cast("long")).as("nt_max"))
+        .orderBy(col("source").asc_nulls_first),
+      Some(
+        """SELECT source, COUNT(*) AS n_docs,
+          |  D4(QUANTILE_CONT(nt, 0.5)) AS p50,
+          |  D4(QUANTILE_CONT(nt, 0.9)) AS p90,
+          |  D4(QUANTILE_CONT(nt, 0.99)) AS p99,
+          |  CAST(MAX(nt) AS BIGINT) AS nt_max
+          |FROM (SELECT source,
+          |    CAST(len(list_filter(string_split(lower(text), ' '),
+          |      x -> x <> '')) AS DOUBLE) AS nt FROM documents)
+          |GROUP BY source
+          |ORDER BY source ASC NULLS FIRST""".stripMargin)))
 }
