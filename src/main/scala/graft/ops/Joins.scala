@@ -272,5 +272,40 @@ object Joins extends Pack {
         | AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
         |GROUP BY type_a, type_b
         |ORDER BY type_a ASC NULLS FIRST, type_b ASC NULLS FIRST""".stripMargin)),
+
+    // SALTED join — the manual skew-mitigation pattern for a shuffle
+    // join whose key distribution is pathological (here event_type: 4
+    // values over the whole corpus, so an unsalted hash join lands the
+    // entire table on 4 reducers). Probe side scatters each row to
+    // (key, salt∈[0,16)); the build side replicates each key row ×16
+    // via a tiny explode; join on (key, salt) spreads every hot key
+    // over 16 reducers. Broadcast would subsume this dim-sized build,
+    // so the hint is disabled to pin the salted-shuffle plan — the
+    // pattern under test is what saves the day when the build side is
+    // TOO BIG to broadcast but the probe keys are skewed.
+    Decl("q_join_salted", (spark, dir) => {
+      val weights = Tables(spark, dir, "events")
+        .select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      // ×16 replication of each build key; the shuffle_hash hint pins
+      // the shuffled join (this build side is dim-sized and would
+      // broadcast, which subsumes salting — the pattern under test is
+      // the too-big-to-broadcast case) without touching session conf
+      val salted = weights
+        .withColumn("salt", explode(expr("sequence(0, 15)")))
+        .hint("shuffle_hash")
+      Tables(spark, dir, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)).cast("int"))
+        .join(salted, Seq("event_type", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("w_total"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }, Some(
+      """WITH w AS (SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS BIGINT) AS w FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS w_total
+        |FROM events JOIN w USING (event_type)
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin)),
   )
 }

@@ -331,5 +331,130 @@ object TpchOps extends Pack {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY cntry_bucket
-        |ORDER BY cntry_bucket ASC NULLS FIRST""".stripMargin)))
+        |ORDER BY cntry_bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Q4 shape — order-priority checking: orders of one quarter with
+    // at least one line shipped more than 90 days after ordering
+    // (fixture has no commit/receipt dates; ship-lag stands in).
+    // Fact⋈fact LEFT SEMI with the date filter pushed to the orders
+    // scan and the non-equi lag condition evaluated inside the hash
+    // join — EXISTS never materializes more than the match bit.
+    Decl("q_tpch_q4", (spark, dir) => {
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Q7 shape — volume shipping between two nations: revenue flowing
+    // supplier-nation → customer-nation for an ordered pair set, per
+    // ship year. supplier/customer broadcast onto the one fact⋈fact
+    // join (lineitem⋈orders); the pair filter collapses early.
+    Decl("q_tpch_q7", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supp = Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("supp_nation"),
+          col("c_nationkey").as("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(d4(sum(revenue)).as("revenue"))
+        .orderBy(col("supp_nation").asc_nulls_first,
+          col("cust_nation").asc_nulls_first, col("l_year").asc_nulls_first)
+    }, Some(
+      s"""SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  D4(SUM($revenueSql)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE s_nationkey <> c_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+         |  l_year ASC NULLS FIRST""".stripMargin)),
+
+    // Q13 shape — customer order-count distribution: LEFT join so
+    // never-matching customers count at zero, per-customer counts,
+    // then the count-of-counts histogram. Two keyed aggregations; the
+    // second runs over customer-cardinality (already reduced) rows.
+    Decl("q_tpch_q13", (spark, dir) => {
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables(spark, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q17 shape — small-quantity-order revenue: lines under a fifth of
+    // their part's average quantity. The per-part mean enters as an
+    // INTEGER cross-multiplication (5·qty·n_part < Σqty_part) — no
+    // division anywhere, so no engine disagrees at a rounding
+    // boundary. Per-part sums aggregate fact-side first (map-side
+    // combinable), then re-join the fact by part key.
+    Decl("q_tpch_q17", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_part"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * 5 * col("n_part") < col("sum_qty"))
+        .agg(
+          d4(sum(dec(col("l_extendedprice"))) / lit(7).cast("decimal(2,0)"))
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }, Some(
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    COUNT(*) AS n_part
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  D4(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / CAST(7 AS DECIMAL(2,0)))
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN pp USING (l_partkey)
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_part < sum_qty""".stripMargin)))
 }

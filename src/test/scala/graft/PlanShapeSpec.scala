@@ -197,6 +197,18 @@ class PlanShapeSpec extends AnyFunSuite {
       scans22.head.metadata.getOrElse("PushedFilters", "?"))
   }
 
+  test("q_tpch_q4/q17, q_join_salted: semi-join EXISTS, no cartesian, salted exchange") {
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${p4.take(1500)}")
+    val p17 = plan("q_tpch_q17")
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoop"),
+      s"per-part mean must re-join by key:\n${p17.take(1500)}")
+    val pS = plan("q_join_salted")
+    assert(!pS.contains("BroadcastHashJoin"),
+      s"salted join must stay a shuffle join (broadcast defeats the pattern under test):\n${pS.take(1500)}")
+    assert(pS.contains("salt"), s"salt column missing from the join keys:\n${pS.take(1500)}")
+  }
+
   test("q_evt_stickiness: single scan, user-keyed shuffles, no self-join") {
     val df = q("q_evt_stickiness")
     val scans = scansOf(df, "events")
