@@ -277,5 +277,42 @@ object EventOps extends Pack {
          |SELECT wk, sum_dau, wau,
          |  sum_dau * 10000 // (7 * wau) AS stickiness_bp
          |FROM w
-         |ORDER BY wk ASC NULLS FIRST""".stripMargin)))
+         |ORDER BY wk ASC NULLS FIRST""".stripMargin)),
+
+    // Activity concentration: what share of all events the most-active
+    // 1% of users generate (the power-law health check behind rate
+    // limits and abuse triage). Per-user counts (one corpus shuffle,
+    // the only corpus-sized stage), a unique total order by
+    // (count desc, user_id) so the top-k cut is engine-deterministic,
+    // k = ceil(1% of users); shares in integer basis points. The
+    // ranked frame is user-cardinality — already 100-1000× reduced —
+    // and collapses to ONE row; the single-partition sort it costs is
+    // the exact-diagnostic price, bounded by distinct users.
+    Decl("q_evt_concentration", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = ev(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      perUser
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("user_id").asc)))
+        .withColumn("nu", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("c")).as("n_events"),
+          sum(when(col("rk") <= ceil(col("nu") / 100.0), col("c"))
+            .otherwise(0L)).as("top1_events"))
+        .select(col("n_users"), col("n_events"),
+          expr("top1_events * 10000 div n_events").as("top1_share_bp"))
+    }, Some(
+      """WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id ASC) AS rk,
+        |        COUNT(*) OVER () AS nu
+        |      FROM pu)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rk <= CAST(ceil(nu / 100.0) AS BIGINT)
+        |    THEN c ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(SUM(c) AS BIGINT) AS top1_share_bp
+        |FROM r""".stripMargin)))
 }
