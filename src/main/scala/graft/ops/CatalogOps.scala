@@ -655,13 +655,13 @@ object CatalogOps extends Pack {
       spark.sql(s"INSERT INTO $c.demo_pm.ord SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src")
       spark.sql(
         s"""SELECT COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
            |FROM $c.demo_pm.ord
            |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
            |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)
     }, Some(
       """SELECT COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)),
@@ -684,13 +684,13 @@ object CatalogOps extends Pack {
            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       spark.sql(
         s"""SELECT COUNT(*) AS n,
-           |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total
+           |  CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total
            |FROM $c.demo_nmbs.cust""".stripMargin)
     }, Some(
       """SELECT COUNT(*) AS n,
-        |  CAST(ROUND(SUM(CAST(CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal + 500
+        |  CAST(CAST(ROUND(SUM(CAST(CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal + 500
         |                           ELSE c_acctbal END AS DECIMAL(18,6))), 2)
-        |    AS DECIMAL(18,2)) AS total
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)),
 
     // Bin-pack compaction: only undersized files rewritten (the
