@@ -314,5 +314,48 @@ object EventOps extends Pack {
         |  CAST(SUM(CASE WHEN rk <= CAST(ceil(nu / 100.0) AS BIGINT)
         |    THEN c ELSE 0 END) AS BIGINT) * 10000
         |    // CAST(SUM(c) AS BIGINT) AS top1_share_bp
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+
+    // Session-duration profile: the 30-minute-gap sessionization
+    // (q_win_sessionize's split) rolled up to the corpus level —
+    // session count, single-event share, exact median/p90 duration in
+    // seconds. The per-session reduce keys on (user, session); the
+    // percentile state is session-cardinality, already two reductions
+    // past the raw events. Durations are integer seconds (µs div 1e6)
+    // so the interpolated percentiles divide identical integers.
+    Decl("q_evt_sessionstats", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sess = ev(spark, dir)
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_ev"),
+          expr("(max(us) - min(us)) div 1000000").as("dur_s"))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_single"),
+        round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
+        round(expr("percentile(dur_s, 0.9)"), 4).as("p90_dur_s"),
+        max(col("dur_s")).as("max_dur_s"))
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, us, event_id,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess
+        |      FROM g),
+        |d AS (SELECT user_id, sess, COUNT(*) AS n_ev,
+        |        CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s
+        |      FROM s GROUP BY user_id, sess)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+        |  ROUND(QUANTILE_CONT(dur_s, 0.5), 4) AS p50_dur_s,
+        |  ROUND(QUANTILE_CONT(dur_s, 0.9), 4) AS p90_dur_s,
+        |  MAX(dur_s) AS max_dur_s
+        |FROM d""".stripMargin)))
 }

@@ -57,6 +57,58 @@ object LlmOps6 extends Pack {
         |FROM c GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Conditional bigram entropy H(w₂|w₁) per source: how predictable
+    // the next word is given the current one — degenerate/templated
+    // text scores near zero, natural prose high; the
+    // information-theoretic sibling of [[LlmOps3]]'s repetition gate.
+    // Per-(w₁,w₂) counts are one corpus shuffle; the w₁ marginal is a
+    // window over the already-reduced bigram-type frame (partitions
+    // bounded by each word's successor vocabulary); per-type terms
+    // are truncated to DECIMAL(18,6) BEFORE summing (the bm25
+    // precedent) so the final sum is exact and partition-order-free.
+    Decl("q_llm_condentropy", (spark, dir) => {
+      val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+      val bi = Tables(spark, dir, "documents")
+        .withColumn("ws", ws)
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val w1win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("w1"))
+      bi.groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(w1win))
+        .withColumn("term",
+          (col("c12").cast("double") *
+            log2(col("c1").cast("double") / col("c12").cast("double")))
+            .cast("decimal(18,6)"))
+        .groupBy(col("source"))
+        .agg(sum(col("c12")).as("n_bigrams"),
+          count(lit(1)).as("n_types"),
+          round(sum(col("term")).cast("double") / sum(col("c12")).cast("double"), 4)
+            .as("cond_entropy"))
+        .orderBy(col("source").asc_nulls_first)
+    }, Some(
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT source,
+        |    unnest(list_transform(range(2, len(ws) + 1),
+        |      i -> struct_pack(w1 := ws[i-1], w2 := ws[i]))) AS b
+        |  FROM t WHERE len(ws) >= 2),
+        |c AS (SELECT source, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12
+        |      FROM b GROUP BY 1, 2, 3),
+        |m AS (SELECT source, w1, w2, c12,
+        |        SUM(c12) OVER (PARTITION BY source, w1) AS c1 FROM c)
+        |SELECT source,
+        |  CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+        |  COUNT(*) AS n_types,
+        |  ROUND(CAST(SUM(CAST(CAST(c12 AS DOUBLE) *
+        |      log2(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE)) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / CAST(SUM(c12) AS DOUBLE), 4) AS cond_entropy
+        |FROM m GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
     // BM25 retrieval: score every doc against a fixed keyword query
     // and return the top 20 — the lexical-search half of a hybrid
     // (BM25 + embedding) corpus-mining pipeline. Plan shape: one

@@ -141,5 +141,25 @@ object SortsSets extends Pack {
         |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin)),
+
+    // Symmetric difference: members of exactly one of two sets —
+    // (A∖B)∪(B∖A), spelled with the engine's set operators so each
+    // side is a distinct-reduced anti-join, never a full outer join
+    // over the union. Sets: BUILDING-segment customers vs customers
+    // with acctbal > 5000 (overlapping, neither contains the other).
+    Decl("q_set_symdiff", (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+      val a = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = cust.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      a.except(b).union(b.except(a))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    }, Some(
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |  UNION ALL
+        |  (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a))
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)),
   )
 }
