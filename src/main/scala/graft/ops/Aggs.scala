@@ -309,6 +309,23 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       None),
 
+    // Mergeable HLL SKETCHES as values (Datasketches hll_sketch_agg /
+    // hll_union_agg) — the architecture behind every incremental
+    // distinct-count rollup at 100 TB: per-group sketches materialize
+    // once (here per (flag, status) cell), then ANY rollup — per flag,
+    // global, per day in a real pipeline — is a cheap union of the
+    // stored sketches, never a re-scan of the raw corpus. Engine-side
+    // only (sketch bytes are implementation-specific); OpsSpec bounds
+    // the estimate against the exact distinct.
+    Decl("q_agg_hll_merge", (spark, dir) => {
+      val cells = Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"), $("l_linestatus"))
+        .agg(hll_sketch_agg($("l_orderkey")).as("sk"))
+      cells.groupBy($("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("approx_orders"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, None),
+
     // Approx percentile: Greenwald-Khanna quantile sketch (mergeable,
     // bounded memory) — at 100 TB the exact percentile's full sort-
     // per-group is the thing you can't afford; the sketch is one

@@ -26,6 +26,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-union rollup within 5% of exact (q_agg_hll_merge)") {
+    val approxRows = SparkEntry.queries("q_agg_hll_merge")(spark, TestSpark.sf).collect()
+    assert(approxRows.nonEmpty)
+    val exact = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    approxRows.foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(a - e) / e < 0.05,
+        s"merged-sketch estimate=$a exact=$e — union must not lose registers")
+    }
+  }
+
   test("approx_percentile within GK rank-error bound of exact (q_agg_approxpct)") {
     val approx = SparkEntry.queries("q_agg_approxpct")(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -216,4 +216,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_evt_stickiness")
     assert(!p.contains("Join"), s"dau⋈wau self-join crept back:\n${p.take(2000)}")
   }
+
+  test("q_llm_condentropy / q_evt_sessionstats: single corpus scan each") {
+    assert(scansOf(q("q_llm_condentropy"), "documents").length == 1,
+      "w1 marginal must be a window over the reduced frame, not a re-scan")
+    assert(scansOf(q("q_evt_sessionstats"), "events").length == 1,
+      "session reduce + percentile rollup must share one scan")
+  }
 }
