@@ -360,6 +360,30 @@ object Aggs extends Pack {
           |FROM orders GROUP BY bucket
           |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
 
+    // Boolean/conditional aggregate surface: bool_and / bool_or /
+    // count_if, plus any_value pinned deterministic via min (bare
+    // any_value is explicitly "any" — unbenchmarkable across engines).
+    // One map-side-combinable aggregation.
+    Decl("q_agg_bool", (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy($("o_orderpriority"))
+        .agg(
+          bool_and($("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or($("o_orderstatus") === "F").as("any_final"),
+          count_if($("o_totalprice") > 200000.0).as("n_big"),
+          min($("o_orderstatus")).as("first_status"),
+          count(lit(1)).as("n"))
+        .orderBy($("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderpriority,
+          |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+          |  bool_or(o_orderstatus = 'F') AS any_final,
+          |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+          |  MIN(o_orderstatus) AS first_status,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // Pearson correlation, computed from exact decimal power sums
     // rather than the built-in corr() (whose double accumulation is
     // partition-order-dependent — unbenchmarkable across engines).

@@ -172,6 +172,30 @@ object Windows extends Pack {
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
         |  first_key ASC NULLS FIRST, last_key ASC NULLS FIRST""".stripMargin)),
 
+    // nth_value over the full frame + lead with an explicit default —
+    // the two positional window accessors first/last don't cover. The
+    // ordering key (o_orderdate, o_orderkey) is unique per partition,
+    // so every position is tie-free and engine-deterministic.
+    Decl("q_win_nth", (spark, dir) => {
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir, "orders")
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1, -1L).over(byCust))
+        .select(col("o_custkey"), col("o_orderkey"), col("second_key"), col("next_key"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first,
+          col("second_key").asc_nulls_first, col("next_key").asc_nulls_first)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+        |  COALESCE(LEAD(o_orderkey, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |    -1) AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  second_key ASC NULLS FIRST, next_key ASC NULLS FIRST""".stripMargin)),
+
     // Batch sessionization (the window-function formulation of the
     // streaming session_window): a session break is a >30-minute gap,
     // session ids are the running count of breaks — ONE shuffle on
