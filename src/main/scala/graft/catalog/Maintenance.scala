@@ -438,6 +438,52 @@ object Maintenance {
     small.size
   }
 
+  /** Consolidate POSITION delete files (Iceberg's
+    * `rewrite_position_deletes`): a trickle-deleted 100 TB table
+    * accumulates one small delete file per DELETE commit, and every
+    * scan pays an open-per-file toll on the delete set even after
+    * pruning. This pass reads ONLY the delete rows — never a data
+    * file — dedups repeated (file,pos) tombstones, range-clusters
+    * them by the data file they reference (each output again covers a
+    * tight, disjoint `file_path` range — the unit scan-side delete
+    * pruning works at), and commits the consolidated set in place of
+    * the old one. Data files and EQUALITY deletes (whose
+    * sequence-number strictness must not be restamped) carry over
+    * untouched; operation `replace` keeps the changelog silent.
+    * Returns the number of delete files consolidated.
+    */
+  def rewritePositionDeletes(spark: SparkSession, table: GraftTable,
+      targetFiles: Int = 1, minInputFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.col
+    val snap = table.readSnapshot
+    val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
+    val (eq, pos) = deletes.partition(Mor.isEquality)
+    if (pos.size < minInputFiles) return 0
+    val paths = pos.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val stagingRel = s"${table.meta.location}/deletes/${java.util.UUID.randomUUID()}"
+    val stagingAbs = RelPaths.absolutize(table.ops.warehouse, stagingRel)
+    spark.read.schema(Mor.deleteSchema).parquet(paths: _*)
+      .distinct()
+      .repartitionByRange(math.max(1, targetFiles), col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.mode("errorifexists").option("compression", "zstd").parquet(stagingAbs)
+    val consolidated = Writer.collectStats(spark, Mor.deleteSchema,
+        table.ops.warehouse, stagingAbs, exactBoundCols = Set("file_path"))
+      .filter(_.records > 0)
+    try Writer.commitSnapshot(table, Nil, overwrite = true,
+      operation = "replace",
+      carryover = snap.map(table.ops.allFiles).getOrElse(Nil),
+      validateFrom = Some(snap.map(_.snapshotId)),
+      newDeletes = eq.toList ++ consolidated,
+      clearDeletes = true)
+    catch {
+      case e: Throwable =>
+        Io.deleteRecursiveQuietly(stagingAbs)
+        throw e
+    }
+    pos.size
+  }
+
   /** Integrity check for the CURRENT snapshot: every referenced data,
     * delete, and manifest file must exist, and each data file's
     * parquet footer row count must match its metadata entry. Returns

@@ -91,6 +91,14 @@ object Procedures {
       (cat, args) => row(
         Maintenance.rewriteManifests(tbl(cat, args.getUTF8String(0).toString).ops))),
 
+    ProcDef("rewrite_position_deletes",
+      Seq(in("tbl", StringType), inDefault("target_files", IntegerType, "1"),
+        inDefault("min_input_files", IntegerType, "2")),
+      StructType(Seq(StructField("consolidated_files", IntegerType))),
+      (cat, args) => row(
+        Maintenance.rewritePositionDeletes(SparkSession.active,
+          tbl(cat, args.getUTF8String(0).toString), args.getInt(1), args.getInt(2)))),
+
     ProcDef("rollback_to_snapshot",
       Seq(in("tbl", StringType), in("snapshot_id", LongType)),
       StructType(Seq(StructField("current_snapshot_id", LongType))),

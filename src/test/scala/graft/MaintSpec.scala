@@ -578,4 +578,50 @@ class MaintSpec extends AnyFunSuite {
     assert(cat.dropView(Identifier.of(Array("v"), "renamed")))
     assert(cat.listViews("v").isEmpty)
   }
+
+  test("rewrite_position_deletes: trickle deletes consolidate, data files untouched, reads identical") {
+    val wh = "/tmp/graft_test_rpd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRpd", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRpd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRpd.m")
+    spark.sql("CREATE TABLE tcRpd.m.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcRpd.m.t SELECT id FROM range(0, 1000)")
+    // five trickle DELETEs → five small position-delete files
+    (0 until 5).foreach(i => spark.sql(s"DELETE FROM tcRpd.m.t WHERE id % 100 = $i"))
+
+    val cat = spark.sessionState.catalogManager.catalog("tcRpd")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def table = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val before = table.readSnapshot.get
+    val dataBefore = before.files.map(_.path).toSet ++
+      table.ops.allFiles(before).map(_.path).toSet
+    // each DELETE range-clusters its tombstones per referenced data
+    // file → 5 commits × 4 data files = 20 small delete files
+    val nDel = before.deleteFiles.size
+    assert(nDel >= 5, s"expected trickle-delete debris, got $nDel")
+    val expected = spark.sql("SELECT id FROM tcRpd.m.t ORDER BY id").collect().map(_.getLong(0))
+    assert(expected.length == 950)
+
+    val n = Maintenance.rewritePositionDeletes(spark, table)
+    assert(n == nDel)
+    val after = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].readSnapshot.get
+    assert(after.deleteFiles.size == 1,
+      s"consolidation left ${after.deleteFiles.size} delete files")
+    assert(after.deleteFiles.forall(d => !d.content.contains("equality")))
+    // data files byte-identical (no rewrite happened)
+    val t2 = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(t2.ops.allFiles(after).map(_.path).toSet.subsetOf(dataBefore))
+    // reads identical, and a second pass is a no-op
+    val got = spark.sql("SELECT id FROM tcRpd.m.t ORDER BY id").collect().map(_.getLong(0))
+    assert(got.sameElements(expected), "consolidated delete set changed query results")
+    assert(Maintenance.rewritePositionDeletes(spark, t2) == 0)
+    // SQL surface
+    assert(spark.sql("CALL tcRpd.system.rewrite_position_deletes(tbl => 'm.t')")
+      .collect().head.getInt(0) == 0)
+  }
 }
