@@ -317,6 +317,34 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, CAST(3 AS BIGINT) AS n FROM region
         |ORDER BY r_regionkey ASC NULLS FIRST""".stripMargin)),
 
+    // Position-delete consolidation end-to-end: trickle MOR deletes
+    // leave per-commit delete debris; rewrite_position_deletes swaps
+    // in ONE range-clustered delete file (reading only delete rows,
+    // never data) and the oracle proves the read set is unchanged.
+    Decl("q_cat_rpd", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_rpd")
+      spark.sql(s"CREATE TABLE $c.demo_rpd.cust (c_custkey BIGINT, c_acctbal DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_rpd.cust SELECT c_custkey, c_acctbal FROM customer_src")
+      (0 until 3).foreach(i =>
+        spark.sql(s"DELETE FROM $c.demo_rpd.cust WHERE c_custkey % 10 = $i"))
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_rpd"), "cust")
+      val tbl = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      val n = graft.catalog.Maintenance.rewritePositionDeletes(spark, tbl)
+      require(n >= 3, s"expected trickle delete files to consolidate, got $n")
+      val after = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      require(after.readSnapshot.get.deleteFiles.size == 1, "consolidation did not land")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n, D4SUM(c_acctbal) AS total
+           |FROM $c.demo_rpd.cust""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n, D4SUM(c_acctbal) AS total
+        |FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2)""".stripMargin)),
+
     // Views (C10): persisted through the V2 ViewCatalog API (Spark
     // 4.1's CREATE VIEW DDL only routes to the session catalog, so the
     // SQL surface is API-driven here); the stored definition is loaded
