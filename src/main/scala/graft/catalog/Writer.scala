@@ -579,10 +579,18 @@ object Writer {
                     s"conflicting concurrent operation removed ${removedAffected.size} " +
                     s"file(s) rewritten by '$operation' (e.g. ${removedAffected.head})")
                 val readDeletes = readSnap.map(_.deleteFiles).getOrElse(Nil).map(_.path).toSet
-                if (affected.nonEmpty && baseDeletes.exists(d => !readDeletes(d.path)))
+                // A delete file the base gained since our read is lost if
+                // (a) we rewrote the rows it targets (affected) — the
+                // positions now name dead files — or (b) clearDeletes is
+                // about to replace the whole delete set with one computed
+                // from the STALE read snapshot (rewrite_position_deletes
+                // carries over every data file, so `affected` is empty
+                // there and cannot gate this).
+                if ((affected.nonEmpty || clearDeletes) &&
+                    baseDeletes.exists(d => !readDeletes(d.path)))
                   throw new CommitConflictException(
-                    s"concurrent position-delete committed while '$operation' was " +
-                    "rewriting rows; retrying would lose the delete")
+                    s"concurrent delete committed while '$operation' was running; " +
+                    "committing would lose it")
                 baseFiles.filterNot(f => affected(f.path))
               case _ => carryover.toList
             }

@@ -624,4 +624,42 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("CALL tcRpd.system.rewrite_position_deletes(tbl => 'm.t')")
       .collect().head.getInt(0) == 0)
   }
+
+  test("rewrite_position_deletes: concurrent MOR delete mid-pass conflicts, never resurrects rows") {
+    val wh = "/tmp/graft_test_rpd_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRpdR", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRpdR.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRpdR.m")
+    spark.sql("CREATE TABLE tcRpdR.m.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcRpdR.m.t SELECT id FROM range(0, 1000)")
+    (0 until 3).foreach(i => spark.sql(s"DELETE FROM tcRpdR.m.t WHERE id % 100 = $i"))
+    val cat = spark.sessionState.catalogManager.catalog("tcRpdR")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    // stale handle: its metadata (and so readSnapshot) predate the
+    // concurrent writer — exactly the window between the pass's
+    // snapshot read and its CAS commit
+    val stale = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(stale.readSnapshot.get.deleteFiles.size >= 2)
+    // concurrent MOR delete lands while the pass is "running"
+    spark.sql("DELETE FROM tcRpdR.m.t WHERE id % 100 = 50")
+    val expected = spark.sql("SELECT count(*) FROM tcRpdR.m.t").collect().head.getLong(0)
+    assert(expected == 960)
+    // the stale pass must refuse to commit a consolidated set that
+    // lacks the concurrent delete (would resurrect its 10 rows)
+    intercept[CommitConflictException] {
+      Maintenance.rewritePositionDeletes(spark, stale)
+    }
+    assert(spark.sql("SELECT count(*) FROM tcRpdR.m.t").collect().head.getLong(0)
+      == expected, "concurrent delete was lost by a stale consolidation")
+    // a fresh pass (re-reading the current snapshot) succeeds and
+    // preserves the delete
+    val fresh = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(Maintenance.rewritePositionDeletes(spark, fresh) >= 2)
+    assert(spark.sql("SELECT count(*) FROM tcRpdR.m.t").collect().head.getLong(0)
+      == expected)
+  }
 }
