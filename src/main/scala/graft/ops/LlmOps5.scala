@@ -128,49 +128,21 @@ object LlmOps5 extends Pack {
     // propagation to fixpoint) give each dup family one canonical
     // root — what a dedup pass actually keys its "keep one per
     // cluster" decision on. Scale shape: the candidate edge join is
-    // gram-keyed (Σ|gram bucket|², never all-pairs), and each
-    // propagation round is two keyed shuffles with lineage truncated
-    // per round; rounds needed = component diameter, which for
-    // near-dup families (near-cliques) is a small constant. The
+    // gram-keyed AND doc-frequency-capped (grams in >MaxGramDf docs
+    // are boilerplate, not near-dup evidence — and an uncapped viral
+    // gram shared by n docs is an n²/2-pair bucket that OOMs one
+    // task at corpus scale), so pair work is Σ|bucket|² ≤ df·rows,
+    // never all-pairs; each propagation round is two keyed shuffles
+    // with lineage truncated per round; rounds needed = component
+    // diameter, which for near-dup families (near-cliques) is a
+    // small constant — and non-convergence within the round budget
+    // fails LOUDLY rather than returning a partial closure. The
     // fixpoint is order-independent, so the result is deterministic
-    // and DuckDB's recursive-CTE closure agrees exactly.
-    Decl("q_llm_dupcluster", (spark, dir) => {
-      val toks = filter(split(col("text"), " "), t => t =!= "")
-      val g = Tables(spark, dir, "documents")
-        .withColumn("toks", toks)
-        .filter(size(col("toks")) >= 12)
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(toks)-12, 1), i -> concat_ws(' ', slice(toks, i+1, 12)))")).as("gm"))
-        .distinct()
-      val e = g.as("x").join(g.as("y"),
-          col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-      var lab = sym.select(col("a").as("doc")).distinct()
-        .withColumn("root", col("doc")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 15) {
-        rounds += 1
-        val nbr = sym.join(
-            lab.select(col("doc").as("nb"), col("root").as("nbroot")),
-            col("b") === col("nb"))
-          .groupBy(col("a")).agg(min(col("nbroot")).as("nmin"))
-        val next = lab.join(nbr, lab("doc") === nbr("a"), "left")
-          .select(col("doc"),
-            least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
-          .localCheckpoint()
-        converged = next.as("n").join(lab.as("o"), "doc")
-          .filter(col("n.root") =!= col("o.root")).isEmpty
-        lab = next
-      }
-      lab.groupBy(col("root"))
-        .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
-        .orderBy(col("root").asc_nulls_first)
-    }, Some(
-      """WITH RECURSIVE
+    // and DuckDB's recursive-CTE closure (same df cap) agrees
+    // exactly.
+    Decl("q_llm_dupcluster", (spark, dir) =>
+      dupClusters(Tables(spark, dir, "documents")), Some(
+      s"""WITH RECURSIVE
         |w AS (SELECT doc_id,
         |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |      FROM documents),
@@ -178,8 +150,11 @@ object LlmOps5 extends Pack {
         |        unnest(list_transform(range(1, len(toks) - 10),
         |          i -> array_to_string(toks[i:i+11], ' '))) AS gm
         |      FROM w WHERE len(toks) >= 12),
+        |gk AS (SELECT doc_id, gm FROM g
+        |       QUALIFY COUNT(*) OVER (PARTITION BY gm)
+        |         BETWEEN 2 AND $MaxGramDf),
         |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |      FROM g x JOIN g y ON x.gm = y.gm AND x.doc_id < y.doc_id),
+        |      FROM gk x JOIN gk y ON x.gm = y.gm AND x.doc_id < y.doc_id),
         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         |reach(a, b) AS (
         |  SELECT a, b FROM sym
@@ -412,6 +387,73 @@ object LlmOps5 extends Pack {
       .select(col("vec_id"), col("enc.codes").as("codes"),
         sqrt(col("enc.err2")).as("l2_err"))
     (books, out)
+  }
+
+  /** Doc-frequency cap on the 12-grams eligible as near-dup edge
+    * evidence: a gram appearing in more docs than this is boilerplate
+    * (license headers, navigation chrome), not duplication signal —
+    * and, mechanically, one gram shared by n docs is an n²/2-pair
+    * join bucket, so the cap is also the hard bound that keeps edge
+    * generation Σ|bucket|² ≤ MaxGramDf·|gram rows| at any corpus
+    * size. */
+  val MaxGramDf = 32
+
+  /** Near-dup connected components over shared word 12-grams (the
+    * core of q_llm_dupcluster, parameterized for testing): returns
+    * one row per cluster `(root, n_docs, max_doc)`. Edge generation
+    * is gram-keyed with doc-frequency in [2, maxGramDf] (singleton
+    * grams can't pair; viral grams are excluded — see [[MaxGramDf]]);
+    * min-label propagation runs to a VERIFIED fixpoint and fails
+    * loudly if the round budget is exhausted (a silent cap would
+    * return a wrong partial closure for a >budget-diameter chain). */
+  def dupClusters(docs: DataFrame, maxGramDf: Int = MaxGramDf,
+      maxRounds: Int = 50): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val g = docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 12)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks)-12, 1), i -> concat_ws(' ', slice(toks, i+1, 12)))")).as("gm"))
+      .distinct()
+    // df gate BEFORE the self-join: one keyed count, then an inner
+    // join back on gm — the self-join below can never see a bucket
+    // larger than maxGramDf rows
+    val eligible = g.groupBy(col("gm"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxGramDf)
+      .select(col("gm"))
+    val gk = g.join(eligible, "gm")
+    val e = gk.as("x").join(gk.as("y"),
+        col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var lab = sym.select(col("a").as("doc")).distinct()
+      .withColumn("root", col("doc")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val nbr = sym.join(
+          lab.select(col("doc").as("nb"), col("root").as("nbroot")),
+          col("b") === col("nb"))
+        .groupBy(col("a")).agg(min(col("nbroot")).as("nmin"))
+      val next = lab.join(nbr, lab("doc") === nbr("a"), "left")
+        .select(col("doc"),
+          least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+        .localCheckpoint()
+      converged = next.as("n").join(lab.as("o"), "doc")
+        .filter(col("n.root") =!= col("o.root")).isEmpty
+      lab = next
+    }
+    require(converged,
+      s"dup-cluster label propagation did not converge in $maxRounds rounds " +
+      "(component diameter exceeds the budget); raise maxRounds rather than " +
+      "accepting a partial closure")
+    lab.groupBy(col("root"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .orderBy(col("root").asc_nulls_first)
   }
 
   /** Train the m per-subspace codebooks concurrently — Lloyd over a

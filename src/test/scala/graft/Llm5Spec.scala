@@ -162,4 +162,61 @@ class Llm5Spec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.5, s"ADC recall@10 too low: $mean (${recalls.toSeq})")
   }
+
+  // --- dupClusters scale-safety (q_llm_dupcluster core) ---
+
+  /** 12 distinct filler tokens per doc id so docs share no gram unless
+    * planted. */
+  private def uniqueText(id: Int): String =
+    (0 until 24).map(j => s"u${id}w$j").mkString(" ")
+
+  test("dupClusters excludes viral grams: a boilerplate header shared by 200 docs makes no edges") {
+    import spark.implicits._
+    val header = (0 until 12).map(i => s"hdr$i").mkString(" ")
+    // 200 docs: common 12-token header + otherwise unique bodies.
+    // Uncapped, this one gram alone is a 19,900-pair bucket; capped
+    // (df=200 > MaxGramDf=32) it contributes nothing.
+    val viral = (0 until 200).map(i => (i.toLong, s"$header ${uniqueText(i)}"))
+    // plus one planted true near-dup pair sharing a RARE gram (df=2)
+    val rare = (0 until 12).map(i => s"rare$i").mkString(" ")
+    val dups = Seq((900L, s"$rare ${uniqueText(900)}"), (901L, s"$rare ${uniqueText(901)}"))
+    val docs = (viral ++ dups).toDF("doc_id", "text")
+    val out = ops.LlmOps5.dupClusters(docs).collect()
+    // only the planted pair clusters; none of the 200 header docs appear
+    assert(out.length == 1, s"expected 1 cluster, got ${out.toSeq}")
+    assert(out(0).getLong(0) == 900L && out(0).getLong(1) == 2L &&
+      out(0).getLong(2) == 901L)
+  }
+
+  test("dupClusters pairs at the df cap boundary: df=cap clusters, df=cap+1 does not") {
+    import spark.implicits._
+    val cap = ops.LlmOps5.MaxGramDf
+    val atCap = (0 until 12).map(i => s"at$i").mkString(" ")
+    val overCap = (0 until 12).map(i => s"ov$i").mkString(" ")
+    val a = (0 until cap).map(i => (i.toLong, s"$atCap ${uniqueText(i)}"))
+    val b = (0 until cap + 1).map(i => (1000L + i, s"$overCap ${uniqueText(1000 + i)}"))
+    val docs = (a ++ b).toDF("doc_id", "text")
+    val out = ops.LlmOps5.dupClusters(docs).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L && out(0).getLong(1) == cap.toLong,
+      s"expected one cluster of the $cap at-cap docs, got ${out.toSeq}")
+  }
+
+  test("dupClusters fails loudly when the round budget can't reach the fixpoint") {
+    import spark.implicits._
+    // a 6-doc chain (diameter 5) via consecutive rare grams: doc i and
+    // i+1 share gram i. maxRounds=1 cannot converge → must throw, not
+    // return a partial closure.
+    val docs = (0 until 6).map { i =>
+      val left = if (i > 0) (0 until 12).map(j => s"g${i - 1}t$j").mkString(" ") + " " else ""
+      val right = if (i < 5) (0 until 12).map(j => s"g${i}t$j").mkString(" ") + " " else ""
+      (i.toLong, s"$left$right${uniqueText(i)}")
+    }.toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      ops.LlmOps5.dupClusters(docs, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with the default budget the same chain converges to one cluster
+    val ok = ops.LlmOps5.dupClusters(docs).collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 6L)
+  }
 }
