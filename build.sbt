@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the full 204-query bench suite carries ~4 GB of live state
+  // (streaming checkpoints, catalog caches); on an 8g heap the tail of
+  // the suite ran inside GC pressure and billed phantom 2x
+  // "regressions" to whichever query absorbed the pauses (round-11:
+  // q_str_docdedup 3.36 s in-suite vs 1.69 s standalone).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

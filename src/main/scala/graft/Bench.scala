@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":"total","value":…,"queries":{…}}.
@@ -46,6 +47,13 @@ object Bench {
       // (round-3: 10x inflation; round-7: first-run warm-up still
       // generated false "regressions" even under min-of-2)
       var failed = false
+      // GC time attribution: a query billed 2x its standalone time with
+      // a matching gc_ms spike is suite heap pressure, not a regression
+      // (round-11: q_str_docdedup 3.36 s in-suite / 1.69 s standalone
+      // was unattributable from the artifact alone)
+      def gcNow(): Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val gc0 = gcNow()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -55,21 +63,28 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
+      val gcMs = gcNow() - gc0
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-      (name, times.min, heapMb, failed)
+      (name, times.min, heapMb, failed, gcMs)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val heaps = results.map { case (k, _, h, _) => "\"" + k + "\":" + h }
-      .mkString("{", ",", "}")
     // a failed query's wall time is an exception path, not a measurement
-    // — list failures explicitly so a broken query can never masquerade
-    // as a fast one (round-10: 21 events queries "ran" in 0.05 s)
-    val failedList = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    // — null it in the map and keep it out of the total so a broken
+    // query can never masquerade as a fast one (round-10: 21 events
+    // queries "ran" in 0.05 s) nor pad the headline
+    val qs = results.map { case (k, v, _, f, _) =>
+        "\"" + k + "\":" + (if (f) "null" else r3(v)) }
+      .mkString("{", ",", "}")
+    val heaps = results.map { case (k, _, h, _, _) => "\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, _, _, g) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val ok = results.filterNot(_._4)
+    val total = ok.map(_._2).sum
+    val nFailed = results.size - ok.size
     // full map first, small headline line LAST: the driver tail-captures
     // ~3.5 KB of stdout, which chops the HEAD of a single big line
     // (round-7's BENCH parsed:null) — the closing small line always
@@ -77,15 +92,16 @@ object Bench {
     // parse; the complete per-query map lives in target/bench.json
     println(
       s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
-    val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val top = ok.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
-    // the full-precision record (plus heap profile) for direct reads
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+    // the full-precision record (plus heap/GC profiles) for direct reads
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedList,"queries":${
-        results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      },"heap_mb":$heaps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
+        results.map { case (k, v, _, f, _) =>
+          "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
+      },"heap_mb":$heaps,"gc_ms":$gcs}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -30,6 +31,10 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val todo = SparkEntry.queries
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+    // a query with no dump is otherwise ABSENT from the driver's
+    // correctness artifact (round-10: 21 silent misses) — record every
+    // failure machine-readably in failures.json alongside the dumps
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     val futures = todo.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime
@@ -38,6 +43,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok ${(System.nanoTime - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
+          failures.add(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -61,6 +67,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (!failures.isEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED — see $outDir/failures.json")
     spark.stop()
   }
 }
