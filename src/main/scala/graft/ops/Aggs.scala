@@ -429,11 +429,15 @@ object Aggs extends Pack {
     // is explicitly unspecified in both engines — and the fixture DOES
     // tie (duplicate (orderkey,linenumber) rows with different parts),
     // so the ordering key folds the reported value in as its low
-    // digits: ties then agree on the value by construction.
+    // digits: ties then agree on the value by construction. Key-domain
+    // bound: the 10^9 fold keeps (orderkey,linenumber) ordering intact
+    // for l_partkey < 10^9 (TPC-H partkey reaches 10^9 near SF 5000),
+    // and the whole key fits int64 for l_orderkey < 9.2×10^8; past
+    // either bound switch the fold to DECIMAL(38,0) arithmetic.
     Decl("q_agg_argmax", (spark, dir) =>
       Tables(spark, dir, "lineitem")
         .withColumn("uk",
-          ($("l_orderkey") * 10 + $("l_linenumber")) * 10000000L + $("l_partkey"))
+          ($("l_orderkey") * 10 + $("l_linenumber")) * 1000000000L + $("l_partkey"))
         .groupBy($("l_returnflag"))
         .agg(
           max_by($("l_partkey"), $("uk")).as("last_part"),
@@ -442,9 +446,9 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       Some(
         """SELECT l_returnflag,
-          |  arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS last_part,
-          |  arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS first_part,
-          |  MAX((l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS max_uk
+          |  arg_max(l_partkey, CAST((l_orderkey * 10 + l_linenumber) * 1000000000 + l_partkey AS BIGINT)) AS last_part,
+          |  arg_min(l_partkey, CAST((l_orderkey * 10 + l_linenumber) * 1000000000 + l_partkey AS BIGINT)) AS first_part,
+          |  MAX(CAST((l_orderkey * 10 + l_linenumber) * 1000000000 + l_partkey AS BIGINT)) AS max_uk
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
   )

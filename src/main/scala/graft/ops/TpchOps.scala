@@ -308,26 +308,33 @@ object TpchOps extends Pack {
     // side is keys, not the fact); grouped by nation bucket.
     Decl("q_tpch_q22", (spark, dir) => {
       val cust = Tables(spark, dir, "customer")
+      // above-average test by cross-multiplication (bal·n > Σbal), not
+      // division: Spark's AVG(DECIMAL) is exact while DuckDB's returns
+      // DOUBLE, and this comparison is a FILTER boundary — a balance
+      // within double-rounding distance of the mean would flip set
+      // membership, changing counts, not just a display decimal
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg(dec(col("c_acctbal"))).as("avg_bal"))
+        .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
+          count(lit(1)).as("n_pos"))
       val recentBuyers = Tables(spark, dir, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
         .select(col("o_custkey")).distinct()
       cust.crossJoin(broadcast(avgBal))
-        .filter(dec(col("c_acctbal")) > col("avg_bal"))
+        .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
         .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy((col("c_nationkey") % 5).cast("int").as("cntry_bucket"))
         .agg(count(lit(1)).as("n_cust"),
           d4(sum(dec(col("c_acctbal")))).as("total_bal"))
         .orderBy(col("cntry_bucket").asc_nulls_first)
     }, Some(
-      """WITH a AS (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,6))) AS avg_bal
+      """WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_bal,
+        |           COUNT(*) AS n_pos
         |           FROM customer WHERE c_acctbal > 0.0)
         |SELECT CAST(c_nationkey % 5 AS INT) AS cntry_bucket,
         |  COUNT(*) AS n_cust,
         |  D4(SUM(CAST(c_acctbal AS DECIMAL(18,6)))) AS total_bal
         |FROM customer, a
-        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) > avg_bal
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > sum_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY cntry_bucket
@@ -456,5 +463,149 @@ object TpchOps extends Pack {
         |    AS avg_yearly,
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN pp USING (l_partkey)
-        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_part < sum_qty""".stripMargin)))
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_part < sum_qty""".stripMargin)),
+
+    // Q1 shape — the pricing-summary flagship: ONE filtered scan of
+    // the fact table, one 6-group aggregation, no joins at all. The
+    // date predicate pushes to parquet; every SUM is exact-decimal so
+    // both engines agree bit-for-bit regardless of partial-agg order;
+    // the AVG family divides IN DOUBLE ON BOTH SIDES (identical IEEE
+    // inputs → identical quotient) because decimal division is the one
+    // arithmetic the engines do differently (DuckDB demotes to double,
+    // Spark stays exact — SURVEY §7). At 100 TB this is the canonical
+    // map-side-combine plan: partials all the way down, a 6-row
+    // shuffle.
+    Decl("q_tpch_q1", (spark, dir) => {
+      val charge = (revenue *
+        (lit(1) + frac(col("l_tax"))).cast("decimal(7,6)"))
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d4(sum(dec(col("l_quantity")))).as("sum_qty"),
+          d4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          d4(sum(revenue)).as("sum_disc_price"),
+          d4(sum(charge)).as("sum_charge"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4)
+            .as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4)
+            .as("avg_price"),
+          round(sum(frac(col("l_discount"))).cast("double") / count(lit(1)), 4)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  D4(SUM(CAST(l_quantity AS DECIMAL(18,6)))) AS sum_qty,
+         |  D4(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) AS sum_base_price,
+         |  D4(SUM($revenueSql)) AS sum_disc_price,
+         |  D4(SUM($revenueSql *
+         |    CAST(1 + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(7,6)))) AS sum_charge,
+         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_qty,
+         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_price,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Q9 shape — product-line profit by nation and year. The fixture
+    // has no partsupp, so supply cost is proxied by p_retailprice ×
+    // quantity (same arithmetic shape: revenue minus a part-priced
+    // cost term, summed per (nation, year)). part/supplier/nation are
+    // broadcast dims; the ONE shuffle join is lineitem⋈orders on
+    // orderkey, then a keyed agg — at 100 TB the name filter prunes
+    // part before broadcast, and profit stays exact-decimal.
+    Decl("q_tpch_q9", (spark, dir) => {
+      val amount = revenue -
+        dec(col("p_retailprice")) * dec(col("l_quantity"))
+      val part = Tables(spark, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(d4(sum(amount)).as("sum_profit"))
+        .orderBy(col("nation").asc_nulls_first, col("o_year").asc_nulls_first)
+    }, Some(
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  D4(SUM($revenueSql -
+         |    CAST(p_retailprice AS DECIMAL(18,6)) *
+         |    CAST(l_quantity AS DECIMAL(18,6)))) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY nation ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin)),
+
+    // Q21 shape — suppliers who kept orders waiting: for finalized
+    // ('F') orders, the suppliers whose shipment was late (>180 days
+    // after the order date — the fixture has no commit/receipt dates)
+    // on a multi-supplier order where NO other supplier was late.
+    // The classic hard join shape: one semi-join (another supplier
+    // exists) plus one anti-join (no other LATE supplier) against the
+    // same fact, both keyed on l_orderkey — never a cartesian. At
+    // 100 TB both probe sides shuffle once on the order key and the
+    // late set is date-filtered fact, far smaller than lineitem.
+    Decl("q_tpch_q21", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      late
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }, Some(
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 180 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late lt
+        |JOIN supplier ON lt.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = lt.l_orderkey
+        |                AND l2.l_suppkey <> lt.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = lt.l_orderkey
+        |                    AND l3.l_suppkey <> lt.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)))
 }

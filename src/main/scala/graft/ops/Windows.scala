@@ -124,16 +124,21 @@ object Windows extends Pack {
           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
           |  running_total ASC NULLS FIRST""".stripMargin)),
 
-    // Value-range frame: all orders within 10000 of the current price
-    // (below), per status. Tie-insensitive because the frame is defined
-    // by values, not positions.
+    // Value-range frame: all orders within 1000 of the current price
+    // (below), per (status, priority, customer-bucket). Tie-insensitive
+    // because the frame is defined by values, not positions.
     // Narrow 1000-wide band over a composite partition key: Spark's
     // SlidingWindowFunctionFrame re-evaluates the aggregate per row, so
     // cost is O(rows × frame-size) — keep frames tight and partitions
-    // plentiful (a wide band over 3 partitions was 20× slower).
+    // plentiful (a wide band over 3 partitions was 20× slower). The
+    // o_custkey%16 bucket is load-bearing for scale: (status, priority)
+    // alone is ~15 distinct values, so every partition would be ONE
+    // task's full sort regardless of cluster size — a RANGE frame's
+    // partition key must include a high-cardinality component or the
+    // operator caps at ~15-way parallelism at any data volume.
     Decl("q_win_frame_range", (spark, dir) => {
-      val over = "OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice ASC " +
-        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
+      val over = "OVER (PARTITION BY o_orderstatus, o_orderpriority, o_custkey % 16 " +
+        "ORDER BY o_totalprice ASC RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
       Tables(spark, dir, "orders")
         .withColumn("n_near", expr(s"COUNT(*) $over"))
         .withColumn("near_sum",
@@ -148,7 +153,8 @@ object Windows extends Pack {
         |  COUNT(*) OVER w AS n_near,
         |  D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w) AS near_sum
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice ASC
+        |WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority, o_custkey % 16
+        |  ORDER BY o_totalprice ASC
         |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
         |  o_orderkey ASC NULLS FIRST, o_totalprice ASC NULLS FIRST,

@@ -197,6 +197,43 @@ class PlanShapeSpec extends AnyFunSuite {
       scans22.head.metadata.getOrElse("PushedFilters", "?"))
   }
 
+  test("q_tpch_q1: join-free single scan, pushed date filter, map-side partial aggregation") {
+    val p = plan("q_tpch_q1")
+    assert(!p.contains("Join"), s"Q1 is one scan + one agg, no joins:\n${p.take(1500)}")
+    val scans = scansOf(q("q_tpch_q1"), "lineitem")
+    assert(scans.length == 1 &&
+      scans.head.metadata.get("PushedFilters").exists(_.contains("l_shipdate")),
+      scans.headOption.flatMap(_.metadata.get("PushedFilters")).getOrElse("no scan"))
+    // partial agg before the exchange — at 100 TB the shuffle is 6
+    // rows per task, not the fact table
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial aggregation lost:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"Q1 must shuffle once:\n${p.take(2000)}")
+  }
+
+  test("q_tpch_q9: part/supplier/nation broadcast, one fact shuffle join, name filter pushed") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q9:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"part/supplier/nation must all broadcast:\n${p.take(2500)}")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"only lineitem⋈orders may shuffle:\n${p.take(2500)}")
+    val pScans = scansOf(q("q_tpch_q9"), "part")
+    assert(pScans.head.metadata.get("PushedFilters").exists(_.contains("p_name")),
+      pScans.head.metadata.getOrElse("PushedFilters", "?"))
+  }
+
+  test("q_tpch_q21: exists/not-exists plan as keyed semi+anti joins, never nested-loop") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"other-supplier EXISTS must be a semi join:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"no-other-late NOT EXISTS must be an anti join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"inequality must ride the orderkey equi-join, not a loop:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), s"bounded head must not global-sort:\n${p.take(2000)}")
+  }
+
   test("q_tpch_q4/q17, q_join_salted: semi-join EXISTS, no cartesian, salted exchange") {
     val p4 = plan("q_tpch_q4")
     assert(p4.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${p4.take(1500)}")
