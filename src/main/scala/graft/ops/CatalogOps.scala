@@ -373,6 +373,31 @@ object CatalogOps extends Pack {
       """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
 
+    // The same view surface through pure SQL DDL — CREATE OR REPLACE
+    // VIEW / SELECT-by-name route through GraftExtensions into the V2
+    // ViewCatalog (Spark 4.1 alone rejects both with
+    // MISSING_CATALOG_ABILITY.VIEWS; ref JdbcRelativeCatalog.java:
+    // 476-547 makes view DDL a catalog op). The read goes through the
+    // resolution rule, so this oracles the full parse→create→resolve
+    // loop, not just the API.
+    Decl("q_cat_view_sql", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_vsql")
+      spark.sql(s"CREATE TABLE $c.demo_vsql.nat (n_nationkey INT, n_name STRING, n_regionkey INT)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_vsql_src")
+      spark.sql(s"INSERT INTO $c.demo_vsql.nat SELECT * FROM nation_vsql_src")
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $c.demo_vsql.region_counts (region_key, n) AS
+           |SELECT n_regionkey, COUNT(*) FROM $c.demo_vsql.nat
+           |GROUP BY n_regionkey""".stripMargin)
+      spark.sql(
+        s"""SELECT region_key, n FROM $c.demo_vsql.region_counts
+           |ORDER BY region_key ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT n_regionkey AS region_key, COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY region_key ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
+
     // Merge-on-read UPDATE via DELTA writes: the touched rows become
     // position deletes + new-version rows; no data file is rewritten
     // (CatalogSpec asserts byte-identity; this verifies the merged

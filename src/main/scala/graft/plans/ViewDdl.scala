@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** SQL view DDL + view reads for V2 `ViewCatalog`s.
+  *
+  * Spark 4.1 parses `CREATE/DROP/SHOW VIEW` and relation references
+  * fine, but its analyzer hard-stops every one of them for a non-
+  * session catalog (`ResolveSessionCatalog` throws
+  * MISSING_CATALOG_ABILITY.VIEWS — the V2 view SQL surface is
+  * unfinished upstream), so a catalog implementing the connector
+  * `ViewCatalog` API is reachable only programmatically. The reference
+  * treats SQL view DDL as a first-class catalog operation
+  * (JdbcRelativeCatalog.java:476-547), so this extension closes the
+  * gap Spark-first:
+  *
+  *  - a delegating parser rewrites CREATE [OR REPLACE] VIEW /
+  *    DROP VIEW / SHOW VIEWS that target a registered `ViewCatalog`
+  *    into runnable commands driving the V2 API (the rewrite happens
+  *    at parse time because the analyzer's ability check throws
+  *    mid-resolution, before any injected rule could see the plan);
+  *  - an injected resolution rule expands relation references that
+  *    name a V2 view into its parsed SQL (`SubqueryAlias` over the
+  *    stored text), so SELECT / spark.table() read through.
+  *
+  * Names inside a view body resolve in the READER's context; qualify
+  * table references in view definitions (the stored
+  * currentCatalog/currentNamespace are kept as metadata, matching the
+  * reference's records). Registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) => new GraftViewDdlParser(session, delegate))
+    ext.injectResolutionRule(session => ResolveGraftViews(session))
+  }
+}
+
+object GraftViewDdl {
+  /** The V2 ViewCatalog registered under `name`, if any (the session
+    * catalog is never one). */
+  def viewCatalog(spark: SparkSession, name: String): Option[ViewCatalog] =
+    Try(spark.sessionState.catalogManager.catalog(name)).toOption
+      .collect { case v: ViewCatalog => v }
+
+  /** Split a relation/identifier name into (catalog, ident) when its
+    * head names a registered ViewCatalog — explicit 3-part names only;
+    * 2-part names resolve against the CURRENT catalog when that is a
+    * ViewCatalog. */
+  def viewTarget(spark: SparkSession, parts: Seq[String]): Option[(ViewCatalog, Identifier)] =
+    if (parts.length >= 3)
+      viewCatalog(spark, parts.head)
+        .map(_ -> Identifier.of(parts.tail.init.toArray, parts.last))
+    else if (parts.length == 2)
+      spark.sessionState.catalogManager.currentCatalog match {
+        case v: ViewCatalog => Some(v -> Identifier.of(Array(parts.head), parts.last))
+        case _ => None
+      }
+    else None
+}
+
+/** Delegating parser: rewrites view DDL aimed at a V2 ViewCatalog into
+  * graft commands; everything else passes through untouched. */
+class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    route(delegate.parsePlan(sqlText))
+
+  private def route(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
+        props, originalText, _, allowExisting, replace, _) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        CreateGraftViewCommand(parts.head, ident,
+          originalText.getOrElse(throw new IllegalArgumentException(
+            "CREATE VIEW without original SQL text")),
+          cols.map(_._1), comment, props, allowExisting, replace)
+      }.getOrElse(cv)
+    case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        DropGraftViewCommand(parts.head, ident, ifExists)
+      }.getOrElse(dv)
+    case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, _)
+        if parts.nonEmpty && GraftViewDdl.viewCatalog(spark, parts.head).isDefined =>
+      ShowGraftViewsCommand(parts.head, parts.tail, pattern)
+    case other => other
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+/** CREATE [OR REPLACE] VIEW catalog.ns.v [(aliases)] AS <sql> → V2
+  * createView: analyze the body for its schema, then persist SQL +
+  * schema + column metadata through the catalog API. */
+case class CreateGraftViewCommand(
+    catalogName: String, ident: Identifier, sql: String,
+    columnAliases: Seq[String], comment: Option[String],
+    properties: Map[String, String],
+    allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    val exists = cat.viewExists(ident)
+    if (exists && allowExisting) return Nil
+    if (exists && !replace)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+    val queryNames = analyzed.schema.fieldNames
+    if (columnAliases.nonEmpty && columnAliases.length != queryNames.length)
+      throw new IllegalArgumentException(
+        s"view column list has ${columnAliases.length} names, query produces ${queryNames.length}")
+    val schema =
+      if (columnAliases.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(columnAliases)
+        .map { case (f, a) => f.copy(name = a) })
+    val cm = spark.sessionState.catalogManager
+    val props = new java.util.HashMap[String, String]()
+    properties.foreach { case (k, v) => props.put(k, v) }
+    comment.foreach(props.put(ViewCatalog.PROP_COMMENT, _))
+    if (exists) cat.dropView(ident)
+    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, queryNames,
+      columnAliases.toArray, Array.empty[String], props))
+    Nil
+  }
+}
+
+case class DropGraftViewCommand(catalogName: String, ident: Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    if (!cat.dropView(ident) && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Nil
+  }
+}
+
+/** SHOW VIEWS IN catalog.ns — same output shape as Spark's ShowViews
+  * (namespace, viewName, isTemporary). */
+case class ShowGraftViewsCommand(catalogName: String, namespace: Seq[String],
+    pattern: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ShowViews.getOutputAttrs
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    val re = pattern.map(p =>
+      p.split('|').map(s => java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
+        .mkString("(?i)(", ")|(", ")").r)
+    cat.listViews(namespace: _*).toSeq
+      .filter(id => re.forall(_.matches(id.name())))
+      .sortBy(_.name())
+      .map(id => Row(namespace.mkString("."), id.name(), false))
+  }
+}
+
+/** Read path: a relation reference naming a V2 ViewCatalog view
+  * expands to its stored SQL. Runs inside the resolution fixed point,
+  * after the built-ins have had their chance (tables win over views,
+  * as in the catalogs themselves). */
+case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+      GraftViewDdl.viewTarget(spark, u.multipartIdentifier)
+        .filter { case (cat, ident) => cat.viewExists(ident) }
+        .map { case (cat, ident) =>
+          val v = cat.loadView(ident)
+          val body = spark.sessionState.sqlParser.parsePlan(v.query)
+          // user column aliases rename the body's output by position
+          // (stored as parallel queryColumnNames/columnAliases arrays)
+          val aliased =
+            if (v.columnAliases == null || v.columnAliases.isEmpty) body
+            else org.apache.spark.sql.catalyst.plans.logical.Project(
+              v.queryColumnNames.zip(v.columnAliases).toIndexedSeq.map { case (q, a) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(q), a)()
+              }, body)
+          SubqueryAlias(ident.name, aliased)
+        }.getOrElse(u)
+  }
+}
