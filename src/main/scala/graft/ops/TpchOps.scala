@@ -558,6 +558,177 @@ object TpchOps extends Pack {
          |GROUP BY n_name, year(o_orderdate)
          |ORDER BY nation ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin)),
 
+    // Q8 shape — national market share: one supplier-nation's slice of
+    // revenue in one region's customer market, per year. Two DISTINCT
+    // roles for nation (customer side filters the region, supplier
+    // side is the share dimension) — both broadcast, as are part,
+    // customer-region, and supplier; the only fact shuffle is
+    // lineitem⋈orders. The share ratio follows the q14 idiom (exact
+    // decimal sums, one final ROUND); the component sums are ALSO
+    // emitted exact so the ratio is cross-checkable.
+    Decl("q_tpch_q8", (spark, dir) => {
+      val part = Tables(spark, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val custAmerica = Tables(spark, dir, "customer")
+        .join(Tables(spark, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(spark, dir, "region")
+          .filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables(spark, dir, "supplier")
+        .join(Tables(spark, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val zero = lit(0).cast("decimal(18,6)")
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          d4(sum(when(col("supp_nation") === "NATION_2", revenue).otherwise(zero)))
+            .as("nation_volume"),
+          d4(sum(revenue)).as("total_volume"),
+          round(sum(when(col("supp_nation") === "NATION_2", revenue).otherwise(zero))
+            * 100 / sum(revenue), 4).cast("double").as("mkt_share_pct"))
+        .orderBy(col("o_year").asc_nulls_first)
+    }, Some(
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  D4(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END)) AS nation_volume,
+         |  D4(SUM($revenueSql)) AS total_volume,
+         |  CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+         |    / SUM($revenueSql), 4) AS DOUBLE) AS mkt_share_pct
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_type = 'PROMO'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM customer
+         |              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |              JOIN region ON n1.n_regionkey = r_regionkey
+         |              WHERE c_custkey = o_custkey AND r_name = 'AMERICA')
+         |GROUP BY year(o_orderdate)
+         |ORDER BY o_year ASC NULLS FIRST""".stripMargin)),
+
+    // Q15 shape — top supplier by quarterly revenue: the per-supplier
+    // revenue aggregate (TPC-H defines it as a VIEW) joined back
+    // against its own scalar MAX. Both the max row and the supplier
+    // dim broadcast onto the aggregate; revenue is computed once
+    // (Spark reuses the agg subtree on both sides of the self-join at
+    // 100 TB via exchange reuse — and the agg output is
+    // supplier-cardinality, tiny, regardless).
+    Decl("q_tpch_q15", (spark, dir) => {
+      val rev = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(d4(sum(revenue)).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey").asc_nulls_first)
+    }, Some(
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    D4(SUM($revenueSql)) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin)),
+
+    // Q16 shape — supplier diversity per part profile: distinct
+    // supplier counts per (brand, type, size) over the observed
+    // part-supplier pairs (the fixture has no partsupp; DISTINCT
+    // (l_partkey, l_suppkey) from lineitem is that relation), minus
+    // excluded part profiles and minus "complaint" suppliers
+    // (s_acctbal < 0 stands in for the comment scan) via NOT IN →
+    // null-safe anti join. Part filters push to the scan; the
+    // distinct pair reduction is the only fact shuffle.
+    Decl("q_tpch_q16", (spark, dir) => {
+      val ps = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val part = Tables(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complaints = Tables(spark, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc_nulls_first,
+          col("p_type").asc_nulls_first, col("p_size").asc_nulls_first)
+    }, Some(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC NULLS FIRST,
+        |  p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin)),
+
+    // Q20 shape — suppliers moving serious volume of a part family:
+    // per-supplier shipped quantity of name-matched parts in one year,
+    // HAVING over the exact-decimal sum, semi-joined into the supplier
+    // dim and filtered to one region. part broadcasts into the fact
+    // agg; the qualifying-supplier set broadcasts into the dim
+    // semi-join; exactly one fact shuffle (the supplier agg).
+    Decl("q_tpch_q20", (spark, dir) => {
+      val part = Tables(spark, dir, "part")
+        .filter(col("p_name").contains("blue")).select(col("p_partkey"))
+      val shipped = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > 300)
+        .select(col("l_suppkey"))
+      Tables(spark, dir, "supplier")
+        .join(Tables(spark, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 2)
+        .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey").asc_nulls_first)
+    }, Some(
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE '%blue%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin)),
+
     // Q21 shape — suppliers who kept orders waiting: for finalized
     // ('F') orders, the suppliers whose shipment was late (>180 days
     // after the order date — the fixture has no commit/receipt dates)

@@ -234,6 +234,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"bounded head must not global-sort:\n${p.take(2000)}")
   }
 
+  test("q_tpch_q8/q15/q16/q20: broadcast dims/qualifier sets, semi/anti keyed, no loops") {
+    for (name <- Seq("q_tpch_q8", "q_tpch_q15", "q_tpch_q16", "q_tpch_q20")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$name small sides must broadcast:\n${p.take(2000)}")
+    }
+    // q8's customer-region membership is a semi join, q16's complaint
+    // exclusion an anti join, q20's qualifier set a semi join
+    assert(plan("q_tpch_q8").contains("LeftSemi"), "q8 region membership must be semi")
+    assert(plan("q_tpch_q16").contains("LeftAnti"), "q16 exclusion must be anti")
+    assert(plan("q_tpch_q20").contains("LeftSemi"), "q20 qualifier must be semi")
+    // q16's distinct (part,supp) reduction happens before the dim join
+    // explodes it — the only fact-sized shuffles are the distinct + the
+    // distinct-count agg
+    val p16 = plan("q_tpch_q16")
+    assert(p16.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"q16 shuffle count grew:\n${p16.take(2500)}")
+  }
+
   test("q_tpch_q4/q17, q_join_salted: semi-join EXISTS, no cartesian, salted exchange") {
     val p4 = plan("q_tpch_q4")
     assert(p4.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${p4.take(1500)}")
