@@ -511,7 +511,15 @@ object Writer {
       val now = System.currentTimeMillis()
       val snapId = now * 1000 + scala.util.Random.nextInt(1000)
       // branch writes (write-audit-publish) chain off the BRANCH head
-      // and leave `main`/current untouched until fast-forward
+      // and leave `main`/current untouched until fast-forward. A TAG is
+      // an immutable label — writing "to" one would silently convert it
+      // into a branch, so refuse (Iceberg semantics).
+      branch.foreach { b =>
+        baseMeta.refs.get(b).filter(_.refType == "tag").foreach { _ =>
+          throw new IllegalArgumentException(
+            s"ref $b is a tag; tags are immutable — create a branch to write")
+        }
+      }
       val baseSnap = branch.flatMap(b => baseMeta.refs.get(b))
         .flatMap(r => baseMeta.snapshot(r.snapshotId))
         .orElse(baseMeta.currentSnapshot)

@@ -696,6 +696,37 @@ object CatalogOps extends Pack {
         |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
         |FROM orders""".stripMargin)),
 
+    // Snapshot TAGS (refs with ref_type=tag): an immutable label
+    // pinning one snapshot forever. Thirds of orders land in three
+    // appends; the first snapshot is tagged 'v1'; expire_snapshots
+    // (keep_last=1) then reclaims the untagged middle snapshot — but
+    // the tag pins its snapshot through expiry, so VERSION AS OF 'v1'
+    // still reads the exact base state while main sees all three
+    // appends. (Writes to a tag are refused — MaintSpec pins that tags
+    // stay immutable rather than silently becoming branches.)
+    Decl("q_cat_tag", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_tag")
+      spark.sql(s"CREATE TABLE $c.demo_tag.o (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_tag.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 3 = 0")
+      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_tag.o', ref => 'v1', ref_type => 'tag')")
+      spark.sql(s"INSERT INTO $c.demo_tag.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 3 = 1")
+      spark.sql(s"INSERT INTO $c.demo_tag.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 3 = 2")
+      spark.sql(s"CALL $c.system.expire_snapshots(tbl => 'demo_tag.o', keep_last => 1)")
+      val tagged = spark.sql(
+        s"SELECT COUNT(*) FROM $c.demo_tag.o VERSION AS OF 'v1'").collect()(0).getLong(0)
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT $tagged AS n_tagged, COUNT(*) AS n_main,
+           |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
+           |FROM $c.demo_tag.o""".stripMargin))
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_tagged,
+        |  COUNT(*) AS n_main,
+        |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
+        |FROM orders""".stripMargin)),
+
     // months(ts)-partitioned scan: hidden partitioning over a time
     // transform; the ts predicate prunes whole month files (the
     // fanout writer made them partition-local with tight ts bounds).

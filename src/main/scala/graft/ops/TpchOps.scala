@@ -778,5 +778,101 @@ object TpchOps extends Pack {
         |                  WHERE l3.l_orderkey = lt.l_orderkey
         |                    AND l3.l_suppkey <> lt.l_suppkey)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)))
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin)),
+
+    // Q2 shape — min-cost supplier per part profile. The fixture has
+    // no partsupp: MIN exact-decimal l_extendedprice per observed
+    // (l_partkey, l_suppkey) pair stands in for ps_supplycost (same
+    // stand-in family as q16's DISTINCT pair relation). Candidates are
+    // one region's suppliers × one part profile; each part then keeps
+    // only its cheapest supplier(s) — the classic correlated-MIN
+    // subquery, planned as an aggregate joined back on equality (the
+    // q15/q17 idiom, exact decimals so the equality is boundary-free).
+    // The pair aggregation is the only fact shuffle; part, the
+    // region-supplier dim, and the per-part MIN (part-cardinality,
+    // tiny) all broadcast, so at 100 TB lineitem shuffles exactly once.
+    Decl("q_tpch_q2", (spark, dir) => {
+      val ps = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+      val part = Tables(spark, dir, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val euro = Tables(spark, dir, "supplier")
+        .join(Tables(spark, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cand = ps
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      val minCost = cand.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      cand.join(broadcast(minCost),
+          col("p_partkey") === col("mk") &&
+            col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), d4(col("ps_supplycost")).as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc_nulls_last, col("n_name").asc_nulls_first,
+          col("s_name").asc_nulls_first, col("p_partkey").asc_nulls_first)
+        .limit(100)
+    }, Some(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,6))) AS ps_supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |cand AS (
+        |  SELECT p_partkey, ps_supplycost, s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |  D4(ps_supplycost) AS ps_supplycost
+        |FROM cand c
+        |WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM cand m
+        |                       WHERE m.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS FIRST,
+        |  s_name ASC NULLS FIRST, p_partkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // Q11 shape — important stock: per-part inventory value held by
+    // one nation's suppliers (SUM of exact-decimal extendedprice over
+    // that nation's observed part-supplier lineitems stands in for
+    // supplycost × availqty), keeping parts whose value exceeds 1/600
+    // of the nation total. The HAVING threshold is a
+    // cross-multiplication on exact decimals — no division, no float
+    // rounding at the filter boundary (the q17 idiom). One fact
+    // shuffle (the per-part aggregation); the nation-supplier dim and
+    // the 1-row total both broadcast.
+    Decl("q_tpch_q11", (spark, dir) => {
+      val natSupp = Tables(spark, dir, "supplier")
+        .join(Tables(spark, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = Tables(spark, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("v_exact"))
+      val total = v.agg(sum(col("v_exact")).as("total"))
+      v.join(broadcast(total))
+        .filter(col("v_exact").cast("decimal(28,6)") * 600 > col("total"))
+        .select(col("l_partkey").as("ps_partkey"), d4(col("v_exact")).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey").asc_nulls_first)
+    }, Some(
+      """WITH v AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS v_exact
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT ps_partkey, D4(v_exact) AS value
+        |FROM v
+        |WHERE CAST(v_exact AS DECIMAL(28,6)) * 600 > (SELECT SUM(v_exact) FROM v)
+        |ORDER BY value DESC, ps_partkey ASC NULLS FIRST""".stripMargin)))
 }

@@ -662,4 +662,36 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM tcRpdR.m.t").collect().head.getLong(0)
       == expected)
   }
+
+  test("tags are immutable: branch-writes to a tag refuse; expiry keeps the pinned snapshot") {
+    val wh = "/tmp/graft_test_tagimm"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcTag", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcTag.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcTag.m")
+    spark.sql("CREATE TABLE tcTag.m.t (id BIGINT)")
+    spark.sql("INSERT INTO tcTag.m.t SELECT id FROM range(0, 100)")
+    spark.sql("CALL tcTag.system.create_ref(tbl => 'm.t', ref => 'rel1', ref_type => 'tag')")
+    val cat = spark.sessionState.catalogManager.catalog("tcTag")
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+    def t = cat.loadTable(Identifier.of(Array("m"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    // a write "to" the tag must refuse, not silently convert it to a branch
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.appendToBranch(t, spark.sql("SELECT id FROM range(100, 200)"), "rel1")
+    }
+    assert(e.getMessage.contains("tag"))
+    assert(t.meta.refs("rel1").refType == "tag", "tag was mutated by a refused write")
+    // two more main appends, then expire everything but the head:
+    // the tag pins its snapshot through expiry
+    spark.sql("INSERT INTO tcTag.m.t SELECT id FROM range(100, 200)")
+    spark.sql("INSERT INTO tcTag.m.t SELECT id FROM range(200, 300)")
+    spark.sql("CALL tcTag.system.expire_snapshots(tbl => 'm.t', keep_last => 1)")
+    val snaps = t.meta.snapshots.map(_.snapshotId).toSet
+    assert(snaps.contains(t.meta.refs("rel1").snapshotId), "expiry dropped the tagged snapshot")
+    assert(spark.sql("SELECT count(*) FROM tcTag.m.t VERSION AS OF 'rel1'")
+      .collect().head.getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM tcTag.m.t")
+      .collect().head.getLong(0) == 300)
+  }
 }
