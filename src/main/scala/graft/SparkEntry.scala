@@ -28,6 +28,7 @@ object SparkEntry {
     ops.LlmOps7,
     ops.LlmOps8,
     ops.LlmOps9,
+    ops.LlmOps10,
     ops.EventOps,
     ops.TpchOps,
     ops.StreamOps,

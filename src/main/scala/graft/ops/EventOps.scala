@@ -357,5 +357,48 @@ object EventOps extends Pack {
         |  ROUND(QUANTILE_CONT(dur_s, 0.5), 4) AS p50_dur_s,
         |  ROUND(QUANTILE_CONT(dur_s, 0.9), 4) AS p90_dur_s,
         |  MAX(dur_s) AS max_dur_s
-        |FROM d""".stripMargin)))
+        |FROM d""".stripMargin)),
+
+    // Growth accounting: each day's actives split into new (first
+    // ever day), retained (active yesterday), resurrected (active
+    // before, but not yesterday), plus churned (yesterday's actives
+    // who didn't return — only attributable when yesterday is an
+    // observed day). ONE user-keyed shuffle produces the per-user
+    // day sequence (lag over the distinct (user, day) relation); the
+    // day-level rollup and the final day-over-day lag run on
+    // timeline-cardinality rows — a deliberate single-partition
+    // window over ~30 rows, not a scale risk.
+    Decl("q_evt_lifecycle", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = ev(spark, dir)
+        .select(col("user_id"), expr(s"us div $DayUs").as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      val daily = act.withColumn("prev", lag(col("day"), 1).over(w))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val wd = Window.orderBy(col("day").asc)
+      daily
+        .withColumn("n_churned",
+          when(lag(col("day"), 1).over(wd) === col("day") - 1,
+            lag(col("dau"), 1).over(wd) - col("n_retained")).otherwise(lit(0L)))
+        .orderBy(col("day").asc_nulls_first)
+    }, Some(
+      s"""WITH act AS (SELECT DISTINCT user_id,
+         |    epoch_us(ts) // $DayUs AS day FROM events),
+         |seq AS (SELECT user_id, day,
+         |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM act),
+         |daily AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+         |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+         |  FROM seq GROUP BY day)
+         |SELECT day, dau, n_new, n_retained, n_resurrected,
+         |  CAST(CASE WHEN LAG(day) OVER (ORDER BY day) = day - 1
+         |       THEN LAG(dau) OVER (ORDER BY day) - n_retained ELSE 0 END AS BIGINT) AS n_churned
+         |FROM daily ORDER BY day ASC NULLS FIRST""".stripMargin)))
 }

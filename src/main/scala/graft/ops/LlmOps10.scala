@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Decl, Pack, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus curation diagnostics, block 10: tokenizer fertility,
+  * cross-document repeated-span (substring-level) duplication, and the
+  * one-pass per-source data card.
+  *
+  * Scale shapes: every aggregation is keyed on its natural analysis
+  * key (lang / span / source) with map-side partials; the span join is
+  * a shuffled equi-join on the span key — at corpus scale the span
+  * string would be folded to xxhash64 first (64-bit keys shuffle
+  * cheaper and collisions only ever ADD a candidate pair), exactly as
+  * the exact-dedup family does.
+  */
+object LlmOps10 extends Pack {
+
+  /** Words of `text` (empty tokens dropped). */
+  private def words(c: Column) = filter(split(c, " "), w => w =!= "")
+
+  def decls: Seq[Decl] = Seq(
+
+    // Tokenizer fertility by language: characters per whitespace token
+    // and per 4-chars-≈-1-BPE-token estimate. The per-language ratio is
+    // what decides whether a tokenizer under-serves a language (high
+    // fertility = more tokens per char of content). Ratios divide in
+    // DOUBLE on both engines (the q_tpch_q1 AVG idiom) — they are
+    // outputs, not filter boundaries.
+    Decl("q_llm_fertility", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("lang"), length(col("text")).as("nc"),
+          size(words(col("text"))).as("nw"),
+          expr("(length(text) + 3) div 4").as("est"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("total_tokens"),
+          sum(col("nc")).as("total_chars"),
+          round(sum(col("nc")).cast("double") / sum(col("nw")).cast("double"), 4)
+            .as("chars_per_token"),
+          round(sum(col("nc")).cast("double") / sum(col("est")).cast("double"), 4)
+            .as("chars_per_bpe"))
+        .orderBy(col("lang").asc_nulls_first),
+      Some(
+        """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS total_tokens,
+          |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+          |  ROUND(CAST(SUM(length(text)) AS DOUBLE) /
+          |    CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS DOUBLE), 4) AS chars_per_token,
+          |  ROUND(CAST(SUM(length(text)) AS DOUBLE) /
+          |    CAST(SUM((length(text) + 3) // 4) AS DOUBLE), 4) AS chars_per_bpe
+          |FROM documents
+          |GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
+    // Substring-level duplication (the Lee et al. "deduplicating
+    // training data" failure mode exact-doc dedup misses): 64-char
+    // spans at stride 32 — any ≥95-char shared region is guaranteed to
+    // contain at least one aligned span — grouped cross-doc; a span in
+    // 2+ distinct docs marks every carrying doc. Per source: affected
+    // docs and duplicated-span instances. Shorter-than-64-char docs
+    // contribute their whole text as one span (degenerates to exact
+    // dedup, which is the right semantics there).
+    Decl("q_llm_substrdedup", (spark, dir) => {
+      val sp = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1),
+            greatest(length(col("text")) - 63, lit(1)), lit(32))).as("s"),
+          col("text"))
+        .select(col("doc_id"), col("source"),
+          expr("substring(text, s, 64)").as("span"))
+      val dup = sp.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("span"))
+      sp.join(dup, "span")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_affected"),
+          count(lit(1)).as("n_dup_instances"))
+        .orderBy(col("source").asc_nulls_first)
+    }, Some(
+      """WITH sp AS (
+        |  SELECT doc_id, source,
+        |    substr(text, CAST(unnest(generate_series(1,
+        |      greatest(length(text) - 63, 1), 32)) AS INTEGER), 64) AS span
+        |  FROM documents),
+        |dup AS (SELECT span FROM sp GROUP BY span
+        |        HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dup_instances
+        |FROM sp JOIN dup USING (span)
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
+    // Per-source data card: the one-table summary a dataset release
+    // ships — doc/token volume, language spread, mean length, and
+    // exact-duplicate redundancy — in two keyed aggregations (the
+    // dedup rate needs its own (source, hash) reduction; everything
+    // else rides one source-keyed pass; the 20-row join broadcasts).
+    Decl("q_llm_datacard", (spark, dir) => {
+      val base = Tables(spark, dir, "documents")
+        .select(col("source"), col("lang"),
+          length(col("text")).as("nc"), size(words(col("text"))).as("nw"),
+          sha2(lower(trim(col("text"))).cast("binary"), 256).as("h"))
+      val stats = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(col("nc")).cast("double") / count(lit(1)).cast("double"), 4)
+            .as("avg_chars"))
+      val dup = base.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n") - 1).as("n_redundant"))
+      stats.join(broadcast(dup), "source")
+        .orderBy(col("source").asc_nulls_first)
+    }, Some(
+      """WITH base AS (
+        |  SELECT source, lang, length(text) AS nc,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS nw,
+        |    sha256(lower(trim(text))) AS h
+        |  FROM documents),
+        |stats AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nw) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_chars
+        |  FROM base GROUP BY source),
+        |dup AS (
+        |  SELECT source, CAST(SUM(n - 1) AS BIGINT) AS n_redundant
+        |  FROM (SELECT source, h, COUNT(*) AS n FROM base GROUP BY source, h)
+        |  GROUP BY source)
+        |SELECT source, n_docs, total_tokens, n_langs, avg_chars, n_redundant
+        |FROM stats JOIN dup USING (source)
+        |ORDER BY source ASC NULLS FIRST""".stripMargin)))
+}

@@ -236,5 +236,30 @@ object Windows extends Pack {
         |  CAST(SUM(n) AS BIGINT) AS n_events, CAST(MAX(n) AS BIGINT) AS longest
         |FROM c GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
+
+    // Time-interval RANGE frame: rolling 7-day order count/revenue per
+    // customer — the frame is bounded by a calendar INTERVAL on the
+    // timestamp ordering, not by row positions, so it is
+    // tie-insensitive and expresses "last week" exactly. Partitioned
+    // on o_custkey (full key cardinality — parallelism scales with the
+    // data, unlike a low-cardinality status key).
+    Decl("q_win_frame_interval", (spark, dir) => {
+      val over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC " +
+        "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"
+      Tables(spark, dir, "orders")
+        .withColumn("n_7d", expr(s"COUNT(*) $over"))
+        .withColumn("sum_7d", expr(graft.Dsl.expandOracle(
+          s"D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) $over)")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("n_7d"), col("sum_7d"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  COUNT(*) OVER w AS n_7d,
+        |  D4(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w) AS sum_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC
+        |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
   )
 }

@@ -281,4 +281,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf(q("q_evt_sessionstats"), "events").length == 1,
       "session reduce + percentile rollup must share one scan")
   }
+
+  test("q_tpch_q2/q11: pair agg is the only fact shuffle; dims and aggregates broadcast") {
+    val p2 = plan("q_tpch_q2")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"),
+      s"q2:\n${p2.take(2000)}")
+    // part, the region-supplier dim, AND the per-part MIN all broadcast
+    assert(p2.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"q2 small sides must broadcast:\n${p2.take(2500)}")
+    val p11 = plan("q_tpch_q11")
+    assert(!p11.contains("CartesianProduct"),
+      s"q11 (the 1-row total may nested-loop-broadcast, never cartesian):\n${p11.take(2000)}")
+    assert(p11.contains("BroadcastHashJoin") || p11.contains("BroadcastNestedLoop"),
+      s"q11 nation-supplier dim and scalar total must broadcast:\n${p11.take(2000)}")
+  }
+
+  test("q_evt_lifecycle: one events scan, user-keyed lag before the day rollup") {
+    val df = q("q_evt_lifecycle")
+    assert(scansOf(df, "events").length == 1, "lifecycle must be a single scan")
+    val p = plan("q_evt_lifecycle")
+    assert(!p.contains("Join"), s"lifecycle needs no self-join:\n${p.take(2000)}")
+  }
+
+  test("q_llm_substrdedup / q_llm_datacard: keyed joins only, no loops; datacard single scan per agg") {
+    val pS = plan("q_llm_substrdedup")
+    assert(!pS.contains("CartesianProduct") && !pS.contains("BroadcastNestedLoop"),
+      s"span join must be a keyed equi-join:\n${pS.take(2000)}")
+    val pD = plan("q_llm_datacard")
+    assert(!pD.contains("CartesianProduct") && !pD.contains("BroadcastNestedLoop"),
+      s"datacard:\n${pD.take(2000)}")
+    assert(pD.contains("BroadcastHashJoin"),
+      s"the 20-row dup side must broadcast:\n${pD.take(2000)}")
+  }
+
+  test("q_win_frame_interval: partitioned on the full customer key, one window shuffle") {
+    val p = plan("q_win_frame_interval")
+    assert(p.contains("Window"), s"interval frame must plan as a window:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one o_custkey shuffle only:\n${p.take(2000)}")
+    assert(p.contains("o_custkey"), s"partition key lost:\n${p.take(1500)}")
+  }
 }
