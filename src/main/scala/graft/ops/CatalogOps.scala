@@ -132,6 +132,67 @@ object CatalogOps extends Pack {
         |SELECT CAST(2 AS BIGINT), 'append', (SELECT COUNT(*) FROM region)
         |ORDER BY sequence_number ASC NULLS FIRST""".stripMargin)),
 
+    // Partitions metadata table: per-partition record counts served
+    // LIVE from the writer-stamped per-file partition tuples — no data
+    // scan, no stats pass (file_count/bytes are writer-parallelism
+    // dependent, so only the exact columns are declared).
+    Decl("q_meta_partitions", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mp")
+      spark.sql(s"CREATE TABLE $c.demo_mp.cust (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE) " +
+        "PARTITIONED BY (c_nationkey)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_mp.cust SELECT c_custkey, c_nationkey, c_acctbal FROM customer_src WHERE c_nationkey < 10")
+      spark.sql(
+        s"""SELECT partition, record_count
+           |FROM $c.demo_mp.`cust$$partitions`
+           |ORDER BY partition ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT 'c_nationkey=' || CAST(c_nationkey AS VARCHAR) AS partition,
+        |  COUNT(*) AS record_count
+        |FROM customer WHERE c_nationkey < 10
+        |GROUP BY c_nationkey
+        |ORDER BY partition ASC NULLS FIRST""".stripMargin)),
+
+    // Refs metadata table: named branches + tags incl. the implicit
+    // `main` (snapshot ids are generation-dependent — name/type only).
+    Decl("q_meta_refs", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mr")
+      spark.sql(s"CREATE TABLE $c.demo_mr.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_mr.reg SELECT * FROM region_src")
+      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_mr.reg', ref => 'v1', ref_type => 'tag')")
+      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_mr.reg', ref => 'audit', ref_type => 'branch')")
+      spark.sql(s"SELECT name, type FROM $c.demo_mr.`reg$$refs` ORDER BY name ASC NULLS FIRST")
+    }, Some(
+      """SELECT * FROM (VALUES ('audit','branch'), ('main','branch'), ('v1','tag')) t(name, type)
+        |ORDER BY name ASC NULLS FIRST""".stripMargin)),
+
+    // Delete-files metadata table: live MOR position-delete inventory.
+    // record_count sums are exact (one position row per deleted data
+    // row); file counts are writer-parallelism dependent and excluded.
+    Decl("q_meta_deletes", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_md")
+      spark.sql(s"CREATE TABLE $c.demo_md.cust (c_custkey BIGINT, c_nationkey INT) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_md.cust SELECT c_custkey, c_nationkey FROM customer_src")
+      spark.sql(s"DELETE FROM $c.demo_md.cust WHERE c_nationkey = 3")
+      spark.sql(s"DELETE FROM $c.demo_md.cust WHERE c_custkey % 10 = 7")
+      spark.sql(
+        s"""SELECT content, SUM(record_count) AS n_deleted
+           |FROM $c.demo_md.`cust$$delete_files`
+           |GROUP BY content
+           |ORDER BY content ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT 'position' AS content,
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey = 3) +
+        |       (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 7 AND c_nationkey <> 3)
+        |    AS BIGINT) AS n_deleted
+        |ORDER BY content ASC NULLS FIRST""".stripMargin)),
+
     // Identity-partitioned table: the scan with a partition predicate
     // must produce the same rows (file pruning is plan-level; the
     // PruningSpec test asserts the file count shrinks too).
