@@ -193,6 +193,59 @@ object CatalogOps extends Pack {
         |    AS BIGINT) AS n_deleted
         |ORDER BY content ASC NULLS FIRST""".stripMargin)),
 
+    // Partition-spec EVOLUTION: the table starts unpartitioned, half
+    // the rows land in the old layout, update_spec switches the
+    // default spec to months(o_orderdate), the other half lands
+    // month-partitioned. A date-range read over the mixed table must
+    // return exactly the same rows as a flat scan — new-layout files
+    // prune by month, old-layout files simply can't and scan (degrade
+    // gracefully, never drop). No rewrite of existing data happens at
+    // evolution time — that's the whole point of the feature.
+    Decl("q_cat_evolve_spec", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_es")
+      spark.sql(s"CREATE TABLE $c.demo_es.ord (o_orderkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_es.ord SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"CALL $c.system.update_spec(tbl => 'demo_es.ord', transforms => 'o_orderdate:months')")
+      spark.sql(s"INSERT INTO $c.demo_es.ord SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 1")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n,
+           |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
+           |FROM $c.demo_es.ord
+           |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n,
+        |  D2(SUM(CAST(o_totalprice AS DECIMAL(18,6)))) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)),
+
+    // Stats metadata table after a compute_stats pass: the EXACT
+    // columns (null_count, total_records) oracle against DuckDB; ndv
+    // is an HLL estimate (generation-stable but engine-specific) and
+    // is bound-checked in MaintSpec instead.
+    Decl("q_meta_stats", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mst")
+      spark.sql(s"CREATE TABLE $c.demo_mst.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_mst.cust SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END FROM customer_src")
+      spark.sql(s"CALL $c.system.compute_stats(tbl => 'demo_mst.cust')")
+      spark.sql(
+        s"""SELECT column_name, null_count, total_records
+           |FROM $c.demo_mst.`cust$$stats`
+           |ORDER BY column_name ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT 'c_custkey' AS column_name, CAST(0 AS BIGINT) AS null_count,
+        |  (SELECT COUNT(*) FROM customer) AS total_records
+        |UNION ALL
+        |SELECT 'c_mktsegment',
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0),
+        |  (SELECT COUNT(*) FROM customer)
+        |ORDER BY column_name ASC NULLS FIRST""".stripMargin)),
+
     // Identity-partitioned table: the scan with a partition predicate
     // must produce the same rows (file pruning is plan-level; the
     // PruningSpec test asserts the file count shrinks too).
