@@ -389,6 +389,60 @@ object StreamOps extends Pack {
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST, n ASC NULLS FIRST""".stripMargin)),
 
+    // Streaming write-audit-publish: every micro-batch appends to an
+    // `ingest` BRANCH through the OCC commit path, so `main` readers
+    // see NOTHING new until the audited branch fast-forwards — gated
+    // streaming ingest. The one row proves all three read states:
+    // main during the stream (the seeded base only), the branch after
+    // the stream (everything), and main after publish (everything).
+    Decl("q_str_branch", (spark, dir) => {
+      val cname = s"graftwap${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.wap CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.wap")
+      spark.sql(s"CREATE TABLE $cname.wap.ev " +
+        "(event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE)")
+      // the audited base: every 10th event lands batch-side pre-stream
+      val norm = eventsSrc(spark, dir)
+      spark.read.parquet(norm).where(col("event_id") % 10 === 0)
+        .writeTo(s"$cname.wap.ev").append()
+      spark.sql(s"CALL $cname.system.create_ref(tbl => 'wap.ev', ref => 'ingest', ref_type => 'branch')")
+      def tbl = spark.sessionState.catalogManager.catalog(cname)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("wap"), "ev"))
+        .asInstanceOf[graft.catalog.GraftTable]
+      val src = Files.createTempDirectory("graft_stream_wap")
+      linkWave(src, norm, "w0")
+      val q = spark.readStream.schema(Encoders.product[Ev].schema)
+        .parquet(src.toString)
+        .where(col("event_id") % 10 =!= 0)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // a FRESH handle per batch: each append CASes off the live
+          // branch head, exactly like any other concurrent writer
+          graft.catalog.Maintenance.appendToBranch(tbl, batch, "ingest")
+        }
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      rmTree(src)
+      val mainDuring = spark.table(s"$cname.wap.ev").count()
+      val branchDuring = spark.sql(s"SELECT COUNT(*) FROM $cname.wap.ev VERSION AS OF 'ingest'")
+        .collect()(0).getLong(0)
+      spark.sql(s"CALL $cname.system.fast_forward(tbl => 'wap.ev', branch => 'ingest')")
+      spark.sql(s"CALL $cname.system.drop_ref(tbl => 'wap.ev', ref => 'ingest')")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n_published, $mainDuring AS n_main_during,
+           |  $branchDuring AS n_branch_during,
+           |  D2(SUM(CAST(value AS DECIMAL(18,6)))) AS total
+           |FROM $cname.wap.ev""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n_published,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 10 = 0) AS n_main_during,
+        |  COUNT(*) AS n_branch_during,
+        |  D2(SUM(CAST(value AS DECIMAL(18,6)))) AS total
+        |FROM events""".stripMargin)),
+
     // Streaming CDC upsert: each micro-batch first collapses to its
     // latest row per key (the mandatory pre-MERGE reduction — multiple
     // source matches per key would be ambiguous), then MERGEs into a
