@@ -974,5 +974,84 @@ object CatalogOps extends Pack {
       """SELECT COUNT(*) AS n,
         |  D4SUM(o_totalprice) AS total
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)),
+
+    // Z-order compaction: rewrite the table clustered on the
+    // interleaved (o_custkey, o_orderkey) Morton curve so multi-dim
+    // range predicates hit few files (min/max bounds become tight on
+    // BOTH dims — ZOrderSpec pins the file-skipping win). The oracle's
+    // job here: the reorganization must be read-invisible.
+    Decl("q_cat_zorder", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_zo")
+      spark.sql(s"CREATE TABLE $c.demo_zo.ord (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_zo.ord SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_zo"), "ord")
+      graft.catalog.Maintenance.compactZOrder(spark,
+        cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable],
+        Seq("o_custkey", "o_orderkey"), targetFiles = 8)
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n, D4SUM(o_totalprice) AS total
+           |FROM $c.demo_zo.ord
+           |WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey BETWEEN 2000 AND 9000""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n, D4SUM(o_totalprice) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey BETWEEN 2000 AND 9000""".stripMargin)),
+
+    // Cherry-pick: roll back past an append, then re-apply exactly that
+    // snapshot's files onto the new head — the recovery path for "the
+    // rollback threw out one good commit too many". Final state must
+    // equal the pre-rollback state.
+    Decl("q_cat_cherrypick", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_chp")
+      spark.sql(s"CREATE TABLE $c.demo_chp.o (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $c.demo_chp.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 0")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_chp"), "o")
+      def t = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      val base = t.meta.currentSnapshotId.get
+      spark.sql(s"INSERT INTO $c.demo_chp.o SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderkey % 2 = 1")
+      val picked = t.meta.currentSnapshotId.get
+      graft.catalog.Maintenance.rollbackTo(t.ops, base)
+      graft.catalog.Maintenance.cherryPick(t, picked)
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n, D4SUM(o_totalprice) AS total
+           |FROM $c.demo_chp.o""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n, D4SUM(o_totalprice) AS total
+        |FROM orders""".stripMargin)),
+
+    // Orphan-file removal: a stray parquet (crashed writer debris) in
+    // the table's data dir is invisible to reads but blocks cheap
+    // storage reclamation; remove_orphan_files deletes exactly the
+    // unreferenced file — every snapshot-referenced file survives and
+    // the read set is untouched.
+    Decl("q_cat_orphans", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_orp")
+      spark.sql(s"CREATE TABLE $c.demo_orp.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_orp.reg SELECT * FROM region_src")
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_orp"), "reg")
+      val t = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      val tableAbs = graft.meta.RelPaths.absolutize(t.ops.warehouse, t.meta.location)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tableAbs/data/orphan-debris.parquet"),
+        Array[Byte](0, 1, 2, 3))
+      val removed = graft.catalog.Maintenance.removeOrphanFiles(
+        t.ops, olderThanMs = System.currentTimeMillis() + 60000)
+      spark.sql(
+        s"""SELECT $removed AS n_removed, COUNT(*) AS n
+           |FROM $c.demo_orp.reg""".stripMargin)
+    }, Some(
+      """SELECT 1 AS n_removed, COUNT(*) AS n FROM region""".stripMargin)),
   )
 }
