@@ -135,5 +135,69 @@ object LlmOps10 extends Pack {
         |  GROUP BY source)
         |SELECT source, n_docs, total_tokens, n_langs, avg_chars, n_redundant
         |FROM stats JOIN dup USING (source)
-        |ORDER BY source ASC NULLS FIRST""".stripMargin)))
+        |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
+    // Multimodal RESIZE plumbing: binary payloads through the typed
+    // mapPartitions batch shape a real image decoder plugs into (this
+    // container has no image libs — the "resize" is a deterministic
+    // 16-point grid subsample of the byte stream, so the oracle can
+    // recompute it). What's real and under test: the schema, the
+    // executor-side batch iteration, and the byte indexing arithmetic.
+    Decl("q_llm_mmresize", (spark, dir) => {
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val n = p.length
+            val out = if (n == 0) Array.empty[Byte]
+              else Array.tabulate(16)(i => p((i.toLong * n / 16).toInt))
+            val sum = out.foldLeft(0L)((a, b) => a + (b.toInt & 0xff))
+            (id, n.toLong, out.length.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "orig_bytes", "resized_px", "resized_sum")
+        .orderBy(col("doc_id").asc_nulls_first)
+    }, Some(
+      """SELECT doc_id, length(text) AS orig_bytes,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE 16 END AS resized_px,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      i -> unicode(substr(text, 1 + (i * length(text)) // 16, 1)))) AS BIGINT)
+        |  END AS resized_sum
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Multimodal FRAME-SAMPLE plumbing: the payload read as 8-byte
+    // "frames", keeping every 4th — the video-ingest batch shape
+    // (decode → stride-sample → featurize downstream). The stub keeps
+    // each sampled frame's first byte; the checksum proves the stride
+    // arithmetic frame-exactly on both engines.
+    Decl("q_llm_mmframes", (spark, dir) => {
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val nFrames = p.length / 8
+            val nSampled = (nFrames + 3) / 4
+            var sum = 0L
+            var j = 0
+            while (j < nSampled) { sum += (p(j * 32).toInt & 0xff); j += 1 }
+            (id, nFrames.toLong, nSampled.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "sampled_sum")
+        .orderBy(col("doc_id").asc_nulls_first)
+    }, Some(
+      """SELECT doc_id, length(text) // 8 AS n_frames,
+        |  (length(text) // 8 + 3) // 4 AS n_sampled,
+        |  CASE WHEN length(text) // 8 = 0 THEN 0 ELSE
+        |    CAST(list_sum(list_transform(range(0, (length(text) // 8 + 3) // 4),
+        |      j -> unicode(substr(text, 1 + j * 32, 1)))) AS BIGINT)
+        |  END AS sampled_sum
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)))
 }
