@@ -424,6 +424,29 @@ object Aggs extends Pack {
         |  n_rows AS n
         |FROM s ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
+    // Weighted mean: price weighted by quantity per return flag. Both
+    // component sums are exact decimals (the numerator a full
+    // decimal×decimal product, never a double intermediate); only the
+    // final ratio divides, in DOUBLE on both engines (the q1 AVG
+    // idiom), so the filterable quantities stay boundary-free.
+    Decl("q_agg_weighted", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(
+          d4(sum(dec($("l_extendedprice")) * dec($("l_quantity")))).as("sum_pq"),
+          d4(sum(dec($("l_quantity")))).as("sum_q"),
+          round(sum(dec($("l_extendedprice")) * dec($("l_quantity"))).cast("double") /
+            sum(dec($("l_quantity"))).cast("double"), 6).as("weighted_avg_price"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  D4(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(14,6)))) AS sum_pq,
+          |  D4SUM(l_quantity) AS sum_q,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(14,6))) AS DOUBLE) /
+          |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS weighted_avg_price
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // arg-max/arg-min: the value of one column at another's extremum
     // (max_by/min_by ↔ DuckDB arg_max/arg_min). max_by on a tied key
     // is explicitly unspecified in both engines — and the fixture DOES

@@ -400,5 +400,44 @@ object EventOps extends Pack {
          |SELECT day, dau, n_new, n_retained, n_resurrected,
          |  CAST(CASE WHEN LAG(day) OVER (ORDER BY day) = day - 1
          |       THEN LAG(dau) OVER (ORDER BY day) - n_retained ELSE 0 END AS BIGINT) AS n_churned
-         |FROM daily ORDER BY day ASC NULLS FIRST""".stripMargin)))
+         |FROM daily ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    // Hour-of-day × day-of-week activity heatmap: pure integer epoch
+    // arithmetic (epoch day 0 was a Thursday, hence the +4), one keyed
+    // aggregation over ≤168 cells — map-side partials make the shuffle
+    // cell-cardinality at any data volume.
+    Decl("q_evt_heatmap", (spark, dir) =>
+      ev(spark, dir)
+        .select(expr(s"(us div $DayUs + 4) % 7").as("dow"),
+          expr(s"(us % $DayUs) div 3600000000").as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"), graft.Dsl.d4(sum(graft.Dsl.dec(col("value")))).as("total_value"))
+        .orderBy(col("dow").asc_nulls_first, col("hour").asc_nulls_first),
+      Some(
+        s"""SELECT (epoch_us(ts) // $DayUs + 4) % 7 AS dow,
+           |  (epoch_us(ts) % $DayUs) // 3600000000 AS hour,
+           |  COUNT(*) AS n, D4SUM(value) AS total_value
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY dow ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin)),
+
+    // Activity power law: users binned by floor(log2(events)) — the
+    // bucket comes from the BINARY STRING length, not floating log2,
+    // so the power-of-two boundaries are exact in both engines. The
+    // heavy-tail histogram that decides salting/skew strategy.
+    Decl("q_evt_powerlaw", (spark, dir) =>
+      ev(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select((length(bin(col("n"))) - 1).cast("long").as("bucket"), col("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("n")).as("min_events"), max(col("n")).as("max_events"))
+        .orderBy(col("bucket").asc_nulls_first),
+      Some(
+        """SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+          |  COUNT(*) AS n_users, MIN(n) AS min_events, MAX(n) AS max_events
+          |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+          |GROUP BY 1
+          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)))
 }

@@ -307,5 +307,33 @@ object Joins extends Pack {
         |FROM events JOIN w USING (event_type)
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin)),
+
+    // Null-aware anti join (NOT IN with a nullable subquery) — the
+    // classic three-valued-logic trap: one NULL in the IN-list makes
+    // `x NOT IN (...)` never TRUE, so the first count is provably 0
+    // while the null-filtered variant anti-joins normally. Spark plans
+    // the null-aware case as a broadcast null-aware anti join (the
+    // build side is the small filtered key set); at scale the fix is
+    // exactly what the second branch shows — filter the NULLs and get
+    // a keyed anti join.
+    Decl("q_join_antinull", (spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_aj")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_aj")
+      spark.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM orders_aj WHERE o_custkey NOT IN
+          |     (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+          |      FROM customer_aj WHERE c_custkey < 500)) AS n_with_null,
+          |  (SELECT COUNT(*) FROM orders_aj WHERE o_custkey NOT IN
+          |     (SELECT c_custkey FROM customer_aj
+          |      WHERE c_custkey < 500 AND c_custkey % 100 <> 0)) AS n_sans_null""".stripMargin)
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+        |      FROM customer WHERE c_custkey < 500)) AS n_with_null,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer
+        |      WHERE c_custkey < 500 AND c_custkey % 100 <> 0)) AS n_sans_null""".stripMargin)),
   )
 }

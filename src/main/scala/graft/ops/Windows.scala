@@ -261,5 +261,37 @@ object Windows extends Pack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC
         |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)),
+
+    // Running DISTINCT count over a window — no such native frame
+    // aggregate exists, so it composes: flag each (user, event_type)'s
+    // FIRST occurrence (row_number over the pair), then a running sum
+    // of flags per user. Two shuffles — (user, type) then (user) —
+    // both on high-cardinality keys; the naive per-row
+    // distinct-within-frame would be O(rows × frame).
+    Decl("q_win_running_distinct", (spark, dir) => {
+      val ev = graft.Tables(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("first_seen")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+        .orderBy(col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
+    }, Some(
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY epoch_us(ts), event_id) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
+        |FROM f
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin)),
   )
 }
