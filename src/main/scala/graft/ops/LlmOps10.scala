@@ -137,6 +137,70 @@ object LlmOps10 extends Pack {
         |FROM stats JOIN dup USING (source)
         |ORDER BY source ASC NULLS FIRST""".stripMargin)),
 
+    // Context-length planning: documents histogrammed by
+    // floor(log2(est_tokens)) — the power-of-two buckets that decide
+    // sequence-length tiers. The bucket is the binary-string length
+    // (exact at boundaries in both engines, the q_evt_powerlaw trick).
+    Decl("q_llm_contextlen", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(expr("(length(text) + 3) div 4").as("tok"))
+        .select((length(bin(greatest(col("tok"), lit(1)))) - 1).cast("long").as("bucket"),
+          col("tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("tok")).as("min_tokens"), max(col("tok")).as("max_tokens"),
+          sum(col("tok")).as("total_tokens"))
+        .orderBy(col("bucket").asc_nulls_first),
+      Some(
+        """SELECT CAST(length(bin(greatest(tok, 1))) - 1 AS BIGINT) AS bucket,
+          |  COUNT(*) AS n_docs, MIN(tok) AS min_tokens, MAX(tok) AS max_tokens,
+          |  CAST(SUM(tok) AS BIGINT) AS total_tokens
+          |FROM (SELECT (length(text) + 3) // 4 AS tok FROM documents)
+          |GROUP BY 1
+          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Dataset version diff — the release-to-release audit: v2 drops
+    // every 17th doc, rewrites every 13th, adds new ids for every
+    // 29th. A full outer join on doc_id with content-hash comparison
+    // classifies added / removed / changed / unchanged. One doc-keyed
+    // shuffle per side; at 100 TB this is the standard
+    // two-snapshot reconciliation (and the $changes changelog gives
+    // the same answer without re-reading v1 when both live in the
+    // catalog).
+    Decl("q_llm_datasetdiff", (spark, dir) => {
+      val v1 = Tables(spark, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+      val base = Tables(spark, dir, "documents")
+      val v2 = base.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")), 256).as("h2"))
+        .unionByName(base.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), sha2(col("text"), 256).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status").asc_nulls_first)
+    }, Some(
+      """WITH v1 AS (SELECT doc_id, sha256(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, sha256(text) FROM documents WHERE doc_id % 29 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 = h2 THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY status ASC NULLS FIRST""".stripMargin)),
+
     // Multimodal RESIZE plumbing: binary payloads through the typed
     // mapPartitions batch shape a real image decoder plugs into (this
     // container has no image libs — the "resize" is a deterministic
