@@ -439,5 +439,45 @@ object EventOps extends Pack {
           |  COUNT(*) AS n_users, MIN(n) AS min_events, MAX(n) AS max_events
           |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
           |GROUP BY 1
-          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)))
+          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
+
+    // Conversion latency: seconds from a user's FIRST view to their
+    // FIRST strictly-later purchase. ONE type-filtered scan and ONE
+    // user-keyed shuffle (conditional MIN per type — no view⋈purchase
+    // self-join); the percentile rollup runs on converter-cardinality
+    // rows. Integer-second deltas keep the quantile inputs exact; the
+    // interpolated quantile itself rounds at 4 decimals (the
+    // q_evt_sessionstats precedent).
+    Decl("q_evt_funnel_time", (spark, dir) => {
+      val firsts = ev(spark, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("us"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("us"))).as("first_purchase"))
+        .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_view"))
+        .select(expr("(first_purchase - first_view) div 1000000").as("delta_s"))
+      firsts.agg(
+        count(lit(1)).as("n_converters"),
+        round(expr("percentile(delta_s, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
+        max(col("delta_s")).as("max_s"))
+    }, Some(
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |d AS (
+        |  SELECT (first_purchase - first_view) // 1000000 AS delta_s
+        |  FROM f
+        |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase > first_view)
+        |SELECT COUNT(*) AS n_converters,
+        |  ROUND(QUANTILE_CONT(delta_s, 0.5), 4) AS p50_s,
+        |  ROUND(QUANTILE_CONT(delta_s, 0.9), 4) AS p90_s,
+        |  MAX(delta_s) AS max_s
+        |FROM d""".stripMargin)))
 }
