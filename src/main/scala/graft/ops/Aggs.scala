@@ -43,6 +43,25 @@ object Aggs extends Pack {
   // import spark.implicits._ replacement: build Columns via functions.col
   private def $(name: String) = col(name)
 
+  /** Shared closed-form moment expressions (q_agg_skewkurt): ONE text,
+    * parsed by both Spark and DuckDB, over exact power sums n/s1..s4 —
+    * identical parse → identical double evaluation order → identical
+    * bits. Left-assoc `*`/`-` chains only; both engines' SQRT and
+    * ROUND(HALF-away-from-zero on doubles) agree.
+    */
+  private object MomentSql {
+    private val mean = "(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))"
+    private val r2 = "(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))"
+    private val r3 = "(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE))"
+    private val r4 = "(CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE))"
+    private val m2 = s"($r2 - $mean*$mean)"
+    private val m3 = s"($r3 - 3*$mean*$r2 + 2*$mean*$mean*$mean)"
+    private val m4 =
+      s"($r4 - 4*$mean*$r3 + 6*$mean*$mean*$r2 - 3*$mean*$mean*$mean*$mean)"
+    val skew = s"ROUND($m3 / ($m2 * SQRT($m2)), 6)"
+    val kurt = s"ROUND($m4 / ($m2 * $m2) - 3, 6)"
+  }
+
   def decls: Seq[Decl] = Seq(
     Decl("q_agg_group", q1, Some(q1Sql)),
 
@@ -154,6 +173,44 @@ object Aggs extends Pack {
           |  COUNT(*) AS n
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // Higher-moment stats (population skewness / excess kurtosis).
+    // Native skewness()/kurtosis() differ between engines (sample vs
+    // population corrections, streaming-update float drift), so the
+    // moments are computed from EXACT integer power sums — l_quantity
+    // is integral, q^4 ≤ 6.25e6 per term, sums accumulate in
+    // decimal(38,0)/int128 (overflow-safe past 10^30 rows) — and the
+    // closed form then runs on scalar doubles in ONE textual
+    // expression order shared verbatim by both engines, so results
+    // are bit-identical before the 6dp round. Scale shape: a single
+    // keyed agg with map-side partials; the double math touches only
+    // group-cardinality rows.
+    Decl("q_agg_skewkurt", (spark, dir) => {
+      val q = col("l_quantity").cast("bigint")
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q.cast("decimal(38,0)")).as("s1"),
+          sum((q * q).cast("decimal(38,0)")).as("s2"),
+          sum((q * q * q).cast("decimal(38,0)")).as("s3"),
+          sum((q * q * q * q).cast("decimal(38,0)")).as("s4"))
+        .select($("l_returnflag"), $("n"),
+          expr(MomentSql.skew).as("skew_qty"),
+          expr(MomentSql.kurt).as("kurt_qty"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      s"""WITH p AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS s1,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ${MomentSql.skew} AS skew_qty,
+        |  ${MomentSql.kurt} AS kurt_qty
+        |FROM p
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
     Decl("q_agg_percentile", (spark, dir) =>
       Tables(spark, dir, "lineitem")

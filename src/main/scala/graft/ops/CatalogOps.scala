@@ -246,6 +246,68 @@ object CatalogOps extends Pack {
         |  (SELECT COUNT(*) FROM customer)
         |ORDER BY column_name ASC NULLS FIRST""".stripMargin)),
 
+    // Files metadata table: the per-file inventory of the current
+    // snapshot, served from committed manifest entries (no data scan).
+    // Grouping by sequence_number checks the per-COMMIT attribution of
+    // data files — a carryover bug that restamped old files under the
+    // new commit's sequence (or dropped them) shifts a sum here even
+    // though every row-level read still passes. File counts and byte
+    // sizes are writer-parallelism dependent and excluded.
+    Decl("q_meta_files", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mf")
+      spark.sql(s"CREATE TABLE $c.demo_mf.cust (c_custkey BIGINT, c_nationkey INT)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $c.demo_mf.cust SELECT c_custkey, c_nationkey FROM customer_src WHERE c_nationkey < 5")
+      spark.sql(s"INSERT INTO $c.demo_mf.cust SELECT c_custkey, c_nationkey FROM customer_src WHERE c_nationkey >= 5")
+      spark.sql(
+        s"""SELECT sequence_number, SUM(record_count) AS n_rows
+           |FROM $c.demo_mf.`cust$$files`
+           |GROUP BY sequence_number
+           |ORDER BY sequence_number ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT CAST(1 AS BIGINT) AS sequence_number,
+        |  (SELECT COUNT(*) FROM customer WHERE c_nationkey < 5) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT COUNT(*) FROM customer WHERE c_nationkey >= 5)
+        |ORDER BY sequence_number ASC NULLS FIRST""".stripMargin)),
+
+    // History metadata table: the made-current log, which is NOT the
+    // snapshot list — a rollback appends a history entry re-pointing
+    // at an OLD snapshot, so after insert/insert/rollback the log
+    // reads seq 1, 2, 1 while $snapshots still has two rows. Joining
+    // history to snapshots on snapshot_id recovers that sequence
+    // (ids/timestamps themselves are generation-dependent; commits
+    // are spaced >1 ms apart so the ms-resolution ordering is total).
+    Decl("q_meta_history", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mh")
+      spark.sql(s"CREATE TABLE $c.demo_mh.reg (r_regionkey INT, r_name STRING)")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_src")
+      spark.sql(s"INSERT INTO $c.demo_mh.reg SELECT * FROM region_src WHERE r_regionkey < 3")
+      Thread.sleep(5)
+      spark.sql(s"INSERT INTO $c.demo_mh.reg SELECT * FROM region_src WHERE r_regionkey >= 3")
+      Thread.sleep(5)
+      val cata = spark.sessionState.catalogManager.catalog(c)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("demo_mh"), "reg")
+      def tbl = cata.loadTable(ident).asInstanceOf[graft.catalog.GraftTable]
+      val v1 = tbl.meta.snapshots.minBy(_.sequenceNumber).snapshotId
+      graft.catalog.Maintenance.rollbackTo(tbl.ops, v1)
+      spark.sql(s"REFRESH TABLE $c.demo_mh.reg")
+      spark.sql(
+        s"""SELECT ROW_NUMBER() OVER (ORDER BY h.made_current_at_ms ASC) AS ord,
+           |  s.sequence_number
+           |FROM $c.demo_mh.`reg$$history` h
+           |JOIN $c.demo_mh.`reg$$snapshots` s ON h.snapshot_id = s.snapshot_id
+           |ORDER BY ord ASC NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT))) t(ord, sequence_number)
+        |ORDER BY ord ASC NULLS FIRST""".stripMargin)),
+
     // Identity-partitioned table: the scan with a partition predicate
     // must produce the same rows (file pruning is plan-level; the
     // PruningSpec test asserts the file count shrinks too).

@@ -479,5 +479,85 @@ object EventOps extends Pack {
         |  ROUND(QUANTILE_CONT(delta_s, 0.5), 4) AS p50_s,
         |  ROUND(QUANTILE_CONT(delta_s, 0.9), 4) AS p90_s,
         |  MAX(delta_s) AS max_s
-        |FROM d""".stripMargin)))
+        |FROM d""".stripMargin)),
+
+    // Last-touch conversion attribution: each purchase's value is
+    // credited to the user's most recent PRIOR non-purchase event
+    // type (the "channel"); purchases with no prior touch credit
+    // "(direct)". Plan shape: ONE user-keyed window (running
+    // last-ignore-nulls over the ordered stream) instead of the naive
+    // purchases⋈events self-join with a max-timestamp subquery — no
+    // second corpus shuffle, and the final rollup is channel-sized.
+    Decl("q_evt_attribution", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(spark, dir)
+        .withColumn("chan",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(before))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("chan"), lit("(direct)")).as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          graft.Dsl.d4(sum(graft.Dsl.dec(col("value")))).as("attr_value"))
+        .orderBy(col("channel").asc_nulls_first)
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chan
+        |  FROM events)
+        |SELECT COALESCE(chan, '(direct)') AS channel, COUNT(*) AS n_conv,
+        |  D4SUM(value) AS attr_value
+        |FROM g WHERE event_type = 'purchase'
+        |GROUP BY channel
+        |ORDER BY channel ASC NULLS FIRST""".stripMargin)),
+
+    // Top common 3-event paths WITHIN a session (30-min-gap split):
+    // the "what do users actually do" n-gram view of the event stream.
+    // Plan shape: one user-keyed exchange serves both the sessionize
+    // window and the per-session lead window (same partition prefix,
+    // stacked sorts, no re-shuffle); path counting shuffles path-
+    // cardinality rows; the head is a total order (n DESC, path ASC)
+    // so the top-10 boundary is deterministic in both engines.
+    Decl("q_evt_paths", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val ws = Window.partitionBy(col("user_id"), col("sess"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      ev(spark, dir)
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(wu) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(wu))
+        .withColumn("e2", lead(col("event_type"), 1).over(ws))
+        .withColumn("e3", lead(col("event_type"), 2).over(ws))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc_nulls_first)
+        .limit(10)
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (
+        |        PARTITION BY user_id ORDER BY us, event_id) AS sess FROM g),
+        |t AS (SELECT
+        |        event_type || '>' || LEAD(event_type, 1) OVER w2
+        |          || '>' || LEAD(event_type, 2) OVER w2 AS path,
+        |        LEAD(event_type, 2) OVER w2 AS e3
+        |      FROM s
+        |      WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY us, event_id))
+        |SELECT path, COUNT(*) AS n FROM t WHERE e3 IS NOT NULL
+        |GROUP BY path
+        |ORDER BY n DESC, path ASC NULLS FIRST
+        |LIMIT 10""".stripMargin)))
 }

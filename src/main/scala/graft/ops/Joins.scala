@@ -335,5 +335,56 @@ object Joins extends Pack {
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
         |     (SELECT c_custkey FROM customer
         |      WHERE c_custkey < 500 AND c_custkey % 100 <> 0)) AS n_sans_null""".stripMargin)),
+
+    // Runtime bloom-filter join pruning: when the build side carries a
+    // selective filter but is still too big to broadcast, Catalyst's
+    // InjectRuntimeFilter plants a bloom_filter_agg subquery on the
+    // build keys and a might_contain pre-filter on the PROBE side —
+    // at 100 TB the fact scan drops non-matching rows before the
+    // shuffle instead of shipping them (the "semi-join reduction"
+    // every warehouse engine does; the filter is a KB-sized bitset,
+    // false positives only cost shuffle bytes, never correctness).
+    // Broadcast is disabled to force the shuffled-join shape under
+    // test; PlanShapeSpec pins the injected might_contain.
+    Decl("q_join_bloom", (spark, dir) => {
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      setBloomConfs(spark)
+      try bloomJoin(spark, dir).localCheckpoint()
+        .orderBy(col("p_brand").asc_nulls_first)
+      finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }, Some(
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  D4SUM(l_extendedprice) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
   )
+
+  /** q_join_bloom's confs + join body, shared with PlanShapeSpec (the
+    * Decl localCheckpoints under the confs, which truncates lineage —
+    * the spec needs the pre-checkpoint plan to see might_contain). */
+  def setBloomConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // default 10 GB — the sf fixtures are far below it; any scan may
+    // carry the filter (at real scale the default keeps tiny probe
+    // scans from paying the filter's evaluation cost)
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+  }
+
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part").filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        d4(sum(dec(col("l_extendedprice")))).as("revenue"))
 }

@@ -321,4 +321,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one o_custkey shuffle only:\n${p.take(2000)}")
     assert(p.contains("o_custkey"), s"partition key lost:\n${p.take(1500)}")
   }
+
+  test("q_join_bloom: runtime bloom filter injected on the probe side") {
+    // replicate the Decl's confs but skip its localCheckpoint (which
+    // truncates lineage and hides the injected filter from the plan)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    ops.Joins.setBloomConfs(spark)
+    try {
+      val df = ops.Joins.bloomJoin(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"InjectRuntimeFilter did not plant a bloom probe filter:\n${opt.take(2500)}")
+      assert(opt.contains("bloom_filter_agg"),
+        s"no bloom_filter_agg build subquery:\n${opt.take(2500)}")
+      // and the result must still be the plain-join answer
+      val row = df.collect().head
+      assert(row.getString(0) == "Brand#23" && row.getLong(1) > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
