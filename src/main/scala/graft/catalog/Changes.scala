@@ -36,6 +36,10 @@ import scala.jdk.CollectionConverters._
   *    delete-file interpretation (reading just the added position/
   *    equality deletes) is the cheaper specialization when all
   *    row-level traffic is MOR.
+  *
+  * The range walk itself lives in [[Changes.between]] so the streaming
+  * CDC source ([[graft.streaming.GraftCdcSource]]) can replay the same
+  * diff per micro-batch offset range.
   */
 class ChangesTable(tblName: String, warehouse: String, meta: TableMeta)
   extends Table with SupportsRead {
@@ -44,9 +48,7 @@ class ChangesTable(tblName: String, warehouse: String, meta: TableMeta)
 
   override def name(): String = tblName
 
-  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
-    StructField("_change_type", StringType, nullable = false),
-    StructField("_change_ordinal", IntegerType, nullable = false)))
+  override def schema(): StructType = Changes.outputSchema(meta)
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -65,52 +67,36 @@ class ChangesTable(tblName: String, warehouse: String, meta: TableMeta)
   }
 }
 
-class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
-    outSchema: StructType, start: String, end: Option[String])
-  extends BaseRelation with TableScan {
+object Changes {
 
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = outSchema
+  def outputSchema(meta: TableMeta): StructType =
+    StructType(TableMeta.schemaToSpark(meta.schema).fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_change_ordinal", IntegerType, nullable = false)))
 
-  // chunk loads for the per-snapshot file lists (adjacent snapshots
-  // share most chunks, so the cache makes the walk O(unique chunks))
-  private val ops = new TableOps(warehouse, meta.location)
-
-  // the diffed state is a full Catalyst plan producing InternalRows;
-  // hand them through the V1 boundary unconverted (see MorRelation)
-  override def needConversion: Boolean = false
-
-  // changed-file bytes upper-bounds the diff volume: without this the
-  // V1 boundary reports Long.Max and a small changelog never broadcasts
-  // (dataBytes sums the chunks' byte keys — no chunk is loaded)
-  override def sizeInBytes: Long =
-    meta.snapshots.map(_.dataBytes).sum max 1L
-
-  private def resolve(v: String): Snapshot =
-    (scala.util.Try(v.toLong).toOption match {
-      case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))
-      case None => meta.refs.get(v).flatMap(r => meta.snapshot(r.snapshotId))
-    }).getOrElse(throw new IllegalArgumentException(s"no snapshot or ref '$v'"))
-
-  /** Materialized state of one snapshot: its files minus its deletes. */
-  private def state(spark: SparkSession, snap: Snapshot, dataSchema: StructType): DataFrame = {
-    val files = ops.allFiles(snap)
+  /** Materialized state of one snapshot: its files minus its deletes
+    * (None = the empty pre-genesis state). */
+  private def state(spark: SparkSession, warehouse: String, ops: TableOps,
+      snap: Option[Snapshot], dataSchema: StructType): DataFrame = {
+    val files = snap.map(ops.allFiles).getOrElse(Nil)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
     val paths = files.map(f => RelPaths.absolutize(warehouse, f.path))
     val raw = spark.read.schema(dataSchema).parquet(paths: _*)
-    Mor.applyDeletes(spark, raw, warehouse, snap.deleteFiles, files)
+    Mor.applyDeletes(spark, raw, warehouse, snap.get.deleteFiles, files)
   }
 
-  override def buildScan(): RDD[Row] = {
-    val spark = ctx.sparkSession
+  /** Change rows produced by the commits in (fromSeq, toSeq], tagged
+    * with `_change_type` and a 1-based `_change_ordinal` within the
+    * range. None when the range emits nothing. fromSeq = 0 diffs from
+    * the empty table (genesis), so a CDC stream's first batch replays
+    * the whole current state as inserts.
+    */
+  def between(spark: SparkSession, warehouse: String, ops: TableOps,
+      meta: TableMeta, fromSeq: Long, toSeq: Long): Option[DataFrame] = {
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
-    val from = resolve(start)
-    val to = end.map(resolve).orElse(meta.currentSnapshot).getOrElse(
-      throw new IllegalArgumentException("table has no snapshots"))
     val chain = meta.snapshots
-      .filter(s => s.sequenceNumber > from.sequenceNumber &&
-        s.sequenceNumber <= to.sequenceNumber)
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
       .sortBy(_.sequenceNumber)
 
     val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
@@ -119,14 +105,16 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
         .withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
 
-    var prev = from
+    var prev: Option[Snapshot] = meta.snapshots
+      .filter(_.sequenceNumber <= fromSeq)
+      .sortBy(_.sequenceNumber).lastOption
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
       // appends never remove files and their added set is exactly the
       // files stamped with their own seq — the seq-pruned chunk walk
       // finds them without materializing either snapshot; the full
       // lists (lazy, chunk-cached) are only paid by row-level commits
-      lazy val prevFiles = ops.allFiles(prev)
+      lazy val prevFiles = prev.map(ops.allFiles).getOrElse(Nil)
       lazy val snapFiles = ops.allFiles(snap)
       lazy val addedData =
         if (snap.operation == "append")
@@ -140,7 +128,8 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
         val snapPaths = snapFiles.map(_.path).toSet
         prevFiles.exists(f => !snapPaths(f.path))
       }
-      val prevDels = prev.deleteFiles.map(_.path).toSet
+      val prevDeleteFiles = prev.map(_.deleteFiles).getOrElse(Nil)
+      val prevDels = prevDeleteFiles.map(_.path).toSet
       val addedDels = snap.deleteFiles.filterNot(d => prevDels(d.path))
       def readAdded: Seq[DataFrame] =
         if (addedData.isEmpty) Nil
@@ -172,7 +161,7 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
                   refFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
                 // rows dead BEFORE this commit must not re-die in it
                 val aliveBefore = Mor.applyDeletesKeepPositions(spark,
-                  raw, warehouse, prev.deleteFiles, refFiles)
+                  raw, warehouse, prevDeleteFiles, refFiles)
                 Seq(tag(aliveBefore.join(delSet, Seq("__gf", "__gp"), "left_semi"),
                   "delete", ord))
               }
@@ -185,7 +174,7 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
               val raw = spark.read.schema(dataSchema).parquet(
                 prevFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
               val aliveBefore = Mor.applyDeletesKeepPositions(spark,
-                raw, warehouse, prev.deleteFiles, prevFiles)
+                raw, warehouse, prevDeleteFiles, prevFiles)
               val survivors = Mor.subtractEquality(spark, aliveBefore,
                 warehouse, eqAdded, prevFiles)
               Seq(tag(aliveBefore.join(
@@ -195,17 +184,53 @@ class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
             }
           readAdded ++ posDeleted ++ eqDeleted
         case _ =>
-          val cur = state(spark, snap, dataSchema)
-          val par = state(spark, prev, dataSchema)
+          val cur = state(spark, warehouse, ops, Some(snap), dataSchema)
+          val par = state(spark, warehouse, ops, prev, dataSchema)
           Seq(tag(cur.exceptAll(par), "insert", ord),
             tag(par.exceptAll(cur), "delete", ord))
       }
-      prev = snap
+      prev = Some(snap)
       out
     }
-    if (parts.isEmpty)
-      spark.sparkContext.emptyRDD[Row]
-    else
-      parts.reduce(_.unionAll(_)).queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    parts.reduceOption(_.unionAll(_))
+  }
+}
+
+class ChangesRelation(ctx: SQLContext, warehouse: String, meta: TableMeta,
+    outSchema: StructType, start: String, end: Option[String])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = outSchema
+
+  // chunk loads for the per-snapshot file lists (adjacent snapshots
+  // share most chunks, so the cache makes the walk O(unique chunks))
+  private val ops = new TableOps(warehouse, meta.location)
+
+  // the diffed state is a full Catalyst plan producing InternalRows;
+  // hand them through the V1 boundary unconverted (see MorRelation)
+  override def needConversion: Boolean = false
+
+  // changed-file bytes upper-bounds the diff volume: without this the
+  // V1 boundary reports Long.Max and a small changelog never broadcasts
+  // (dataBytes sums the chunks' byte keys — no chunk is loaded)
+  override def sizeInBytes: Long =
+    meta.snapshots.map(_.dataBytes).sum max 1L
+
+  private def resolve(v: String): Snapshot =
+    (scala.util.Try(v.toLong).toOption match {
+      case Some(n) => meta.snapshot(n).orElse(meta.snapshots.find(_.sequenceNumber == n))
+      case None => meta.refs.get(v).flatMap(r => meta.snapshot(r.snapshotId))
+    }).getOrElse(throw new IllegalArgumentException(s"no snapshot or ref '$v'"))
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val from = resolve(start)
+    val to = end.map(resolve).orElse(meta.currentSnapshot).getOrElse(
+      throw new IllegalArgumentException("table has no snapshots"))
+    Changes.between(spark, warehouse, ops, meta,
+        from.sequenceNumber, to.sequenceNumber)
+      .map(_.queryExecution.toRdd.asInstanceOf[RDD[Row]])
+      .getOrElse(spark.sparkContext.emptyRDD[Row])
   }
 }

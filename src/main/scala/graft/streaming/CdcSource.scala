@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.catalog.{Changes, TableOps}
+import graft.meta.TableMeta
+import org.apache.spark.sql.{DataFrame, GraftStreamShim, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming CDC source: `spark.readStream.format("graft-cdc")
+  * .option("warehouse", wh).option("location", tblLoc)` tails a
+  * table's CHANGELOG — every commit (append, MOR/COW delete, update,
+  * merge) becomes a micro-batch of rows tagged `_change_type`
+  * ('insert' | 'delete') — where the DSv2 table-tail source
+  * ([[graft.catalog.GraftMicroBatchStream]]) handles appends only.
+  *
+  * Offsets are commit SEQUENCE NUMBERS, so a batch is exactly the
+  * change rows of the commits in (startSeq, endSeq], recomputed from
+  * the snapshot chain by [[Changes.between]] — replayable from
+  * metadata alone (exactly-once after a crash, provided snapshot
+  * retention covers the stream's lag, the same contract as the
+  * append tail). `start-seq` (default 0) sets the initial offset:
+  * 0 replays the whole table as genesis inserts, the current seq at
+  * start gives a "changes from now on" tail.
+  *
+  * 100 TB shape: each trigger costs O(rows changed in the range) for
+  * append/MOR traffic (the Changes fast paths read only added files
+  * plus the delete-referenced parents); only COW row-level commits
+  * pay an adjacent-state diff. The per-batch DataFrame is a full
+  * Catalyst plan — joins, pruning and codegen all apply inside the
+  * micro-batch.
+  */
+class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  private def tableOps(params: Map[String, String]): TableOps = {
+    val wh = params.getOrElse("warehouse",
+      throw new IllegalArgumentException("graft-cdc requires option 'warehouse'"))
+    val loc = params.getOrElse("location",
+      throw new IllegalArgumentException(
+        "graft-cdc requires option 'location' (table path relative to the warehouse)"))
+    new TableOps(wh, loc)
+  }
+
+  private def loadMeta(ops: TableOps): TableMeta =
+    ops.refresh().map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no table at ${ops.tableDir} (missing metadata)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), Changes.outputSchema(loadMeta(tableOps(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val ops = tableOps(parameters)
+    val startSeq = parameters.get("start-seq").map(_.toLong).getOrElse(0L)
+    new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq)
+  }
+}
+
+class GraftCdcSource(spark: SparkSession, ops: TableOps,
+    initialMeta: TableMeta, startSeq: Long) extends Source {
+
+  // schema is pinned at stream start: mid-stream schema evolution must
+  // not silently reshape batches (restart the query to pick it up)
+  private val outSchema = Changes.outputSchema(initialMeta)
+
+  private def freshMeta: TableMeta =
+    ops.refresh().map(_._2).getOrElse(initialMeta)
+
+  private def seqOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def schema: StructType = outSchema
+
+  override def getOffset: Option[OffsetV1] = {
+    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    if (cur <= startSeq) None else Some(LongOffset(cur))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val fromSeq = start.map(seqOf).getOrElse(startSeq)
+    val toSeq = seqOf(end)
+    val batch = Changes
+      .between(spark, ops.warehouse, ops, freshMeta, fromSeq, toSeq)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(outSchema.fields.map(_.copy(nullable = true)))))
+    GraftStreamShim.streamingFrom(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCdcSource[${ops.tableDir}]"
+}
