@@ -65,23 +65,39 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
       val gcMs = gcNow() - gc0
+      // what THIS query left pinned in the block manager (cache() /
+      // localCheckpoint() blocks), measured before the reset so
+      // retention is attributable per query from the artifact
+      val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+      // suite-state reset (round-12: live heap grew 285 MB -> ~12 GB
+      // across the alphabetical suite and billed the tail 4-10x its
+      // standalone cost — retained storage + loaded state-store
+      // providers squeezed unified execution memory; gc_ms stayed ~0,
+      // so this was retention, not GC). Queries must measure queries,
+      // not suite history.
+      graft.streaming.Hygiene.reset(spark)
+      // let the ContextCleaner drain its reference queue (it only runs
+      // off GC, which an under-pressure-free 12 GB heap never triggers)
+      System.gc()
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
-      (name, times.min, heapMb, failed, gcMs)
+      (name, times.min, heapMb, failed, gcMs, storageMb)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // a failed query's wall time is an exception path, not a measurement
     // — null it in the map and keep it out of the total so a broken
     // query can never masquerade as a fast one (round-10: 21 events
     // queries "ran" in 0.05 s) nor pad the headline
-    val qs = results.map { case (k, v, _, f, _) =>
+    val qs = results.map { case (k, v, _, f, _, _) =>
         "\"" + k + "\":" + (if (f) "null" else r3(v)) }
       .mkString("{", ",", "}")
-    val heaps = results.map { case (k, _, h, _, _) => "\"" + k + "\":" + h }
+    val heaps = results.map { case (k, _, h, _, _, _) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, _, g) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, _, _, g, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }
+    val storages = results.map { case (k, _, _, _, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val ok = results.filterNot(_._4)
     val total = ok.map(_._2).sum
@@ -94,15 +110,15 @@ object Bench {
     println(
       s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
     val top = ok.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
     // the full-precision record (plus heap/GC profiles) for direct reads
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
-        results.map { case (k, v, _, f, _) =>
+        results.map { case (k, v, _, f, _, _) =>
           "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
-      },"heap_mb":$heaps,"gc_ms":$gcs}"""
+      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

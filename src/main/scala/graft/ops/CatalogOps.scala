@@ -651,6 +651,7 @@ object CatalogOps extends Pack {
         spark.table(name).localCheckpoint()
       } finally {
         q.stop()
+        graft.streaming.Hygiene.unload()
         spark.catalog.dropTempView(name)
       }
       out.orderBy(col("r_regionkey").asc_nulls_first, col("r_name").asc_nulls_first)

@@ -106,6 +106,10 @@ object StreamOps extends Pack {
       q.processAllAvailable()
     } finally {
       q.stop()
+      // drop the stopped query's state-store providers: a host running
+      // many distinct queries would otherwise accumulate one provider
+      // (with in-memory version maps) per operator x partition x query
+      graft.streaming.Hygiene.unload()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     // materialize the (already aggregated/bounded) result off the sink,
@@ -139,6 +143,7 @@ object StreamOps extends Pack {
       q.processAllAvailable()
     } finally {
       q.stop()
+      graft.streaming.Hygiene.unload()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     val out = spark.table(name).localCheckpoint()
@@ -379,7 +384,7 @@ object StreamOps extends Pack {
         q.processAllAvailable()
         waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); graft.streaming.Hygiene.unload() }
       rmTree(src)
       spark.table(s"$cname.sink.ev")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -424,7 +429,8 @@ object StreamOps extends Pack {
           graft.catalog.Maintenance.appendToBranch(tbl, batch, "ingest")
         }
         .outputMode(OutputMode.Append()).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.Hygiene.unload() }
       rmTree(src)
       val mainDuring = spark.table(s"$cname.wap.ev").count()
       val branchDuring = spark.sql(s"SELECT COUNT(*) FROM $cname.wap.ev VERSION AS OF 'ingest'")
@@ -493,7 +499,7 @@ object StreamOps extends Pack {
         q.processAllAvailable()
         waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); graft.streaming.Hygiene.unload() }
       rmTree(src)
       spark.table(s"$cname.cdc.users")
         .select(col("user_id"), col("event_id"), col("ts"),
