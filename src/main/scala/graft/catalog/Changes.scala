@@ -91,13 +91,56 @@ object Changes {
     * range. None when the range emits nothing. fromSeq = 0 diffs from
     * the empty table (genesis), so a CDC stream's first batch replays
     * the whole current state as inserts.
+    *
+    * The commit chain is resolved by walking `parentId` LINEAGE from
+    * the end snapshot (not by filtering the sequence-number range): on
+    * a linear history the two are identical, but after `rollbackTo`
+    * plus new commits this diffs each commit against its ACTUAL
+    * parent, never an abandoned snapshot. Rows emitted by a lineage
+    * that was later rolled back are NOT retracted — roll back under a
+    * live CDC stream and the stream reflects only the surviving
+    * lineage from that point on.
+    *
+    * Fails LOUDLY when the replay base is gone: if fromSeq names an
+    * expired snapshot, or a genesis replay (fromSeq = 0) meets a
+    * truncated chain, the diff would silently re-emit or drop changes
+    * — so it throws instead, matching the reference's stance that a
+    * stream whose start snapshot has been expired errors rather than
+    * guesses.
     */
   def between(spark: SparkSession, warehouse: String, ops: TableOps,
       meta: TableMeta, fromSeq: Long, toSeq: Long): Option[DataFrame] = {
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
-    val chain = meta.snapshots
-      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-      .sortBy(_.sequenceNumber)
+    if (toSeq <= fromSeq) return None
+    if (fromSeq > 0 && !meta.snapshots.exists(_.sequenceNumber == fromSeq))
+      throw new IllegalStateException(
+        s"changelog start snapshot (seq $fromSeq) has been expired: a replay " +
+          s"from it would re-emit or drop already-delivered changes; restart " +
+          s"the stream from a retained snapshot (oldest retained seq: " +
+          s"${meta.snapshots.map(_.sequenceNumber).minOption.getOrElse(0L)})")
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot with sequence number $toSeq"))
+    val lineage = scala.collection.mutable.ListBuffer.empty[Snapshot]
+    var cursor: Option[Snapshot] = Some(toSnap)
+    while (cursor.exists(_.sequenceNumber > fromSeq)) {
+      val s = cursor.get
+      lineage += s
+      cursor = s.parentId match {
+        case None =>
+          if (fromSeq > 0) throw new IllegalStateException(
+            s"changelog base (seq $fromSeq) is not an ancestor of the end " +
+              s"snapshot ${toSnap.snapshotId} (seq $toSeq): the history is " +
+              "not linear past it (rollback); restart the stream")
+          None
+        case Some(pid) => Some(byId.getOrElse(pid, throw new IllegalStateException(
+          s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
+            s"${s.sequenceNumber}) has parent $pid which is no longer " +
+            s"retained — a replay from seq $fromSeq would silently drop the " +
+            "expired commits' rows; restart the stream from a retained snapshot")))
+      }
+    }
+    val chain = lineage.toList.reverse
 
     val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
     def tag(df: DataFrame, typ: String, ord: Int): DataFrame =
@@ -105,9 +148,7 @@ object Changes {
         .withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
 
-    var prev: Option[Snapshot] = meta.snapshots
-      .filter(_.sequenceNumber <= fromSeq)
-      .sortBy(_.sequenceNumber).lastOption
+    var prev: Option[Snapshot] = cursor
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
       // appends never remove files and their added set is exactly the

@@ -405,7 +405,22 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       "SELECT metadata_location FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW'",
       name(), nsKey(ident.namespace().toSeq), ident.name())(_.getString(1)).headOption
 
-  override def viewExists(ident: Identifier): Boolean = viewPointer(ident).isDefined
+  /** Analyzer hot-path cache, positive AND negative (same contract as
+    * the path catalog's: ResolveGraftViews probes every relation naming
+    * this catalog per fixed-point iteration; uncached that is one DB
+    * round-trip per relation per analysis). DDL never trusts the
+    * cache for its own guards — createView's PK insert and the rename
+    * CAS detect racers at the DB — so a stale negative can only delay
+    * view visibility, never corrupt. */
+  private val viewProbe = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def viewKey(ident: Identifier): String =
+    nsKey(ident.namespace().toSeq) + " " + ident.name()
+
+  override def invalidateViewCache(): Unit = viewProbe.clear()
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewProbe.getOrElseUpdate(viewKey(ident), viewPointer(ident).isDefined)
 
   override def listViews(ns: String*): Array[Identifier] = {
     requireV1()
@@ -438,7 +453,9 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     requireV1()
     val ident = info.ident()
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (viewExists(ident))
+    // fresh probe (not the cache); the PK insert below is the real
+    // guard against a racer either way
+    if (viewPointer(ident).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -453,8 +470,10 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       name(), nsKey(ident.namespace().toSeq), ident.name(), loc)
     catch { case _: SQLException => // PK violation: a racer won
       Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, loc))
+      viewProbe.put(viewKey(ident), true) // the racer's view exists
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     }
+    viewProbe.put(viewKey(ident), true)
     new GraftView(d)
   }
 
@@ -489,13 +508,16 @@ class JdbcRelativeCatalog extends RelativeCatalog {
   override def dropView(ident: Identifier): Boolean = {
     requireV1()
     viewPointer(ident) match {
-      case None => false
+      case None =>
+        viewProbe.put(viewKey(ident), false)
+        false
       case Some(loc) =>
         val n = update(
           "DELETE FROM graft_tables WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW'",
           name(), nsKey(ident.namespace().toSeq), ident.name())
         if (n == 1)
           Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, loc))
+        viewProbe.put(viewKey(ident), false)
         n == 1
     }
   }
@@ -508,7 +530,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       else rawNewIdent
     val oldLoc = viewPointer(oldIdent).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
-    if (viewExists(newIdent) || tableExists(newIdent))
+    if (viewPointer(newIdent).isDefined || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     val d = ViewDef.fromJson(Io.readString(
       graft.meta.RelPaths.absolutize(warehouse, oldLoc)))
@@ -523,9 +545,12 @@ class JdbcRelativeCatalog extends RelativeCatalog {
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
       }
       Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, oldLoc))
+      viewProbe.put(viewKey(newIdent), true)
+      viewProbe.put(viewKey(oldIdent), false)
     } catch {
       case _: SQLException => // PK violation: target appeared concurrently
         Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
+        viewProbe.put(viewKey(newIdent), true)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     }
   }

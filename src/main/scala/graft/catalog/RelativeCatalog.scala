@@ -180,6 +180,9 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     val empty = Io.listNames(d).isEmpty
     if (!empty && !cascade) throw new NonEmptyNamespaceException(ns)
     Io.deleteRecursiveChecked(d)
+    // cascade may have removed view files under d: drop their cached
+    // positives (negatives under d stay valid)
+    viewProbe.filterInPlace((k, _) => !k.startsWith(s"$d/"))
     true
   }
 
@@ -522,13 +525,38 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
   private def viewFile(ident: Identifier): String =
     s"${dirOf(ident.namespace().toSeq)}/${ident.name()}.view.json"
 
+  /** Analyzer hot-path cache for view existence, positive AND negative.
+    *
+    * ResolveGraftViews probes every 2/3-part relation naming this
+    * catalog, per fixed-point iteration, per analysis — and streaming
+    * re-analyzes each micro-batch. Uncached, each probe is a file-
+    * exists call: noise on posix, a HEAD request per relation per
+    * batch on an object store. DDL through THIS catalog instance
+    * invalidates (create/drop/rename/dropNamespace); DDL paths
+    * themselves always probe the filesystem, so cross-writer clashes
+    * are still detected exactly. A view created by a DIFFERENT writer
+    * becomes visible to cached readers after [[invalidateViewCache]]
+    * (or a fresh catalog), matching Spark's own relation-cache
+    * semantics for tables.
+    */
+  private val viewProbe = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Cache misses = filesystem probes actually issued (test hook: the
+    * analyzer must not re-probe a known non-view per analysis). */
+  private[graft] val viewProbeMisses = new java.util.concurrent.atomic.AtomicLong
+
+  def invalidateViewCache(): Unit = viewProbe.clear()
+
   override def listViews(ns: String*): Array[Identifier] = {
     val d = dirOf(ns)
     Io.listNames(d).filter(_.endsWith(".view.json"))
       .map(n => Identifier.of(ns.toArray, n.stripSuffix(".view.json"))).toArray
   }
 
-  override def viewExists(ident: Identifier): Boolean = Io.exists(viewFile(ident))
+  override def viewExists(ident: Identifier): Boolean = {
+    val f = viewFile(ident)
+    viewProbe.getOrElseUpdate(f, { viewProbeMisses.incrementAndGet(); Io.exists(f) })
+  }
 
   override def loadView(ident: Identifier): View = {
     if (!viewExists(ident))
@@ -541,7 +569,9 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     // a table with the same name wins — the reference's JDBC catalog
     // guards this clash both ways (JdbcRelativeCatalog.java:674-691)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (viewExists(ident))
+    // fresh probe, not the cache: a clash with another writer's view
+    // must throw even if this instance cached a negative
+    if (Io.exists(viewFile(ident)))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -551,6 +581,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       info.columnComments().toList.map(c => if (c == null) "" else c),
       info.properties().asScala.toMap)
     Io.writeString(viewFile(ident), ViewDef.toJson(d))
+    viewProbe.put(viewFile(ident), true)
     new GraftView(d)
   }
 
@@ -567,21 +598,27 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     new GraftView(d)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    Io.deleteIfExists(viewFile(ident))
+  override def dropView(ident: Identifier): Boolean = {
+    val dropped = Io.deleteIfExists(viewFile(ident))
+    viewProbe.put(viewFile(ident), false)
+    dropped
+  }
 
   override def renameView(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
     val newIdent =
       if (rawNewIdent.namespace().headOption.contains(name()))
         Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
       else rawNewIdent
-    if (!viewExists(oldIdent))
+    // fresh probes on both sides — see createView
+    if (!Io.exists(viewFile(oldIdent)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
-    if (viewExists(newIdent) || tableExists(newIdent))
+    if (Io.exists(viewFile(newIdent)) || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     val d = ViewDef.fromJson(Io.readString(viewFile(oldIdent)))
     Io.writeString(viewFile(newIdent), ViewDef.toJson(d.copy(name = newIdent.name())))
     Io.deleteIfExists(viewFile(oldIdent)): Unit
+    viewProbe.put(viewFile(newIdent), true)
+    viewProbe.put(viewFile(oldIdent), false)
   }
 
   // ---- metadata tables --------------------------------------------

@@ -651,7 +651,7 @@ object CatalogOps extends Pack {
         spark.table(name).localCheckpoint()
       } finally {
         q.stop()
-        graft.streaming.Hygiene.unload()
+        graft.streaming.Hygiene.unload(q.runId)
         spark.catalog.dropTempView(name)
       }
       out.orderBy(col("r_regionkey").asc_nulls_first, col("r_name").asc_nulls_first)
@@ -1116,5 +1116,51 @@ object CatalogOps extends Pack {
            |FROM $c.demo_orp.reg""".stripMargin)
     }, Some(
       """SELECT 1 AS n_removed, COUNT(*) AS n FROM region""".stripMargin)),
+
+    // Warehouse relocation e2e — the reference's raison d'être
+    // (README.md:112-121): every stored path is warehouse-RELATIVE,
+    // so `mv`-ing the whole warehouse and re-rooting the catalog must
+    // leave every table readable with ZERO metadata rewrites. The
+    // table carries a MOR position-delete commit before the move, so
+    // the file paths embedded inside delete manifests relocate too;
+    // the moved-from catalog root ceases to exist (nothing may fall
+    // back to an absolute path captured pre-move).
+    Decl("q_cat_relocate", (spark, dir) => {
+      val run = s"${Integer.toHexString(dir.hashCode).takeRight(6)}r${relocN.incrementAndGet()}"
+      val whA = s"/tmp/graft_wh_rel_a_$run"
+      val whB = s"/tmp/graft_wh_rel_b_$run"
+      // a previous JVM's run may have left either root behind (the
+      // counter restarts per process) — the move target must not exist
+      Seq(whA, whB).foreach { p =>
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val (ca, cb) = (s"grela$run", s"grelb$run")
+      spark.conf.set(s"spark.sql.catalog.$ca", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$ca.warehouse", whA)
+      spark.sql(s"CREATE NAMESPACE $ca.rel")
+      spark.sql(s"CREATE TABLE $ca.rel.o (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_src")
+      spark.sql(s"INSERT INTO $ca.rel.o SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src")
+      spark.sql(s"DELETE FROM $ca.rel.o WHERE o_orderkey % 10 = 0")
+      // the relocation is a directory rename — no file is rewritten
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(whA), java.nio.file.Paths.get(whB))
+      spark.conf.set(s"spark.sql.catalog.$cb", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cb.warehouse", whB)
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+           |  D4SUM(o_totalprice) AS total
+           |FROM $cb.rel.o""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  D4SUM(o_totalprice) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin)),
   )
+
+  private val relocN = new java.util.concurrent.atomic.AtomicInteger(0)
 }

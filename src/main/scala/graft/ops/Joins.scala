@@ -350,6 +350,7 @@ object Joins extends Pack {
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         .map(k => k -> spark.conf.getOption(k)).toMap
       setBloomConfs(spark)

@@ -145,7 +145,14 @@ object LlmOps extends Pack {
           (decode(col("asset.payload"), "UTF-8") === col("text")).as("roundtrip_ok"),
           element_at(col("asset.meta"), "lang").as("meta_lang"))
         .orderBy(col("doc_id").asc_nulls_first, col("payload_bytes").asc_nulls_first),
-      None),
+      // every projected column IS oracle-expressible (the fixture text
+      // is ASCII, so UTF-8 payload bytes = text length; the oracle's
+      // literal TRUE asserts the Spark-side decode really round-trips)
+      Some(
+        """SELECT doc_id, CAST(length(text) AS INTEGER) AS payload_bytes,
+          |  TRUE AS roundtrip_ok, lang AS meta_lang
+          |FROM documents
+          |ORDER BY doc_id ASC NULLS FIRST, payload_bytes ASC NULLS FIRST""".stripMargin)),
   )
 
   /** MinHash/LSH candidate pairs: k=16 seeded xxhash64 min-signatures,

@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * one-pass per-source data card.
   *
   * Scale shapes: every aggregation is keyed on its natural analysis
-  * key (lang / span / source) with map-side partials; the span join is
-  * a shuffled equi-join on the span key — at corpus scale the span
-  * string would be folded to xxhash64 first (64-bit keys shuffle
-  * cheaper and collisions only ever ADD a candidate pair), exactly as
-  * the exact-dedup family does.
+  * key (lang / hash / source) with map-side partials; the span-dedup
+  * corpus shuffle is keyed on the span's 8-byte xxhash64 (64-bit keys
+  * shuffle far cheaper than 64-char strings; a collision only ever
+  * ADDs a candidate, and candidates are re-confirmed on the raw span),
+  * exactly as the exact-dedup family does.
   */
 object LlmOps10 extends Pack {
 
@@ -71,11 +71,22 @@ object LlmOps10 extends Pack {
           col("text"))
         .select(col("doc_id"), col("source"),
           expr("substring(text, s, 64)").as("span"))
-      val dup = sp.groupBy(col("span"))
+        .withColumn("h", xxhash64(col("span")))
+      // the corpus-wide shuffle folds each span to its 8-byte xxhash64
+      // (column pruning keeps raw spans out of this exchange); a hash
+      // collision can only ADD a candidate, never drop one, so exact
+      // semantics are restored by re-grouping the (small) candidate
+      // subset on the raw span before counting
+      val candHash = sp.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
+        .select(col("h"))
+      val cand = sp.join(candHash, "h")
+      val dupSpan = cand.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd2"))
+        .filter(col("nd2") > 1)
         .select(col("span"))
-      sp.join(dup, "span")
+      cand.join(dupSpan, "span")
         .groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs_affected"),
           count(lit(1)).as("n_dup_instances"))
@@ -263,5 +274,58 @@ object LlmOps10 extends Pack {
         |      j -> unicode(substr(text, 1 + j * 32, 1)))) AS BIGINT)
         |  END AS sampled_sum
         |FROM documents
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)))
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // INCREMENTAL corpus dedup — the O(increment) shape a daily
+    // 100 TB ingest needs: only the NEW commit's documents are read
+    // (the `$changes` incremental scan touches just the files that
+    // commit added), hashed, and joined against the historical
+    // corpus's distinct-hash set (the snapshot-pinned state read).
+    // Re-crawls are counted per language without ever re-reading the
+    // old corpus's text twice or re-deduping the whole table. The
+    // old-hash side is a hash-keyed shuffle join (NOT broadcast — at
+    // corpus scale the history's hash set is itself huge).
+    Decl("q_llm_incdedup", (spark, dir) => {
+      val cname = s"graftinc${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.inc CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.inc")
+      spark.sql(s"CREATE TABLE $cname.inc.docs (doc_id BIGINT, text STRING, lang STRING)")
+      Tables(spark, dir, "documents").createOrReplaceTempView("docs_src_inc")
+      spark.sql(s"INSERT INTO $cname.inc.docs " +
+        "SELECT doc_id, text, lang FROM docs_src_inc WHERE doc_id % 3 = 0")
+      val cata = spark.sessionState.catalogManager.catalog(cname)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      val s1 = cata.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("inc"), "docs"))
+        .asInstanceOf[graft.catalog.GraftTable].meta.currentSnapshotId.get
+      spark.sql(s"INSERT INTO $cname.inc.docs " +
+        "SELECT doc_id, text, lang FROM docs_src_inc WHERE doc_id % 3 <> 0")
+      val newDocs = spark.read.option("start-snapshot-id", s1.toString)
+        .table(s"$cname.inc.`docs$$changes`")
+        .filter(col("_change_type") === "insert")
+        .select(col("lang"), sha2(lower(trim(col("text"))), 256).as("h"))
+      val oldHashes = spark.sql(
+          s"SELECT DISTINCT sha2(lower(trim(text)), 256) AS h " +
+            s"FROM $cname.inc.docs VERSION AS OF $s1")
+        .withColumn("is_old", lit(1))
+      newDocs.join(oldHashes, Seq("h"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"),
+          count(col("is_old")).as("n_dup_of_old"),
+          countDistinct(when(col("is_old").isNull, col("h"))).as("n_unique_added"))
+        .orderBy(col("lang").asc_nulls_first)
+    }, Some(
+      """WITH oldh AS (SELECT DISTINCT sha256(lower(trim(text))) AS h
+        |              FROM documents WHERE doc_id % 3 = 0),
+        |newd AS (SELECT lang, sha256(lower(trim(text))) AS h
+        |         FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new,
+        |  CAST(COUNT(o.h) AS BIGINT) AS n_dup_of_old,
+        |  CAST(COUNT(DISTINCT CASE WHEN o.h IS NULL THEN n.h END) AS BIGINT)
+        |    AS n_unique_added
+        |FROM newd n LEFT JOIN oldh o ON n.h = o.h
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)))
 }

@@ -406,6 +406,30 @@ object LlmOps2 extends Pack {
           Fingerprints.winnow_fingerprint(lower(trim(col("text"))), 16).as("winnow_fp"))
         .orderBy(col("doc_id").asc_nulls_first, col("fp").asc_nulls_first), None),
 
+    // Oracle-checkable INVARIANTS of the engine-specific fingerprints:
+    // the hash values themselves can't cross-check against DuckDB, but
+    // their functional behavior can — every distinct normalized text
+    // maps to exactly ONE fp / winnow_fp (determinism across the
+    // distributed run), so the (text, fp) pair count equals the
+    // distinct-text count. A nondeterministic or partition-dependent
+    // fingerprint breaks this even when per-row specs pass.
+    Decl("q_llm_fingerprint_inv", (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(lower(trim(col("text"))).as("t"),
+          Fingerprints.text_fingerprint(lower(trim(col("text")))).as("fp"),
+          Fingerprints.winnow_fingerprint(lower(trim(col("text"))), 16).as("wfp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("t")).as("n_texts"),
+          countDistinct(col("t"), col("fp")).as("n_text_fp_pairs"),
+          countDistinct(col("t"), col("wfp")).as("n_text_wfp_pairs")),
+      Some(
+        """SELECT COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT lower(trim(text))) AS n_texts,
+          |  COUNT(DISTINCT lower(trim(text))) AS n_text_fp_pairs,
+          |  COUNT(DISTINCT lower(trim(text))) AS n_text_wfp_pairs
+          |FROM documents""".stripMargin)),
+
     // Multimodal feature extraction: binary payloads through a typed
     // mapPartitions (the batch shape a real decoder plugs into; the
     // codec itself is a deterministic stand-in — this container has no

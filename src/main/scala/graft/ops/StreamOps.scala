@@ -106,10 +106,11 @@ object StreamOps extends Pack {
       q.processAllAvailable()
     } finally {
       q.stop()
-      // drop the stopped query's state-store providers: a host running
-      // many distinct queries would otherwise accumulate one provider
+      // drop THIS query's state-store providers (keyed by runId, so
+      // concurrent streams are untouched): a host running many
+      // distinct queries would otherwise accumulate one provider
       // (with in-memory version maps) per operator x partition x query
-      graft.streaming.Hygiene.unload()
+      graft.streaming.Hygiene.unload(q.runId)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     // materialize the (already aggregated/bounded) result off the sink,
@@ -143,7 +144,7 @@ object StreamOps extends Pack {
       q.processAllAvailable()
     } finally {
       q.stop()
-      graft.streaming.Hygiene.unload()
+      graft.streaming.Hygiene.unload(q.runId)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     val out = spark.table(name).localCheckpoint()
@@ -384,7 +385,7 @@ object StreamOps extends Pack {
         q.processAllAvailable()
         waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
         q.processAllAvailable()
-      } finally { q.stop(); graft.streaming.Hygiene.unload() }
+      } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
       rmTree(src)
       spark.table(s"$cname.sink.ev")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -430,7 +431,7 @@ object StreamOps extends Pack {
         }
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable()
-      finally { q.stop(); graft.streaming.Hygiene.unload() }
+      finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
       rmTree(src)
       val mainDuring = spark.table(s"$cname.wap.ev").count()
       val branchDuring = spark.sql(s"SELECT COUNT(*) FROM $cname.wap.ev VERSION AS OF 'ingest'")
@@ -499,7 +500,7 @@ object StreamOps extends Pack {
         q.processAllAvailable()
         waveB.foreach(p => Files.createLink(src.resolve(s"w1-${p.getFileName}"), p))
         q.processAllAvailable()
-      } finally { q.stop(); graft.streaming.Hygiene.unload() }
+      } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
       rmTree(src)
       spark.table(s"$cname.cdc.users")
         .select(col("user_id"), col("event_id"), col("ts"),
@@ -608,6 +609,7 @@ object StreamOps extends Pack {
       if (twice) { linkWave(src, docsSrc(spark, dir), "w1"); q.processAllAvailable() }
     } finally {
       q.stop()
+      graft.streaming.Hygiene.unload(q.runId)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     val out = spark.table(name).localCheckpoint()

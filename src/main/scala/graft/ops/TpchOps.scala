@@ -313,19 +313,26 @@ object TpchOps extends Pack {
       // DOUBLE, and this comparison is a FILTER boundary — a balance
       // within double-rounding distance of the mean would flip set
       // membership, changing counts, not just a display decimal
-      val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
-          count(lit(1)).as("n_pos"))
-      val recentBuyers = Tables(spark, dir, "orders")
-        .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
-        .select(col("o_custkey")).distinct()
-      cust.crossJoin(broadcast(avgBal))
-        .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
-        .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy((col("c_nationkey") % 5).cast("int").as("cntry_bucket"))
-        .agg(count(lit(1)).as("n_cust"),
-          d4(sum(dec(col("c_acctbal")))).as("total_bal"))
-        .orderBy(col("cntry_bucket").asc_nulls_first)
+      // the mean is a SCALAR SUBQUERY, not a 1-row cross join: Spark
+      // runs it as its own stage and inlines the result as a literal
+      // into the filter (MergeScalarSubqueries collapses the SUM and
+      // COUNT probes into one aggregate), so the plan has no
+      // nested-loop node at all — the shape the sweep test pins
+      cust.createOrReplaceTempView("q22_cust")
+      Tables(spark, dir, "orders").createOrReplaceTempView("q22_orders")
+      spark.sql(
+        """SELECT CAST(c_nationkey % 5 AS INT) AS cntry_bucket,
+          |  COUNT(*) AS n_cust,
+          |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total_bal
+          |FROM q22_cust
+          |WHERE CAST(c_acctbal AS DECIMAL(18,6)) *
+          |    (SELECT COUNT(*) FROM q22_cust WHERE c_acctbal > 0.0)
+          |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM q22_cust
+          |     WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM q22_orders WHERE o_custkey = c_custkey
+          |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          |GROUP BY cntry_bucket
+          |ORDER BY cntry_bucket ASC NULLS FIRST""".stripMargin)
     }, Some(
       """WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_bal,
         |           COUNT(*) AS n_pos
@@ -846,8 +853,8 @@ object TpchOps extends Pack {
     // of the nation total. The HAVING threshold is a
     // cross-multiplication on exact decimals — no division, no float
     // rounding at the filter boundary (the q17 idiom). One fact
-    // shuffle (the per-part aggregation); the nation-supplier dim and
-    // the 1-row total both broadcast.
+    // shuffle (the per-part aggregation); the nation-supplier dim
+    // broadcasts and the nation total inlines as a scalar subquery.
     Decl("q_tpch_q11", (spark, dir) => {
       val natSupp = Tables(spark, dir, "supplier")
         .join(Tables(spark, dir, "nation").filter(col("n_name") === "NATION_3"),
@@ -857,11 +864,18 @@ object TpchOps extends Pack {
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(dec(col("l_extendedprice"))).as("v_exact"))
-      val total = v.agg(sum(col("v_exact")).as("total"))
-      v.join(broadcast(total))
-        .filter(col("v_exact").cast("decimal(28,6)") * 600 > col("total"))
-        .select(col("l_partkey").as("ps_partkey"), d4(col("v_exact")).as("value"))
-        .orderBy(col("value").desc, col("ps_partkey").asc_nulls_first)
+      // the nation total is a SCALAR SUBQUERY (own stage, inlined as a
+      // literal) rather than a 1-row broadcast join, so no nested-loop
+      // node appears; ReuseExchange dedupes the shared per-part
+      // aggregate between the subquery and the main branch
+      v.createOrReplaceTempView("q11_v")
+      spark.sql(
+        """SELECT l_partkey AS ps_partkey,
+          |  CAST(CAST(v_exact AS DECIMAL(18,4)) AS DOUBLE) AS value
+          |FROM q11_v
+          |WHERE CAST(v_exact AS DECIMAL(28,6)) * 600 >
+          |  (SELECT SUM(v_exact) FROM q11_v)
+          |ORDER BY value DESC, ps_partkey ASC NULLS FIRST""".stripMargin)
     }, Some(
       """WITH v AS (
         |  SELECT l_partkey AS ps_partkey,

@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.StructType
   * Offsets are commit SEQUENCE NUMBERS, so a batch is exactly the
   * change rows of the commits in (startSeq, endSeq], recomputed from
   * the snapshot chain by [[Changes.between]] — replayable from
-  * metadata alone (exactly-once after a crash, provided snapshot
-  * retention covers the stream's lag, the same contract as the
-  * append tail). `start-seq` (default 0) sets the initial offset:
+  * metadata alone (exactly-once after a crash). If snapshot retention
+  * does NOT cover the stream's lag — the restart offset's snapshot or
+  * any chain ancestor has been expired — the batch THROWS instead of
+  * silently re-emitting or dropping changes, and a mid-stream schema
+  * change likewise fails the batch (restart to pick it up). The chain
+  * is parent-lineage-walked, so commits after a `rollbackTo` diff
+  * against their actual parent; rows from an abandoned lineage are
+  * not retracted. `start-seq` (default 0) sets the initial offset:
   * 0 replays the whole table as genesis inserts, the current seq at
   * start gives a "changes from now on" tail.
   *
@@ -88,8 +93,19 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromSeq = start.map(seqOf).getOrElse(startSeq)
     val toSeq = seqOf(end)
+    val meta = freshMeta
+    // enforce the pinned-schema contract: MicroBatchExecution aliases
+    // batch output to the stream-start attributes BY POSITION, so a
+    // mid-stream column add/rename would silently mislabel data
+    // instead of failing — refuse and tell the user to restart
+    val cur = Changes.outputSchema(meta)
+    if (cur != outSchema)
+      throw new IllegalStateException(
+        s"table schema changed mid-stream (was ${outSchema.simpleString}, " +
+          s"now ${cur.simpleString}); restart the streaming query to pick " +
+          "up the new schema")
     val batch = Changes
-      .between(spark, ops.warehouse, ops, freshMeta, fromSeq, toSeq)
+      .between(spark, ops.warehouse, ops, meta, fromSeq, toSeq)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         StructType(outSchema.fields.map(_.copy(nullable = true)))))

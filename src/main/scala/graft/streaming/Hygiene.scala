@@ -21,16 +21,21 @@ import org.apache.spark.sql.execution.streaming.state.GraftStateShim
   */
 object Hygiene {
 
-  /** Unload all loaded state-store providers (safe while no query is
-    * running; a restarted query reloads from its checkpoint). */
-  def unload(): Unit = GraftStateShim.unloadAllProviders()
+  /** Unload exactly ONE stopped query's state-store providers (pass
+    * `query.runId` after `query.stop()`). Safe while other streaming
+    * queries are live in the same JVM — a restarted query reloads its
+    * state from the checkpoint. */
+  def unload(runId: java.util.UUID): Unit = GraftStateShim.unloadForRun(runId)
 
-  /** Full between-queries reset: drop state-store providers, clear the
-    * SQL cache, and unpersist every retained RDD block (cache() /
-    * persist() / localCheckpoint()). Does NOT touch streaming
-    * checkpoints on disk — restartability is preserved. */
+  /** Full between-queries reset for a host with NO live streams (a
+    * serial bench between queries): stop the provider registry and
+    * maintenance task, clear the SQL cache, and unpersist every
+    * retained RDD block (cache() / persist() / localCheckpoint()).
+    * Does NOT touch streaming checkpoints on disk — restartability is
+    * preserved. NOT safe under concurrently-running streaming queries
+    * (the teardown is global). */
   def reset(spark: SparkSession): Unit = {
-    unload()
+    GraftStateShim.stopAll()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.catalog.{Changes, Maintenance, TableOps}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** End-to-end coverage for the `graft-cdc` V1 streaming source:
+  * offset advance/replay, genesis insert replay, MOR delete batches,
+  * checkpoint restart, the expired-base loud failures, and the
+  * post-rollback lineage walk (Changes.between diffs a commit against
+  * its ACTUAL parent, never an abandoned snapshot).
+  */
+class CdcSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** (id, change_type, batch_id) triples captured per micro-batch —
+    * foreachBatch (not the memory sink) so checkpoint RESTART is a
+    * supported path. */
+  private def collector(seen: java.util.Queue[(Long, String, Long)]) =
+    (df: org.apache.spark.sql.DataFrame, batchId: Long) => {
+      df.collect().foreach(r =>
+        seen.add((r.getAs[Long]("id"), r.getAs[String]("_change_type"), batchId)))
+      (): Unit
+    }
+
+  test("graft-cdc: genesis replay, per-commit batches, MOR deletes, checkpoint restart") {
+    val wh = "/tmp/graft_test_cdcsrc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcS", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcS.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcS.c")
+    spark.sql("CREATE TABLE tcCdcS.c.t (id BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcCdcS.c.t SELECT id, 'a' FROM range(0, 10)")
+
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = genesis replay: the whole table as inserts
+      val b0 = seen.asScala.toSeq
+      assert(b0.map(_._1).sorted == (0L until 10L),
+        s"genesis replay wrong: $b0")
+      assert(b0.forall(_._2 == "insert"))
+
+      // append commit -> one new batch of exactly the added rows
+      seen.clear()
+      spark.sql("INSERT INTO tcCdcS.c.t SELECT id, 'b' FROM range(10, 15)")
+      q.processAllAvailable()
+      val b1 = seen.asScala.toSeq
+      assert(b1.map(_._1).sorted == (10L until 15L) && b1.forall(_._2 == "insert"),
+        s"append batch wrong: $b1")
+
+      // MOR position-delete commit -> delete-tagged rows, nothing else
+      seen.clear()
+      spark.sql("DELETE FROM tcCdcS.c.t WHERE id < 3")
+      q.processAllAvailable()
+      val b2 = seen.asScala.toSeq
+      assert(b2.map(_._1).sorted == (0L until 3L) && b2.forall(_._2 == "delete"),
+        s"MOR delete batch wrong: $b2")
+    } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+
+    // RESTART from the checkpoint: only commits after the stored
+    // offset replay (exactly-once, no genesis re-emit)
+    spark.sql("INSERT INTO tcCdcS.c.t VALUES (100, 'z')")
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val b3 = seen.asScala.toSeq
+      assert(b3.map(r => (r._1, r._2)) == Seq((100L, "insert")),
+        s"checkpoint restart replayed wrong rows: $b3")
+    } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
+  }
+
+  test("expired replay base fails loudly instead of re-emitting or dropping") {
+    val wh = "/tmp/graft_test_cdcexp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcE", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcE.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcE.c")
+    spark.sql("CREATE TABLE tcCdcE.c.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcCdcE.c.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val ops = new TableOps(wh, "c/t")
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+    val meta = ops.refresh().get._2
+    val cur = meta.currentSnapshot.get.sequenceNumber
+
+    // a stream whose lag exceeds retention: its base seq is expired
+    val e1 = intercept[IllegalStateException] {
+      Changes.between(spark, wh, ops, meta, fromSeq = 1, toSeq = cur)
+    }
+    assert(e1.getMessage.contains("expired"), e1.getMessage)
+
+    // genesis replay on a truncated chain: the oldest retained
+    // snapshot still has a parent -> the expired commits' rows would
+    // silently vanish from the replay; must throw instead
+    val e2 = intercept[IllegalStateException] {
+      Changes.between(spark, wh, ops, meta, fromSeq = 0, toSeq = cur)
+    }
+    assert(e2.getMessage.contains("TRUNCATED"), e2.getMessage)
+
+    // an intact base still works
+    assert(Changes.between(spark, wh, ops, meta, cur, cur).isEmpty)
+  }
+
+  test("post-rollback commits diff against their actual parent (lineage walk)") {
+    val wh = "/tmp/graft_test_cdcrb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcR", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcR.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcR.c")
+    spark.sql("CREATE TABLE tcCdcR.c.t (id BIGINT)")
+    spark.sql("INSERT INTO tcCdcR.c.t VALUES (1)")          // seq 1 (A)
+    spark.sql("INSERT OVERWRITE tcCdcR.c.t VALUES (2)")     // seq 2 (B, abandoned)
+    val ops = new TableOps(wh, "c/t")
+    val a = ops.refresh().get._2.snapshots.minBy(_.sequenceNumber)
+    Maintenance.rollbackTo(ops, a.snapshotId)
+    spark.sql("INSERT INTO tcCdcR.c.t VALUES (3)")          // seq 3 (C, parent A)
+    val meta = ops.refresh().get._2
+    val cur = meta.currentSnapshot.get.sequenceNumber
+
+    // (A, C]: the lineage walk must yield C's changes against A —
+    // exactly the inserted row 3 — and never consult abandoned B
+    // (a seq-range filter would diff C against B and emit wrong rows)
+    val rows = Changes.between(spark, wh, ops, meta, a.sequenceNumber, cur)
+      .get.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+    assert(rows.toSeq.sorted == Seq((3L, "insert")), rows.mkString(","))
+  }
+}

@@ -328,6 +328,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val saved = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
       .map(k => k -> spark.conf.getOption(k)).toMap
     ops.Joins.setBloomConfs(spark)
@@ -343,5 +344,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(row.getString(0) == "Brand#23" && row.getLong(1) > 0)
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("sweep: no TPC-H plan contains a cartesian or nested-loop join") {
+    // cross-cutting pin over ALL declared q_tpch_* shapes: a refactor
+    // that degrades any join to CartesianProduct / BroadcastNestedLoop
+    // (the two shapes that melt at fact-table scale) fails here even
+    // if its oracle stays green
+    val tpch = SparkEntry.queries.keys.filter(_.startsWith("q_tpch_")).toSeq.sorted
+    assert(tpch.size >= 22, s"expected the 22 classic shapes, got ${tpch.size}")
+    val offenders = tpch.flatMap { name =>
+      val p = plan(name)
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(p.contains)
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
   }
 }

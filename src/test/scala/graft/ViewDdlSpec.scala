@@ -85,4 +85,24 @@ class ViewDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT x FROM plain_tmp").collect().head.getInt(0) == 7)
     spark.sql("DROP VIEW plain_tmp")
   }
+
+  test("analyzer does not re-probe the filesystem for a known non-view relation") {
+    // first analysis may miss once (negative cached); every subsequent
+    // analysis of the same table reference must issue ZERO probes —
+    // on an object-store warehouse each miss is a HEAD request, paid
+    // per relation per micro-batch by streaming re-analysis
+    spark.sql("SELECT * FROM tcVD.v.base WHERE id < 3").collect()
+    val before = cat.viewProbeMisses.get()
+    (1 to 5).foreach { _ =>
+      spark.sql("SELECT * FROM tcVD.v.base WHERE id < 3").queryExecution.analyzed
+    }
+    assert(cat.viewProbeMisses.get() == before,
+      "repeated analysis of a non-view relation re-probed the filesystem")
+    // and a view created AFTER a cached negative through this catalog
+    // instance is still immediately visible (create invalidates)
+    spark.sql("SELECT 1").collect()
+    intercept[Exception] { spark.table("tcVD.v.later_view") }
+    spark.sql("CREATE VIEW tcVD.v.later_view AS SELECT 5 AS x")
+    assert(spark.sql("SELECT x FROM tcVD.v.later_view").collect().head.getInt(0) == 5)
+  }
 }
