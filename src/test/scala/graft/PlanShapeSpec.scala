@@ -346,6 +346,17 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q_llm_substrdedup: the corpus-wide span shuffle is keyed on xxhash64, not raw strings") {
+    val p = plan("q_llm_substrdedup")
+    // the candidate aggregation (the only corpus-sized exchange) must
+    // partition on the folded 8-byte hash; shuffling 64-char span
+    // strings is the shape the r12 verdict flagged
+    assert(p.contains("xxhash64"), s"span hash fold missing:\n${p.take(2000)}")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(h#")),
+      s"corpus shuffle not keyed on the hash:\n${p.take(2500)}")
+  }
+
   test("sweep: no TPC-H plan contains a cartesian or nested-loop join") {
     // cross-cutting pin over ALL declared q_tpch_* shapes: a refactor
     // that degrades any join to CartesianProduct / BroadcastNestedLoop
