@@ -247,5 +247,40 @@ object LlmOps7 extends Pack {
         |  ROUND(AVG(dots.dot / (dots.vnorm * cn.cnorm)), 4) AS avg_cos
         |FROM dots JOIN cn ON dots.label = cn.label
         |GROUP BY dots.label
-        |ORDER BY dots.label ASC NULLS FIRST""".stripMargin)))
+        |ORDER BY dots.label ASC NULLS FIRST""".stripMargin)),
+
+    // Embedding-space drift between label groups (dataset versions,
+    // sources, shards): pairwise L1/L2 distance of per-group mean
+    // vectors — the monitor that catches an encoder change or a
+    // contaminated shard before training does. Scale shape: ONE keyed
+    // aggregation over the corpus (label x dim keys), then the tiny
+    // means table pairs with itself — the corpus is read once and
+    // nothing grows with n. round(…,4) absorbs double-sum order
+    // variance (the [[q_llm_centroid]] precedent).
+    Decl("q_llm_embdrift", (spark, dir) => {
+      val d = Tables(spark, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "v")))
+      val m = d.groupBy(col("label"), col("i")).agg(avg(col("v")).as("m"))
+      val a = m.select(col("label").as("la"), col("i"), col("m").as("ma"))
+      val b = m.select(col("label").as("lb"), col("i"), col("m").as("mb"))
+      a.join(b, Seq("i")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(
+          round(sum(abs(col("ma") - col("mb"))), 4).as("l1_drift"),
+          round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 4)
+            .as("l2_drift"))
+        .orderBy(col("la").asc_nulls_first, col("lb").asc_nulls_first)
+    }, Some(
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (SELECT label, unnest(generate_series(1, len(e))) AS i, unnest(e) AS v
+        |      FROM e),
+        |m AS (SELECT label, i, AVG(v) AS m FROM d GROUP BY 1, 2)
+        |SELECT a.label AS la, b.label AS lb,
+        |  ROUND(SUM(ABS(a.m - b.m)), 4) AS l1_drift,
+        |  ROUND(sqrt(SUM((a.m - b.m) * (a.m - b.m))), 4) AS l2_drift
+        |FROM m a JOIN m b USING (i)
+        |WHERE a.label < b.label
+        |GROUP BY 1, 2
+        |ORDER BY la ASC NULLS FIRST, lb ASC NULLS FIRST""".stripMargin)))
 }
