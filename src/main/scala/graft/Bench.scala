@@ -113,12 +113,24 @@ object Bench {
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+    // self-validation: re-time the 5 slowest queries AFTER the whole
+    // suite has run — if suite state were still inflating the tail
+    // (round-12: 4-10x), these end-of-suite reruns would diverge from
+    // the in-suite numbers, and the artifact itself would show it
+    val recheck = ok.sortBy(-_._2).take(5).map { case (k, _, _, _, _, _) =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      graft.streaming.Hygiene.reset(spark)
+      "\"" + k + "\":" + r3((System.nanoTime() - t0) / 1e9)
+    }.mkString("{", ",", "}")
     // the full-precision record (plus heap/GC profiles) for direct reads
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
         results.map { case (k, v, _, f, _, _) =>
           "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
-      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages}"""
+      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

@@ -217,18 +217,44 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
     * EXACT from committed per-file stats — the delegate can't know it
     * (parquet stats aren't loaded at planning), but the manifest does,
     * and a real numRows materially improves CBO's join-side estimates
-    * at scale. Both reflect runtime file pruning (`files` shrinks). */
+    * at scale. Both reflect runtime file pruning (`files` shrinks).
+    * When a `compute_stats` pass has stamped TableStats for the
+    * snapshot being scanned, per-column NDV/null counts ride along
+    * (`columnStats`) — the inputs Spark's CBO needs for join-order
+    * and build-side decisions at 100 TB. Stale stats (stamped for a
+    * different snapshot) are withheld: a wrong NDV misleads the
+    * optimizer worse than no NDV. */
   override def estimateStatistics(): Statistics = {
     val committedRows = files.map(_.records).sum
     val delegated = batchDelegate match {
       case s: SupportsReportStatistics => Some(s.estimateStatistics())
       case _ => None
     }
+    val cols = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    for {
+      ts <- table.meta.statistics
+      snap <- table.readSnapshot
+      if ts.snapshotId == snap.snapshotId
+      f <- required.fields
+      cs <- ts.columns.get(f.name)
+    } cols.put(
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+      new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+        override def distinctCount(): java.util.OptionalLong =
+          java.util.OptionalLong.of(cs.ndv)
+        override def nullCount(): java.util.OptionalLong =
+          java.util.OptionalLong.of(cs.nullCount)
+      })
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         delegated.map(_.sizeInBytes).getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(committedRows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
   }
 

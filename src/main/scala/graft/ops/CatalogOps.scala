@@ -1160,6 +1160,55 @@ object CatalogOps extends Pack {
       """SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
         |  D4SUM(o_totalprice) AS total
         |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin)),
+
+    // JDBC-catalog relocation: the pointer rows store
+    // warehouse-RELATIVE metadata locations (ref
+    // JdbcRelativeCatalog.java — the point of the whole design), so
+    // moving the warehouse needs NO row updates: keep the same pointer
+    // DB, `mv` the directory, and register a catalog rooted at the new
+    // path. The old root ceases to exist, so nothing may resolve
+    // through a pre-move absolute path.
+    Decl("q_cat_relocate_jdbc", (spark, dir) => {
+      val run = s"${Integer.toHexString(dir.hashCode).takeRight(6)}j${relocN.incrementAndGet()}"
+      val whA = s"/tmp/graft_wh_relj_a_$run"
+      val whB = s"/tmp/graft_wh_relj_b_$run"
+      val db = s"/tmp/graft_db_relj_$run"
+      Seq(whA, whB, db).foreach { p =>
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val ca = s"grelja$run"
+      spark.conf.set(s"spark.sql.catalog.$ca", "graft.catalog.JdbcRelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$ca.warehouse", whA)
+      spark.conf.set(s"spark.sql.catalog.$ca.uri", s"jdbc:derby:$db;create=true")
+      spark.sql(s"CREATE NAMESPACE $ca.rel")
+      spark.sql(s"CREATE TABLE $ca.rel.c (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer_src")
+      spark.sql(s"INSERT INTO $ca.rel.c " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer_src")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(whA), java.nio.file.Paths.get(whB))
+      // rows are keyed by the CATALOG NAME (ref JdbcRelativeCatalog
+      // .java:89), so the re-rooted catalog re-registers the SAME name
+      // over the new path — a fresh session supplies the fresh
+      // CatalogManager a real re-deployment would have
+      val reRooted = spark.newSession()
+      reRooted.conf.set(s"spark.sql.catalog.$ca", "graft.catalog.JdbcRelativeCatalog")
+      reRooted.conf.set(s"spark.sql.catalog.$ca.warehouse", whB)
+      reRooted.conf.set(s"spark.sql.catalog.$ca.uri", s"jdbc:derby:$db")
+      reRooted.sql(graft.Dsl.expandOracle(
+        s"""SELECT c_mktsegment, COUNT(*) AS n, D4SUM(c_acctbal) AS total
+           |FROM $ca.rel.c
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
+    }, Some(
+      """SELECT c_mktsegment, COUNT(*) AS n, D4SUM(c_acctbal) AS total
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
   )
 
   private val relocN = new java.util.concurrent.atomic.AtomicInteger(0)

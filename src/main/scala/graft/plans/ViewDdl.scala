@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
@@ -94,6 +94,27 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
     case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, _)
         if parts.nonEmpty && GraftViewDdl.viewCatalog(spark, parts.head).isDefined =>
       ShowGraftViewsCommand(parts.head, parts.tail, pattern)
+    // ALTER VIEW … SET/UNSET TBLPROPERTIES / AS <query> / RENAME TO —
+    // same analyzer hard-stop as CREATE/DROP for non-session catalogs,
+    // so route them to the V2 alterView/renameView/replace paths
+    case sp @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        AlterGraftViewPropsCommand(parts.head, ident,
+          props.map { case (k, v) => ViewChange.setProperty(k, v) }.toSeq)
+      }.getOrElse(sp)
+    case up @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        AlterGraftViewPropsCommand(parts.head, ident,
+          keys.map(ViewChange.removeProperty))
+      }.getOrElse(up)
+    case av @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        AlterGraftViewAsCommand(parts.head, ident, originalText)
+      }.getOrElse(av)
+    case rt @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        RenameGraftViewCommand(parts.head, ident, newName)
+      }.getOrElse(rt)
     case other => other
   }
 
@@ -175,6 +196,57 @@ case class ShowGraftViewsCommand(catalogName: String, namespace: Seq[String],
       .filter(id => re.forall(_.matches(id.name())))
       .sortBy(_.name())
       .map(id => Row(namespace.mkString("."), id.name(), false))
+  }
+}
+
+/** ALTER VIEW … SET/UNSET TBLPROPERTIES → V2 alterView. */
+case class AlterGraftViewPropsCommand(catalogName: String, ident: Identifier,
+    changes: Seq[ViewChange]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    if (!cat.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    cat.alterView(ident, changes: _*)
+    Nil
+  }
+}
+
+/** ALTER VIEW … AS <query> → replace the stored SQL (schema
+  * re-derived from the new body; properties and comment carry over;
+  * column aliases reset — the new query defines the names, matching
+  * Spark's session-catalog semantics). */
+case class AlterGraftViewAsCommand(catalogName: String, ident: Identifier,
+    sql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    if (!cat.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val old = cat.loadView(ident)
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+    val cm = spark.sessionState.catalogManager
+    cat.dropView(ident)
+    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty[String], Array.empty[String], old.properties()))
+    Nil
+  }
+}
+
+/** ALTER VIEW old RENAME TO new → V2 renameView (the catalog strips a
+  * redundant leading catalog name and guards table/view clashes). */
+case class RenameGraftViewCommand(catalogName: String, ident: Identifier,
+    newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    val newIdent =
+      if (newName.length >= 2) Identifier.of(newName.init.toArray, newName.last)
+      else Identifier.of(ident.namespace(), newName.head)
+    cat.renameView(ident, newIdent)
+    Nil
   }
 }
 

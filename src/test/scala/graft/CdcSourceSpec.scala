@@ -83,6 +83,38 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
   }
 
+  test("mid-stream schema evolution fails the batch loudly (restart to pick it up)") {
+    val wh = "/tmp/graft_test_cdcsch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcH", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcH.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcH.c")
+    spark.sql("CREATE TABLE tcCdcH.c.t (id BIGINT)")
+    spark.sql("INSERT INTO tcCdcH.c.t VALUES (1)")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(seen.size == 1)
+      // MicroBatchExecution aliases batch output to the stream-start
+      // attributes BY POSITION — a silent column add would mislabel
+      // data, so the source must refuse the batch instead
+      spark.sql("ALTER TABLE tcCdcH.c.t ADD COLUMN extra STRING")
+      spark.sql("INSERT INTO tcCdcH.c.t VALUES (2, 'x')")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("schema changed mid-stream")),
+        messages(e).mkString(" | "))
+    } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+  }
+
   test("expired replay base fails loudly instead of re-emitting or dropping") {
     val wh = "/tmp/graft_test_cdcexp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))

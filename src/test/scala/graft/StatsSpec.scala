@@ -41,4 +41,39 @@ class StatsSpec extends AnyFunSuite {
 
     spark.sql(s"DROP NAMESPACE $c.s CASCADE")
   }
+
+  test("compute_stats NDV/null counts flow into the V2 scan's columnStats; stale stats withheld") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_stats_cs").toString
+    val c = "graftstatcs"
+    spark.conf.set(s"spark.sql.catalog.$c", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $c.s")
+    spark.sql(s"CREATE TABLE $c.s.t (id BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO $c.s.t SELECT id, " +
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 7 AS STRING) END FROM range(0, 700)")
+
+    // no ANALYZE pass yet -> no column stats (never guess)
+    assert(scanStats(s"SELECT * FROM $c.s.t").columnStats().isEmpty)
+
+    spark.sql(s"CALL $c.system.compute_stats(tbl => 's.t')")
+    val cs = scanStats(s"SELECT * FROM $c.s.t").columnStats()
+    assert(!cs.isEmpty, "ANALYZE'd stats must reach the scan")
+    var grpNdv = -1L; var grpNulls = -1L
+    cs.forEach { (k, v) =>
+      if (k.fieldNames().mkString(".") == "grp") {
+        grpNdv = v.distinctCount().getAsLong; grpNulls = v.nullCount().getAsLong
+      }
+    }
+    // approx_count_distinct: exact-ish at this cardinality (7 values)
+    assert(grpNdv >= 6 && grpNdv <= 8, s"grp ndv: $grpNdv")
+    assert(grpNulls == 70L, s"grp nulls: $grpNulls")
+
+    // a NEW commit invalidates: stats are pinned to their snapshot,
+    // and wrong NDV is worse than none
+    spark.sql(s"INSERT INTO $c.s.t VALUES (9999, 'new')")
+    assert(scanStats(s"SELECT * FROM $c.s.t").columnStats().isEmpty,
+      "stale column stats must be withheld after a new commit")
+
+    spark.sql(s"DROP NAMESPACE $c.s CASCADE")
+  }
 }

@@ -86,6 +86,27 @@ class ViewDdlSpec extends AnyFunSuite {
     spark.sql("DROP VIEW plain_tmp")
   }
 
+  test("ALTER VIEW: SET/UNSET TBLPROPERTIES, AS <query>, RENAME TO all route to the V2 catalog") {
+    spark.sql("CREATE OR REPLACE VIEW tcVD.v.av AS SELECT 1 AS x")
+    spark.sql("ALTER VIEW tcVD.v.av SET TBLPROPERTIES ('team' = 'graft', 'tier' = 'gold')")
+    def props = cat.loadView(Identifier.of(Array("v"), "av")).properties()
+    assert(props.get("team") == "graft" && props.get("tier") == "gold")
+    spark.sql("ALTER VIEW tcVD.v.av UNSET TBLPROPERTIES ('tier')")
+    assert(props.get("team") == "graft" && !props.containsKey("tier"))
+    // AS <query>: definition swaps, schema re-derives, properties survive
+    spark.sql("ALTER VIEW tcVD.v.av AS SELECT grp, count(*) AS n FROM tcVD.v.base GROUP BY grp")
+    assert(spark.table("tcVD.v.av").columns.toSeq == Seq("grp", "n"))
+    assert(props.get("team") == "graft")
+    // RENAME TO: old name gone, new name reads, clash guarded
+    spark.sql("ALTER VIEW tcVD.v.av RENAME TO v.av2")
+    assert(!cat.viewExists(Identifier.of(Array("v"), "av")))
+    assert(spark.table("tcVD.v.av2").count() >= 3)
+    intercept[NoSuchViewException] {
+      spark.sql("ALTER VIEW tcVD.v.av SET TBLPROPERTIES ('a' = 'b')")
+    }
+    spark.sql("DROP VIEW tcVD.v.av2")
+  }
+
   test("analyzer does not re-probe the filesystem for a known non-view relation") {
     // first analysis may miss once (negative cached); every subsequent
     // analysis of the same table reference must issue ZERO probes —
