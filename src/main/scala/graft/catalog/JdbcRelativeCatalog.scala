@@ -477,6 +477,44 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     new GraftView(d)
   }
 
+  /** Atomic replace via pointer CAS (the same protocol as table
+    * commits): readers resolve either the old or the new definition
+    * file — never a gap, unlike drop+create. A concurrent replace
+    * loses the CAS and throws. */
+  override def replaceView(info: ViewInfo): View = {
+    requireV1()
+    val ident = info.ident()
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = ViewDef(ident.name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace().toList, info.schema().json,
+      info.queryColumnNames().toList, info.columnAliases().toList,
+      info.columnComments().toList.map(c => if (c == null) "" else c),
+      info.properties().asScala.toMap)
+    val newLoc = writeViewDef(ident, d)
+    val done = viewPointer(ident) match {
+      case Some(oldLoc) =>
+        val n = update(
+          "UPDATE graft_tables SET metadata_location=?, previous_metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW' AND metadata_location=?",
+          newLoc, oldLoc, name(), nsKey(ident.namespace().toSeq), ident.name(), oldLoc)
+        if (n == 1) Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, oldLoc))
+        n == 1
+      case None =>
+        try {
+          update(
+            "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
+            name(), nsKey(ident.namespace().toSeq), ident.name(), newLoc)
+          true
+        } catch { case _: SQLException => false }
+    }
+    if (!done) {
+      Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
+      throw new CommitFailedException(
+        s"concurrent replace of view ${ident.name()} (pointer CAS failed)")
+    }
+    viewProbe.put(viewKey(ident), true)
+    new GraftView(d)
+  }
+
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     requireV1()
     val oldLoc = viewPointer(ident).getOrElse(

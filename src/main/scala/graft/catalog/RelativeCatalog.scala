@@ -564,6 +564,13 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     new GraftView(ViewDef.fromJson(Io.readString(viewFile(ident))))
   }
 
+  private def mkViewDef(info: ViewInfo): ViewDef =
+    ViewDef(info.ident().name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace().toList, info.schema().json,
+      info.queryColumnNames().toList, info.columnAliases().toList,
+      info.columnComments().toList.map(c => if (c == null) "" else c),
+      info.properties().asScala.toMap)
+
   override def createView(info: ViewInfo): View = {
     val ident = info.ident()
     // a table with the same name wins — the reference's JDBC catalog
@@ -575,13 +582,34 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
-    val d = ViewDef(ident.name(), info.sql(), info.currentCatalog(),
-      info.currentNamespace().toList, info.schema().json,
-      info.queryColumnNames().toList, info.columnAliases().toList,
-      info.columnComments().toList.map(c => if (c == null) "" else c),
-      info.properties().asScala.toMap)
+    val d = mkViewDef(info)
     Io.writeString(viewFile(ident), ViewDef.toJson(d))
     viewProbe.put(viewFile(ident), true)
+    new GraftView(d)
+  }
+
+  /** Atomic create-or-replace (the CREATE OR REPLACE VIEW / ALTER VIEW
+    * AS path): readers see the old or the new definition, never a torn
+    * file and never a missing view — unlike drop+create. Posix swaps a
+    * temp file in with ATOMIC_MOVE; on an object-store warehouse the
+    * single PUT is already atomic. */
+  def replaceView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val d = mkViewDef(info)
+    val f = viewFile(ident)
+    if (Io.hasScheme(f)) Io.writeString(f, ViewDef.toJson(d))
+    else {
+      val tmp = s"$f.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+      Io.writeString(tmp, ViewDef.toJson(d))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(f),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    viewProbe.put(f, true)
     new GraftView(d)
   }
 

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowCreateTable, ShowTableProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -115,8 +115,37 @@ class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
       GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
         RenameGraftViewCommand(parts.head, ident, newName)
       }.getOrElse(rt)
+    // introspection statements hit TABLE_OR_VIEW_NOT_FOUND for V2
+    // views upstream; route them ONLY when the name IS an existing
+    // graft view (tables keep their native V2 paths — the existence
+    // probe is the cached viewExists, so this costs no IO steady-state)
+    case dr @ DescribeRelation(UnresolvedTableOrView(parts, _, _), partSpec, isExtended, _)
+        if partSpec.isEmpty && isGraftView(parts) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        DescribeGraftViewCommand(parts.head, ident, isExtended)
+      }.getOrElse(dr)
+    case sc @ ShowCreateTable(UnresolvedTableOrView(parts, _, _), false, _)
+        if isGraftView(parts) =>
+      GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+        ShowCreateGraftViewCommand(parts.head, ident)
+      }.getOrElse(sc)
+    case sp: ShowTableProperties =>
+      val parts = sp.child match {
+        case UnresolvedTable(p, _, _) => p
+        case UnresolvedTableOrView(p, _, _) => p
+        case _ => Nil
+      }
+      if (parts.nonEmpty && isGraftView(parts))
+        GraftViewDdl.viewTarget(spark, parts).map { case (_, ident) =>
+          ShowGraftViewPropsCommand(parts.head, ident, sp.propertyKey)
+        }.getOrElse(sp)
+      else sp
     case other => other
   }
+
+  private def isGraftView(parts: Seq[String]): Boolean =
+    GraftViewDdl.viewTarget(spark, parts)
+      .exists { case (cat, ident) => cat.viewExists(ident) }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -161,10 +190,17 @@ case class CreateGraftViewCommand(
     val props = new java.util.HashMap[String, String]()
     properties.foreach { case (k, v) => props.put(k, v) }
     comment.foreach(props.put(ViewCatalog.PROP_COMMENT, _))
-    if (exists) cat.dropView(ident)
-    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name(),
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
       cm.currentNamespace, schema, queryNames,
-      columnAliases.toArray, Array.empty[String], props))
+      columnAliases.toArray, Array.empty[String], props)
+    cat match {
+      // atomic swap when the catalog offers one (readers never see a
+      // missing view between drop and create)
+      case g: graft.catalog.RelativeCatalog if exists => g.replaceView(info)
+      case _ =>
+        if (exists) cat.dropView(ident)
+        cat.createView(info)
+    }
     Nil
   }
 }
@@ -227,10 +263,13 @@ case class AlterGraftViewAsCommand(catalogName: String, ident: Identifier,
     val analyzed = spark.sessionState.executePlan(
       spark.sessionState.sqlParser.parsePlan(sql)).analyzed
     val cm = spark.sessionState.catalogManager
-    cat.dropView(ident)
-    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name(),
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
       cm.currentNamespace, analyzed.schema, analyzed.schema.fieldNames,
-      Array.empty[String], Array.empty[String], old.properties()))
+      Array.empty[String], Array.empty[String], old.properties())
+    cat match {
+      case g: graft.catalog.RelativeCatalog => g.replaceView(info)
+      case _ => cat.dropView(ident); cat.createView(info)
+    }
     Nil
   }
 }
@@ -247,6 +286,81 @@ case class RenameGraftViewCommand(catalogName: String, ident: Identifier,
       else Identifier.of(ident.namespace(), newName.head)
     cat.renameView(ident, newIdent)
     Nil
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a V2 view: schema rows, plus the detailed
+  * view section (text, default catalog/namespace, output columns,
+  * properties) under EXTENDED — the session-catalog layout. */
+case class DescribeGraftViewCommand(catalogName: String, ident: Identifier,
+    isExtended: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeRelation.getOutputAttrs
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    val v = cat.loadView(ident)
+    val cols = v.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString,
+        f.getComment().orNull))
+    if (!isExtended) cols
+    else {
+      import scala.jdk.CollectionConverters._
+      val props = v.properties().asScala.toSeq.sortBy(_._1)
+        .map { case (k, vl) => s"$k=$vl" }.mkString("[", ", ", "]")
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Name", (catalogName +: ident.namespace() :+ ident.name()).mkString("."), ""),
+        Row("View Text", v.query(), ""),
+        Row("View Default Catalog", v.currentCatalog(), ""),
+        Row("View Default Namespace", v.currentNamespace().mkString("."), ""),
+        Row("View Query Output Columns", v.queryColumnNames().mkString("[", ", ", "]"), ""),
+        Row("View Properties", props, ""))
+    }
+  }
+}
+
+/** SHOW CREATE TABLE on a V2 view → the CREATE VIEW statement. */
+case class ShowCreateGraftViewCommand(catalogName: String,
+    ident: Identifier) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ShowCreateTable.getoutputAttrs
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    val v = cat.loadView(ident)
+    val name = (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+    val aliases =
+      if (v.columnAliases() == null || v.columnAliases().isEmpty) ""
+      else v.columnAliases().mkString(" (", ", ", ")")
+    import scala.jdk.CollectionConverters._
+    val shown = v.properties().asScala -- Seq(ViewCatalog.PROP_COMMENT)
+    val props =
+      if (shown.isEmpty) ""
+      else shown.toSeq.sortBy(_._1)
+        .map { case (k, vl) => s"  '$k' = '$vl'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    val comment = Option(v.properties().get(ViewCatalog.PROP_COMMENT))
+      .map(c => s"\nCOMMENT '$c'").getOrElse("")
+    Seq(Row(s"CREATE VIEW $name$aliases$comment$props AS\n${v.query()}\n"))
+  }
+}
+
+/** SHOW TBLPROPERTIES on a V2 view (optionally a single key). */
+case class ShowGraftViewPropsCommand(catalogName: String, ident: Identifier,
+    key: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ShowTableProperties.getOutputAttrs
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewDdl.viewCatalog(spark, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog $catalogName is not a ViewCatalog"))
+    import scala.jdk.CollectionConverters._
+    val props = cat.loadView(ident).properties().asScala
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

@@ -183,6 +183,23 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(!org.apache.commons.io.FileUtils.listFiles(
       new java.io.File(wh), Array("json"), true)
       .toString.contains(".view.json"))
+
+    // replaceView: one pointer-CAS swap — definition changes, the old
+    // definition file is gone, exactly one view file remains (no
+    // drop/create gap, no orphan)
+    val rv = Identifier.of(Array("v"), "rv")
+    cata.createView(mkViewInfo("jviews", rv, "SELECT 1 AS a"))
+    cata.replaceView(mkViewInfo("jviews", rv, "SELECT 2 AS b"))
+    assert(cata.loadView(rv).query() == "SELECT 2 AS b")
+    val viewFiles = org.apache.commons.io.FileUtils.listFiles(
+      new java.io.File(wh), Array("json"), true).toArray
+      .map(_.toString).filter(_.contains(".view.json"))
+    assert(viewFiles.length == 1, viewFiles.mkString(","))
+    // replace-of-absent creates (the OR REPLACE on a fresh name path)
+    val rv2 = Identifier.of(Array("v"), "rv2")
+    cata.replaceView(mkViewInfo("jviews", rv2, "SELECT 3 AS c"))
+    assert(cata.loadView(rv2).query() == "SELECT 3 AS c")
+    assert(cata.dropView(rv) && cata.dropView(rv2))
   }
 
   test("V0 store refuses views; re-init with schema-version=V1 migrates in place") {

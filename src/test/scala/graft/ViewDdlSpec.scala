@@ -107,6 +107,29 @@ class ViewDdlSpec extends AnyFunSuite {
     spark.sql("DROP VIEW tcVD.v.av2")
   }
 
+  test("DESCRIBE / SHOW CREATE TABLE / SHOW TBLPROPERTIES work on V2 views; tables keep native paths") {
+    spark.sql("CREATE OR REPLACE VIEW tcVD.v.dsc AS " +
+      "SELECT id, id * 2 AS dbl FROM tcVD.v.base")
+    spark.sql("ALTER VIEW tcVD.v.dsc SET TBLPROPERTIES ('team' = 'graft')")
+    val desc = spark.sql("DESCRIBE tcVD.v.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("id", "bigint"), ("dbl", "bigint")), desc.mkString(","))
+    val ext = spark.sql("DESCRIBE EXTENDED tcVD.v.dsc").collect().map(_.getString(0))
+    assert(ext.contains("View Text") && ext.contains("# Detailed View Information"))
+    val ddl = spark.sql("SHOW CREATE TABLE tcVD.v.dsc").collect().head.getString(0)
+    assert(ddl.startsWith("CREATE VIEW tcVD.v.dsc") && ddl.contains("id * 2 AS dbl"), ddl)
+    assert(ddl.contains("'team' = 'graft'"), ddl)
+    val props = spark.sql("SHOW TBLPROPERTIES tcVD.v.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("team").contains("graft"))
+    assert(spark.sql("SHOW TBLPROPERTIES tcVD.v.dsc ('team')").collect()
+      .map(_.getString(1)).toSeq == Seq("graft"))
+    // a TABLE's DESCRIBE still resolves through the native V2 path
+    assert(spark.sql("DESCRIBE tcVD.v.base").collect()
+      .map(_.getString(0)).toSeq == Seq("id", "grp"))
+    spark.sql("DROP VIEW tcVD.v.dsc")
+  }
+
   test("analyzer does not re-probe the filesystem for a known non-view relation") {
     // first analysis may miss once (negative cached); every subsequent
     // analysis of the same table reference must issue ZERO probes —
