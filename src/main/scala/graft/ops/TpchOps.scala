@@ -860,14 +860,20 @@ object TpchOps extends Pack {
         .join(Tables(spark, dir, "nation").filter(col("n_name") === "NATION_3"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
+      // the per-part aggregate is MATERIALIZED once (localCheckpoint —
+      // it is |parts| rows, bounded and far smaller than the fact
+      // table), because it is consumed twice: by the scalar-subquery
+      // total and by the main branch. Without this the fact scan runs
+      // twice — ReuseExchange does not fire across the subquery
+      // boundary (verified on the executed plan).
       val v = Tables(spark, dir, "lineitem")
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(dec(col("l_extendedprice"))).as("v_exact"))
+        .localCheckpoint()
       // the nation total is a SCALAR SUBQUERY (own stage, inlined as a
       // literal) rather than a 1-row broadcast join, so no nested-loop
-      // node appears; ReuseExchange dedupes the shared per-part
-      // aggregate between the subquery and the main branch
+      // node appears
       v.createOrReplaceTempView("q11_v")
       spark.sql(
         """SELECT l_partkey AS ps_partkey,

@@ -290,10 +290,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p2.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
       s"q2 small sides must broadcast:\n${p2.take(2500)}")
     val p11 = plan("q_tpch_q11")
-    assert(!p11.contains("CartesianProduct"),
-      s"q11 (the 1-row total may nested-loop-broadcast, never cartesian):\n${p11.take(2000)}")
-    assert(p11.contains("BroadcastHashJoin") || p11.contains("BroadcastNestedLoop"),
-      s"q11 nation-supplier dim and scalar total must broadcast:\n${p11.take(2000)}")
+    // the per-part aggregate is checkpointed (its lineage — broadcast
+    // dim join + one fact shuffle — ran once at materialization); the
+    // visible plan must be the scalar-subquery filter over it, with
+    // no join node at all
+    assert(!p11.contains("CartesianProduct") && !p11.contains("BroadcastNestedLoop"),
+      s"q11 must not cross-join the 1-row total:\n${p11.take(2000)}")
+    assert(p11.contains("Subquery"),
+      s"q11 total must be a scalar subquery:\n${p11.take(2000)}")
   }
 
   test("q_evt_lifecycle: one events scan, user-keyed lag before the day rollup") {
