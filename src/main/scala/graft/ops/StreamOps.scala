@@ -450,6 +450,59 @@ object StreamOps extends Pack {
         |  D2(SUM(CAST(value AS DECIMAL(18,6)))) AS total
         |FROM events""".stripMargin)),
 
+    // Streaming CHANGELOG tail (`graft-cdc`): every commit to a
+    // catalog table — the genesis state, a later append, a MOR
+    // position delete — arrives as a micro-batch of rows tagged
+    // `_change_type`, recomputed from snapshot metadata alone (the
+    // O(rows-changed) read path; see graft.streaming.GraftCdcSource).
+    // Each batch is APPENDED to a second catalog table by foreachBatch
+    // (distributed, nothing table-sized touches the driver), and the
+    // oracle checks the accumulated change rows: every event exactly
+    // once as an insert, every deleted event exactly once as a delete.
+    Decl("q_str_cdc", (spark, dir) => {
+      val cname = s"graftcdc${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.cdc CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.cdc")
+      spark.sql(s"CREATE TABLE $cname.cdc.src " +
+        "(event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      spark.sql(s"CREATE TABLE $cname.cdc.log " +
+        "(event_id BIGINT, event_type STRING, change_type STRING)")
+      spark.read.parquet(eventsSrc(spark, dir)).createOrReplaceTempView("cdc_ev_src")
+      spark.sql(s"INSERT INTO $cname.cdc.src SELECT * FROM cdc_ev_src WHERE event_id % 2 = 0")
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$cname.cdc.src")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("event_id"), col("event_type"),
+              col("_change_type").as("change_type"))
+            .writeTo(s"$cname.cdc.log").append()
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: genesis replay of the seed
+        spark.sql(s"INSERT INTO $cname.cdc.src SELECT * FROM cdc_ev_src WHERE event_id % 2 = 1")
+        q.processAllAvailable() // batch 2: the appended half
+        spark.sql(s"DELETE FROM $cname.cdc.src WHERE event_id % 10 = 0")
+        q.processAllAvailable() // batch 3: MOR position deletes
+      } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+      spark.table(s"$cname.cdc.log")
+        .groupBy(col("change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change_type").asc_nulls_first, col("event_type").asc_nulls_first,
+          col("n").asc_nulls_first)
+    }, Some(
+      """SELECT change_type, event_type, COUNT(*) AS n FROM (
+        |  SELECT 'insert' AS change_type, event_type FROM events
+        |  UNION ALL
+        |  SELECT 'delete', event_type FROM events WHERE event_id % 10 = 0)
+        |GROUP BY change_type, event_type
+        |ORDER BY change_type ASC NULLS FIRST, event_type ASC NULLS FIRST,
+        |  n ASC NULLS FIRST""".stripMargin)),
+
     // Streaming CDC upsert: each micro-batch first collapses to its
     // latest row per key (the mandatory pre-MERGE reduction — multiple
     // source matches per key would be ambiguous), then MERGEs into a

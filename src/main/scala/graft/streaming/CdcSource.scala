@@ -9,8 +9,9 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming CDC source: `spark.readStream.format("graft-cdc")
-  * .option("warehouse", wh).option("location", tblLoc)` tails a
-  * table's CHANGELOG — every commit (append, MOR/COW delete, update,
+  * .option("table", "cat.ns.t")` (resolved through the session's
+  * registered catalogs) or `.option("warehouse", wh)
+  * .option("location", tblLoc)` tails a table's CHANGELOG — every commit (append, MOR/COW delete, update,
   * merge) becomes a micro-batch of rows tagged `_change_type`
   * ('insert' | 'delete') — where the DSv2 table-tail source
   * ([[graft.catalog.GraftMicroBatchStream]]) handles appends only.
@@ -40,14 +41,32 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
 
   override def shortName(): String = "graft-cdc"
 
-  private def tableOps(params: Map[String, String]): TableOps = {
-    val wh = params.getOrElse("warehouse",
-      throw new IllegalArgumentException("graft-cdc requires option 'warehouse'"))
-    val loc = params.getOrElse("location",
-      throw new IllegalArgumentException(
-        "graft-cdc requires option 'location' (table path relative to the warehouse)"))
-    new TableOps(wh, loc)
-  }
+  /** Either `table` (a registered `catalog.ns.name`, resolved through
+    * the session's catalog manager) or explicit `warehouse` +
+    * `location`. */
+  private def tableOps(ctx: SQLContext, params: Map[String, String]): TableOps =
+    params.get("table") match {
+      case Some(fqn) =>
+        val parts = ctx.sparkSession.sessionState.sqlParser.parseMultipartIdentifier(fqn)
+        require(parts.length >= 3,
+          s"graft-cdc option 'table' needs catalog.ns.name, got '$fqn'")
+        val cat = ctx.sparkSession.sessionState.catalogManager.catalog(parts.head)
+        cat.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)) match {
+          case g: graft.catalog.GraftTable => g.ops
+          case other => throw new IllegalArgumentException(
+            s"graft-cdc: '$fqn' is not a graft table (${other.getClass.getName})")
+        }
+      case None =>
+        val wh = params.getOrElse("warehouse",
+          throw new IllegalArgumentException(
+            "graft-cdc requires option 'table' (catalog.ns.name) or 'warehouse'+'location'"))
+        val loc = params.getOrElse("location",
+          throw new IllegalArgumentException(
+            "graft-cdc requires option 'location' (table path relative to the warehouse)"))
+        new TableOps(wh, loc)
+    }
 
   private def loadMeta(ops: TableOps): TableMeta =
     ops.refresh().map(_._2).getOrElse(
@@ -56,12 +75,12 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), Changes.outputSchema(loadMeta(tableOps(parameters))))
+    (shortName(), Changes.outputSchema(loadMeta(tableOps(ctx, parameters))))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val ops = tableOps(parameters)
+    val ops = tableOps(ctx, parameters)
     val startSeq = parameters.get("start-seq").map(_.toLong).getOrElse(0L)
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq)
   }

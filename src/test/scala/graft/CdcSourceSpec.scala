@@ -68,6 +68,16 @@ class CdcSourceSpec extends AnyFunSuite {
       val b2 = seen.asScala.toSeq
       assert(b2.map(_._1).sorted == (0L until 3L) && b2.forall(_._2 == "delete"),
         s"MOR delete batch wrong: $b2")
+
+      // compaction moves bytes, not rows: the stream must emit NOTHING
+      seen.clear()
+      val cata = spark.sessionState.catalogManager.catalog("tcCdcS")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+      Maintenance.compact(spark, cata
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("c"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable], targetFiles = 1)
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"compaction must be changelog-invisible: ${seen.asScala}")
     } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
 
     // RESTART from the checkpoint: only commits after the stored
@@ -81,6 +91,32 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(b3.map(r => (r._1, r._2)) == Seq((100L, "insert")),
         s"checkpoint restart replayed wrong rows: $b3")
     } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
+  }
+
+  test("equality-delete commits stream as delete batches (the scan-free MOR path)") {
+    val wh = "/tmp/graft_test_cdceq"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcQ", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcQ.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcQ.c")
+    spark.sql("CREATE TABLE tcCdcQ.c.t (id BIGINT, grp STRING) TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read', 'write.delete.granularity'='equality')")
+    spark.sql("INSERT INTO tcCdcQ.c.t SELECT id, 'a' FROM range(0, 10)")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", "tcCdcQ.c.t")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      seen.clear()
+      spark.sql("DELETE FROM tcCdcQ.c.t WHERE id IN (2, 5)")
+      q.processAllAvailable()
+      val b = seen.asScala.toSeq
+      assert(b.map(r => (r._1, r._2)).sorted == Seq((2L, "delete"), (5L, "delete")),
+        s"equality-delete batch wrong: $b")
+    } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
   }
 
   test("mid-stream schema evolution fails the batch loudly (restart to pick it up)") {
