@@ -183,6 +183,62 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(Changes.between(spark, wh, ops, meta, cur, cur).isEmpty)
   }
 
+  test("property fuzz: genesis changelog replay reconstructs the final state under random histories") {
+    // the changelog's core contract: for ANY commit history (appends,
+    // COW and MOR deletes, overwrites, rollbacks) with the chain
+    // intact, inserts-minus-deletes from a genesis replay equals the
+    // live table, as multisets — every row exactly once, abandoned
+    // lineages never emitted
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val wh = s"/tmp/graft_test_cdcfz$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      val c = s"tcCdcF$seed"
+      spark.conf.set(s"spark.sql.catalog.$c", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE $c.f")
+      val mor = rnd.nextBoolean()
+      spark.sql(s"CREATE TABLE $c.f.t (id BIGINT, v BIGINT)" +
+        (if (mor) " TBLPROPERTIES ('write.delete.mode'='merge-on-read')" else ""))
+      val ops = new TableOps(wh, "f/t")
+      var hi = 0L
+      (1 to 7).foreach { _ =>
+        rnd.nextInt(10) match {
+          case n if n < 5 => // append a fresh id range
+            spark.sql(s"INSERT INTO $c.f.t SELECT id, id * 7 FROM range($hi, ${hi + 40})")
+            hi += 40
+          case 5 | 6 if hi > 0 => // row-level delete (COW or MOR per table mode)
+            spark.sql(s"DELETE FROM $c.f.t WHERE id % ${2 + rnd.nextInt(4)} = 0")
+          case 7 if hi > 0 => // overwrite: exceptAll state-diff path
+            spark.sql(s"INSERT OVERWRITE $c.f.t SELECT id, id * 11 FROM range(0, ${hi / 2 max 1})")
+          case _ => // rollback to a random earlier snapshot, then move on
+            val snaps = ops.refresh().get._2.snapshots
+            if (snaps.size > 1)
+              Maintenance.rollbackTo(ops, snaps(rnd.nextInt(snaps.size - 1)).snapshotId)
+        }
+      }
+      val meta = ops.refresh().get._2
+      meta.currentSnapshot.foreach { cur =>
+        val replayed = Changes.between(spark, wh, ops, meta, 0L, cur.sequenceNumber)
+          .map(_.groupBy("id", "v")
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("_change_type") === "insert", 1)
+                .otherwise(-1)).as("n"))
+            .filter(org.apache.spark.sql.functions.col("n") =!= 0)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+          .getOrElse(Set.empty[(Long, Long, Long)])
+        val live = spark.table(s"$c.f.t").groupBy("id", "v")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(replayed == live,
+          s"seed=$seed mor=$mor: replay-state ${replayed.size} rows != live ${live.size}: " +
+            s"missing=${(live -- replayed).take(5)} extra=${(replayed -- live).take(5)}")
+      }
+    }
+  }
+
   test("post-rollback commits diff against their actual parent (lineage walk)") {
     val wh = "/tmp/graft_test_cdcrb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
