@@ -450,6 +450,41 @@ object StreamOps extends Pack {
         |  D2(SUM(CAST(value AS DECIMAL(18,6)))) AS total
         |FROM events""".stripMargin)),
 
+    // transformWithState (Spark 4's arbitrary-state API, successor of
+    // mapGroupsWithState): per-user running (count, exact-decimal sum)
+    // in a ValueState backed by the ROCKSDB state-store provider — the
+    // provider that keeps 100 TB/day state off-heap and spillable,
+    // where the default HDFS-backed maps are JVM-heap bound. Same
+    // replay + oracle as q_str_stateful, so the two APIs cross-check.
+    Decl("q_str_tws", (spark, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        streamed(spark, dir, OutputMode.Update()) { ds =>
+          import ds.sparkSession.implicits._
+          ds.groupByKey(_.user_id)
+            .transformWithState(new TwsRunningTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "total_value")
+        }.filter(col("user_id") =!= -1L)
+          .groupBy(col("user_id"))
+          // update mode emits one row per user per batch: keep the final
+          .agg(max(col("n_events")).as("n_events"),
+            max_by(col("total_value"), col("n_events"))
+              .cast("decimal(18,4)").cast("double").as("total_value"))
+          .orderBy(col("user_id").asc_nulls_first, col("n_events").asc_nulls_first)
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }, Some(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  D4SUM(value) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST, n_events ASC NULLS FIRST""".stripMargin)),
+
     // Streaming CHANGELOG tail (`graft-cdc`): every commit to a
     // catalog table — the genesis state, a later append, a MOR
     // position delete — arrives as a micro-batch of rows tagged
@@ -627,6 +662,33 @@ object StreamOps extends Pack {
         |GROUP BY g.doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
   )
+
+  /** transformWithState processor for [[q_str_tws]]: per-user running
+    * (count, exact BigDecimal sum) in a ValueState — the string-coded
+    * decimal makes the accumulation merge-order independent, exactly
+    * like the mapGroupsWithState twin (q_str_stateful). */
+  class TwsRunningTotals
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long, String)]
+    with Serializable {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, String)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, String)] = {
+      val (n0, s0) = if (st.exists()) st.get() else (0L, "0")
+      var n = n0
+      var s = BigDecimal(s0)
+      rows.foreach { e =>
+        n += 1
+        s += BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      st.update((n, s.toString))
+      Iterator.single((key, n, s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toString))
+    }
+  }
 
   case class Doc(doc_id: Long, text: String, lang: String, source: String)
 
