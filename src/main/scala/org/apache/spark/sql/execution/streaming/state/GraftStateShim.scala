@@ -44,5 +44,12 @@ object GraftStateShim {
     mine.foreach(id => StateStore.removeFromLoadedProvidersAndClose(id, None))
   }
 
+  /** Loaded providers belonging to one query run (test hook: unload
+    * must remove exactly the stopped run's, nothing else's). */
+  def providerCountForRun(runId: java.util.UUID): Int = {
+    val r = registry
+    r.synchronized { r.keys.count(_.queryRunId == runId) }
+  }
+
   def stopAll(): Unit = StateStore.stop()
 }
