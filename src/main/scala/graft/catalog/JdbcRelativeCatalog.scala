@@ -415,7 +415,7 @@ class JdbcRelativeCatalog extends RelativeCatalog {
   private val viewProbe = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private def viewKey(ident: Identifier): String =
-    nsKey(ident.namespace().toSeq) + " " + ident.name()
+    nsKey(ident.namespace().toSeq) + "\u0000" + ident.name()
 
   override def invalidateViewCache(): Unit = viewProbe.clear()
 
