@@ -366,6 +366,30 @@ object Aggs extends Pack {
         .orderBy($("l_returnflag").asc_nulls_first),
       None),
 
+    // Oracle-checkable INVARIANT of the HLL estimate: the sketch
+    // value itself is engine-specific (q_agg_hll stays self-checked),
+    // but the exact distinct count and the promise "estimate within
+    // 5% of exact" are cross-engine facts — the oracle recomputes the
+    // exact side and pins the bound as a literal TRUE, so an HLL
+    // regression (wrong hashing, wrong merge) fails the DuckDB gate,
+    // not just a local spec.
+    Decl("q_agg_hll_inv", (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(countDistinct($("l_orderkey")).as("exact_orders"),
+          approx_count_distinct($("l_orderkey"), 0.02).as("est"))
+        .select($("l_returnflag"), $("exact_orders"),
+          (abs($("est") - $("exact_orders")).cast("double") <=
+            $("exact_orders").cast("double") * 0.05).as("within_5pct"))
+        .orderBy($("l_returnflag").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag,
+          |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+          |  TRUE AS within_5pct
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
+
     // Mergeable HLL SKETCHES as values (Datasketches hll_sketch_agg /
     // hll_union_agg) — the architecture behind every incremental
     // distinct-count rollup at 100 TB: per-group sketches materialize
