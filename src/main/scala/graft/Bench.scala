@@ -102,17 +102,8 @@ object Bench {
     val ok = results.filterNot(_._4)
     val total = ok.map(_._2).sum
     val nFailed = results.size - ok.size
-    // full map first, small headline line LAST: the driver tail-captures
-    // ~3.5 KB of stdout, which chops the HEAD of a single big line
-    // (round-7's BENCH parsed:null) — the closing small line always
-    // survives the tail whole, so the total + slowest entries always
-    // parse; the complete per-query map lives in target/bench.json
-    println(
-      s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
     val top = ok.sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
     // self-validation: re-time the 5 slowest queries AFTER the whole
     // suite has run — if suite state were still inflating the tail
     // (round-12: 4-10x), these end-of-suite reruns would diverge from
@@ -134,6 +125,25 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    // The driver tail-captures ~3.5 KB of stdout. Rounds 12/13 both lost
+    // the headline JSON to the ~3.5 KB WARN flood Spark emits DURING
+    // spark.stop() (executor/state-store teardown), so the official
+    // artifact parsed null while target/bench.json was fine. Order of
+    // operations is the fix: silence logging, stop Spark, THEN print the
+    // JSON as the process's last stdout lines — nothing after them but
+    // sbt's one-line [success].
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.logging.log4j.LogManager.getRootLogger match {
+      case l: org.apache.logging.log4j.core.Logger =>
+        l.setLevel(org.apache.logging.log4j.Level.OFF)
+      case _ =>
+    }
     spark.stop()
+    // big map first (its head may be chopped by the tail capture), small
+    // headline line dead last so it always survives whole
+    println(
+      s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
   }
 }

@@ -22,8 +22,29 @@ object LlmOps2 extends Pack {
 
   private def words(c: Column) = filter(split(c, " "), w => w =!= "")
 
-  /** 64-bit SimHash from word hashes: per-bit ±1 vote, one pass. */
-  def simhashPairsDf(input: DataFrame): DataFrame = {
+  /** 64-bit SimHash from word hashes: per-bit ±1 vote, one pass.
+    *
+    * Bucket-size bound (the 100-TB guard, same lesson as
+    * [[LlmOps5.MaxGramDf]]): the in-bucket self-join's pair work is
+    * Σ|bucket|², so a viral (band,chunk) bucket — at 10⁹ docs each
+    * 16-bit bucket averages n/65536 docs — must never be enumerated
+    * all-pairs. Two-level bound, both branches deterministic:
+    *   1. a (band,chunk) bucket larger than `maxBucket` is SUB-SPLIT
+    *      on 8 bits of the NEXT chunk of the same simhash — true
+    *      near-dups (small hamming) agree on those bits w.h.p., so
+    *      recall survives while diverse buckets shrink ×256;
+    *   2. a sub-bucket STILL over `maxBucket` (an exact-duplicate
+    *      family — its pair set is genuinely quadratic) is star-capped:
+    *      each doc pairs only with the bucket's first `maxBucket`
+    *      docs in xxhash64 rank order (doc d pairs with ranks
+    *      < min(rank(d), maxBucket)), so per-bucket pairs are
+    *      ≤ |bucket|·maxBucket yet every doc stays connected to the
+    *      rank-1 representative — connected-component dedup over the
+    *      output groups the family exactly as the full clique would.
+    * The (band,chunk) count table is ≤ 4·65536 rows BY CONSTRUCTION
+    * at any corpus size, so the accounting join is always broadcast.
+    */
+  def simhashPairsDf(input: DataFrame, maxBucket: Int = 64): DataFrame = {
     val wordHash = input
       .withColumn("ws", words(lower(col("text"))))
       .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
@@ -35,11 +56,23 @@ object LlmOps2 extends Pack {
       when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val sh = sigs.select(col("doc_id"), simhash.as("simhash"))
     // block on 4×16-bit chunks (near-dups agree on ≥1 chunk w.h.p.)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("band"), expr(s"(simhash >> ${16 * i}) & 65535").as("chunk"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val bcnt = banded0.groupBy(col("band"), col("chunk")).agg(count(lit(1)).as("bsz"))
+    val withSub = banded0.join(broadcast(bcnt), Seq("band", "chunk"))
+      .withColumn("sub", when(col("bsz") > maxBucket,
+          expr("shiftright(simhash, 16 * ((band + 1) % 4)) & 255"))
+        .otherwise(lit(-1L)))
+    // rank + size inside the (possibly sub-split) bucket; the window
+    // shuffle keys equal the join keys below, so the Exchange is reused
+    val part = Window.partitionBy(col("band"), col("chunk"), col("sub"))
+    val banded = withSub
+      .withColumn("rk", row_number().over(
+        part.orderBy(xxhash64(col("doc_id")), col("doc_id"))))
+      .withColumn("ssz", count(lit(1)).over(part))
     // Dedup without a distinct() shuffle: a pair sharing k chunks would
     // surface k times, so keep it only from its FIRST shared chunk —
     // when the joined band is b, every earlier band's chunks must
@@ -50,11 +83,17 @@ object LlmOps2 extends Pack {
       col("x.band") === b &&
         (0 until b).map(i => chunk("x", i) === chunk("y", i)).reduce(_ || _)
     }.reduce(_ || _)
+    // small bucket → full all-pairs (semantics unchanged); viral
+    // sub-bucket → star-capped pairs, each emitted exactly once
+    val pairCond = when(col("x.ssz") <= maxBucket,
+        col("x.doc_id") < col("y.doc_id"))
+      .otherwise(col("y.rk") <= maxBucket && col("x.rk") > col("y.rk"))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.sub") === col("y.sub") && pairCond)
       .filter(!earlierShared)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= 12)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first,

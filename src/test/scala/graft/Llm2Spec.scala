@@ -25,6 +25,29 @@ class Llm2Spec extends AnyFunSuite {
     }
   }
 
+  test("simhash viral family: in-bucket pairs bounded by n*cap, family stays connected") {
+    import spark.implicits._
+    // 200 exact duplicates: identical simhashes, so every (band,chunk)
+    // bucket is viral — uncapped this enumerates n(n-1)/2 = 19900 pairs
+    val n = 200
+    val cap = 8
+    val docs = (0L until n.toLong)
+      .map(i => (i, "the same viral boilerplate text repeated across the corpus again and again"))
+      .toDF("doc_id", "text")
+    val pairs = LlmOps2.simhashPairsDf(docs, maxBucket = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length <= n * cap,
+      s"${pairs.length} pairs exceeds the n*cap=${n * cap} star-cap bound")
+    assert(pairs.length >= n - 1, s"only ${pairs.length} pairs: no spanning structure")
+    assert(pairs.distinct.length == pairs.length, "duplicate pair emitted")
+    // connected-component dedup over the capped output must still
+    // group the whole family exactly as the full clique would
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until n.toLong).map(find).toSet.size == 1, "family split into >1 component")
+  }
+
   test("trained-centroid IVF top-k recall >= 0.8 vs exact brute force") {
     val exact = SparkEntry.queries("q_llm_simsearch")(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
