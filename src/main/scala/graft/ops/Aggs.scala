@@ -410,17 +410,36 @@ object Aggs extends Pack {
     // Approx percentile: Greenwald-Khanna quantile sketch (mergeable,
     // bounded memory) — at 100 TB the exact percentile's full sort-
     // per-group is the thing you can't afford; the sketch is one
-    // map-side-combinable agg. Engine-side only (sketch boundaries
-    // are implementation-specific); OpsSpec bounds the rank error
-    // against the exact percentile.
-    Decl("q_agg_approxpct", (spark, dir) =>
-      Tables(spark, dir, "lineitem")
-        .groupBy($("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
-        .orderBy($("l_returnflag").asc_nulls_first),
-      None),
+    // map-side-combinable agg. The sketch VALUES are engine-specific
+    // (OpsSpec bounds them), but the sketch's CONTRACT is a
+    // cross-engine fact: with accuracy=1000 the returned element's
+    // rank is within n/1000 of the target rank. The query measures
+    // that rank directly (count of values <= the returned element —
+    // one broadcast of the 3-row sketch output back over the scan)
+    // and pins the bound as a literal TRUE, so a broken sketch fails
+    // the DuckDB gate, not just a local spec. Tolerance 0.005n + 1
+    // (5x the guarantee) absorbs duplicate-value rank inflation.
+    Decl("q_agg_approxpct", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select($("l_returnflag").as("f"), $("l_extendedprice").cast("double").as("v"))
+      val ap = li.groupBy($("f")).agg(
+        expr("approx_percentile(v, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(v, 0.99, 1000)").as("p99"),
+        count(lit(1)).as("n_rows"))
+      li.join(broadcast(ap), "f")
+        .groupBy($("f"), $("n_rows"))
+        .agg(sum(when($("v") <= $("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when($("v") <= $("p99"), 1L).otherwise(0L)).as("r99"))
+        .select($("f").as("l_returnflag"), $("n_rows"),
+          (abs($("r50") - $("n_rows") * 0.5) <= $("n_rows") * 0.005 + 1).as("p50_rank_ok"),
+          (abs($("r99") - $("n_rows") * 0.99) <= $("n_rows") * 0.005 + 1).as("p99_rank_ok"))
+        .orderBy($("l_returnflag").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
     // Histogram: fixed-width bucketing of order totals — one map-side-
     // combinable aggregation; integer bucket arithmetic is exact in

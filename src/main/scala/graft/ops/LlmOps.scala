@@ -45,10 +45,28 @@ object LlmOps extends Pack {
           |ORDER BY h ASC NULLS FIRST, keeper ASC NULLS FIRST,
           |  n_copies ASC NULLS FIRST""".stripMargin)),
 
-    // MinHash + LSH banding near-dup candidates. Deterministic (seeded
-    // xxhash64 family) but engine-specific hashes → no SQL oracle;
-    // DedupSpec asserts planted duplicates are found.
-    Decl("q_llm_minhash", (spark, dir) => minhashPairs(spark, dir), None),
+    // MinHash + LSH banding near-dup candidates, oracled via a
+    // PLANTED-DUPLICATE recall invariant (the raw full-corpus pair
+    // set is engine-specific — hash-derived, and the synthetic corpus
+    // contains genuine near-dups whose detection depends on the hash
+    // family — so it stays spec-territory in DedupSpec): plant exact
+    // copies of docs 0..49 at id+20000 over a 200-doc slice and emit
+    // exactly the planted-pair relation. Exact copies share every
+    // shingle, hence every minhash, hence every band bucket — recall
+    // of exact duplicates is 1 BY CONSTRUCTION, a cross-engine fact
+    // the oracle pins as an exact 50-row expectation: a broken hash,
+    // shingler, or band join loses rows and fails the DuckDB gate.
+    Decl("q_llm_minhash", (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      minhashPairsDf(docs.unionByName(planted))
+        .filter(col("doc_a") < 50 && col("doc_b") === col("doc_a") + 20000)
+    }, Some(
+      """SELECT doc_id AS doc_a, doc_id + 20000 AS doc_b
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin)),
 
     Decl("q_llm_simsearch", (spark, dir) => {
       val emb = Tables(spark, dir, "embeddings")

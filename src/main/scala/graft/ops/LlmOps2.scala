@@ -276,12 +276,67 @@ object LlmOps2 extends Pack {
     Decl("q_llm_simhash", (spark, dir) =>
       simhashPairsDf(Tables(spark, dir, "documents")), None),
 
-    // Duplicate clusters from MinHash candidates; canonical keeper =
-    // min doc_id per component. Engine-only (hash-derived pairs).
-    Decl("q_llm_dupgroups", (spark, dir) =>
-      duplicateGroups(LlmOps.minhashPairs(spark, dir)), None),
+    // Duplicate clusters from MinHash candidates (connected
+    // components; keeper = min doc_id), oracled via PLANTED FAMILIES:
+    // 10 docs each copied verbatim to 3 extra ids (offsets 20000/
+    // 30000/40000) over a 200-doc slice. Exact copies pair with every
+    // family member by construction, so the components must be
+    // exactly 10 groups of 4 with keeper = the original id — the
+    // oracle pins group COUNT, SIZES, and KEEPERS (and, implicitly,
+    // no false merge on the slice). The raw full-corpus grouping
+    // stays engine-side (hash-derived pairs), spec-checked.
+    Decl("q_llm_dupgroups", (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      // planted families use a vocabulary DISJOINT from the corpus
+      // (per-family synthetic words), so no shared shingle — and
+      // hence no band bucket — can ever link a family to a corpus
+      // doc or to another family; the corpus's own near-dup groups
+      // (genuine, hash-dependent) are excluded by keeper range
+      val famText = concat_ws(" ",
+        (0 until 20).map(k =>
+          concat(lit("fam"), col("id").cast("string"), lit(s"_w$k"))): _*)
+      val base = spark.range(10).select(col("id"), famText.as("text"))
+      val planted = Seq(100000L, 110000L, 120000L, 130000L).map(off =>
+        base.select((col("id") + off).as("doc_id"), col("text")))
+      val input = planted.foldLeft(docs)(_ unionByName _)
+      duplicateGroups(LlmOps.minhashPairsDf(input))
+        .filter(col("group") >= 100000)
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("group").as("keeper"), col("n_docs"))
+        .orderBy(col("keeper").asc_nulls_first)
+    }, Some(
+      """SELECT 100000 + r AS keeper, CAST(4 AS BIGINT) AS n_docs
+        |FROM range(10) t(r)
+        |ORDER BY keeper ASC NULLS FIRST""".stripMargin)),
 
-    Decl("q_llm_simsearch_ivf", (spark, dir) => ivfTopK(spark, dir), None),
+    // IVF ANN oracled via its RECALL invariant against the exact
+    // brute-force top-k (q_llm_simsearch, itself DuckDB-oracled):
+    // both sides are deterministic, and the promises "recall@5 >= 0.6
+    // per query AND >= 0.8 aggregate, at nprobe=8/nlist=16" are
+    // cross-engine facts the oracle pins as TRUE columns (per-query,
+    // one unprobed boundary list can legitimately cost 2 of 5
+    // neighbors, hence the looser per-q bound). The raw IVF ranking
+    // stays engine-side (centroid training order is engine-specific),
+    // spec-bounded in Llm2Spec.
+    Decl("q_llm_simsearch_ivf", (spark, dir) => {
+      val exact = LlmOps.decls.find(_.name == "q_llm_simsearch").get
+        .fn(spark, dir).select(col("q_id"), col("vec_id"))
+      val approx = ivfTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      val perQ = exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
+      val tot = perQ.agg((sum(col("h")) >= 20L).as("suite_recall_ok"))
+      perQ.crossJoin(broadcast(tot))
+        .select(col("q_id"), (col("h") >= 3).as("recall_ok"), col("suite_recall_ok"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }, Some(
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok, TRUE AS suite_recall_ok
+        |FROM embeddings WHERE vec_id < 5
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin)),
 
     // Trigram Jaccard over consecutive doc pairs (deterministic pair
     // source keeps the oracle O(n)).

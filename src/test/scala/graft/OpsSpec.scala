@@ -42,7 +42,16 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("approx_percentile within GK rank-error bound of exact (q_agg_approxpct)") {
-    val approx = SparkEntry.queries("q_agg_approxpct")(spark, TestSpark.sf).collect()
+    // the declared query now oracles the rank bound (booleans); this
+    // spec keeps the sharper raw-value check against the exact sort
+    val inv = SparkEntry.queries("q_agg_approxpct")(spark, TestSpark.sf).collect()
+    assert(inv.nonEmpty && inv.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3)), "rank-bound invariant rows not all true")
+    val approx = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.nonEmpty)
     // accuracy=1000 → rank error <= 1/1000; verify the approx value's
