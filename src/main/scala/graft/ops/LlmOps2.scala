@@ -228,10 +228,10 @@ object LlmOps2 extends Pack {
     // label set in memory, which is fatal at cluster scale.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .transform(IterCheckpoint.apply)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(IterCheckpoint.apply)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -251,7 +251,7 @@ object LlmOps2 extends Pack {
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(IterCheckpoint.apply)
       // pointer jumping: label ← label-of-label (labels are node ids,
       // so the self-join always resolves; coalesce guards the root,
       // whose label is itself and needs no jump)
@@ -259,7 +259,7 @@ object LlmOps2 extends Pack {
       val stepped = propagated.join(jump, propagated("label") === jump("jid"), "left")
         .select(col("id"), col("old_label"),
           coalesce(col("jlabel"), col("label")).as("label"))
-        .localCheckpoint()
+        .transform(IterCheckpoint.apply)
       propagated.unpersist(blocking = false)
       changed = stepped.filter(col("label") < col("old_label")).count()
       labels.unpersist(blocking = false)

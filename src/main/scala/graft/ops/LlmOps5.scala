@@ -428,9 +428,9 @@ object LlmOps5 extends Pack {
         col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(IterCheckpoint.apply)
     var lab = sym.select(col("a").as("doc")).distinct()
-      .withColumn("root", col("doc")).localCheckpoint()
+      .withColumn("root", col("doc")).transform(IterCheckpoint.apply)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -442,7 +442,7 @@ object LlmOps5 extends Pack {
       val next = lab.join(nbr, lab("doc") === nbr("a"), "left")
         .select(col("doc"),
           least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
-        .localCheckpoint()
+        .transform(IterCheckpoint.apply)
       converged = next.as("n").join(lab.as("o"), "doc")
         .filter(col("n.root") =!= col("o.root")).isEmpty
       lab = next

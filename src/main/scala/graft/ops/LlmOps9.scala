@@ -9,31 +9,37 @@ import org.apache.spark.sql.functions._
   * a corpus into a tokenizer — and the vocabulary compression metric
   * its merges buy.
   *
-  * BPE trains on the WORD-FREQUENCY table, not the corpus: one corpus
-  * scan builds (word, freq) — data-bounded vocabulary cardinality —
-  * and every merge iteration is a keyed aggregation over that
-  * vocab-sized frame plus a ONE-ROW collect (the argmax pair). The
-  * driver loop is inherent to the algorithm (merge k depends on merge
-  * k-1 — same verdict-accepted shape as the k-means trainer) and
-  * touches k rows total; all pair counting stays distributed.
-  * Lineage is truncated with localCheckpoint per iteration so step k
-  * doesn't recompute steps 1..k-1.
+  * BPE trains on the WORD-FREQUENCY table, not the corpus: ONE
+  * distributed corpus scan builds (word, freq) — Heaps'-law bounded,
+  * ≪ corpus — and the whole merge loop then runs DRIVER-SIDE over the
+  * collected vocabulary (the k-means/PQ trainer precedent: bounded
+  * input → driver math beats a per-iteration distributed job). The
+  * former spelling ran 1 Spark job + 1 localCheckpoint per merge —
+  * 10 shuffle rounds of scheduling overhead for vocab-sized data.
+  * A deterministic head-by-frequency vocab cap guards the
+  * pathological 100-TB tail (hashes, serial numbers contribute ~zero
+  * pair mass — the classic BPE trainer's own vocab cap).
   */
 object LlmOps9 extends Pack {
 
   private def words(c: Column) = filter(split(lower(c), " "), w => w =!= "")
 
   /** (word, freq) → symbol arrays; runs `maxMerges` greedy BPE merges.
-    * Returns (merge table, final symbolized vocab). */
-  private[graft] def trainBpe(spark: SparkSession, dir: String, maxMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    * Returns (merge table, final symbolized vocab). One distributed
+    * job (the word-frequency aggregation, head-truncated
+    * deterministically at `maxVocab` by (freq desc, word asc)); the
+    * merge iterations are driver math over the collected vocab. */
+  private[graft] def trainBpe(spark: SparkSession, dir: String, maxMerges: Int,
+      maxVocab: Int = 1 << 22)
+      : (Seq[(Int, String, String, Long)], Seq[(Long, Array[String])]) = {
     val vocab = Tables(spark, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var syms = vocab
-      .withColumn("s", filter(split(col("word"), ""), ch => ch =!= ""))
-      .select(col("freq"), col("s"))
-      .localCheckpoint()
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(Long, Array[String])] =
+      vocab.map { case (w, f) => (f, w.toCharArray.map(_.toString)) }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -41,33 +47,37 @@ object LlmOps9 extends Pack {
     while (step <= maxMerges && !done) {
       // adjacent symbol pairs, weighted by word frequency (overlapping
       // pairs count — the classic formulation)
-      val best = syms
-        .select(col("freq"), explode(arrays_zip(
-          slice(col("s"), lit(1), size(col("s")) - 1),
-          slice(col("s"), lit(2), size(col("s")) - 1))).as("p"))
-        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (f, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
       else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, cnt))
-        // greedy leftmost merge of (l, r) inside every symbol array
-        syms = syms.withColumn("s",
-          expr(s"""aggregate(s, CAST(array() AS ARRAY<STRING>),
-            |  (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)}
-            |      AND x = ${sqlStr(r)},
-            |    concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(l + r)})),
-            |    concat(acc, array(x))))""".stripMargin))
-          .localCheckpoint()
+        // argmax with the same total tie order as the former SQL
+        // spelling: count desc, left asc, right asc
+        val ((l, r), c) = cnt.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        merges += ((step, l, r, c))
+        // greedy leftmost non-overlapping merge of (l, r) per word
+        val m = l + r
+        syms = syms.map { case (f, s) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += m; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          (f, out.toArray)
+        }
         step += 1
       }
     }
-    (merges.toSeq, syms)
+    (merges.toSeq, syms.toSeq)
   }
-
-  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
   def decls: Seq[Decl] = Seq(
 
@@ -85,18 +95,19 @@ object LlmOps9 extends Pack {
 
     // What those merges buy: corpus tokens-per-word before (chars)
     // and after the 10 merges, i.e. the compression the tokenizer
-    // achieves. One vocab-keyed aggregation over the trained frame.
+    // achieves. Driver math over the already-collected trained vocab
+    // (exact integer sums; the corpus was scanned once, in trainBpe).
     Decl("q_llm_bpe_compress", (spark, dir) => {
       val (_, syms) = trainBpe(spark, dir, 10)
-      syms.select(col("freq"),
-          size(col("s")).as("n_toks"),
-          aggregate(col("s"), lit(0L), (a, x) => a + length(x)).as("n_chars"))
-        .agg(
-          sum(col("freq")).as("n_words"),
-          sum(col("freq") * col("n_chars")).as("n_chars_total"),
-          sum(col("freq") * col("n_toks")).as("n_tokens_total"),
-          round(sum(col("freq") * col("n_chars")).cast("double") /
-            sum(col("freq") * col("n_toks")), 4).as("chars_per_token"))
+      val nWords = syms.iterator.map(_._1).sum
+      val nChars = syms.iterator.map { case (f, s) =>
+        f * s.iterator.map(_.length.toLong).sum }.sum
+      val nToks = syms.iterator.map { case (f, s) => f * s.length }.sum
+      val cpt = BigDecimal(nChars.toDouble / nToks)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq((nWords, nChars, nToks, cpt))
+        .toDF("n_words", "n_chars_total", "n_tokens_total", "chars_per_token")
     }, None),
 
     // Curriculum staging: assign every document to one of 4 difficulty

@@ -25,6 +25,30 @@ class Llm2Spec extends AnyFunSuite {
     }
   }
 
+  test("graft.iter.checkpoint-dir switches iteration boundaries to reliable checkpoints") {
+    import spark.implicits._
+    import graft.ops.{LlmOps2, LlmOps5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    def groups() = LlmOps2.duplicateGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def clusters() = LlmOps5.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (gLocal, cLocal) = (groups(), clusters())
+    val dir = java.nio.file.Files.createTempDirectory("graft_iter_chk").toString
+    spark.conf.set("graft.iter.checkpoint-dir", dir)
+    try {
+      assert(groups() == gLocal, "reliable-checkpoint path changed duplicateGroups")
+      assert(clusters() == cLocal, "reliable-checkpoint path changed dupClusters")
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dir)),
+        "checkpoint dir not adopted")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint blocks written")
+    } finally spark.conf.unset("graft.iter.checkpoint-dir")
+  }
+
   test("simhash viral family: in-bucket pairs bounded by n*cap, family stays connected") {
     import spark.implicits._
     // 200 exact duplicates: identical simhashes, so every (band,chunk)
