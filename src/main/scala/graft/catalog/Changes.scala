@@ -102,11 +102,18 @@ object Changes {
     * lineage from that point on.
     *
     * Fails LOUDLY when the replay base is gone: if fromSeq names an
-    * expired snapshot, or a genesis replay (fromSeq = 0) meets a
-    * truncated chain, the diff would silently re-emit or drop changes
-    * — so it throws instead, matching the reference's stance that a
-    * stream whose start snapshot has been expired errors rather than
-    * guesses.
+    * expired snapshot, the diff would silently re-emit or drop
+    * already-delivered changes — so it throws instead, matching the
+    * reference's stance that a stream whose start snapshot has been
+    * expired errors rather than guesses. A GENESIS replay
+    * (fromSeq = 0) meeting a truncated chain is different: nothing
+    * has been delivered yet, and retained snapshots keep their data
+    * files, so diffing the oldest retained lineage ancestor against
+    * the EMPTY table emits exactly the current surviving state — the
+    * walk stops there and that ancestor's effective state (deletes
+    * applied) streams out as the first batch of inserts, so a fresh
+    * CDC stream can always start on a table that has run
+    * expireSnapshots.
     */
   def between(spark: SparkSession, warehouse: String, ops: TableOps,
       meta: TableMeta, fromSeq: Long, toSeq: Long): Option[DataFrame] = {
@@ -123,7 +130,10 @@ object Changes {
       throw new IllegalArgumentException(s"no snapshot with sequence number $toSeq"))
     val lineage = scala.collection.mutable.ListBuffer.empty[Snapshot]
     var cursor: Option[Snapshot] = Some(toSnap)
-    while (cursor.exists(_.sequenceNumber > fromSeq)) {
+    // genesis replay whose chain hit an expired ancestor: the oldest
+    // retained lineage snapshot gets diffed against empty instead
+    var syntheticGenesis = false
+    while (cursor.exists(_.sequenceNumber > fromSeq) && !syntheticGenesis) {
       val s = cursor.get
       lineage += s
       cursor = s.parentId match {
@@ -133,11 +143,19 @@ object Changes {
               s"snapshot ${toSnap.snapshotId} (seq $toSeq): the history is " +
               "not linear past it (rollback); restart the stream")
           None
-        case Some(pid) => Some(byId.getOrElse(pid, throw new IllegalStateException(
-          s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
-            s"${s.sequenceNumber}) has parent $pid which is no longer " +
-            s"retained — a replay from seq $fromSeq would silently drop the " +
-            "expired commits' rows; restart the stream from a retained snapshot")))
+        case Some(pid) => byId.get(pid) match {
+          case Some(p) => Some(p)
+          case None if fromSeq == 0 =>
+            // nothing delivered yet, so no re-emit/drop hazard: stop
+            // the walk and let s replay its full surviving state
+            syntheticGenesis = true
+            None
+          case None => throw new IllegalStateException(
+            s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
+              s"${s.sequenceNumber}) has parent $pid which is no longer " +
+              s"retained — a replay from seq $fromSeq would silently drop the " +
+              "expired commits' rows; restart the stream from a retained snapshot")
+        }
       }
     }
     val chain = lineage.toList.reverse
@@ -151,6 +169,15 @@ object Changes {
     var prev: Option[Snapshot] = cursor
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
+      if (syntheticGenesis && i == 0) {
+        // the oldest retained lineage ancestor vs the empty table:
+        // its EFFECTIVE state (inherited files included, deletes
+        // applied) is exactly the surviving state the expired
+        // ancestors left behind — the append fast path below would
+        // wrongly skip inherited files here
+        prev = Some(snap)
+        Seq(tag(state(spark, warehouse, ops, Some(snap), dataSchema), "insert", ord))
+      } else {
       // appends never remove files and their added set is exactly the
       // files stamped with their own seq — the seq-pruned chunk walk
       // finds them without materializing either snapshot; the full
@@ -232,6 +259,7 @@ object Changes {
       }
       prev = Some(snap)
       out
+      }
     }
     parts.reduceOption(_.unionAll(_))
   }

@@ -468,10 +468,17 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     try update(
       "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
       name(), nsKey(ident.namespace().toSeq), ident.name(), loc)
-    catch { case _: SQLException => // PK violation: a racer won
+    catch { case e: SQLException =>
       Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, loc))
-      viewProbe.put(viewKey(ident), true) // the racer's view exists
-      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+      // only an integrity-constraint violation (SQLState class 23,
+      // e.g. Derby 23505) means "a racer won"; any other SQL error
+      // (dropped connection, disk full) must surface as-is and MUST
+      // NOT poison the probe cache with a view that may not exist
+      if (Option(e.getSQLState).exists(_.startsWith("23"))) {
+        viewProbe.put(viewKey(ident), true) // the racer's view exists
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+      }
+      throw e
     }
     viewProbe.put(viewKey(ident), true)
     new GraftView(d)
@@ -485,6 +492,11 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     requireV1()
     val ident = info.ident()
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // same guard as createView: the create-new branch below must not
+    // insert a VIEW row into a namespace that doesn't exist (direct
+    // API replace of an absent view, or a drop racing the replace)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
     val d = ViewDef(ident.name(), info.sql(), info.currentCatalog(),
       info.currentNamespace().toList, info.schema().json,
       info.queryColumnNames().toList, info.columnAliases().toList,
@@ -504,7 +516,10 @@ class JdbcRelativeCatalog extends RelativeCatalog {
             "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
             name(), nsKey(ident.namespace().toSeq), ident.name(), newLoc)
           true
-        } catch { case _: SQLException => false }
+        } catch { case e: SQLException =>
+          // PK violation = lost the race; anything else surfaces
+          if (Option(e.getSQLState).exists(_.startsWith("23"))) false else throw e
+        }
     }
     if (!done) {
       Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))

@@ -223,7 +223,11 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
     * (`columnStats`) — the inputs Spark's CBO needs for join-order
     * and build-side decisions at 100 TB. Stale stats (stamped for a
     * different snapshot) are withheld: a wrong NDV misleads the
-    * optimizer worse than no NDV. */
+    * optimizer worse than no NDV. Same stance once runtime file
+    * pruning has shrunk `files` below the snapshot's full set: the
+    * snapshot-wide NDV/null counts would then sit beside a smaller
+    * numRows — an internally inconsistent row (nullCount > numRows)
+    * that skews join estimates — so columnStats are withheld too. */
   override def estimateStatistics(): Statistics = {
     val committedRows = files.map(_.records).sum
     val delegated = batchDelegate match {
@@ -236,7 +240,10 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
     for {
       ts <- table.meta.statistics
       snap <- table.readSnapshot
-      if ts.snapshotId == snap.snapshotId
+      // dataFileCount is the SNAPSHOT's full set (chunk keys, no chunk
+      // load): planning-time pushdown can already have shrunk
+      // initialFiles, so comparing against it would miss that pruning
+      if ts.snapshotId == snap.snapshotId && files.length == snap.dataFileCount
       f <- required.fields
       cs <- ts.columns.get(f.name)
     } cols.put(

@@ -171,13 +171,28 @@ class CdcSourceSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("expired"), e1.getMessage)
 
-    // genesis replay on a truncated chain: the oldest retained
-    // snapshot still has a parent -> the expired commits' rows would
-    // silently vanish from the replay; must throw instead
-    val e2 = intercept[IllegalStateException] {
-      Changes.between(spark, wh, ops, meta, fromSeq = 0, toSeq = cur)
-    }
-    assert(e2.getMessage.contains("TRUNCATED"), e2.getMessage)
+    // genesis replay on a truncated chain: NOTHING has been delivered
+    // yet, so there is no re-emit/drop hazard — the oldest retained
+    // lineage snapshot diffs against empty and the full surviving
+    // state replays as inserts (a fresh CDC stream must be able to
+    // start on a table that has ever run expireSnapshots)
+    val g = Changes.between(spark, wh, ops, meta, fromSeq = 0, toSeq = cur).get
+      .collect()
+    assert(g.forall(_.getAs[String]("_change_type") == "insert"), g.mkString(","))
+    assert(g.map(_.getLong(0)).sorted.toSeq == (0L until 30L),
+      s"genesis replay must emit exactly the surviving state: ${g.length} rows")
+
+    // and the synthetic genesis applies DELETES to the surviving
+    // state — it must not resurrect rows removed before the expire
+    spark.sql("DELETE FROM tcCdcE.c.t WHERE id = 7")
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+    val meta2 = ops.refresh().get._2
+    val cur2 = meta2.currentSnapshot.get.sequenceNumber
+    val g2 = Changes.between(spark, wh, ops, meta2, fromSeq = 0, toSeq = cur2).get
+      .collect()
+    assert(g2.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(g2.map(_.getLong(0)).sorted.toSeq == (0L until 30L).filterNot(_ == 7L),
+      s"deleted row resurrected by synthetic genesis: ${g2.length} rows")
 
     // an intact base still works
     assert(Changes.between(spark, wh, ops, meta, cur, cur).isEmpty)

@@ -200,6 +200,13 @@ class JdbcCatalogSpec extends AnyFunSuite {
     cata.replaceView(mkViewInfo("jviews", rv2, "SELECT 3 AS c"))
     assert(cata.loadView(rv2).query() == "SELECT 3 AS c")
     assert(cata.dropView(rv) && cata.dropView(rv2))
+    // ...but never into a namespace that doesn't exist (same guard as
+    // createView — a replace racing a namespace drop must not insert
+    // an orphan VIEW row)
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cata.replaceView(mkViewInfo("jviews",
+        Identifier.of(Array("no_such_ns"), "rv3"), "SELECT 4 AS d"))
+    }
   }
 
   test("V0 store refuses views; re-init with schema-version=V1 migrates in place") {

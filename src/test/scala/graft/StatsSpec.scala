@@ -76,4 +76,27 @@ class StatsSpec extends AnyFunSuite {
 
     spark.sql(s"DROP NAMESPACE $c.s CASCADE")
   }
+
+  test("column stats are withheld once file pruning shrinks the scan below the snapshot") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_stats_pr").toString
+    val c = "graftstatpr"
+    spark.conf.set(s"spark.sql.catalog.$c", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $c.s")
+    spark.sql(s"CREATE TABLE $c.s.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $c.s.t SELECT id, " +
+      "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END FROM range(0, 1000)")
+    spark.sql(s"CALL $c.system.compute_stats(tbl => 's.t')")
+
+    assert(!scanStats(s"SELECT * FROM $c.s.t").columnStats().isEmpty,
+      "full scan must carry the ANALYZE'd column stats")
+    // snapshot-wide NDV/null beside a pruned numRows would be an
+    // internally inconsistent row (nullCount can exceed numRows)
+    val pruned = scanStats(s"SELECT * FROM $c.s.t WHERE cat = 'a'")
+    assert(pruned.numRows.getAsLong == 250L)
+    assert(pruned.columnStats().isEmpty,
+      "snapshot-wide column stats must be withheld from a pruned scan")
+
+    spark.sql(s"DROP NAMESPACE $c.s CASCADE")
+  }
 }
