@@ -104,11 +104,14 @@ object Bench {
     val nFailed = results.size - ok.size
     val top = ok.sortBy(-_._2).take(10)
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    // self-validation: re-time the 5 slowest queries AFTER the whole
-    // suite has run — if suite state were still inflating the tail
-    // (round-12: 4-10x), these end-of-suite reruns would diverge from
-    // the in-suite numbers, and the artifact itself would show it
-    val recheck = ok.sortBy(-_._2).take(5).map { case (k, _, _, _, _, _) =>
+    // self-validation: re-time the 5 slowest AND 5 fastest queries
+    // AFTER the whole suite has run — if suite state were still
+    // inflating the tail (round-12: 4-10x), or a reset bug were
+    // DEFLATING in-suite numbers, these end-of-suite reruns would
+    // diverge from the in-suite numbers and the artifact itself
+    // would show it
+    val recheck = (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
+      .map { case (k, _, _, _, _, _) =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(k)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
