@@ -398,14 +398,33 @@ object Aggs extends Pack {
     // stored sketches, never a re-scan of the raw corpus. Engine-side
     // only (sketch bytes are implementation-specific); OpsSpec bounds
     // the estimate against the exact distinct.
+    // Oracled via the same invariant pattern as q_agg_hll_inv: the
+    // sketch bytes and the merged estimate are engine-specific
+    // (OpsSpec bounds the raw estimate), but "union of per-cell
+    // sketches estimates within 5% of the exact rollup" is a
+    // cross-engine fact — a lossy union (dropped registers, wrong
+    // merge) fails the DuckDB gate.
     Decl("q_agg_hll_merge", (spark, dir) => {
       val cells = Tables(spark, dir, "lineitem")
         .groupBy($("l_returnflag"), $("l_linestatus"))
         .agg(hll_sketch_agg($("l_orderkey")).as("sk"))
-      cells.groupBy($("l_returnflag"))
-        .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("approx_orders"))
+      val merged = cells.groupBy($("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("est"))
+      val exact = Tables(spark, dir, "lineitem")
+        .groupBy($("l_returnflag"))
+        .agg(countDistinct($("l_orderkey")).as("exact_orders"))
+      merged.join(exact, "l_returnflag")
+        .select($("l_returnflag"), $("exact_orders"),
+          (abs($("est") - $("exact_orders")).cast("double") <=
+            $("exact_orders").cast("double") * 0.05).as("within_5pct"))
         .orderBy($("l_returnflag").asc_nulls_first)
-    }, None),
+    }, Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
     // Approx percentile: Greenwald-Khanna quantile sketch (mergeable,
     // bounded memory) — at 100 TB the exact percentile's full sort-

@@ -273,8 +273,26 @@ object LlmOps2 extends Pack {
 
   def decls: Seq[Decl] = Seq(
 
-    Decl("q_llm_simhash", (spark, dir) =>
-      simhashPairsDf(Tables(spark, dir, "documents")), None),
+    // SimHash near-dup candidates, oracled via the PLANTED-DUPLICATE
+    // recall invariant (the q_llm_minhash pattern): exact copies of
+    // docs 0..49 at id+20000 have bit-identical simhashes — same word
+    // multiset, same per-bit votes — so every planted pair surfaces
+    // from its first shared chunk with hamming 0, a cross-engine fact
+    // pinned as an exact 50-row expectation. The raw full-corpus pair
+    // set (hash-dependent) stays spec-territory: Llm2Spec covers
+    // near-dup recall and the viral-bucket cap.
+    Decl("q_llm_simhash", (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      simhashPairsDf(docs.unionByName(planted))
+        .filter(col("doc_a") < 50 && col("doc_b") === col("doc_a") + 20000)
+    }, Some(
+      """SELECT doc_id AS doc_a, doc_id + 20000 AS doc_b, 0 AS hamming
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST,
+        |  hamming ASC NULLS FIRST""".stripMargin)),
 
     // Duplicate clusters from MinHash candidates (connected
     // components; keeper = min doc_id), oracled via PLANTED FAMILIES:

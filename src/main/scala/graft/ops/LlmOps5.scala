@@ -223,7 +223,27 @@ object LlmOps5 extends Pack {
 
     // IVF-PQ ANN search (coarse pruning + residual PQ codes + ADC
     // lookup-table scoring + exact re-rank) — see [[ivfPqTopK]].
-    Decl("q_llm_simsearch_ivfpq", (spark, dir) => ivfPqTopK(spark, dir), None),
+    // Oracled via the same RECALL invariant as q_llm_simsearch_ivf:
+    // recall@5 >= 0.6 per query and >= 0.8 aggregate vs the exact
+    // brute-force top-k at nprobe=8 are cross-engine facts; the raw
+    // ADC ranking (codebook-dependent) stays spec-bounded in Llm5Spec.
+    Decl("q_llm_simsearch_ivfpq", (spark, dir) => {
+      val exact = graft.ops.LlmOps.decls.find(_.name == "q_llm_simsearch").get
+        .fn(spark, dir).select(col("q_id"), col("vec_id"))
+      val approx = ivfPqTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      val perQ = exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
+      val tot = perQ.agg((sum(col("h")) >= 20L).as("suite_recall_ok"))
+      perQ.crossJoin(broadcast(tot))
+        .select(col("q_id"), (col("h") >= 3).as("recall_ok"), col("suite_recall_ok"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }, Some(
+      """SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok, TRUE AS suite_recall_ok
+        |FROM embeddings WHERE vec_id < 5
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin)),
 
     // Product quantization: split each 64-d embedding into M=8
     // subspaces of 8 dims, train a 256-entry codebook per subspace

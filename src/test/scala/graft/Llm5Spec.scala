@@ -43,9 +43,14 @@ class Llm5Spec extends AnyFunSuite {
   }
 
   test("q_llm_simsearch_ivfpq: recall vs exact brute-force top-5 >= 0.8, deterministic") {
+    // the declared query now oracles the recall invariant as booleans;
+    // this spec keeps the raw-ranking checks against the direct API
+    val inv = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect()
+    assert(inv.nonEmpty && inv.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      "ivfpq recall invariant rows not all true")
     val exact = SparkEntry.queries("q_llm_simsearch")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val approx = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect()
+    val approx = graft.ops.LlmOps5.ivfPqTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(approx.keySet == exact.keySet)
     val recalls = exact.map { case (q, ids) =>
@@ -53,8 +58,8 @@ class Llm5Spec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"IVF-PQ recall too low: $mean")
-    val again = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect().toSeq
-    val first = SparkEntry.queries("q_llm_simsearch_ivfpq")(spark, sf).collect().toSeq
+    val again = graft.ops.LlmOps5.ivfPqTopK(spark, sf).collect().toSeq
+    val first = graft.ops.LlmOps5.ivfPqTopK(spark, sf).collect().toSeq
     assert(again == first, "IVF-PQ result must be deterministic")
   }
 

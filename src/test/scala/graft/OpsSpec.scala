@@ -27,7 +27,17 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("sketch-union rollup within 5% of exact (q_agg_hll_merge)") {
-    val approxRows = SparkEntry.queries("q_agg_hll_merge")(spark, TestSpark.sf).collect()
+    // the declared query now oracles the 5% bound as booleans; this
+    // spec keeps the raw merged-estimate check against exact
+    val inv = SparkEntry.queries("q_agg_hll_merge")(spark, TestSpark.sf).collect()
+    assert(inv.nonEmpty && inv.forall(_.getBoolean(2)),
+      "merged-sketch invariant rows not all true")
+    val cells = Tables(spark, TestSpark.sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val approxRows = cells.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"))
+      .collect()
     assert(approxRows.nonEmpty)
     val exact = Tables(spark, TestSpark.sf, "lineitem")
       .groupBy(col("l_returnflag"))
