@@ -49,16 +49,20 @@ object LlmOps extends Pack {
     // PLANTED-DUPLICATE recall invariant (the raw full-corpus pair
     // set is engine-specific — hash-derived, and the synthetic corpus
     // contains genuine near-dups whose detection depends on the hash
-    // family — so it stays spec-territory in DedupSpec): plant exact
-    // copies of docs 0..49 at id+20000 over a 200-doc slice and emit
-    // exactly the planted-pair relation. Exact copies share every
-    // shingle, hence every minhash, hence every band bucket — recall
-    // of exact duplicates is 1 BY CONSTRUCTION, a cross-engine fact
-    // the oracle pins as an exact 50-row expectation: a broken hash,
-    // shingler, or band join loses rows and fails the DuckDB gate.
+    // family — so it stays spec-territory in OpsSpec): plant exact
+    // copies of docs 0..49 at id+20000 over the FULL corpus (the
+    // bench keeps measuring corpus-scale shingling + banding) and
+    // emit exactly the planted-pair relation. Exact copies share
+    // every shingle, hence every minhash, hence every band bucket —
+    // recall of exact duplicates is 1 BY CONSTRUCTION, a cross-engine
+    // fact the oracle pins as an exact 50-row expectation: a broken
+    // hash, shingler, or band join loses rows and fails the DuckDB
+    // gate. The projection is FP-proof at any corpus size: a pair
+    // lands in it only when doc_b is doc_a's OWN copy, and that pair
+    // is always found.
     Decl("q_llm_minhash", (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 20000).as("doc_id"), col("text"))
       minhashPairsDf(docs.unionByName(planted))

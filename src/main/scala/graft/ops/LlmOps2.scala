@@ -274,16 +274,19 @@ object LlmOps2 extends Pack {
   def decls: Seq[Decl] = Seq(
 
     // SimHash near-dup candidates, oracled via the PLANTED-DUPLICATE
-    // recall invariant (the q_llm_minhash pattern): exact copies of
-    // docs 0..49 at id+20000 have bit-identical simhashes — same word
-    // multiset, same per-bit votes — so every planted pair surfaces
-    // from its first shared chunk with hamming 0, a cross-engine fact
-    // pinned as an exact 50-row expectation. The raw full-corpus pair
-    // set (hash-dependent) stays spec-territory: Llm2Spec covers
-    // near-dup recall and the viral-bucket cap.
+    // recall invariant (the q_llm_minhash pattern), over the FULL
+    // corpus so the bench keeps measuring corpus-scale signature +
+    // banding work: exact copies of docs 0..49 at id+20000 have
+    // bit-identical simhashes — same word multiset, same per-bit
+    // votes — so every planted pair surfaces from its first shared
+    // chunk with hamming 0, a cross-engine fact pinned as an exact
+    // 50-row expectation (the projection admits only a doc and its
+    // OWN copy, so corpus near-dups can't pollute it). The raw
+    // full-corpus pair set (hash-dependent) stays spec-territory:
+    // Llm2Spec covers near-dup recall and the viral-bucket cap.
     Decl("q_llm_simhash", (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 20000).as("doc_id"), col("text"))
       simhashPairsDf(docs.unionByName(planted))
@@ -305,7 +308,7 @@ object LlmOps2 extends Pack {
     // stays engine-side (hash-derived pairs), spec-checked.
     Decl("q_llm_dupgroups", (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"))
       // planted families use a vocabulary DISJOINT from the corpus
       // (per-family synthetic words), so no shared shingle — and
       // hence no band bucket — can ever link a family to a corpus
@@ -509,14 +512,36 @@ object LlmOps2 extends Pack {
           |FROM documents
           |ORDER BY doc_id ASC NULLS FIRST, n_ws_tokens ASC NULLS FIRST""".stripMargin)),
 
-    // Native-expression document fingerprints (whole-stage codegen).
-    Decl("q_llm_fingerprint", (spark, dir) =>
-      Tables(spark, dir, "documents")
-        .select(
-          col("doc_id"),
-          Fingerprints.text_fingerprint(lower(trim(col("text")))).as("fp"),
-          Fingerprints.winnow_fingerprint(lower(trim(col("text"))), 16).as("winnow_fp"))
-        .orderBy(col("doc_id").asc_nulls_first, col("fp").asc_nulls_first), None),
+    // Native-expression document fingerprints (whole-stage codegen),
+    // oracled via the PLANTED-COPY invariant: exact copies of docs
+    // 0..49 (planted at id+20000, normalized identically) MUST
+    // fingerprint identically row-by-row — equal input, equal fp is
+    // the function's contract regardless of partition placement —
+    // and differing ids/rows exercise the codegen path on distinct
+    // rows rather than one cached value. Complements
+    // q_llm_fingerprint_inv (distinct text → distinct-pair count);
+    // the raw hash values stay engine-side, spec-pinned in Llm2Spec
+    // (codegen vs interpreted agreement).
+    Decl("q_llm_fingerprint", (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      def fps(df: DataFrame, a: String, b: String) = df.select(
+        col("doc_id"),
+        Fingerprints.text_fingerprint(lower(trim(col("text")))).as(a),
+        Fingerprints.winnow_fingerprint(lower(trim(col("text"))), 16).as(b))
+      fps(docs.filter(col("doc_id") < 50), "fp", "wfp").alias("x")
+        .join(fps(planted, "fp2", "wfp2").alias("y"),
+          col("x.doc_id") + 20000 === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"),
+          (col("fp") === col("fp2")).as("fp_match"),
+          (col("wfp") === col("wfp2")).as("winnow_match"))
+        .orderBy(col("doc_a").asc_nulls_first)
+    }, Some(
+      """SELECT doc_id AS doc_a, TRUE AS fp_match, TRUE AS winnow_match
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_a ASC NULLS FIRST""".stripMargin)),
 
     // Oracle-checkable INVARIANTS of the engine-specific fingerprints:
     // the hash values themselves can't cross-check against DuckDB, but

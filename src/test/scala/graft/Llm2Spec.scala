@@ -102,7 +102,13 @@ class Llm2Spec extends AnyFunSuite {
   }
 
   test("fingerprints of the documents table are stable keys for exact dedup") {
-    val df = SparkEntry.queries("q_llm_fingerprint")(spark, TestSpark.sf)
+    // the declared query now oracles the planted-copy invariant; the
+    // raw per-doc fingerprints still come from the direct expression
+    val inv = SparkEntry.queries("q_llm_fingerprint")(spark, TestSpark.sf).collect()
+    assert(inv.length == 50 && inv.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      "planted-copy fingerprint invariant rows not all true")
+    val df = Tables(spark, TestSpark.sf, "documents").select(col("doc_id"),
+      Fingerprints.text_fingerprint(lower(trim(col("text")))).as("fp"))
     val byFp = df.groupBy(col("fp")).count()
     // every doc got a fingerprint; count preserved
     assert(byFp.agg(sum(col("count"))).collect()(0).getLong(0) ==
