@@ -72,6 +72,32 @@ class Llm2Spec extends AnyFunSuite {
     assert((0L until n.toLong).map(find).toSet.size == 1, "family split into >1 component")
   }
 
+  test("simhash star-cap preserves connected components vs uncapped (random families)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // families of identical docs with per-family vocab; sizes straddle
+    // the cap so some buckets star-cap and some stay all-pairs
+    val docs = (0 until 6).flatMap { f =>
+      val n = 1 + rnd.nextInt(60)
+      val text = (0 until 15).map(k => s"fam${f}_w$k").mkString(" ")
+      (0 until n).map(i => (f * 1000L + i, text))
+    }.toDF("doc_id", "text")
+    def components(cap: Int): Map[Long, Long] = {
+      val pairs = LlmOps2.simhashPairsDf(docs, maxBucket = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    assert(components(8) == components(1 << 20),
+      "capping changed the connected-component structure")
+  }
+
   test("trained-centroid IVF top-k recall >= 0.8 vs exact brute force") {
     val exact = SparkEntry.queries("q_llm_simsearch")(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
