@@ -375,4 +375,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("sweep: the planted-invariant dedup/agg queries stay equi-joined, no loops") {
+    // the r14 invariant conversions must not smuggle in a loop join:
+    // every pairing/backjoin is bucket- or key-equi. (The ANN queries
+    // are excluded on purpose — their 5-row broadcast crossJoin IS the
+    // intended plan for a tiny query frame.)
+    for (name <- Seq("q_llm_minhash", "q_llm_simhash", "q_llm_fingerprint",
+        "q_llm_semdedup", "q_agg_approxpct", "q_agg_hll_merge")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${p.take(1500)}")
+    }
+  }
 }
