@@ -226,6 +226,10 @@ class CdcSourceSpec extends AnyFunSuite {
             spark.sql(s"DELETE FROM $c.f.t WHERE id % ${2 + rnd.nextInt(4)} = 0")
           case 7 if hi > 0 => // overwrite: exceptAll state-diff path
             spark.sql(s"INSERT OVERWRITE $c.f.t SELECT id, id * 11 FROM range(0, ${hi / 2 max 1})")
+          case 8 if hi > 0 => // expire ancestors: genesis replay must
+            // reconstruct through the synthetic-genesis base (oldest
+            // retained ancestor diffed against empty)
+            Maintenance.expireSnapshots(ops, keepLast = 1 + rnd.nextInt(3))
           case _ => // rollback to a random earlier snapshot, then move on
             val snaps = ops.refresh().get._2.snapshots
             if (snaps.size > 1)
