@@ -198,6 +198,41 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(Changes.between(spark, wh, ops, meta, cur, cur).isEmpty)
   }
 
+  test("a fresh CDC stream starts on a table that has already run expireSnapshots") {
+    // the round-13 advice scenario, end-to-end at the SOURCE level:
+    // default start-seq=0 on a truncated chain must replay the
+    // surviving state, not throw 'chain TRUNCATED'
+    val wh = "/tmp/graft_test_cdcgen"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcG", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcG.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcG.c")
+    spark.sql("CREATE TABLE tcCdcG.c.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcCdcG.c.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    spark.sql("DELETE FROM tcCdcG.c.t WHERE id = 4")
+    Maintenance.expireSnapshots(new TableOps(wh, "c/t"), keepLast = 1)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b0 = seen.asScala.toSeq
+      assert(b0.forall(_._2 == "insert"), s"synthetic genesis must emit inserts: $b0")
+      assert(b0.map(_._1).sorted == (0L until 30L).filterNot(_ == 4L),
+        s"surviving state wrong (${b0.size} rows)")
+      // and the stream keeps tailing new commits normally
+      seen.clear()
+      spark.sql("INSERT INTO tcCdcG.c.t VALUES (100)")
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq.map(r => (r._1, r._2)) == Seq((100L, "insert")))
+    } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+  }
+
   test("property fuzz: genesis changelog replay reconstructs the final state under random histories") {
     // the changelog's core contract: for ANY commit history (appends,
     // COW and MOR deletes, overwrites, rollbacks) with the chain
