@@ -141,12 +141,18 @@ object Bench {
         l.setLevel(org.apache.logging.log4j.Level.OFF)
       case _ =>
     }
-    spark.stop()
-    // big map first (its head may be chopped by the tail capture), small
-    // headline line dead last so it always survives whole
-    println(
-      s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+    // stop() can itself throw (state-store/executor teardown); the
+    // finally guarantees the JSON still reaches stdout in that case —
+    // otherwise a teardown error would reintroduce the parsed:null
+    // failure this ordering exists to fix
+    try spark.stop()
+    finally {
+      // big map first (its head may be chopped by the tail capture),
+      // small headline line dead last so it always survives whole
+      println(
+        s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
+      println(
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+    }
   }
 }

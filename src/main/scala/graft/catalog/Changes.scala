@@ -113,7 +113,14 @@ object Changes {
     * walk stops there and that ancestor's effective state (deletes
     * applied) streams out as the first batch of inserts, so a fresh
     * CDC stream can always start on a table that has run
-    * expireSnapshots.
+    * expireSnapshots. Replay-form caveat: if a checkpointed stream
+    * REPLAYS its genesis batch after an expiry that advanced the
+    * oldest retained ancestor, the replayed batch carries the same
+    * NET state but may collapse intermediate insert+delete pairs that
+    * the original batch spelled out — a consumer that requires
+    * byte-identical batch replay (rather than an idempotent/net-state
+    * sink) should pin `start-seq` to a retained snapshot, where the
+    * strict loud-failure contract still applies.
     */
   def between(spark: SparkSession, warehouse: String, ops: TableOps,
       meta: TableMeta, fromSeq: Long, toSeq: Long): Option[DataFrame] = {

@@ -517,8 +517,15 @@ class JdbcRelativeCatalog extends RelativeCatalog {
             name(), nsKey(ident.namespace().toSeq), ident.name(), newLoc)
           true
         } catch { case e: SQLException =>
-          // PK violation = lost the race; anything else surfaces
-          if (Option(e.getSQLState).exists(_.startsWith("23"))) false else throw e
+          // PK violation = lost the race (cleanup happens in the
+          // !done branch below); anything else surfaces — after
+          // deleting the just-written definition file, which no row
+          // will ever point to
+          if (Option(e.getSQLState).exists(_.startsWith("23"))) false
+          else {
+            Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
+            throw e
+          }
         }
     }
     if (!done) {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Per-iteration lineage truncation for the iterative operators
   * (connected-components label propagation in [[LlmOps2.duplicateGroups]]
@@ -15,8 +16,21 @@ import org.apache.spark.sql.DataFrame
   * production-grade spelling at 100 TB: any executor can re-read the
   * checkpointed blocks, so iteration state survives node loss. Local
   * runs keep the zero-config fast path.
+  *
+  * The reliable path persists (DISK_ONLY) before checkpointing so the
+  * iteration's lineage is computed ONCE — `checkpoint()` alone runs
+  * the plan a second time to write the checkpoint files — and drops
+  * the scratch blocks right after. Old per-round checkpoint files are
+  * reclaimed by Spark's own
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` when enabled;
+  * they are bounded per query either way (one labels-frame per round).
   */
 private[graft] object IterCheckpoint {
+
+  /** The checkpoint base this object last configured on the context —
+    * compared EXACTLY (not by substring) so switching the conf to a
+    * parent/sibling path re-points the context. */
+  @volatile private var configuredBase: Option[String] = None
 
   /** Truncate `df`'s lineage eagerly, reliably iff the session sets
     * `graft.iter.checkpoint-dir`. */
@@ -25,13 +39,15 @@ private[graft] object IterCheckpoint {
     spark.conf.getOption("graft.iter.checkpoint-dir").filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir creates a per-context UUID subdir under the
-        // base (and qualifies the scheme, e.g. file:/...); only (re)set
-        // when the base actually changed so repeated iterations share
-        // one subdir
-        val bare = dir.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
-        if (!sc.getCheckpointDir.exists(_.contains(bare))) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        synchronized {
+          if (!configuredBase.contains(dir) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            configuredBase = Some(dir)
+          }
+        }
+        val persisted = df.persist(StorageLevel.DISK_ONLY)
+        try persisted.checkpoint()
+        finally persisted.unpersist(blocking = false)
       case None => df.localCheckpoint()
     }
   }

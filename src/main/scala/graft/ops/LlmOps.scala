@@ -61,8 +61,10 @@ object LlmOps extends Pack {
     // lands in it only when doc_b is doc_a's OWN copy, and that pair
     // is always found.
     Decl("q_llm_minhash", (spark, dir) => {
+      // the id guard makes the planted range disjoint BY CONSTRUCTION
+      // at any fixture (a no-op for every shipped one: max doc_id 4999)
       val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 20000).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 20000).as("doc_id"), col("text"))
       minhashPairsDf(docs.unionByName(planted))

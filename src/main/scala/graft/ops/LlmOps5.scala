@@ -231,15 +231,7 @@ object LlmOps5 extends Pack {
       val exact = graft.ops.LlmOps.decls.find(_.name == "q_llm_simsearch").get
         .fn(spark, dir).select(col("q_id"), col("vec_id"))
       val approx = ivfPqTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
-      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-      val perQ = exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
-      val tot = perQ.agg((sum(col("h")) >= 20L).as("suite_recall_ok"))
-      perQ.crossJoin(broadcast(tot))
-        .select(col("q_id"), (col("h") >= 3).as("recall_ok"), col("suite_recall_ok"))
-        .orderBy(col("q_id").asc_nulls_first)
+      RecallInvariant(exact, approx, minHitsPerQuery = 3, minHitsTotal = 20)
     }, Some(
       """SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok, TRUE AS suite_recall_ok
         |FROM embeddings WHERE vec_id < 5

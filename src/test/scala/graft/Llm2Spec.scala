@@ -72,6 +72,44 @@ class Llm2Spec extends AnyFunSuite {
     assert((0L until n.toLong).map(find).toSet.size == 1, "family split into >1 component")
   }
 
+  test("simhash near-dup satellites of a viral family: capping never loses cross-band pairs") {
+    import spark.implicits._
+    // a 150-doc identical family makes every band's bucket viral at
+    // cap 16; 10 near-copies (one word changed) land in the same or a
+    // neighboring bucket depending on which bits flip. The old
+    // first-shared-chunk dedup could suppress a satellite pair in
+    // EVERY band once sub-splitting separated it in an earlier one;
+    // with emitted-set dedup, any satellite the uncapped output
+    // connects to the family must stay connected under capping.
+    val famText = (0 until 60).map(k => s"vf_w$k").mkString(" ")
+    val fam = (0L until 150L).map(i => (i, famText))
+    val sats = (0 until 10).map(j => (1000L + j, famText.replace("vf_w0 ", s"chg$j ")))
+    val docs = (fam ++ sats).toDF("doc_id", "text")
+    def famLinks(cap: Int): Set[Long] =
+      LlmOps2.simhashPairsDf(docs, maxBucket = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .collect { case (a, b) if b >= 1000L && a < 150L => b }.toSet
+    val uncapped = famLinks(1 << 20)
+    val capped = famLinks(16)
+    assert(uncapped.nonEmpty, "fixture produced no satellite links at all")
+    // the design's ONLY sanctioned loss is the sub-split window: a
+    // link may drop iff the satellite disagrees with the family on
+    // the 8-bit next-chunk window in EVERY band whose chunk it
+    // shares. Anything else lost = the cross-band suppression bug.
+    val sig = LlmOps2.simhashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val famSig = sig(0L)
+    def chunk(s: Long, b: Int) = (s >>> (16 * b)) & 0xffffL
+    def sub(s: Long, b: Int) = (s >>> (16 * ((b + 1) % 4))) & 0xffL
+    val sanctioned = (uncapped -- capped).filter { id =>
+      val s = sig(id)
+      (0 until 4).forall(b => chunk(s, b) != chunk(famSig, b) || sub(s, b) != sub(famSig, b))
+    }
+    assert((uncapped -- capped) == sanctioned,
+      s"capping lost links NOT explained by sub-window disagreement: " +
+        s"${(uncapped -- capped) -- sanctioned}")
+  }
+
   test("simhash star-cap preserves connected components vs uncapped (random families)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
