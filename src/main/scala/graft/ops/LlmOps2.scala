@@ -22,7 +22,24 @@ object LlmOps2 extends Pack {
 
   private def words(c: Column) = filter(split(c, " "), w => w =!= "")
 
-  /** 64-bit SimHash from word hashes: per-bit ±1 vote, one pass.
+  /** (doc_id, simhash) signatures — the first stage of
+    * [[simhashPairsDf]], exposed so specs can reason about chunk/sub
+    * windows without duplicating the pipeline. */
+  private[graft] def simhashSigs(input: DataFrame): DataFrame = {
+    val wordHash = input
+      .withColumn("ws", words(lower(col("text"))))
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sigs = wordHash.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sigs.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** 64-bit SimHash pair candidates from [[simhashSigs]] signatures:
+    * per-bit ±1 vote, one pass.
     *
     * Bucket-size bound (the 100-TB guard, same lesson as
     * [[LlmOps5.MaxGramDf]]): the in-bucket self-join's pair work is
@@ -58,22 +75,6 @@ object LlmOps2 extends Pack {
     * The (band,chunk) count table is ≤ 4·65536 rows BY CONSTRUCTION
     * at any corpus size, so the accounting join is always broadcast.
     */
-  /** (doc_id, simhash) signatures — the first stage of
-    * [[simhashPairsDf]], exposed so specs can reason about chunk/sub
-    * windows without duplicating the pipeline. */
-  private[graft] def simhashSigs(input: DataFrame): DataFrame = {
-    val wordHash = input
-      .withColumn("ws", words(lower(col("text"))))
-      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val sigs = wordHash.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 64).map(b =>
-      when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    sigs.select(col("doc_id"), simhash.as("simhash"))
-  }
-
   def simhashPairsDf(input: DataFrame, maxBucket: Int = 64): DataFrame = {
     val sh = simhashSigs(input)
     // block on 4×16-bit chunks (near-dups agree on ≥1 chunk w.h.p.)
@@ -364,7 +365,10 @@ object LlmOps2 extends Pack {
       val exact = LlmOps.decls.find(_.name == "q_llm_simsearch").get
         .fn(spark, dir).select(col("q_id"), col("vec_id"))
       val approx = ivfTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
-      RecallInvariant(exact, approx, minHitsPerQuery = 3, minHitsTotal = 20)
+      RecallInvariant(exact, approx,
+        queryIds = Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") < 5).select(col("vec_id").as("q_id")),
+        minHitsPerQuery = 3, minHitsTotal = 20)
     }, Some(
       """SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok, TRUE AS suite_recall_ok
         |FROM embeddings WHERE vec_id < 5

@@ -231,7 +231,10 @@ object LlmOps5 extends Pack {
       val exact = graft.ops.LlmOps.decls.find(_.name == "q_llm_simsearch").get
         .fn(spark, dir).select(col("q_id"), col("vec_id"))
       val approx = ivfPqTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
-      RecallInvariant(exact, approx, minHitsPerQuery = 3, minHitsTotal = 20)
+      RecallInvariant(exact, approx,
+        queryIds = Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") < 5).select(col("vec_id").as("q_id")),
+        minHitsPerQuery = 3, minHitsTotal = 20)
     }, Some(
       """SELECT DISTINCT vec_id AS q_id, TRUE AS recall_ok, TRUE AS suite_recall_ok
         |FROM embeddings WHERE vec_id < 5

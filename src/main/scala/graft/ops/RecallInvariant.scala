@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   */
 private[ops] object RecallInvariant {
 
-  def apply(exact: DataFrame, approx: DataFrame,
+  /** `queryIds` is the (q_id) relation — passed separately because
+    * deriving it from `exact` (select.distinct) would re-run the whole
+    * brute-force scoring pipeline just to list 5 ids; the callers have
+    * a one-column table scan for it. */
+  def apply(exact: DataFrame, approx: DataFrame, queryIds: DataFrame,
       minHitsPerQuery: Long, minHitsTotal: Long): DataFrame = {
     val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    val perQ = exact.select(col("q_id")).distinct()
+    val perQ = queryIds.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
     val tot = perQ.agg((sum(col("h")) >= minHitsTotal).as("suite_recall_ok"))
