@@ -185,8 +185,22 @@ object LlmOps extends Pack {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsDf(Tables(spark, dir, "documents"))
 
-  /** Same pipeline over any (doc_id, text) DataFrame. */
-  def minhashPairsDf(input: DataFrame): DataFrame = {
+  /** Same pipeline over any (doc_id, text) DataFrame.
+    *
+    * Bucket-size bound (the [[LlmOps2.simhashPairsDf]] /
+    * [[LlmOps5.MaxGramDf]] lesson applied to the third LSH operator):
+    * a (band, band-hash) bucket is a near-identical family — at web
+    * scale an exact-duplicate family of n docs would otherwise
+    * enumerate 4·n²/2 pairs in one task. Buckets over `maxBucket`
+    * star-cap to the `maxBucket` smallest doc_ids: per-bucket pairs
+    * are ≤ |bucket|·maxBucket, and because minhash pairs face no
+    * downstream distance gate, every member's edge to the rank-1
+    * (minimum-id) representative ALWAYS survives — connectivity, and
+    * therefore connected-component dedup ([[LlmOps2.duplicateGroups]]),
+    * is preserved EXACTLY, and keep-min-id survivor selection is
+    * unchanged (the min id is rank 1 in every bucket it occupies).
+    */
+  def minhashPairsDf(input: DataFrame, maxBucket: Int = 64): DataFrame = {
     val docs = input
       .withColumn("ws", words(lower(col("text"))))
       .filter(size(col("ws")) >= 3)
@@ -201,11 +215,20 @@ object LlmOps extends Pack {
         xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bh"))
     }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val x = bands.alias("x")
-    val y = bands.alias("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+    // rank by doc_id so the min id is always a representative; the
+    // window shuffle shares the join's (band, bh) key, so the Exchange
+    // is reused at runtime
+    val part = Window.partitionBy(col("band"), col("bh"))
+    val ranked = bands
+      .withColumn("rk", row_number().over(part.orderBy(col("doc_id"))))
+      .withColumn("bsz", count(lit(1)).over(part))
+    val pairCond = when(col("x.bsz") <= maxBucket,
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .otherwise(col("y.rk") <= maxBucket && col("x.rk") > col("y.rk"))
+    ranked.alias("x").join(ranked.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && pairCond)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b")).distinct()
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 }

@@ -49,6 +49,49 @@ class Llm2Spec extends AnyFunSuite {
     } finally spark.conf.unset("graft.iter.checkpoint-dir")
   }
 
+  test("minhash viral family: band buckets star-cap, connectivity and keeper exact") {
+    import spark.implicits._
+    import graft.ops.LlmOps
+    val n = 200
+    val cap = 8
+    val docs = (0L until n.toLong)
+      .map(i => (i, "the same viral boilerplate text repeated across the minhash corpus"))
+      .toDF("doc_id", "text")
+    val pairs = LlmOps.minhashPairsDf(docs, maxBucket = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length <= n * cap,
+      s"${pairs.length} pairs exceeds the n*cap=${n * cap} star-cap bound")
+    assert(pairs.distinct.length == pairs.length, "duplicate pair emitted")
+    // minhash pairs face no distance gate, so star edges always
+    // survive: one component, keeper (min id) linked to everyone
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until n.toLong).map(find).toSet.size == 1, "family split into >1 component")
+    // id-ascending ranks make the min id a representative in every
+    // bucket: every doc pairs with doc 0 directly
+    assert((1L until n.toLong).forall(i => pairs.contains((0L, i))),
+      "min-id keeper must pair with every family member")
+  }
+
+  test("embdup viral family: centroid lists star-cap, semDedup keeps exactly the min id") {
+    import spark.implicits._
+    import graft.ops.LlmOps3
+    val n = 100
+    val vec = Array.fill(8)(0.5)
+    val emb = (0L until n.toLong).map(i => (i, vec)).toDF("vec_id", "e")
+    val pairs = LlmOps3.embdupLshPairs(spark, emb, maxBucket = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length <= n * 8,
+      s"${pairs.length} pairs exceeds the n*cap=${n * 8} star-cap bound")
+    assert(pairs.forall(_._3 == 1.0))
+    assert(pairs.forall(p => p._1 < p._2), "pair ids must stay (lower, higher)")
+    val survivors = LlmOps3.semDedup(spark, emb, maxBucket = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L),
+      s"keep-first must keep exactly the min id under capping: $survivors")
+  }
+
   test("simhash viral family: in-bucket pairs bounded by n*cap, family stays connected") {
     import spark.implicits._
     // 200 exact duplicates: identical simhashes, so every (band,chunk)
