@@ -503,7 +503,10 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       info.columnComments().toList.map(c => if (c == null) "" else c),
       info.properties().asScala.toMap)
     val newLoc = writeViewDef(ident, d)
-    val done = viewPointer(ident) match {
+    // Any error escaping the CAS below — UPDATE branch included — must
+    // first delete the just-written definition file: no row will ever
+    // point to it, so leaving it behind is a permanent orphan
+    val done = try viewPointer(ident) match {
       case Some(oldLoc) =>
         val n = update(
           "UPDATE graft_tables SET metadata_location=?, previous_metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=? AND record_type='VIEW' AND metadata_location=?",
@@ -516,17 +519,14 @@ class JdbcRelativeCatalog extends RelativeCatalog {
             "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'VIEW')",
             name(), nsKey(ident.namespace().toSeq), ident.name(), newLoc)
           true
-        } catch { case e: SQLException =>
-          // PK violation = lost the race (cleanup happens in the
-          // !done branch below); anything else surfaces — after
-          // deleting the just-written definition file, which no row
-          // will ever point to
-          if (Option(e.getSQLState).exists(_.startsWith("23"))) false
-          else {
-            Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
-            throw e
-          }
+        } catch { case e: SQLException
+            // PK violation = lost the race (cleanup happens in the
+            // !done branch below); anything else rides the outer catch
+            if Option(e.getSQLState).exists(_.startsWith("23")) => false
         }
+    } catch { case e: Throwable =>
+      Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))
+      throw e
     }
     if (!done) {
       Io.deleteIfExists(graft.meta.RelPaths.absolutize(warehouse, newLoc))

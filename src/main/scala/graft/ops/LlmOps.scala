@@ -215,16 +215,9 @@ object LlmOps extends Pack {
         xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bh"))
     }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // rank by doc_id so the min id is always a representative; the
-    // window shuffle shares the join's (band, bh) key, so the Exchange
-    // is reused at runtime
-    val part = Window.partitionBy(col("band"), col("bh"))
-    val ranked = bands
-      .withColumn("rk", row_number().over(part.orderBy(col("doc_id"))))
-      .withColumn("bsz", count(lit(1)).over(part))
-    val pairCond = when(col("x.bsz") <= maxBucket,
-        col("x.doc_id") < col("y.doc_id"))
-      .otherwise(col("y.rk") <= maxBucket && col("x.rk") > col("y.rk"))
+    val ranked = StarCap.rank(bands, Seq(col("band"), col("bh")), col("doc_id"))
+    val pairCond = StarCap.cond(maxBucket, col("x.doc_id"), col("y.doc_id"),
+      col("x.rk"), col("y.rk"), col("x.bsz"))
     ranked.alias("x").join(ranked.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && pairCond)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),

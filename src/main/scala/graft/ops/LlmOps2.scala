@@ -51,10 +51,10 @@ object LlmOps2 extends Pack {
     *      near-dups (small hamming) agree on those bits w.h.p., so
     *      recall survives while diverse buckets shrink ×256;
     *   2. a sub-bucket STILL over `maxBucket` (an exact-duplicate
-    *      family — its pair set is genuinely quadratic) is star-capped:
-    *      each doc pairs only with the bucket's first `maxBucket`
-    *      docs in xxhash64 rank order (doc d pairs with ranks
-    *      < min(rank(d), maxBucket)), so per-bucket pairs are
+    *      family — its pair set is genuinely quadratic) is star-capped
+    *      via [[StarCap]]: each doc pairs only with the bucket's first
+    *      `maxBucket` docs in id-ascending rank order (doc d pairs
+    *      with ranks < min(rank(d), maxBucket)), so per-bucket pairs are
     *      ≤ |bucket|·maxBucket yet every doc stays connected to the
     *      rank-1 representative — for the near-identical families
     *      that make buckets viral in practice (hamming ≈ 0, so star
@@ -88,18 +88,16 @@ object LlmOps2 extends Pack {
       .withColumn("sub", when(col("bsz") > maxBucket,
           expr("shiftright(simhash, 16 * ((band + 1) % 4)) & 255"))
         .otherwise(lit(-1L)))
-    // rank + size inside the (possibly sub-split) bucket; the window
-    // shuffle keys equal the join keys below, so the Exchange is reused
-    val part = Window.partitionBy(col("band"), col("chunk"), col("sub"))
-    val banded = withSub
-      .withColumn("rk", row_number().over(
-        part.orderBy(xxhash64(col("doc_id")), col("doc_id"))))
-      .withColumn("ssz", count(lit(1)).over(part))
+    // rank + size inside the (possibly sub-split) bucket; id-ascending
+    // ranks (StarCap) make a planted original with id < maxBucket an
+    // unconditional representative, so the q_llm_simhash oracle never
+    // depends on hash luck in a viral sub-bucket
+    val banded = StarCap.rank(withSub,
+      Seq(col("band"), col("chunk"), col("sub")), col("doc_id"))
     // small bucket → full all-pairs (semantics unchanged); viral
     // sub-bucket → star-capped pairs, each emitted once per band
-    val pairCond = when(col("x.ssz") <= maxBucket,
-        col("x.doc_id") < col("y.doc_id"))
-      .otherwise(col("y.rk") <= maxBucket && col("x.rk") > col("y.rk"))
+    val pairCond = StarCap.cond(maxBucket, col("x.doc_id"), col("y.doc_id"),
+      col("x.rk"), col("y.rk"), col("x.bsz"))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.sub") === col("y.sub") && pairCond)
@@ -298,9 +296,10 @@ object LlmOps2 extends Pack {
     // 50-row expectation (the projection admits only a doc and its
     // OWN copy, so corpus near-dups can't pollute it; the corpus is
     // pre-filtered below the planted id base so ids can never
-    // collide). In a star-capped viral sub-bucket the pair needs one
-    // member ranked <= cap — deterministic per fixture and green at
-    // both gate scales; family-level connectivity holds regardless.
+    // collide). Star-capping cannot drop a planted pair: ranks are
+    // id-ascending, so an original with id < 50 <= maxBucket is a
+    // representative in every sub-bucket it occupies — the 50-row
+    // expectation is UNCONDITIONAL, not fixture luck.
     // The raw full-corpus pair set (hash-dependent) stays
     // spec-territory: Llm2Spec covers near-dup recall and the
     // viral-bucket cap.
