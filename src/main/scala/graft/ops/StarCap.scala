@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * the planted-pair oracles (a planted original with id < maxBucket
   * always ranks ≤ maxBucket, so its copy-pair always surfaces).
   */
-private[ops] object StarCap {
+private[graft] object StarCap {
 
   /** Adds `rk` (1-based rank by ascending `id` within `keys`) and
     * `bsz` (bucket size) columns. The window's shuffle keys equal the

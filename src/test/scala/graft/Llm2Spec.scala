@@ -49,6 +49,49 @@ class Llm2Spec extends AnyFunSuite {
     } finally spark.conf.unset("graft.iter.checkpoint-dir")
   }
 
+  test("StarCap property: random buckets — subset of all-pairs, min id fully linked, bounded") {
+    import spark.implicits._
+    import graft.ops.StarCap
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val rnd = new scala.util.Random(42)
+    // random multiset of buckets with sizes straddling the cap
+    val rows = (0 until 8).flatMap { b =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map(_ => (b.toLong, rnd.nextInt(10000).toLong))
+    }.distinct
+    val df = rows.toDF("bucket", "id")
+    val cap = 6
+    def pairs(c: Int): Set[(Long, Long, Long)] = {
+      val ranked = StarCap.rank(df, Seq(col("bucket")), col("id"))
+      ranked.alias("x").join(ranked.alias("y"),
+          col("x.bucket") === col("y.bucket") &&
+            StarCap.cond(c, col("x.id"), col("y.id"),
+              col("x.rk"), col("y.rk"), col("x.bsz")))
+        .select(col("x.bucket"),
+          least(col("x.id"), col("y.id")).as("a"),
+          greatest(col("x.id"), col("y.id")).as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val capped = pairs(cap)
+    val full = pairs(1 << 20)
+    assert(capped.subsetOf(full), "capped pairs must be a subset of all-pairs")
+    assert(capped.map(p => (p._1, p._2, p._3)).size == capped.size) // no dupes by construction
+    val byBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byBucket.foreach { case (bkt, ids) =>
+      val n = ids.size
+      val inBkt = capped.filter(_._1 == bkt)
+      assert(inBkt.size <= (n.toLong * (n - 1)) / 2,
+        s"bucket $bkt pair count ${inBkt.size} over the all-pairs bound")
+      if (n > 1) {
+        val m = ids.min
+        assert(ids.filter(_ != m).forall(i => inBkt.contains((bkt, m, i))),
+          s"bucket $bkt: min id $m not linked to every member")
+      }
+      if (n > cap) assert(inBkt.size <= n.toLong * cap,
+        s"viral bucket $bkt exceeded |bucket|*cap")
+    }
+  }
+
   test("minhash viral family: band buckets star-cap, connectivity and keeper exact") {
     import spark.implicits._
     import graft.ops.LlmOps
