@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench headline JSON from the stdout tail of
+// `sbt run`. Without an explicit outputStrategy sbt re-logs the forked
+// JVM's stdout through its own logger with an "[info] " prefix, which
+// defeats a parser that expects a bare JSON line at line start.
+// StdoutOutput passes the child's stdout through raw and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

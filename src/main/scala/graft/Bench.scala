@@ -109,22 +109,36 @@ object Bench {
     // inflating the tail (round-12: 4-10x), or a reset bug were
     // DEFLATING in-suite numbers, these end-of-suite reruns would
     // diverge from the in-suite numbers and the artifact itself
-    // would show it
-    val recheck = (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
+    // would show it. distinctBy: with a small dev subset (<10
+    // queries) the slowest-5 and fastest-5 sets overlap and would
+    // emit duplicate JSON keys (last-wins in most parsers).
+    // Known one-sided drift (r14): the slow five are all
+    // streaming/iterative and re-time 1.2-1.4x slower post-suite —
+    // end-of-suite scheduler/JIT state, not retention (heap/storage
+    // flat). recheck_ratio makes the artifact self-report it:
+    // ratio > 1 means the in-suite number is the optimistic edge.
+    val inSuite = ok.map { case (k, v, _, _, _, _) => k -> v }.toMap
+    val recheckPairs = (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
+      .distinctBy(_._1)
       .map { case (k, _, _, _, _, _) =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(k)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
       graft.streaming.Hygiene.reset(spark)
-      "\"" + k + "\":" + r3((System.nanoTime() - t0) / 1e9)
-    }.mkString("{", ",", "}")
+      k -> (System.nanoTime() - t0) / 1e9
+    }
+    val recheck = recheckPairs
+      .map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
+    val recheckRatio = recheckPairs
+      .map { case (k, t) => "\"" + k + "\":" + r3(t / inSuite(k)) }
+      .mkString("{", ",", "}")
     // the full-precision record (plus heap/GC profiles) for direct reads
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
         results.map { case (k, v, _, f, _, _) =>
           "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
-      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck}"""
+      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck,"recheck_ratio":$recheckRatio}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
