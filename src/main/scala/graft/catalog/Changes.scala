@@ -113,17 +113,24 @@ object Changes {
     * walk stops there and that ancestor's effective state (deletes
     * applied) streams out as the first batch of inserts, so a fresh
     * CDC stream can always start on a table that has run
-    * expireSnapshots. Replay-form caveat: if a checkpointed stream
-    * REPLAYS its genesis batch after an expiry that advanced the
-    * oldest retained ancestor, the replayed batch carries the same
-    * NET state but may collapse intermediate insert+delete pairs that
-    * the original batch spelled out — a consumer that requires
-    * byte-identical batch replay (rather than an idempotent/net-state
-    * sink) should pin `start-seq` to a retained snapshot, where the
-    * strict loud-failure contract still applies.
+    * expireSnapshots.
+    *
+    * `allowSyntheticGenesis` gates that fallback, because "fromSeq = 0"
+    * alone cannot distinguish a FRESH stream from a checkpointed
+    * stream REPLAYING batch 0: if expireSnapshots ran between the
+    * original batch-0 delivery and a crash-replay, the replayed batch
+    * would carry the same NET state but collapse intermediate
+    * insert+delete pairs the original batch spelled out — silently
+    * different rows for an append/non-idempotent sink. Batch one-shot
+    * readers ($changes scans) have no replay to be deterministic
+    * against and keep the default `true`; the streaming CDC source
+    * ([[graft.streaming.GraftCdcSource]]) passes `false` exactly when
+    * its checkpoint shows an uncommitted batch 0 pending replay, so
+    * the genesis replay fails as loudly as any other truncated replay.
     */
   def between(spark: SparkSession, warehouse: String, ops: TableOps,
-      meta: TableMeta, fromSeq: Long, toSeq: Long): Option[DataFrame] = {
+      meta: TableMeta, fromSeq: Long, toSeq: Long,
+      allowSyntheticGenesis: Boolean = true): Option[DataFrame] = {
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
     if (toSeq <= fromSeq) return None
     if (fromSeq > 0 && !meta.snapshots.exists(_.sequenceNumber == fromSeq))
@@ -152,11 +159,20 @@ object Changes {
           None
         case Some(pid) => byId.get(pid) match {
           case Some(p) => Some(p)
-          case None if fromSeq == 0 =>
+          case None if fromSeq == 0 && allowSyntheticGenesis =>
             // nothing delivered yet, so no re-emit/drop hazard: stop
             // the walk and let s replay its full surviving state
             syntheticGenesis = true
             None
+          case None if fromSeq == 0 => throw new IllegalStateException(
+            s"changelog chain is TRUNCATED under a genesis-batch REPLAY: " +
+              s"snapshot ${s.snapshotId} (seq ${s.sequenceNumber}) has parent " +
+              s"$pid which is no longer retained, so the replayed batch 0 " +
+              "would collapse already-delivered insert+delete pairs into net " +
+              "state — different rows than first delivered. Restart the " +
+              "stream with a fresh checkpoint, or opt in to net-state replay " +
+              "with option allow-synthetic-genesis=true if the sink is " +
+              "idempotent")
           case None => throw new IllegalStateException(
             s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
               s"${s.sequenceNumber}) has parent $pid which is no longer " +

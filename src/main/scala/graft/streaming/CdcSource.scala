@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.StructType
   * change likewise fails the batch (restart to pick it up). The chain
   * is parent-lineage-walked, so commits after a `rollbackTo` diff
   * against their actual parent; rows from an abandoned lineage are
-  * not retracted. `start-seq` (default 0) sets the initial offset:
+  * not retracted. A FRESH stream's genesis batch may diff past an
+  * expired ancestor (synthetic genesis: the surviving state replays
+  * as inserts), but a checkpointed REPLAY of batch 0 keeps the loud
+  * truncation failure — option `allow-synthetic-genesis` overrides
+  * the checkpoint-derived default either way.
+  * `start-seq` (default 0) sets the initial offset:
   * 0 replays the whole table as genesis inserts, the current seq at
   * start gives a "changes from now on" tail.
   *
@@ -82,12 +87,33 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val ops = tableOps(ctx, parameters)
     val startSeq = parameters.get("start-seq").map(_.toLong).getOrElse(0L)
-    new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq)
+    // Synthetic genesis (diffing past an expired ancestor on a
+    // fromSeq=0 batch) is only deterministic-safe on a FRESH stream:
+    // a checkpointed stream replaying batch 0 must see the same rows
+    // it first delivered, which expiry can have collapsed. The
+    // checkpoint itself says which case this is — metadataPath is
+    // <ckpt>/sources/<i>, so offsets/0 present with commits/0 absent
+    // means batch 0 was constructed but never committed and the next
+    // getBatch(None, _) is a REPLAY. The explicit option overrides
+    // both ways (an idempotent/net-state sink may opt in; a paranoid
+    // append sink may opt out even for the fresh start).
+    val allowSynthetic = parameters.get("allow-synthetic-genesis") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        val ckpt = new org.apache.hadoop.fs.Path(metadataPath).getParent.getParent
+        val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+        val pendingGenesisReplay =
+          fs.exists(new org.apache.hadoop.fs.Path(ckpt, "offsets/0")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(ckpt, "commits/0"))
+        !pendingGenesisReplay
+    }
+    new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic)
   }
 }
 
 class GraftCdcSource(spark: SparkSession, ops: TableOps,
-    initialMeta: TableMeta, startSeq: Long) extends Source {
+    initialMeta: TableMeta, startSeq: Long,
+    allowSyntheticGenesis: Boolean = true) extends Source {
 
   // schema is pinned at stream start: mid-stream schema evolution must
   // not silently reshape batches (restart the query to pick it up)
@@ -124,7 +150,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           s"now ${cur.simpleString}); restart the streaming query to pick " +
           "up the new schema")
     val batch = Changes
-      .between(spark, ops.warehouse, ops, meta, fromSeq, toSeq)
+      .between(spark, ops.warehouse, ops, meta, fromSeq, toSeq,
+        allowSyntheticGenesis = allowSyntheticGenesis)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         StructType(outSchema.fields.map(_.copy(nullable = true)))))

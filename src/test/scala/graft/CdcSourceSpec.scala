@@ -233,6 +233,95 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
   }
 
+  test("batch-0 checkpoint REPLAY after expiry fails loudly; fresh/committed/opted-in keep synthetic genesis") {
+    // fromSeq=0 alone cannot tell a fresh stream from a checkpointed
+    // stream replaying batch 0 — the provider reads the checkpoint
+    // (offsets/0 without commits/0 = pending replay) and only then
+    // forbids synthetic genesis, so a crash-replay after an expiry
+    // can never silently deliver net-state rows that differ from the
+    // first delivery
+    val wh = "/tmp/graft_test_cdcrep"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcRp", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcRp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcRp.c")
+    spark.sql("CREATE TABLE tcCdcRp.c.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcCdcRp.c.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val ops = new TableOps(wh, "c/t")
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+    val cur = ops.refresh().get._2.currentSnapshot.get.sequenceNumber
+
+    val provider = new graft.streaming.GraftCdcSourceProvider
+    val params = Map("warehouse" -> wh, "location" -> "c/t")
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+    def mkCkpt(offsets0: Boolean, commits0: Boolean): String = {
+      val d = Files.createTempDirectory("graft_cdc_rep")
+      if (offsets0) {
+        Files.createDirectories(d.resolve("offsets"))
+        Files.write(d.resolve("offsets/0"), "v1".getBytes): Unit
+      }
+      if (commits0) {
+        Files.createDirectories(d.resolve("commits"))
+        Files.write(d.resolve("commits/0"), "v1".getBytes): Unit
+      }
+      s"$d/sources/0"
+    }
+    def batch0Rows(metadataPath: String, extra: (String, String)*): Long = {
+      val src = provider.createSource(spark.sqlContext, metadataPath,
+        None, "graft-cdc", params ++ extra)
+      // the chain walk (where the truncation throw lives) runs
+      // eagerly in getBatch; counting goes through the underlying
+      // LogicalRDD's rdd because the returned frame is marked
+      // streaming and refuses batch execution
+      src.getBatch(None, LongOffset(cur)).queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+      }.head
+    }
+
+    // pending batch-0 replay: loud failure, named as a replay
+    val e = intercept[IllegalStateException] { batch0Rows(mkCkpt(true, false)) }
+    assert(e.getMessage.contains("REPLAY"), e.getMessage)
+    // fresh checkpoint: synthetic genesis replays the surviving state
+    assert(batch0Rows(mkCkpt(false, false)) == 30L)
+    // batch 0 committed: restart's discarded init getBatch must not throw
+    assert(batch0Rows(mkCkpt(true, true)) == 30L)
+    // explicit opt-in overrides the replay detection (net-state sink)
+    assert(batch0Rows(mkCkpt(true, false), "allow-synthetic-genesis" -> "true") == 30L)
+    // explicit opt-out forbids synthetic genesis even on a fresh start
+    val e2 = intercept[IllegalStateException] {
+      batch0Rows(mkCkpt(false, false), "allow-synthetic-genesis" -> "false")
+    }
+    assert(e2.getMessage.contains("TRUNCATED"), e2.getMessage)
+
+    // regression guard: a REAL restart after batch-0 commit still
+    // works on this truncated chain (MicroBatchExecution re-issues
+    // getBatch(None, end0) as a discarded init call on restart; the
+    // chain below end0 is expired, so commits/0 present must allow
+    // the synthetic-genesis walk instead of throwing)
+    val ckpt = Files.createTempDirectory("graft_cdc_rep_e2e").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() }
+    finally { q1.stop(); graft.streaming.Hygiene.unload(q1.runId) }
+    assert(seen.asScala.map(_._1).toSeq.sorted == (0L until 30L))
+    spark.sql("INSERT INTO tcCdcRp.c.t VALUES (100)")
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.asScala.toSeq.map(r => (r._1, r._2)) == Seq((100L, "insert")),
+        s"restart after commit+expiry delivered wrong rows: ${seen.asScala.toSeq}")
+    } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
+  }
+
   test("property fuzz: genesis changelog replay reconstructs the final state under random histories") {
     // the changelog's core contract: for ANY commit history (appends,
     // COW and MOR deletes, overwrites, rollbacks) with the chain
