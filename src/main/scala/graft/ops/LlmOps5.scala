@@ -246,18 +246,47 @@ object LlmOps5 extends Pack {
     // sample as q_llm_embdup_lsh), code every vector as its 8
     // per-subspace nearest centroids — 256 B fp32 → 8 bytes, the
     // memory step that makes a 100 TB-corpus ANN index fit RAM.
-    // Codebooks are engine-seeded k-means → no DuckDB oracle; Llm5Spec
-    // bounds reconstruction error against the K=1 (subspace-mean)
-    // baseline, checks ADC top-k recall vs exact search, determinism,
-    // and code range. Declared output is scalar-only (codes as their
-    // canonical string form) so the driver's rows-only check can sort.
-    Decl("q_llm_pq", (spark, dir) =>
-      pqCode(spark, dir)
-        .select(col("vec_id"), col("codes").cast("string").as("codes_str"),
-          round(col("l2_err"), 4).as("l2_err"))
-        .orderBy(col("vec_id").asc_nulls_first),
-      None),
+    // Codebooks are engine-seeded k-means, so raw codes stay
+    // spec-checked (Llm5Spec: well-formedness, determinism, ADC
+    // recall); the DECLARED query oracles the contract instead —
+    // see [[pqContract]] — beside DuckDB's exact corpus count.
+    Decl("q_llm_pq", (spark, dir) => pqContract(spark, dir),
+      Some("SELECT COUNT(*) AS n_vecs, TRUE AS codes_ok, TRUE AS err_ok FROM embeddings")),
   )
+
+  /** q_llm_pq's declared contract frame: one row measuring, in a
+    * SINGLE embeddings scan carrying two codegen'd [[PqEncode]]
+    * projections (the trained K=256 books and the K=1 subspace-mean
+    * baseline books), the cross-engine facts of product quantization:
+    * every vector gets exactly `m` codes each in [0, k)
+    * (`codes_ok`); the trained codebooks reconstruct strictly better
+    * than the best single-entry codebook — avg squared error < 0.8×
+    * the K=1 baseline, the same margin Llm5Spec pins at sf0.001
+    * (`err_ok`); and `n_vecs` is the exact corpus count DuckDB
+    * recomputes independently. */
+  def pqContract(spark: SparkSession, dir: String, m: Int = 8, k: Int = 256,
+      iters: Int = 8): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sample = LlmOps2.collectSample(emb)
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = trainBooks(sample, m, sub, k, iters)
+    val base = trainBooks(sample, m, sub, 1, iters)
+    def enc(bs: Array[Array[Array[Double]]]) =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.GraftColumnShim.expression(col("e")), bs))
+    emb.select(enc(books).as("enc"), enc(base).as("b"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (min(array_min(col("enc.codes"))) >= 0 &&
+          max(array_max(col("enc.codes"))) < k &&
+          min(size(col("enc.codes"))) === m &&
+          max(size(col("enc.codes"))) === m).as("codes_ok"),
+        (avg(col("enc.err2")) < avg(col("b.err2")) * 0.8).as("err_ok"))
+  }
 
   /** IVF-PQ approximate nearest neighbour — the composition a RAM-
     * resident 100 TB-corpus ANN index actually runs: coarse IVF

@@ -174,46 +174,98 @@ object LlmOps9 extends Pack {
     // top-20 pool are fully distributed (one corpus scan, two-phase
     // top-k); the greedy selection is inherently sequential, runs on
     // the PROVABLY bounded 20-row pool driver-side (the k-means/PQ
-    // trainer precedent), and ties break on vec_id. No SQL oracle —
-    // greedy iteration isn't a query; Llm9Spec plants a near-dup pair
-    // and asserts redundancy is punished.
+    // trainer precedent), and ties break on vec_id. The declared
+    // query oracles the greedy CONTRACT: the first pick is exactly
+    // the relevance argmax (DuckDB recomputes top-1 cosine id+score
+    // independently), each pick's marginal beats every remaining
+    // candidate's at selection time (`greedy_ok`), and rounded MMR
+    // scores are non-increasing from rank 2 down (`mono_ok` — exact:
+    // a fixed candidate's redundancy max only grows as S grows; rank
+    // 1→2 is exempt because rank 1's redundancy is DEFINED as 0 over
+    // the empty set while rank 2's is a real cosine that may be
+    // negative, lifting its marginal above rank 1's). Full
+    // rank-2..5 ids stay engine-dependent → [[mmrRanks]] + Llm9Spec's
+    // planted near-dup fixture.
     Decl("q_llm_mmr", (spark, dir) => {
-      val emb = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("e").as("qe"))
-      val scored = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .withColumn("rel",
-          round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
-        .withColumn("g", lit(1))
-      val pool = TopK.perGroup(scored, Seq(col("g")),
-          Seq(col("rel").desc, col("vec_id").asc), 20, "rk")
-        .select(col("vec_id"), col("rel"), col("e"))
-        .collect()
-        .map(r => (r.getLong(0), r.getDouble(1),
-          r.getSeq[Double](2).toArray))
-
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        d / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val selected = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Long, Double, Double)]
-      val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
-      while (selected.size < 5 && remaining.nonEmpty) {
-        val best = remaining.map { case (id, rel, e) =>
-          val red = if (selected.isEmpty) 0.0
-            else selected.map(s => cos(e, pool.find(_._1 == s._2).get._3)).max
-          (id, rel, 0.5 * rel - 0.5 * red)
-        }.minBy { case (id, _, m) => (-m, id) }
-        selected += ((selected.size + 1, best._1, best._2,
-          math.rint(best._3 * 1e6) / 1e6))
-        remaining --= remaining.filter(_._1 == best._1)
-      }
+      val picks = mmrRanks(spark, dir)
       import spark.implicits._
-      selected.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+      picks.map { p =>
+        (p.rank,
+          if (p.rank == 1) Some(p.vecId) else None,
+          if (p.rank == 1) Some(p.rel) else None,
+          p.greedyOk, p.monoOk)
+      }.toDF("rank", "top1_id", "top1_rel", "greedy_ok", "mono_ok")
         .orderBy(col("rank").asc_nulls_first)
-    }, None))
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    ROUND(
+        |      list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(e.e, x -> x * x)))), 6) AS rel
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+        |t1 AS (SELECT vec_id, rel FROM sims ORDER BY rel DESC, vec_id ASC LIMIT 1)
+        |SELECT CAST(g.rank AS INTEGER) AS rank,
+        |  CASE WHEN g.rank = 1 THEN t1.vec_id END AS top1_id,
+        |  CASE WHEN g.rank = 1 THEN t1.rel END AS top1_rel,
+        |  TRUE AS greedy_ok, TRUE AS mono_ok
+        |FROM generate_series(1, 5) AS g(rank) CROSS JOIN t1
+        |ORDER BY rank ASC NULLS FIRST""".stripMargin)))
+
+  /** One greedy MMR pick (see the q_llm_mmr Decl for semantics). */
+  final case class MmrPick(rank: Int, vecId: Long, rel: Double,
+      mmr: Double, greedyOk: Boolean, monoOk: Boolean)
+
+  /** The full greedy MMR selection over the distributed top-20
+    * relevance pool — rank, picked vec, relevance, rounded MMR score,
+    * plus the two measured contract booleans the declared query
+    * emits. Llm9Spec asserts the planted-near-dup ordering on this
+    * directly. */
+  def mmrRanks(spark: SparkSession, dir: String): Seq[MmrPick] = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("rel",
+        round(graft.functions.VecMath.cosineSim(col("qe"), col("e")), 6))
+      .withColumn("g", lit(1))
+    val pool = TopK.perGroup(scored, Seq(col("g")),
+        Seq(col("rel").desc, col("vec_id").asc), 20, "rk")
+      .select(col("vec_id"), col("rel"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.size < 5 && remaining.nonEmpty) {
+      val marginals = remaining.map { case (id, rel, e) =>
+        val red = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(e, pool.find(_._1 == s.vecId).get._3)).max
+        (id, rel, 0.5 * rel - 0.5 * red)
+      }
+      val best = marginals.minBy { case (id, _, m) => (-m, id) }
+      val mmrRounded = math.rint(best._3 * 1e6) / 1e6
+      selected += MmrPick(
+        rank = selected.size + 1, vecId = best._1, rel = best._2,
+        mmr = mmrRounded,
+        greedyOk = marginals.forall(best._3 >= _._3),
+        // non-increasing holds exactly for rank >= 3 (see Decl doc);
+        // rank 1 has no predecessor and rank 2's predecessor used the
+        // empty-set red=0 convention, so both are vacuously true
+        monoOk = selected.size + 1 <= 2 ||
+          selected.lastOption.forall(_.mmr >= mmrRounded))
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    selected.toSeq
+  }
 }

@@ -267,17 +267,55 @@ object ScalarFns extends Pack {
           |FROM part
           |ORDER BY p_partkey ASC NULLS FIRST, name_md5 ASC NULLS FIRST""".stripMargin)),
 
-    // Spark-specific hash fns (seeded xxhash64 / crc32): values are
-    // engine-defined, so no SQL oracle — OpsSpec asserts determinism.
-    Decl("q_fn_hash_engine", (spark, dir) =>
-      Tables(spark, dir, "part")
-        .select(
-          col("p_partkey"),
-          xxhash64(col("p_name")).as("name_xxh"),
-          crc32(col("p_name").cast("binary")).as("name_crc"),
-          hash(col("p_name"), col("p_brand")).as("row_hash"))
-        .orderBy(col("p_partkey").asc_nulls_first, col("name_xxh").asc_nulls_first),
-      None),
+    // Spark-specific hash fns (seeded xxhash64 / crc32 / Murmur3):
+    // raw per-row values are engine-defined so DuckDB can't recompute
+    // them — instead the oracle pins PUBLIC known-answer vectors
+    // (xxHash64 seed 42, CRC-32, Murmur3 seed 42 of five fixed
+    // strings: literal constants either engine can state) plus three
+    // corpus relations measured in-query over `part`: xxhash64 has no
+    // 64-bit collision on this fixture (distinct hashes == distinct
+    // names, an exact fact of the data), crc32 stays inside its
+    // unsigned-32-bit range contract, and Murmur3 collisions are rare
+    // (distinct > half of names — 32-bit space vs thousands of keys).
+    // `n` carries DuckDB's exact count(*) so the row isn't pure TRUEs.
+    // OpsSpec additionally asserts raw-value determinism run-to-run.
+    Decl("q_fn_hash_engine", (spark, dir) => {
+      import spark.implicits._
+      val ka = Seq(
+        ("ka_empty", "", -7444071767201028348L, 0L, 142593372),
+        ("ka_abc", "abc", 1423657621850124518L, 891568578L, 1322437556),
+        ("ka_fox", "The quick brown fox", -3617261401988713833L, 3074782430L, 1217302703),
+        ("ka_graft", "graft", -4815631219266125053L, 31255620L, -1930494102),
+        ("ka_sql", "Spark SQL", -8514049625603843977L, 2521631539L, 1516360745))
+        .toDF("tag", "s", "xxh_expect", "crc_expect", "mm3_expect")
+        .select(col("tag"),
+          (xxhash64(col("s")) === col("xxh_expect")).as("xxh_ok"),
+          (crc32(col("s").cast("binary")) === col("crc_expect")).as("crc_ok"),
+          (hash(col("s")) === col("mm3_expect")).as("mm3_ok"),
+          lit(0L).as("n"))
+      val corpus = Tables(spark, dir, "part")
+        .agg(
+          (countDistinct(xxhash64(col("p_name"))) === countDistinct(col("p_name")))
+            .as("xxh_ok"),
+          (min(crc32(col("p_name").cast("binary"))) >= 0L &&
+            max(crc32(col("p_name").cast("binary"))) <= 4294967295L).as("crc_ok"),
+          (countDistinct(hash(col("p_name"))) * 2 > countDistinct(col("p_name")))
+            .as("mm3_ok"),
+          count(lit(1)).as("n"))
+        .select(lit("zz_corpus").as("tag"), col("xxh_ok"), col("crc_ok"),
+          col("mm3_ok"), col("n"))
+      ka.unionByName(corpus).orderBy(col("tag").asc_nulls_first)
+    }, Some(
+      """SELECT * FROM (
+        |  SELECT 'ka_empty' AS tag, TRUE AS xxh_ok, TRUE AS crc_ok,
+        |         TRUE AS mm3_ok, CAST(0 AS BIGINT) AS n
+        |  UNION ALL SELECT 'ka_abc', TRUE, TRUE, TRUE, 0
+        |  UNION ALL SELECT 'ka_fox', TRUE, TRUE, TRUE, 0
+        |  UNION ALL SELECT 'ka_graft', TRUE, TRUE, TRUE, 0
+        |  UNION ALL SELECT 'ka_sql', TRUE, TRUE, TRUE, 0
+        |  UNION ALL SELECT 'zz_corpus', TRUE, TRUE, TRUE,
+        |    (SELECT COUNT(*) FROM part))
+        |ORDER BY tag ASC NULLS FIRST""".stripMargin)),
 
     Decl("q_fn_struct", (spark, dir) =>
       Tables(spark, dir, "part")

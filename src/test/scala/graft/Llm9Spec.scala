@@ -53,10 +53,12 @@ class Llm9Spec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("llm9mmr").toString
     vecs.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val order = ops.LlmOps9.decls.find(_.name == "q_llm_mmr").get
-      .fn(spark, dir).collect().map(_.getLong(1)).toSeq
+    val picks = ops.LlmOps9.mmrRanks(spark, dir)
+    val order = picks.map(_.vecId)
     assert(order == Seq(1L, 3L, 2L),
       s"diverse vec must outrank the near-duplicate: $order")
+    assert(picks.forall(p => p.greedyOk && p.monoOk),
+      s"greedy/monotonicity contract violated: $picks")
   }
 
   test("q_llm_bpe_compress: single-char words compress to exactly 1 token per word") {

@@ -139,9 +139,19 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("engine hash functions are deterministic across runs") {
-    val a = SparkEntry.queries("q_fn_hash_engine")(spark, TestSpark.sf).collect().map(_.toString)
-    val b = SparkEntry.queries("q_fn_hash_engine")(spark, TestSpark.sf).collect().map(_.toString)
+    // the declared query now oracles known-answer vectors + corpus
+    // relations; raw per-row hash determinism is checked here directly
+    def raw() = Tables(spark, TestSpark.sf, "part")
+      .select(col("p_partkey"), xxhash64(col("p_name")),
+        crc32(col("p_name").cast("binary")), hash(col("p_name"), col("p_brand")))
+      .orderBy(col("p_partkey").asc_nulls_first)
+      .collect().map(_.toString)
+    val a = raw(); val b = raw()
     assert(a.nonEmpty && a.toSeq == b.toSeq)
+    val decl = SparkEntry.queries("q_fn_hash_engine")(spark, TestSpark.sf).collect()
+    assert(decl.length == 6 && decl.forall(r =>
+      r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)),
+      "hash known-answer / corpus relations not all true")
   }
 
   test("flagship entry returns rows (driver smoke contract)") {
