@@ -1,0 +1,155 @@
+package graft
+
+import graft.catalog.{ChunkCache, Io, TableOps}
+import graft.meta._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planning cost at 100× file counts — the driver-side analog of the
+  * reference's whole reason for lazy metadata
+  * (HadoopRelativeTableOperations.java:96-141: refresh parses one
+  * metadata file, never the file listing). ManifestPruneSpec pins the
+  * pruning MECHANISM at ~20 chunks; this spec pins the COMPLEXITY
+  * CLAIM at 20,000 files / 400 chunks, synthesized metadata-only (no
+  * parquet — planning never touches data files, so none are needed):
+  *
+  *   - refresh is O(metadata.json), loads ZERO chunks;
+  *   - a partition-pruned plan loads O(matching chunks), not O(table):
+  *     1 of 400 for a point filter, and its wall time is a small
+  *     fraction of full materialization;
+  *   - incremental listings prune by seq keys at the same scale.
+  *
+  * At 100 TB (~10⁶ files of 100 MB) the same layout is ~2,000 chunks
+  * of 500 — identical shape, one order of magnitude more chunk
+  * STAMPS to range-check (cheap driver scan over a resident list),
+  * and still exactly O(matching chunks) of IO + JSON parse.
+  */
+class PlanningScaleSpec extends AnyFunSuite {
+
+  private val Chunks = 400
+  private val PerChunk = 50 // 20,000 files total
+
+  private class CountingOps(wh: String, loc: String) extends TableOps(wh, loc) {
+    var chunkLoads = 0
+    override def loadChunk(m: Manifest): List[DataFile] = {
+      chunkLoads += 1
+      super.loadChunk(m)
+    }
+  }
+
+  /** Write a 20k-file table directly at the metadata level: chunk c
+    * holds PerChunk files, all in partition k=c, added by commit seq
+    * c+1 — the shape 400 partition-scoped ingest commits produce. */
+  private def synthesize(): String = {
+    val wh = "/tmp/graft_test_planscale"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val loc = "p/bigt"
+    val mdDir = s"$wh/$loc/metadata"
+    Io.mkdirs(mdDir)
+    val manifests = (0 until Chunks).toList.map { c =>
+      val files = (0 until PerChunk).toList.map { i =>
+        DataFile(s"$loc/data/k=$c/f$i.parquet", records = 1000L,
+          bytes = 1L << 20, partition = Map("k" -> c.toString),
+          minBound = Map("k" -> c.toString), maxBound = Map("k" -> c.toString),
+          seq = Some(c + 1L))
+      }
+      val fname = s"manifest-synth-$c.json"
+      Io.writeString(s"$mdDir/$fname", TableMeta.manifestToJson(files))
+      Manifest(s"$loc/metadata/$fname", PerChunk,
+        minBound = Map("k" -> c.toString), maxBound = Map("k" -> c.toString),
+        minSeq = Some(c + 1L), maxSeq = Some(c + 1L),
+        bytes = files.map(_.bytes).sum)
+    }
+    val intJson = org.apache.spark.sql.types.IntegerType.json
+    val longJson = org.apache.spark.sql.types.LongType.json
+    val meta = TableMeta(
+      formatVersion = 1, tableUuid = java.util.UUID.randomUUID().toString,
+      location = loc, lastSequenceNumber = Chunks.toLong,
+      lastUpdatedMs = 1723600000000L, lastColumnId = 2, currentSchemaId = 0,
+      schemas = List(SchemaDef(0, List(
+        FieldDef(1, "k", intJson, required = false),
+        FieldDef(2, "v", longJson, required = false)))),
+      defaultSpecId = 0,
+      partitionSpecs = List(PartSpec(0, List(PartField(1, 1000, "k", "identity")))),
+      lastPartitionId = 1000, defaultSortOrderId = 0, sortOrders = Nil,
+      properties = Map("write.metadata.manifest-chunk-size" -> PerChunk.toString),
+      currentSnapshotId = Some(1L),
+      snapshots = List(Snapshot(1L, None, Chunks.toLong, 1723600000000L,
+        "append", Map.empty, files = Nil, manifests = manifests)),
+      snapshotLog = List(SnapshotLogEntry(1723600000000L, 1L)),
+      metadataLog = Nil, refs = Map("main" -> Ref(1L, "branch")))
+    Io.writeString(s"$mdDir/v1.metadata.json", TableMeta.toJson(meta))
+    Io.writeString(s"$mdDir/version-hint.text", "1")
+    wh
+  }
+
+  private def bestOf3(body: => Unit): Long =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; System.nanoTime() - t0
+    }.min
+
+  test("20k-file table: refresh is O(metadata.json), planning O(matching chunks)") {
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    val ops = new CountingOps(wh, "p/bigt")
+
+    // refresh must parse ONE metadata file and zero chunks
+    val tRefresh = System.nanoTime()
+    val (_, meta) = ops.refresh().get
+    val refreshMs = (System.nanoTime() - tRefresh) / 1e6
+    val snap = meta.currentSnapshot.get
+    assert(snap.manifests.size == Chunks && snap.files.isEmpty)
+    assert(snap.dataFileCount == Chunks * PerChunk)
+    assert(ops.chunkLoads == 0, s"refresh loaded ${ops.chunkLoads} chunks")
+    assert(refreshMs < 2000, f"refresh took $refreshMs%.0f ms on 400-manifest metadata")
+
+    // point partition filter: exactly 1 of 400 chunks, 50 candidates
+    ops.chunkLoads = 0
+    val hit = ops.filesMatching(snap, Seq(EqualTo("k", 137)))
+    assert(ops.chunkLoads == 1, s"k=137 loaded ${ops.chunkLoads}/400 chunks")
+    assert(hit.size == PerChunk && hit.forall(_.partition("k") == "137"))
+
+    // range over 10 partitions: exactly 10 loads
+    ops.chunkLoads = 0
+    ChunkCache.invalidateAll()
+    val range = ops.filesMatching(snap,
+      Seq(GreaterThanOrEqual("k", 100), LessThan("k", 110)))
+    assert(ops.chunkLoads == 10, s"k in [100,110) loaded ${ops.chunkLoads} chunks")
+    assert(range.size == 10 * PerChunk)
+
+    // IN over 3 scattered partitions: exactly 3 loads
+    ops.chunkLoads = 0
+    ChunkCache.invalidateAll()
+    val in3 = ops.filesMatching(snap, Seq(In("k", Array(7, 200, 399))))
+    assert(ops.chunkLoads == 3 && in3.size == 3 * PerChunk)
+
+    // incremental tail at scale: only the seq-400 chunk loads
+    ops.chunkLoads = 0
+    ChunkCache.invalidateAll()
+    val tail = ops.filesNewerThan(snap, after = Chunks - 1L)
+    assert(ops.chunkLoads == 1, s"tail listing loaded ${ops.chunkLoads} chunks")
+    assert(tail.size == PerChunk && tail.forall(_.seq.contains(Chunks.toLong)))
+
+    // wall-time shape: pruned planning is a small fraction of full
+    // materialization (cold cache on both sides, best-of-3)
+    val prunedNs = bestOf3 {
+      ChunkCache.invalidateAll()
+      assert(ops.filesMatching(snap, Seq(EqualTo("k", 42))).size == PerChunk)
+    }
+    val fullNs = bestOf3 {
+      ChunkCache.invalidateAll()
+      assert(ops.allFiles(snap).size == Chunks * PerChunk)
+    }
+    info(f"pruned plan ${prunedNs / 1e6}%.2f ms vs full materialization ${fullNs / 1e6}%.2f ms")
+    assert(prunedNs * 2 < fullNs,
+      f"pruned ${prunedNs / 1e6}%.2f ms not ≪ full ${fullNs / 1e6}%.2f ms — " +
+        "planning is no longer O(matching chunks)")
+    assert(prunedNs < 500L * 1000 * 1000, "point-filter planning must stay sub-500ms")
+
+    // correctness floor: full list intact, 400 loads exactly once each
+    ops.chunkLoads = 0
+    ChunkCache.invalidateAll()
+    assert(ops.allFiles(snap).size == Chunks * PerChunk && ops.chunkLoads == Chunks)
+    ChunkCache.invalidateAll()
+  }
+}
