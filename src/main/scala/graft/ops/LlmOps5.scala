@@ -447,9 +447,11 @@ object LlmOps5 extends Pack {
     * one row per cluster `(root, n_docs, max_doc)`. Edge generation
     * is gram-keyed with doc-frequency in [2, maxGramDf] (singleton
     * grams can't pair; viral grams are excluded — see [[MaxGramDf]]);
-    * min-label propagation runs to a VERIFIED fixpoint and fails
-    * loudly if the round budget is exhausted (a silent cap would
-    * return a wrong partial closure for a >budget-diameter chain). */
+    * the closure runs through [[LlmOps2.duplicateGroups]]'
+    * pointer-jumping min-label propagation (O(log diameter) rounds)
+    * and fails loudly if the round budget is exhausted (a silent cap
+    * would return a wrong partial closure for a >budget-diameter
+    * chain). */
   def dupClusters(docs: DataFrame, maxGramDf: Int = MaxGramDf,
       maxRounds: Int = 50): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -470,33 +472,16 @@ object LlmOps5 extends Pack {
     val gk = g.join(eligible, "gm")
     val e = gk.as("x").join(gk.as("y"),
         col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .transform(IterCheckpoint.apply)
-    var lab = sym.select(col("a").as("doc")).distinct()
-      .withColumn("root", col("doc")).transform(IterCheckpoint.apply)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      val nbr = sym.join(
-          lab.select(col("doc").as("nb"), col("root").as("nbroot")),
-          col("b") === col("nb"))
-        .groupBy(col("a")).agg(min(col("nbroot")).as("nmin"))
-      val next = lab.join(nbr, lab("doc") === nbr("a"), "left")
-        .select(col("doc"),
-          least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
-        .transform(IterCheckpoint.apply)
-      converged = next.as("n").join(lab.as("o"), "doc")
-        .filter(col("n.root") =!= col("o.root")).isEmpty
-      lab = next
-    }
-    require(converged,
-      s"dup-cluster label propagation did not converge in $maxRounds rounds " +
-      "(component diameter exceeds the budget); raise maxRounds rather than " +
-      "accepting a partial closure")
-    lab.groupBy(col("root"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    // closure via the shared pointer-jumping CC ([[LlmOps2.duplicateGroups]]):
+    // min-label + label-of-label per round → O(log diameter) rounds
+    // instead of the O(diameter) one-hop propagation this used to run,
+    // with the same loud failure when the round budget is exhausted
+    // (never a silent partial closure).
+    LlmOps2.duplicateGroups(e, maxRounds)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .select(col("group").as("root"), col("n_docs"), col("max_doc"))
       .orderBy(col("root").asc_nulls_first)
   }
 

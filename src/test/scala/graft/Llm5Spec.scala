@@ -216,7 +216,7 @@ class Llm5Spec extends AnyFunSuite {
       val right = if (i < 5) (0 until 12).map(j => s"g${i}t$j").mkString(" ") + " " else ""
       (i.toLong, s"$left$right${uniqueText(i)}")
     }.toDF("doc_id", "text")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalStateException] {
       ops.LlmOps5.dupClusters(docs, maxRounds = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
