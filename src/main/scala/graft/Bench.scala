@@ -112,21 +112,31 @@ object Bench {
     // would show it. distinctBy: with a small dev subset (<10
     // queries) the slowest-5 and fastest-5 sets overlap and would
     // emit duplicate JSON keys (last-wins in most parsers).
-    // Known one-sided drift (r14): the slow five are all
-    // streaming/iterative and re-time 1.2-1.4x slower post-suite —
-    // end-of-suite scheduler/JIT state, not retention (heap/storage
-    // flat). recheck_ratio makes the artifact self-report it:
-    // ratio > 1 means the in-suite number is the optimistic edge.
+    // r14/r15 showed one-sided drift (1.1-2.8x) on ALL ten rechecked
+    // queries, fast five included — which ruled out streaming/suite
+    // state and pointed at the measurement itself: the in-suite
+    // number is a min of two warm runs, while the old recheck was ONE
+    // cold single-shot on the suite-worn root session. The recheck
+    // now mirrors the in-suite protocol exactly (one untimed warm-up
+    // + min of two timed runs) in a FRESH newSession (clean SQLConf /
+    // temp views, shared context) after a GC quiesce, so a ratio > ~1
+    // can only mean real suite-state inflation, not protocol skew.
     val inSuite = ok.map { case (k, v, _, _, _, _) => k -> v }.toMap
     val recheckPairs = (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
       .distinctBy(_._1)
       .map { case (k, _, _, _, _, _) =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(k)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      val fresh = spark.newSession()
+      System.gc()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(k)(fresh, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1)
       graft.streaming.Hygiene.reset(spark)
-      k -> (System.nanoTime() - t0) / 1e9
+      k -> ts.min
     }
     val recheck = recheckPairs
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
