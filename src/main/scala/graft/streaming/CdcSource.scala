@@ -100,12 +100,25 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val allowSynthetic = parameters.get("allow-synthetic-genesis") match {
       case Some(v) => v.toBoolean
       case None =>
-        val ckpt = new org.apache.hadoop.fs.Path(metadataPath).getParent.getParent
-        val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
-        val pendingGenesisReplay =
-          fs.exists(new org.apache.hadoop.fs.Path(ckpt, "offsets/0")) &&
-            !fs.exists(new org.apache.hadoop.fs.Path(ckpt, "commits/0"))
-        !pendingGenesisReplay
+        // The sniff below trusts metadataPath = <ckpt>/sources/<i>. If
+        // the layout ever differs (Spark version change, wrapped
+        // source), the exists() probes would miss and the guard would
+        // silently fail OPEN — so an unrecognized layout instead fails
+        // SAFE: no synthetic genesis without the explicit opt-in (the
+        // genesis walk then refuses loudly, telling the user to set
+        // allow-synthetic-genesis if their sink really is idempotent).
+        val sourcesDir = Option(new org.apache.hadoop.fs.Path(metadataPath).getParent)
+        val ckptRoot = sourcesDir.filter(_.getName == "sources")
+          .flatMap(d => Option(d.getParent))
+        ckptRoot match {
+          case None => false
+          case Some(ckpt) =>
+            val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+            val pendingGenesisReplay =
+              fs.exists(new org.apache.hadoop.fs.Path(ckpt, "offsets/0")) &&
+                !fs.exists(new org.apache.hadoop.fs.Path(ckpt, "commits/0"))
+            !pendingGenesisReplay
+        }
     }
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic)
   }

@@ -294,6 +294,18 @@ class CdcSourceSpec extends AnyFunSuite {
       batch0Rows(mkCkpt(false, false), "allow-synthetic-genesis" -> "false")
     }
     assert(e2.getMessage.contains("TRUNCATED"), e2.getMessage)
+    // unrecognized checkpoint layout (metadataPath not under
+    // <ckpt>/sources/<i>): the replay sniff can't run, so the guard
+    // must fail SAFE — synthetic genesis forbidden, loud failure —
+    // never silently revert to the unsafe pre-fix behavior
+    val weird = Files.createTempDirectory("graft_cdc_rep_weird")
+    val e3 = intercept[IllegalStateException] {
+      batch0Rows(s"$weird/statemeta/0")
+    }
+    assert(e3.getMessage.contains("TRUNCATED"), e3.getMessage)
+    // and the explicit opt-in still works from an unrecognized layout
+    assert(batch0Rows(s"$weird/statemeta/0",
+      "allow-synthetic-genesis" -> "true") == 30L)
 
     // regression guard: a REAL restart after batch-0 commit still
     // works on this truncated chain (MicroBatchExecution re-issues
