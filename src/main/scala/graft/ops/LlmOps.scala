@@ -218,7 +218,7 @@ object LlmOps extends Pack {
     val ranked = StarCap.rank(bands, Seq(col("band"), col("bh")), col("doc_id"))
     val pairCond = StarCap.cond(maxBucket, col("x.doc_id"), col("y.doc_id"),
       col("x.rk"), col("y.rk"), col("x.bsz"))
-    ranked.alias("x").join(ranked.alias("y"),
+    ranked.alias("x").join(StarCap.ySide(ranked, maxBucket).alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && pairCond)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b")).distinct()

@@ -98,7 +98,7 @@ object LlmOps2 extends Pack {
     // sub-bucket → star-capped pairs, each emitted once per band
     val pairCond = StarCap.cond(maxBucket, col("x.doc_id"), col("y.doc_id"),
       col("x.rk"), col("y.rk"), col("x.bsz"))
-    banded.alias("x").join(banded.alias("y"),
+    banded.alias("x").join(StarCap.ySide(banded, maxBucket).alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.sub") === col("y.sub") && pairCond)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),

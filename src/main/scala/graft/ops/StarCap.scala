@@ -40,4 +40,19 @@ private[graft] object StarCap {
       xRk: Column, yRk: Column, bsz: Column): Column =
     when(bsz <= maxBucket, xId < yId)
       .otherwise(yRk <= maxBucket && xRk > yRk)
+
+  /** The JOIN-SIDE bound: rows eligible as a pair's y side — every
+    * row of a small bucket, only the `maxBucket` representatives of a
+    * viral one. [[cond]] alone bounds the EMITTED pairs but the
+    * equi-join still evaluates |bucket|·|bucket| predicate rows per
+    * key group (measured: a planted 50k exact-duplicate family = 4 ×
+    * 2.5·10⁹ comparisons, 155 s on 4 cores; a 10⁹-doc web family
+    * would be 10¹⁸ — the cap wouldn't actually save the job).
+    * Filtering the y side to this set FIRST makes the join's
+    * per-bucket work ≤ |bucket|·maxBucket too, with BIT-IDENTICAL
+    * output: the all-pairs branch only fires when bsz ≤ maxBucket
+    * (every row kept), and the star branch's `yRk <= maxBucket`
+    * conjunct already admits only representatives. */
+  def ySide(ranked: DataFrame, maxBucket: Int): DataFrame =
+    ranked.filter(col("bsz") <= maxBucket || col("rk") <= maxBucket)
 }
