@@ -31,8 +31,17 @@ object LlmOps9 extends Pack {
     * merge iterations are driver math over the collected vocab. */
   private[graft] def trainBpe(spark: SparkSession, dir: String, maxMerges: Int,
       maxVocab: Int = 1 << 22)
+      : (Seq[(Int, String, String, Long)], Seq[(Long, Array[String])]) =
+    trainBpeOn(Tables(spark, dir, "documents"), maxMerges, maxVocab)
+
+  /** [[trainBpe]] over any (text) DataFrame — the same distributed
+    * word-frequency scan + driver merge loop, input-parameterized so
+    * the planted known-answer oracle exercises the identical code
+    * path the corpus run uses. */
+  private[graft] def trainBpeOn(input: DataFrame, maxMerges: Int,
+      maxVocab: Int = 1 << 22)
       : (Seq[(Int, String, String, Long)], Seq[(Long, Array[String])]) = {
-    val vocab = Tables(spark, dir, "documents")
+    val vocab = input
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
@@ -81,34 +90,137 @@ object LlmOps9 extends Pack {
 
   def decls: Seq[Decl] = Seq(
 
-    // The learned merge table: (step, left, right, pair_count).
-    // Deterministic — counts are integer-exact and ties break on
-    // (count desc, left asc, right asc) — but 10 data-dependent
-    // iterations aren't one SQL statement, so correctness is pinned by
-    // Llm9Spec's hand-computed merge sequences instead of DuckDB.
+    // BPE merge training, contract-oracled (the q_llm_mmr / hash
+    // known-answer pattern — counts are integer-exact and ties break
+    // on (count desc, left asc, right asc), but 10 data-dependent
+    // iterations aren't one SQL statement, so the declared query
+    // emits what DuckDB CAN independently derive, two parts:
+    //  - 'planted': the full 10-step merge table of a 32×"abcdefghijk"
+    //    known-answer corpus run through the IDENTICAL trainer code
+    //    path. Every adjacent pair counts exactly 32 at every step, so
+    //    the tie order always picks the 'a'-prefixed pair: step s
+    //    merges (first-s-chars, char s+1) with count 32 — a table
+    //    derivable by hand and hardcoded as oracle VALUES. A trainer
+    //    bug in counting, tie-breaking, or the leftmost merge rewrites
+    //    this table.
+    //  - 'corpus': the documents-table run (kept so the bench still
+    //    measures the corpus-scale scan). Step 1 operates on raw
+    //    characters, so DuckDB recomputes its (lhs, rhs, pair_count)
+    //    argmax EXACTLY from weighted char bigrams; steps 2+ emit NULL
+    //    symbols plus two measured theorem booleans: `mono_ok` (greedy
+    //    BPE's picked count is non-increasing — merging only removes
+    //    adjacencies and a created pair's count is bounded by the pair
+    //    just merged) and `wf_ok` (every side is a single char or the
+    //    concatenation of an earlier step's merge).
+    // Full corpus ranks 2-10 stay pinned by Llm9Spec's hand-computed
+    // merge sequences.
     Decl("q_llm_bpe", (spark, dir) => {
       import spark.implicits._
-      trainBpe(spark, dir, 10)._1
-        .toDF("step", "left", "right", "pair_count")
-        .orderBy(col("step").asc_nulls_first)
-    }, None),
+      def contract(ms: Seq[(Int, String, String, Long)], part: String,
+          pinAll: Boolean) =
+        ms.map { case (s, l, r, c) =>
+          val pin = pinAll || s == 1
+          val monoOk = s == 1 || ms.find(_._1 == s - 1).exists(_._4 >= c)
+          val wfOk =
+            (l.length == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == l)) &&
+            (r.length == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == r))
+          (part, s, if (pin) Some(l) else None, if (pin) Some(r) else None,
+            if (pin) Some(c) else None, monoOk, wfOk)
+        }
+      val corpus = contract(trainBpe(spark, dir, 10)._1, "corpus", pinAll = false)
+      val planted = contract(trainBpeOn(
+        spark.range(32).select(lit("abcdefghijk").as("text")), 10)._1,
+        "planted", pinAll = true)
+      (planted ++ corpus)
+        .toDF("part", "step", "lhs", "rhs", "pair_count", "mono_ok", "wf_ok")
+        .orderBy(col("part").asc_nulls_first, col("step").asc_nulls_first)
+    }, Some(
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x <> '')) AS word FROM documents)
+        |  GROUP BY word),
+        |bi0 AS (
+        |  -- lockstep unnest (DuckDB zips parallel unnests; a lateral
+        |  -- generate_series with a column argument is unsupported)
+        |  SELECT
+        |    unnest(list_transform(generate_series(1, length(word) - 1),
+        |      i -> substr(word, CAST(i AS INTEGER), 1))) AS lhs,
+        |    unnest(list_transform(generate_series(1, length(word) - 1),
+        |      i -> substr(word, CAST(i AS INTEGER) + 1, 1))) AS rhs,
+        |    freq
+        |  FROM w),
+        |bi AS (SELECT lhs, rhs, SUM(freq) AS c FROM bi0 GROUP BY 1, 2),
+        |top1 AS (SELECT lhs, rhs, c FROM bi ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+        |corpus AS (
+        |  SELECT 'corpus' AS part, CAST(g.s AS INTEGER) AS step,
+        |    CASE WHEN g.s = 1 THEN t.lhs END AS lhs,
+        |    CASE WHEN g.s = 1 THEN t.rhs END AS rhs,
+        |    CASE WHEN g.s = 1 THEN CAST(t.c AS BIGINT) END AS pair_count,
+        |    TRUE AS mono_ok, TRUE AS wf_ok
+        |  FROM generate_series(1, 10) AS g(s) CROSS JOIN top1 t),
+        |planted AS (
+        |  SELECT 'planted' AS part, CAST(step AS INTEGER) AS step, lhs, rhs,
+        |    CAST(c AS BIGINT) AS pair_count, TRUE AS mono_ok, TRUE AS wf_ok
+        |  FROM (VALUES (1,'a','b',32),(2,'ab','c',32),(3,'abc','d',32),
+        |    (4,'abcd','e',32),(5,'abcde','f',32),(6,'abcdef','g',32),
+        |    (7,'abcdefg','h',32),(8,'abcdefgh','i',32),(9,'abcdefghi','j',32),
+        |    (10,'abcdefghij','k',32)) v(step, lhs, rhs, c))
+        |SELECT * FROM (SELECT * FROM planted UNION ALL SELECT * FROM corpus)
+        |ORDER BY part ASC NULLS FIRST, step ASC NULLS FIRST""".stripMargin)),
 
-    // What those merges buy: corpus tokens-per-word before (chars)
-    // and after the 10 merges, i.e. the compression the tokenizer
-    // achieves. Driver math over the already-collected trained vocab
-    // (exact integer sums; the corpus was scanned once, in trainBpe).
+    // What those merges buy: tokens-per-word before (chars) and after
+    // the 10 merges. Same two-part contract: the planted corpus
+    // compresses to EXACTLY one token per word (32 words × 11 chars →
+    // 32 tokens, 11.0 chars/token — oracle literals); the corpus row
+    // pins n_words and n_chars_total cross-engine (DuckDB recomputes
+    // both from the word-frequency table exactly), with the
+    // engine-dependent token count reported through two measured
+    // bounds: tokens ≤ chars (merges only shrink) and tokens ≥ chars
+    // − Σ pair_count (each counted pair absorbs at most one merge
+    // application — a trainer that over-merges flips it).
     Decl("q_llm_bpe_compress", (spark, dir) => {
-      val (_, syms) = trainBpe(spark, dir, 10)
-      val nWords = syms.iterator.map(_._1).sum
-      val nChars = syms.iterator.map { case (f, s) =>
-        f * s.iterator.map(_.length.toLong).sum }.sum
-      val nToks = syms.iterator.map { case (f, s) => f * s.length }.sum
-      val cpt = BigDecimal(nChars.toDouble / nToks)
+      def stats(mss: (Seq[(Int, String, String, Long)], Seq[(Long, Array[String])]))
+          : (Long, Long, Long, Long) = {
+        val (ms, syms) = mss
+        val nWords = syms.iterator.map(_._1).sum
+        val nChars = syms.iterator.map { case (f, s) =>
+          f * s.iterator.map(_.length.toLong).sum }.sum
+        val nToks = syms.iterator.map { case (f, s) => f * s.length }.sum
+        (nWords, nChars, nToks, ms.map(_._4).sum)
+      }
+      val (cW, cC, cT, cSum) = stats(trainBpe(spark, dir, 10))
+      val (pW, pC, pT, pSum) = stats(trainBpeOn(
+        spark.range(32).select(lit("abcdefghijk").as("text")), 10))
+      def cpt(chars: Long, toks: Long): Double = BigDecimal(chars.toDouble / toks)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       import spark.implicits._
-      Seq((nWords, nChars, nToks, cpt))
-        .toDF("n_words", "n_chars_total", "n_tokens_total", "chars_per_token")
-    }, None),
+      Seq(
+        ("planted", pW, pC, Some(pT), Some(cpt(pC, pT)),
+          pT <= pC, pT >= pC - pSum),
+        ("corpus", cW, cC, None: Option[Long], None: Option[Double],
+          cT <= cC, cT >= cC - cSum))
+        .toDF("part", "n_words", "n_chars_total", "n_tokens_total",
+          "chars_per_token", "toks_le_chars", "toks_ge_floor")
+        .orderBy(col("part").asc_nulls_first)
+    }, Some(
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x <> '')) AS word FROM documents)
+        |  GROUP BY word)
+        |SELECT * FROM (
+        |  SELECT 'planted' AS part, CAST(32 AS BIGINT) AS n_words,
+        |    CAST(352 AS BIGINT) AS n_chars_total,
+        |    CAST(32 AS BIGINT) AS n_tokens_total,
+        |    CAST(11.0 AS DOUBLE) AS chars_per_token,
+        |    TRUE AS toks_le_chars, TRUE AS toks_ge_floor
+        |  UNION ALL
+        |  SELECT 'corpus', CAST(SUM(freq) AS BIGINT),
+        |    CAST(SUM(freq * length(word)) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE, TRUE
+        |  FROM w)
+        |ORDER BY part ASC NULLS FIRST""".stripMargin)),
 
     // Curriculum staging: assign every document to one of 4 difficulty
     // stages by quartiles of a composite difficulty score (mean word
@@ -177,8 +289,10 @@ object LlmOps9 extends Pack {
     // trainer precedent), and ties break on vec_id. The declared
     // query oracles the greedy CONTRACT: the first pick is exactly
     // the relevance argmax (DuckDB recomputes top-1 cosine id+score
-    // independently), each pick's marginal beats every remaining
-    // candidate's at selection time (`greedy_ok`), and rounded MMR
+    // independently), each pick is the argmax of its step's marginals
+    // under an INDEPENDENT re-derivation (`greedy_ok` — second cosine
+    // spelling + redundancy set rebuilt from the emitted ranks, see
+    // [[mmrRanks]]), and rounded MMR
     // scores are non-increasing from rank 2 down (`mono_ok` — exact:
     // a fixed candidate's redundancy max only grows as S grows; rank
     // 1→2 is exempt because rank 1's redundancy is DEFINED as 0 over
@@ -258,7 +372,7 @@ object LlmOps9 extends Pack {
       selected += MmrPick(
         rank = selected.size + 1, vecId = best._1, rel = best._2,
         mmr = mmrRounded,
-        greedyOk = marginals.forall(best._3 >= _._3),
+        greedyOk = false, // filled by the independent pass below
         // non-increasing holds exactly for rank >= 3 (see Decl doc);
         // rank 1 has no predecessor and rank 2's predecessor used the
         // empty-set red=0 convention, so both are vacuously true
@@ -266,6 +380,37 @@ object LlmOps9 extends Pack {
           selected.lastOption.forall(_.mmr >= mmrRounded))
       remaining --= remaining.filter(_._1 == best._1)
     }
-    selected.toSeq
+
+    // Independent greedy verification (ADVICE r15: the in-loop
+    // "best >= all marginals" was true by construction). This pass
+    // re-derives every step's marginals FROM SCRATCH off the final
+    // pick list: a second cosine spelling (reversed summation order —
+    // separate code path, same math) and a redundancy set rebuilt
+    // from the emitted ranks, then checks the stored pick is the
+    // argmax within 1e-9 (float-order tolerance; a selection bug —
+    // wrong argmax, stale redundancy set, wrong pool — is off by far
+    // more than summation-order noise). A flipped comparison or a
+    // pick leaked from outside the step's remaining set now turns
+    // greedy_ok false instead of being unfalsifiable.
+    def cos2(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldRight(0.0)((i, acc) => acc + a(i) * b(i))
+      val na = a.foldRight(0.0)((x, acc) => acc + x * x)
+      val nb = b.foldRight(0.0)((x, acc) => acc + x * x)
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = pool.map(p => p._1 -> p).toMap
+    selected.toSeq.map { p =>
+      val prior = selected.filter(_.rank < p.rank).toSeq
+      val priorIds = prior.map(_.vecId).toSet
+      val stepPool = pool.filterNot(c => priorIds.contains(c._1))
+      val marg = stepPool.map { case (id, rel, e) =>
+        val red = if (prior.isEmpty) 0.0
+          else prior.map(s => cos2(e, byId(s.vecId)._3)).max
+        id -> (0.5 * rel - 0.5 * red)
+      }.toMap
+      val ok = marg.contains(p.vecId) &&
+        marg.values.forall(m => marg(p.vecId) >= m - 1e-9)
+      p.copy(greedyOk = ok)
+    }
   }
 }

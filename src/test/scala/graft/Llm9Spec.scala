@@ -2,8 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Hand-computed BPE merge sequences pin q_llm_bpe (no SQL oracle —
-  * the merge loop is data-dependent iteration). */
+/** Hand-computed BPE merge sequences pin the trainer's corpus ranks
+  * 2-10 (data-dependent iteration the SQL contract oracle leaves
+  * NULL); the declared q_llm_bpe/q_llm_bpe_compress parts are
+  * additionally DuckDB-oracled via the planted known-answer corpus +
+  * corpus step-1/word-count pins. */
 class Llm9Spec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -70,11 +73,38 @@ class Llm9Spec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$d/documents.parquet")
       d
     }
-    val r = ops.LlmOps9.decls.find(_.name == "q_llm_bpe_compress").get
-      .fn(spark, dir).collect().head
     // 4 words x 2 chars; both bigrams merge within 10 steps → 1 token/word
-    assert(r.getLong(0) == 4L && r.getLong(1) == 8L && r.getLong(2) == 4L,
-      s"unexpected compression row: $r")
-    assert(r.getDouble(3) == 2.0, s"chars per token: $r")
+    val (_, syms) = ops.LlmOps9.trainBpe(spark, dir, 10)
+    val nToks = syms.iterator.map { case (f, s) => f * s.length }.sum
+    assert(nToks == 4L, s"expected 1 token per word, got $nToks tokens")
+    // and the declared contract rows: corpus pins exact words/chars
+    // with the token bounds measured true; planted is the literal
+    // known-answer row
+    val rows = ops.LlmOps9.decls.find(_.name == "q_llm_bpe_compress").get
+      .fn(spark, dir).collect()
+    val c = rows.find(_.getString(0) == "corpus").get
+    assert(c.getLong(1) == 4L && c.getLong(2) == 8L &&
+      c.isNullAt(3) && c.isNullAt(4) && c.getBoolean(5) && c.getBoolean(6),
+      s"unexpected corpus contract row: $c")
+    val p = rows.find(_.getString(0) == "planted").get
+    assert(p.getLong(1) == 32L && p.getLong(2) == 352L && p.getLong(3) == 32L &&
+      p.getDouble(4) == 11.0 && p.getBoolean(5) && p.getBoolean(6),
+      s"unexpected planted contract row: $p")
+  }
+
+  test("q_llm_bpe planted part: the full 10-step prefix merge table, exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = ops.LlmOps9.decls.find(_.name == "q_llm_bpe").get
+      .fn(spark, TestSpark.sf)
+      .filter(col("part") === "planted").collect()
+    assert(rows.length == 10)
+    val prefix = "abcdefghijk"
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val s = i + 1
+      assert(r.getInt(1) == s && r.getString(2) == prefix.take(s) &&
+        r.getString(3) == prefix(s).toString && r.getLong(4) == 32L &&
+        r.getBoolean(5) && r.getBoolean(6),
+        s"step $s mismatch: $r")
+    }
   }
 }
