@@ -376,6 +376,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("LSH self-joins keep AQE exchange reuse with the join-side (ySide) bound") {
+    // the ySide pre-filter adds a Filter on the y branch; the exchange
+    // BELOW it must still dedupe at runtime (r14 note: AQE stage reuse
+    // is what actually shares the signature/bucket shuffles — judge the
+    // POST-execution adaptive plan, never the initial one)
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${i % 37}t${(i + j) % 53}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((tag, pairs) <- Seq(
+        "minhash" -> graft.ops.LlmOps.minhashPairsDf(docs),
+        "simhash" -> graft.ops.LlmOps2.simhashPairsDf(docs))) {
+      // collect() (not write) so the FINAL adaptive plan lands on THIS
+      // queryExecution — a write action plans its own execution and
+      // leaves this one un-executed (isFinalPlan=false, no stages)
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$tag: adaptive plan lost exchange reuse across the self-join:\n${p.take(2000)}")
+    }
+  }
+
   test("sweep: the planted-invariant dedup/agg queries stay equi-joined, no loops") {
     // the r14 invariant conversions must not smuggle in a loop join:
     // every pairing/backjoin is bucket- or key-equi. (The ANN queries
