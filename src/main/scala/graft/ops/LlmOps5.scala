@@ -455,12 +455,19 @@ object LlmOps5 extends Pack {
   def dupClusters(docs: DataFrame, maxGramDf: Int = MaxGramDf,
       maxRounds: Int = 50): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
+    // grams are keyed by xxhash64 the moment they exist (the
+    // substrdedup lesson): every downstream shuffle — the per-doc
+    // distinct, the df count, the eligibility join, the pair
+    // self-join — moves 8-byte keys instead of ~80-byte 12-gram
+    // strings. A 64-bit collision merging two distinct grams is a
+    // ~n²/2⁶⁴ event (≪ 10⁻⁶ even at 10⁹ distinct grams — and at most
+    // one spurious df/edge, not a wrong closure).
     val g = docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 12)
       .select(col("doc_id"),
         explode(expr(
-          "transform(sequence(0, size(toks)-12, 1), i -> concat_ws(' ', slice(toks, i+1, 12)))")).as("gm"))
+          "transform(sequence(0, size(toks)-12, 1), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 12))))")).as("gm"))
       .distinct()
     // df gate BEFORE the self-join: one keyed count, then an inner
     // join back on gm — the self-join below can never see a bucket
