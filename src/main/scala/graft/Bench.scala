@@ -128,20 +128,29 @@ object Bench {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       val fresh = spark.newSession()
       System.gc()
+      // a query that errors in the fresh session must report null,
+      // never its exception-throw time as a plausible fast run — the
+      // same failed-query rule the in-suite numbers follow
+      var failed = false
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(k)(fresh, sfDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] recheck $k failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
       graft.streaming.Hygiene.reset(spark)
-      k -> ts.min
+      (k, if (failed) None else Some(ts.min))
     }
     val recheck = recheckPairs
-      .map { case (k, t) => "\"" + k + "\":" + r3(t) }.mkString("{", ",", "}")
+      .map { case (k, t) => "\"" + k + "\":" + t.map(r3).getOrElse("null") }
+      .mkString("{", ",", "}")
     val recheckRatio = recheckPairs
-      .map { case (k, t) => "\"" + k + "\":" + r3(t / inSuite(k)) }
+      .map { case (k, t) =>
+        "\"" + k + "\":" + t.map(v => r3(v / inSuite(k))).getOrElse("null") }
       .mkString("{", ",", "}")
     // the full-precision record (plus heap/GC profiles) for direct reads
     val full =

@@ -24,6 +24,26 @@ object LlmOps9 extends Pack {
 
   private def words(c: Column) = filter(split(lower(c), " "), w => w =!= "")
 
+  /** Split into Unicode CODEPOINTS — the unit DuckDB's length()/
+    * substr() (and Spark SQL's length()) count. toCharArray would
+    * split a non-BMP character (emoji, CJK extensions) into two lone
+    * UTF-16 surrogates: the trainer's initial symbols, char totals,
+    * and step-1 bigrams would all diverge from the SQL oracle on such
+    * text. */
+  private def codepoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Codepoint count of a (possibly multi-codepoint) symbol. */
+  private def cpLen(sym: String): Long = sym.codePointCount(0, sym.length).toLong
+
   /** (word, freq) → symbol arrays; runs `maxMerges` greedy BPE merges.
     * Returns (merge table, final symbolized vocab). One distributed
     * job (the word-frequency aggregation, head-truncated
@@ -48,7 +68,7 @@ object LlmOps9 extends Pack {
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var syms: Array[(Long, Array[String])] =
-      vocab.map { case (w, f) => (f, w.toCharArray.map(_.toString)) }
+      vocab.map { case (w, f) => (f, codepoints(w)) }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -122,12 +142,21 @@ object LlmOps9 extends Pack {
           val pin = pinAll || s == 1
           val monoOk = s == 1 || ms.find(_._1 == s - 1).exists(_._4 >= c)
           val wfOk =
-            (l.length == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == l)) &&
-            (r.length == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == r))
+            (cpLen(l) == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == l)) &&
+            (cpLen(r) == 1 || ms.exists(m => m._1 < s && m._2 + m._3 == r))
           (part, s, if (pin) Some(l) else None, if (pin) Some(r) else None,
             if (pin) Some(c) else None, monoOk, wfOk)
         }
-      val corpus = contract(trainBpe(spark, dir, 10)._1, "corpus", pinAll = false)
+      val corpus0 = contract(trainBpe(spark, dir, 10)._1, "corpus", pinAll = false)
+      // training can exhaust its pairs before 10 merges on degenerate
+      // corpora while the oracle emits exactly 10 corpus rows whenever
+      // ANY merge exists (generate_series × top1) — pad unreached
+      // steps with the same NULL-symbol shape (vacuously-true
+      // booleans: no merge happened at that step)
+      val corpus = if (corpus0.isEmpty) corpus0 else corpus0 ++
+        ((corpus0.size + 1) to 10).map(s =>
+          ("corpus", s, None: Option[String], None: Option[String],
+            None: Option[Long], true, true))
       val planted = contract(trainBpeOn(
         spark.range(32).select(lit("abcdefghijk").as("text")), 10)._1,
         "planted", pinAll = true)
@@ -139,7 +168,10 @@ object LlmOps9 extends Pack {
         |  SELECT word, COUNT(*) AS freq
         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |                x -> x <> '')) AS word FROM documents)
-        |  GROUP BY word),
+        |  GROUP BY word
+        |  -- mirror the trainer's deterministic maxVocab head-cap so
+        |  -- the contract holds past 2^22 distinct words
+        |  ORDER BY freq DESC, word ASC LIMIT 4194304),
         |bi0 AS (
         |  -- lockstep unnest (DuckDB zips parallel unnests; a lateral
         |  -- generate_series with a column argument is unsupported)
@@ -185,7 +217,7 @@ object LlmOps9 extends Pack {
         val (ms, syms) = mss
         val nWords = syms.iterator.map(_._1).sum
         val nChars = syms.iterator.map { case (f, s) =>
-          f * s.iterator.map(_.length.toLong).sum }.sum
+          f * s.iterator.map(cpLen).sum }.sum
         val nToks = syms.iterator.map { case (f, s) => f * s.length }.sum
         (nWords, nChars, nToks, ms.map(_._4).sum)
       }
@@ -208,7 +240,10 @@ object LlmOps9 extends Pack {
         |  SELECT word, COUNT(*) AS freq
         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |                x -> x <> '')) AS word FROM documents)
-        |  GROUP BY word)
+        |  GROUP BY word
+        |  -- mirror the trainer's deterministic maxVocab head-cap so
+        |  -- the contract holds past 2^22 distinct words
+        |  ORDER BY freq DESC, word ASC LIMIT 4194304)
         |SELECT * FROM (
         |  SELECT 'planted' AS part, CAST(32 AS BIGINT) AS n_words,
         |    CAST(352 AS BIGINT) AS n_chars_total,

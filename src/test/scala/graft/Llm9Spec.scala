@@ -92,6 +92,42 @@ class Llm9Spec extends AnyFunSuite {
       s"unexpected planted contract row: $p")
   }
 
+  test("q_llm_bpe: non-BMP characters are single symbols (codepoints, not UTF-16 units)") {
+    // "😀a" in UTF-16 is 3 code units; toCharArray would have split the
+    // emoji into two lone surrogates and DuckDB (codepoint substr/
+    // length) would disagree on both bigrams and char totals
+    val (merges, syms) = train(Seq("😀a 😀a"))
+    assert(merges.head == ((1, "😀", "a", 2L)),
+      s"expected the (emoji, a) pair to merge first: $merges")
+    assert(syms.forall(_._2.length == 1), s"post-merge each word is 1 token: $syms")
+  }
+
+  test("q_llm_bpe/compress corpus rows stay oracle-shaped when training exhausts early") {
+    import org.apache.spark.sql.functions.col
+    // only 2 merges possible; the SQL oracle still emits 10 corpus
+    // rows (generate_series x top1), so the Spark side must pad
+    val dir = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("llm9pad").toString
+      Seq((0L, "ab ab ab abc")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val rows = ops.LlmOps9.decls.find(_.name == "q_llm_bpe").get
+      .fn(spark, dir).filter(col("part") === "corpus").collect()
+    assert(rows.length == 10, s"expected 10 padded corpus rows, got ${rows.length}")
+    assert(rows(0).getString(2) == "a" && rows(0).getString(3) == "b" &&
+      rows(0).getLong(4) == 4L, s"step-1 pin: ${rows(0)}")
+    rows.drop(1).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+        r.getBoolean(5) && r.getBoolean(6), s"padded/unpinned row shape: $r")
+    }
+    // and the compress corpus row counts codepoint chars exactly
+    val c = ops.LlmOps9.decls.find(_.name == "q_llm_bpe_compress").get
+      .fn(spark, dir).collect().find(_.getString(0) == "corpus").get
+    assert(c.getLong(1) == 4L && c.getLong(2) == 9L, s"4 words, 9 chars: $c")
+  }
+
   test("q_llm_bpe planted part: the full 10-step prefix merge table, exactly") {
     import org.apache.spark.sql.functions.col
     val rows = ops.LlmOps9.decls.find(_.name == "q_llm_bpe").get
