@@ -91,6 +91,35 @@ class SkewStressSpec extends AnyFunSuite {
     assert(secs < 120, f"50k family took $secs%.1f s — join-side cap no longer bounding work")
   }
 
+  test("embdup LSH: a 50k identical-embedding family stays O(n·cap) and star-connected") {
+    import spark.implicits._
+    val n = 50000
+    val dim = 64
+    // family: 50k copies of the all-ones direction; background: 60
+    // one-hot vectors (pairwise cos exactly 0, cos vs family 1/8 —
+    // far below the 0.9 threshold), so the expected pair set is the
+    // family star EXACTLY, whatever the trained centroid layout
+    val fam = (0 until n).map(i => (i.toLong, Array.fill(dim)(1.0)))
+    val bg = (0 until 60).map { i =>
+      val v = Array.fill(dim)(0.0); v(i % dim) = 1.0
+      (1000000L + i, v)
+    }
+    val emb = (fam ++ bg).toDF("vec_id", "e").repartition(8)
+    val ((total, star), secs) = timed {
+      val pairs = graft.ops.LlmOps3.embdupLshPairs(spark, emb,
+        nlistOpt = Some(8), maxBucket = 64)
+      val r = pairs.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("id_a") === 0L, 1L).otherwise(0L)).as("star")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    info(f"embdup 50k-family + 60 background: $total pairs in $secs%.1f s")
+    val expected = 64L * 63 / 2 + (n - 64L) * 64
+    assert(total == expected, s"expected exactly $expected capped pairs, got $total")
+    assert(star == n - 1L, s"min-id star degree ${star} != ${n - 1}")
+    assert(secs < 120, f"50k family took $secs%.1f s — join-side cap no longer bounding work")
+  }
+
   test("capped vs uncapped on a 2k family: the measured quadratic-blowup pair") {
     val n = 2000
     val docs = corpus(n, 2000)
