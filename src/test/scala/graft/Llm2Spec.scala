@@ -49,6 +49,38 @@ class Llm2Spec extends AnyFunSuite {
     } finally spark.conf.unset("graft.iter.checkpoint-dir")
   }
 
+  test("StarCap property: the ySide join-input filter is pair-for-pair identical") {
+    // the r16 join-side bound claims BIT-IDENTICAL output: joining x
+    // against ySide(ranked) must emit exactly the pairs the unfiltered
+    // self-join does, for caps straddling every bucket size
+    import spark.implicits._
+    import graft.ops.StarCap
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 10).flatMap { b =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map(_ => (b.toLong, rnd.nextInt(100000).toLong))
+    }.distinct
+    val df = rows.toDF("bucket", "id")
+    for (cap <- Seq(1, 4, 13, 64, 1 << 20)) {
+      val ranked = StarCap.rank(df, Seq(col("bucket")), col("id"))
+      val cond = StarCap.cond(cap, col("x.id"), col("y.id"),
+        col("x.rk"), col("y.rk"), col("x.bsz"))
+      def pairs(y: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        ranked.alias("x").join(y.alias("y"),
+            col("x.bucket") === col("y.bucket") && cond)
+          .select(col("x.bucket"),
+            least(col("x.id"), col("y.id")).as("a"),
+            greatest(col("x.id"), col("y.id")).as("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val filtered = pairs(StarCap.ySide(ranked, cap))
+      val unfiltered = pairs(ranked)
+      assert(filtered == unfiltered,
+        s"cap=$cap: ySide changed the pair set — " +
+          s"missing=${unfiltered -- filtered}, extra=${filtered -- unfiltered}")
+    }
+  }
+
   test("StarCap property: random buckets — subset of all-pairs, min id fully linked, bounded") {
     import spark.implicits._
     import graft.ops.StarCap

@@ -404,7 +404,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // are excluded on purpose — their 5-row broadcast crossJoin IS the
     // intended plan for a tiny query frame.)
     for (name <- Seq("q_llm_minhash", "q_llm_simhash", "q_llm_fingerprint",
-        "q_llm_semdedup", "q_agg_approxpct", "q_agg_hll_merge")) {
+        "q_llm_semdedup", "q_agg_approxpct", "q_agg_hll_merge",
+        "q_llm_dupcluster", "q_llm_dupgroups")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name:\n${p.take(1500)}")

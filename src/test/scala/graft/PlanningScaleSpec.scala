@@ -152,4 +152,55 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(ops.allFiles(snap).size == Chunks * PerChunk && ops.chunkLoads == Chunks)
     ChunkCache.invalidateAll()
   }
+
+  test("append to the 20k-file table: commit payload and wall time stay O(change)") {
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    val ops = new CountingOps(wh, "p/bigt")
+    val (v, meta) = ops.refresh().get
+    val before = new java.io.File(s"$wh/p/bigt/metadata/v1.metadata.json").length
+    // the O(chunks) pin itself: 400 manifest stamps serialize to ~2
+    // orders of magnitude less than 20k inline file records would
+    assert(before < 500L * 1024,
+      s"single-snapshot metadata is $before bytes — manifest stamps no longer O(chunks)")
+
+    val snap = meta.currentSnapshot.get
+    val newFiles = (0 until 40).toList.map { i =>
+      DataFile(s"p/bigt/data/k=400/g$i.parquet", records = 1000L,
+        bytes = 1L << 20, partition = Map("k" -> "400"),
+        minBound = Map("k" -> "400"), maxBound = Map("k" -> "400"),
+        seq = Some(Chunks + 1L))
+    }
+    val s2 = snap.copy(snapshotId = 2L, parentId = Some(1L),
+      sequenceNumber = Chunks + 1L, operation = "append",
+      files = snap.files ++ newFiles, manifests = snap.manifests)
+    val meta2 = meta.copy(lastSequenceNumber = Chunks + 1L,
+      currentSnapshotId = Some(2L), snapshots = meta.snapshots :+ s2,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(1723600001000L, 2L),
+      refs = Map("main" -> Ref(2L, "branch")))
+    val t0 = System.nanoTime()
+    val v2 = ops.commit(v, meta2)
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    // the commit must reuse every parent chunk untouched: zero chunk
+    // loads, zero new chunk files (40 new files stay inline), and the
+    // new metadata carries only the per-snapshot manifest stamps
+    assert(ops.chunkLoads == 0, s"commit loaded ${ops.chunkLoads} chunks")
+    val chunkFiles = new java.io.File(s"$wh/p/bigt/metadata").listFiles()
+      .count(_.getName.startsWith("manifest-"))
+    assert(chunkFiles == Chunks, s"append spilled new chunks: $chunkFiles != $Chunks")
+    val after = new java.io.File(ops.existingMetadataFile(v2).get).length
+    assert(after < before * 3,
+      s"commit payload grew $before -> $after bytes — no longer O(stamps + change)")
+    assert(commitMs < 2000, f"append commit took $commitMs%.0f ms at 20k files")
+
+    // and the appended table reads back whole, still lazily
+    ChunkCache.invalidateAll()
+    val ops2 = new CountingOps(wh, "p/bigt")
+    val snap2 = ops2.refresh().get._2.currentSnapshot.get
+    assert(snap2.dataFileCount == Chunks * PerChunk + 40 && ops2.chunkLoads == 0)
+    val tail = ops2.filesNewerThan(snap2, after = Chunks.toLong)
+    assert(ops2.chunkLoads == 0 && tail.size == 40,
+      s"new inline files must list without any chunk load (loaded ${ops2.chunkLoads})")
+    ChunkCache.invalidateAll()
+  }
 }
