@@ -37,11 +37,13 @@ object Maintenance {
       val orphans = expired
         .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
-      // manifest chunks referenced only by expired snapshots go too
+      // manifest chunks referenced only by expired snapshots go too,
+      // and so do manifest-LIST files (content-addressed stamp sets;
+      // shared lists survive because a kept snapshot still names them)
       val keptManifests = kept.flatMap(s =>
-        (s.manifests ++ s.deleteManifests).map(_.path)).toSet
+        (s.manifests ++ s.deleteManifests).map(_.path) ++ s.manifestList).toSet
       val orphanManifests = expired
-        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path))
+        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path) ++ s.manifestList)
         .distinct.filterNot(keptManifests)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),
@@ -108,9 +110,11 @@ object Maintenance {
           else s))
       try {
         ops.commit(v, next)
-        val live = ops.refresh().map(_._2).toList
-          .flatMap(_.snapshots.flatMap(_.manifests.map(_.path))).toSet
-        cur.manifests.map(_.path).filterNot(live)
+        val refreshed = ops.refresh().map(_._2).toList
+        val live = refreshed
+          .flatMap(_.snapshots.flatMap(s => s.manifests.map(_.path) ++ s.manifestList))
+          .toSet
+        (cur.manifests.map(_.path) ++ cur.manifestList).filterNot(live)
           .foreach(p => Io.deleteIfExists(RelPaths.absolutize(ops.warehouse, p)))
         return cur.manifests.size
       } catch {
@@ -548,9 +552,9 @@ object Maintenance {
         .flatMap(s => ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path))
         .distinct.filterNot(keptFiles)
       val keptManifests = kept.flatMap(s =>
-        (s.manifests ++ s.deleteManifests).map(_.path)).toSet
+        (s.manifests ++ s.deleteManifests).map(_.path) ++ s.manifestList).toSet
       val orphanManifests = expired
-        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path))
+        .flatMap(s => (s.manifests ++ s.deleteManifests).map(_.path) ++ s.manifestList)
         .distinct.filterNot(keptManifests)
       val next = meta.copy(
         lastUpdatedMs = System.currentTimeMillis(),

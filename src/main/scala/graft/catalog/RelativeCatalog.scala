@@ -817,7 +817,13 @@ object RelativeCatalog {
   private[catalog] def remapManifestContents(metadataDir: String,
       remap: String => String): Unit = {
     Io.listNames(metadataDir)
-      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      // manifest-list files (snapshot chunk STAMPS, not DataFile
+      // records) are skipped: the rename's follow-up commit re-spills
+      // the remapped in-memory stamps to a freshly content-addressed
+      // list, and the old file becomes inert (rename-back even reuses
+      // it, since its untouched content hashes to the original name)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json") &&
+        !n.startsWith("manifest-list-"))
       .foreach { n =>
         val p = s"$metadataDir/$n"
         val files = graft.meta.TableMeta.manifestFromJson(Io.readString(p))

@@ -108,11 +108,29 @@ class TableOps(val warehouse: String, val tableLocation: String,
     * (`Snapshot.deleteManifests` docs). */
   def parseMeta(json: String): TableMeta = {
     val meta = TableMeta.fromJson(json)
-    if (meta.snapshots.forall(_.deleteManifests.isEmpty)) meta
+    if (meta.snapshots.forall(s => s.deleteManifests.isEmpty && s.manifestList.isEmpty))
+      meta
     else meta.copy(snapshots = meta.snapshots.map { s =>
-      if (s.deleteManifests.isEmpty) s
-      else s.copy(deleteFiles = s.deleteManifests.flatMap(loadChunk) ++ s.deleteFiles)
+      // materialize the manifest-LIST indirection first: in memory
+      // `manifests` is always the full stamp list (the side file is
+      // content-addressed and immutable → cached process-wide; an
+      // inline tail beside the pointer — hand-edited metadata — is
+      // honored by appending)
+      val s1 = s.manifestList match {
+        case Some(p) => s.copy(manifests = loadStamps(p) ++ s.manifests)
+        case None => s
+      }
+      if (s1.deleteManifests.isEmpty) s1
+      else s1.copy(deleteFiles = s1.deleteManifests.flatMap(loadChunk) ++ s1.deleteFiles)
     })
+  }
+
+  /** Read one manifest-list side file (snapshot chunk STAMPS) through
+    * the process-wide cache. Content-addressed names make entries
+    * valid forever. */
+  def loadStamps(rel: String): List[Manifest] = {
+    val abs = RelPaths.absolutize(warehouse, rel)
+    ManifestListCache.get(abs)(TableMeta.stampsFromJson(Io.readString(abs)))
   }
 
   /** Read one manifest chunk through the process-wide [[ChunkCache]]
@@ -216,6 +234,32 @@ class TableOps(val warehouse: String, val tableLocation: String,
       }
       (newManifests, rest.flatten)
     }
+    // Manifest-LIST spill (see Snapshot.manifestList): above the
+    // threshold a snapshot's chunk stamps move to a CONTENT-ADDRESSED
+    // side file — an append that reuses the parent's chunks hashes to
+    // the parent's list name and writes zero new bytes, so
+    // metadata.json stays O(snapshots), not O(snapshots × chunks).
+    // List files are deliberately NOT deleted when a commit loses the
+    // race: a concurrent winner can legitimately have produced the
+    // same content-addressed name, and a retried commit of the same
+    // stamps reuses the file anyway; unreferenced lists are reclaimed
+    // at snapshot expiry. Below the threshold, stamps inline exactly
+    // as before (and manifestList is force-cleared so a stale pointer
+    // from a path-remapping op can never resurrect old stamps).
+    val listSpillMin = 32
+    def spillStampList(s: Snapshot): Snapshot =
+      if (s.manifests.size <= listSpillMin) s.copy(manifestList = None)
+      else {
+        val body = TableMeta.stampsToJson(s.manifests)
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(16).map("%02x".format(_)).mkString
+        val fname = s"manifest-list-$digest.json"
+        Io.mkdirs(metadataDir)
+        val abs = s"$metadataDir/$fname"
+        if (!Io.exists(abs)) Io.writeString(abs, body)
+        s.copy(manifests = Nil, manifestList = Some(s"$tableLocation/metadata/$fname"))
+      }
     val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
       val s1 =
         if (s.files.size <= chunkSize) s
@@ -226,11 +270,13 @@ class TableOps(val warehouse: String, val tableLocation: String,
       // delete list: strip the chunked prefix (in-memory full list →
       // inline tail), spilling the tail too if it outgrew the chunk
       val delTail = s1.inlineDeleteFiles
-      if (delTail.size <= chunkSize) s1.copy(deleteFiles = delTail)
-      else {
-        val (nm, rest) = spillList(delTail)
-        s1.copy(deleteFiles = rest, deleteManifests = s1.deleteManifests ++ nm)
-      }
+      val s2 =
+        if (delTail.size <= chunkSize) s1.copy(deleteFiles = delTail)
+        else {
+          val (nm, rest) = spillList(delTail)
+          s1.copy(deleteFiles = rest, deleteManifests = s1.deleteManifests ++ nm)
+        }
+      spillStampList(s2)
     })
     (TableMeta.toJson(spilled), written)
   }
@@ -281,6 +327,10 @@ class TableOps(val warehouse: String, val tableLocation: String,
     meta.snapshots.flatMap(_.manifests).foreach { m =>
       require(!m.path.startsWith("/") && !m.path.contains(":/"),
         s"manifest path must be warehouse-relative: ${m.path}")
+    }
+    meta.snapshots.flatMap(_.manifestList).foreach { p =>
+      require(!p.startsWith("/") && !p.contains(":/"),
+        s"manifest-list path must be warehouse-relative: $p")
     }
 
     Io.mkdirs(metadataDir)
@@ -370,6 +420,55 @@ class TableOps(val warehouse: String, val tableLocation: String,
   * driver-side metadata IO would serialize every concurrent planner
   * in the process.
   */
+/** Process-wide cache of manifest-LIST side files (snapshot chunk
+  * stamps, [[graft.meta.Snapshot.manifestList]]), keyed by ABSOLUTE
+  * path. Content-addressed names make entries immutable-forever; the
+  * cache is bounded by total stamp entries with LRU eviction and
+  * single-flight loads (same discipline as [[ChunkCache]], scaled to
+  * the much smaller stamp records).
+  */
+object ManifestListCache {
+  private val maxStampEntries: Long =
+    sys.props.get("graft.manifest-list-cache.max-entries")
+      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L)
+  private val map =
+    new java.util.LinkedHashMap[String, List[Manifest]](64, 0.75f, true)
+  private var totalEntries = 0L
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[List[Manifest]]]
+
+  def get(absPath: String)(load: => List[Manifest]): List[Manifest] = {
+    synchronized {
+      val hit = map.get(absPath)
+      if (hit != null) return hit
+    }
+    val fut = new java.util.concurrent.CompletableFuture[List[Manifest]]()
+    val prev = inflight.putIfAbsent(absPath, fut)
+    if (prev != null) return prev.join()
+    try {
+      val v = load // IO with no lock held
+      synchronized {
+        map.put(absPath, v)
+        totalEntries += v.size
+        val it = map.entrySet().iterator()
+        while (totalEntries > maxStampEntries && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
+        }
+      }
+      fut.complete(v)
+      v
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally inflight.remove(absPath)
+  }
+
+  def invalidateAll(): Unit = synchronized {
+    map.clear()
+    totalEntries = 0L
+  }
+}
+
 object ChunkCache {
   private val maxFileEntries: Long =
     sys.props.get("graft.chunk-cache.max-file-entries")

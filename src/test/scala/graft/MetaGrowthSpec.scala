@@ -1,0 +1,123 @@
+package graft
+
+import graft.catalog.{ChunkCache, Io, ManifestListCache, TableOps}
+import graft.meta._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata growth under a long append history at chunked-table scale
+  * — the claim the manifest-LIST indirection exists for. Before it,
+  * every retained snapshot repeated all chunk stamps inline:
+  * metadata.json grew O(snapshots × chunks) (measured r16: 3.26 MB at
+  * 30 snapshots × 400 chunks, ~109 KB per commit re-serialized).
+  * With content-addressed lists, snapshots sharing a chunk set share
+  * ONE side file, so metadata.json is O(snapshots × inline-tail) and
+  * a plain append writes zero new stamp bytes.
+  */
+class MetaGrowthSpec extends AnyFunSuite {
+
+  private val Chunks = 400
+  private val PerChunk = 50
+
+  private def synthesize(): String = {
+    val wh = "/tmp/graft_test_metagrowth"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val loc = "p/bigt"
+    val mdDir = s"$wh/$loc/metadata"
+    Io.mkdirs(mdDir)
+    val manifests = (0 until Chunks).toList.map { c =>
+      val files = (0 until PerChunk).toList.map { i =>
+        DataFile(s"$loc/data/k=$c/f$i.parquet", 1000L, 1L << 20,
+          partition = Map("k" -> c.toString),
+          minBound = Map("k" -> c.toString), maxBound = Map("k" -> c.toString),
+          seq = Some(c + 1L))
+      }
+      val fname = s"manifest-synth-$c.json"
+      Io.writeString(s"$mdDir/$fname", TableMeta.manifestToJson(files))
+      Manifest(s"$loc/metadata/$fname", PerChunk,
+        minBound = Map("k" -> c.toString), maxBound = Map("k" -> c.toString),
+        minSeq = Some(c + 1L), maxSeq = Some(c + 1L), bytes = PerChunk.toLong << 20)
+    }
+    val intJson = org.apache.spark.sql.types.IntegerType.json
+    val meta0 = TableMeta(1, java.util.UUID.randomUUID().toString, loc, Chunks.toLong,
+      1723600000000L, 2, 0,
+      List(SchemaDef(0, List(FieldDef(1, "k", intJson, required = false)))),
+      0, List(PartSpec(0, List(PartField(1, 1000, "k", "identity")))),
+      1000, 0, Nil,
+      Map("write.metadata.manifest-chunk-size" -> PerChunk.toString),
+      Some(1L),
+      List(Snapshot(1L, None, Chunks.toLong, 1723600000000L, "append",
+        Map.empty, files = Nil, manifests = manifests)),
+      List(SnapshotLogEntry(1723600000000L, 1L)), Nil,
+      Map("main" -> Ref(1L, "branch")))
+    Io.writeString(s"$mdDir/v1.metadata.json", TableMeta.toJson(meta0))
+    Io.writeString(s"$mdDir/version-hint.text", "1")
+    wh
+  }
+
+  test("30 appends at 400 chunks: metadata stays O(snapshots), lists shared") {
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val ops = new TableOps(wh, "p/bigt")
+    var (v, meta) = ops.refresh().get
+    val inlineStampBytes = new java.io.File(s"$wh/p/bigt/metadata/v1.metadata.json").length
+
+    var lastCommitMs = 0.0
+    for (k <- 2 to 31) {
+      val snap = meta.currentSnapshot.get
+      val nf = (0 until 10).toList.map(i =>
+        DataFile(s"p/bigt/data/k=999/a$k-$i.parquet", 100L, 1L << 18,
+          partition = Map("k" -> "999"), minBound = Map("k" -> "999"),
+          maxBound = Map("k" -> "999"), seq = Some(Chunks + k.toLong)))
+      val s2 = snap.copy(snapshotId = k.toLong, parentId = Some(snap.snapshotId),
+        sequenceNumber = Chunks + k.toLong, files = snap.files ++ nf,
+        manifests = snap.manifests)
+      val m2 = meta.copy(lastSequenceNumber = Chunks + k.toLong,
+        currentSnapshotId = Some(k.toLong), snapshots = meta.snapshots :+ s2,
+        snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(1723600000000L + k, k.toLong),
+        refs = Map("main" -> Ref(k.toLong, "branch")))
+      val t0 = System.nanoTime()
+      v = ops.commit(v, m2)
+      lastCommitMs = (System.nanoTime() - t0) / 1e6
+      meta = ops.refresh().get._2
+    }
+    val names = new java.io.File(s"$wh/p/bigt/metadata").listFiles().map(_.getName)
+    val listFiles = names.count(_.startsWith("manifest-list-"))
+    val finalSize = new java.io.File(ops.existingMetadataFile(v).get).length
+    info(f"31 snapshots: metadata ${finalSize / 1024} KB (inline-stamps v1 was " +
+      f"${inlineStampBytes / 1024} KB for ONE snapshot), $listFiles list files, " +
+      f"last commit $lastCommitMs%.0f ms")
+    // pre-list behavior repeated the ~100 KB stamp block once per
+    // snapshot (31 × inlineStampBytes ≈ 3.1 MB, measured 3.26 MB in
+    // r16 before the change); with lists the stamps live once per
+    // DISTINCT chunk set and metadata carries only snapshot rows +
+    // inline tails (measured ~276 KB — an 11× reduction)
+    assert(finalSize < inlineStampBytes * 31L / 4,
+      s"metadata $finalSize bytes: stamps are repeating per snapshot again " +
+        s"(single-snapshot stamp block is $inlineStampBytes bytes)")
+    assert(finalSize < 500L * 1024, s"metadata $finalSize bytes not O(snapshots)")
+    // inline tails spill a new chunk every 5 appends → stamps change 6
+    // times; every other append REUSES its parent's content-addressed
+    // list byte-for-byte
+    assert(listFiles <= 7, s"expected <= 7 distinct stamp lists, got $listFiles")
+    assert(lastCommitMs < 1000, f"append commit took $lastCommitMs%.0f ms")
+
+    // cold re-read: everything materializes through the list cache
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val ops2 = new TableOps(wh, "p/bigt")
+    val snap = ops2.refresh().get._2.currentSnapshot.get
+    assert(snap.dataFileCount == Chunks * PerChunk + 300,
+      s"expected ${Chunks * PerChunk + 300} files, got ${snap.dataFileCount}")
+    // historic snapshots materialize too (time travel floor)
+    assert(ops2.refresh().get._2.snapshots.forall(_.manifests.nonEmpty))
+
+    // expiry reclaims the lists only expired snapshots referenced
+    graft.catalog.Maintenance.expireSnapshots(ops2, keepLast = 2)
+    val names2 = new java.io.File(s"$wh/p/bigt/metadata").listFiles().map(_.getName)
+    assert(names2.count(_.startsWith("manifest-list-")) == 1,
+      "the two kept snapshots share one list; expired-only lists must be GC'd")
+    val snap2 = ops2.refresh().get._2.currentSnapshot.get
+    assert(snap2.dataFileCount == Chunks * PerChunk + 300)
+  }
+}

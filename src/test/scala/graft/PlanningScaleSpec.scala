@@ -182,15 +182,21 @@ class PlanningScaleSpec extends AnyFunSuite {
     val v2 = ops.commit(v, meta2)
     val commitMs = (System.nanoTime() - t0) / 1e6
     // the commit must reuse every parent chunk untouched: zero chunk
-    // loads, zero new chunk files (40 new files stay inline), and the
-    // new metadata carries only the per-snapshot manifest stamps
+    // loads, zero new chunk files (40 new files stay inline) — and
+    // the 400 stamps move OUT of metadata.json into ONE shared
+    // content-addressed manifest-list file (both snapshots carry the
+    // same stamps → same hash → one file), so the committed
+    // metadata.json SHRINKS well below the inline-stamps original
     assert(ops.chunkLoads == 0, s"commit loaded ${ops.chunkLoads} chunks")
-    val chunkFiles = new java.io.File(s"$wh/p/bigt/metadata").listFiles()
-      .count(_.getName.startsWith("manifest-"))
+    val names = new java.io.File(s"$wh/p/bigt/metadata").listFiles().map(_.getName)
+    val chunkFiles = names.count(n =>
+      n.startsWith("manifest-") && !n.startsWith("manifest-list-"))
+    val listFiles = names.count(_.startsWith("manifest-list-"))
     assert(chunkFiles == Chunks, s"append spilled new chunks: $chunkFiles != $Chunks")
+    assert(listFiles == 1, s"both snapshots must share ONE stamp list, got $listFiles")
     val after = new java.io.File(ops.existingMetadataFile(v2).get).length
-    assert(after < before * 3,
-      s"commit payload grew $before -> $after bytes — no longer O(stamps + change)")
+    assert(after < before / 4,
+      s"metadata.json $before -> $after bytes: stamps not spilled to the list file")
     assert(commitMs < 2000, f"append commit took $commitMs%.0f ms at 20k files")
 
     // and the appended table reads back whole, still lazily
