@@ -505,6 +505,13 @@ object Maintenance {
       if (!Io.exists(RelPaths.absolutize(ops.warehouse, m.path)))
         problems += s"missing manifest ${m.path}"
     }
+    // the manifest-LIST file must exist ON DISK: parse may have served
+    // the stamps from the process-wide cache, which would mask a
+    // deleted list from this checker while breaking the next cold reader
+    snap.manifestList.foreach { p =>
+      if (!Io.exists(RelPaths.absolutize(ops.warehouse, p)))
+        problems += s"missing manifest list $p"
+    }
     (ops.allFiles(snap) ++ snap.deleteFiles).foreach { f =>
       val abs = RelPaths.absolutize(ops.warehouse, f.path)
       if (!Io.exists(abs)) problems += s"missing file ${f.path}"

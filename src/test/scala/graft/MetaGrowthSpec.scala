@@ -119,5 +119,17 @@ class MetaGrowthSpec extends AnyFunSuite {
       "the two kept snapshots share one list; expired-only lists must be GC'd")
     val snap2 = ops2.refresh().get._2.currentSnapshot.get
     assert(snap2.dataFileCount == Chunks * PerChunk + 300)
+
+    // integrity reports a deleted list file even while the process
+    // cache still serves its stamps (the synthesized table has no
+    // parquet files, so filter to the list-specific problem)
+    def listProblems = graft.catalog.Maintenance.verifyIntegrity(ops2)
+      .filter(_.startsWith("missing manifest list"))
+    assert(listProblems.isEmpty, s"healthy table reported: $listProblems")
+    val listName = new java.io.File(s"$wh/p/bigt/metadata").listFiles()
+      .map(_.getName).find(_.startsWith("manifest-list-")).get
+    assert(new java.io.File(s"$wh/p/bigt/metadata/$listName").delete())
+    assert(listProblems.nonEmpty,
+      "a deleted manifest-list file must fail integrity despite the warm cache")
   }
 }
