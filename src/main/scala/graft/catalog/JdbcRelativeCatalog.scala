@@ -368,13 +368,34 @@ class JdbcRelativeCatalog extends RelativeCatalog {
         name(), nsKey(oldIdent.namespace().toSeq), oldIdent.name())(_.getString(1)).head
       val metaPath = graft.meta.RelPaths.absolutize(warehouse, remap(loc))
       val meta = TableMeta.fromJson(Io.readString(metaPath))
+      // list-spilled snapshots: MATERIALIZE the stamps from the moved
+      // directory first (the raw pointer still carries the old prefix;
+      // remap resolves it to the moved file), strip the old-reader
+      // sentinel, remap the stamp paths with everything else, then
+      // re-spill through the NEW location's TableOps so the rewritten
+      // metadata points at freshly content-addressed lists under the
+      // new prefix — without this, the pointer keeps naming the
+      // pre-rename location and every refresh after the move fails
+      val materialized = meta.snapshots.map { s =>
+        s.manifestList match {
+          case Some(p) =>
+            val abs = graft.meta.RelPaths.absolutize(warehouse, remap(p))
+            s.copy(
+              manifests = graft.meta.TableMeta.stampsFromJson(Io.readString(abs)) ++
+                s.manifests.filterNot(_.path == p),
+              manifestList = None)
+          case None => s
+        }
+      }
+      val opsNew = new TableOps(warehouse, prefixNew)
       Io.writeString(metaPath, TableMeta.toJson(meta.copy(
         location = prefixNew,
-        snapshots = meta.snapshots.map(s =>
-          s.copy(files = s.files.map(f => f.copy(path = remap(f.path))),
+        snapshots = materialized.map(s =>
+          opsNew.spillStampList(s.copy(
+            files = s.files.map(f => f.copy(path = remap(f.path))),
             deleteFiles = s.deleteFiles.map(f => f.copy(path = remap(f.path))),
             manifests = s.manifests.map(m => m.copy(path = remap(m.path))),
-            deleteManifests = s.deleteManifests.map(m => m.copy(path = remap(m.path))))),
+            deleteManifests = s.deleteManifests.map(m => m.copy(path = remap(m.path)))))),
         metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile))))))
       val n = update(
         "UPDATE graft_tables SET table_namespace=?, table_name=?, metadata_location=? WHERE catalog_name=? AND table_namespace=? AND table_name=?",

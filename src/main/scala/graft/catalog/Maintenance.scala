@@ -601,6 +601,18 @@ object Maintenance {
         .filterNot(p => referenced(RelPaths.relativize(ops.warehouse, p)))
         .foreach { p => Io.deleteIfExists(p); removed += 1 }
     }
+    // manifest-LIST files a lost commit left behind before any snapshot
+    // ever referenced them (lose-cleanup deliberately skips them — see
+    // TableOps.spillStampList) are invisible to expiry, so the vacuum
+    // sweeps them here: age-guarded like data debris (an in-flight
+    // commit's freshly written list is younger than the cutoff) and
+    // never touching a list any current snapshot names
+    val referencedLists = meta.snapshots.flatMap(_.manifestList).toSet
+    Io.walkFiles(s"$tableAbs/metadata")
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("manifest-list-"))
+      .filter(p => scala.util.Try(Io.mtimeMs(p)).getOrElse(Long.MaxValue) < olderThanMs)
+      .filterNot(p => referencedLists(RelPaths.relativize(ops.warehouse, p)))
+      .foreach { p => Io.deleteIfExists(p); removed += 1 }
     removed
   }
 

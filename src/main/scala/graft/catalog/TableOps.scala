@@ -117,7 +117,16 @@ class TableOps(val warehouse: String, val tableLocation: String,
       // inline tail beside the pointer — hand-edited metadata — is
       // honored by appending)
       val s1 = s.manifestList match {
-        case Some(p) => s.copy(manifests = loadStamps(p) ++ s.manifests)
+        case Some(p) =>
+          // strip the old-reader sentinel (the inline entry whose path
+          // IS the pointer — see spillStampList) and keep any other
+          // inline tail. When the tail is empty the CACHED list
+          // instance becomes the snapshot's stamps verbatim, which is
+          // what lets spillStampList's identity fast path skip
+          // re-hashing untouched snapshots at the next commit.
+          val stamps = loadStamps(p)
+          val tail = s.manifests.filterNot(_.path == p)
+          s.copy(manifests = if (tail.isEmpty) stamps else stamps ++ tail)
         case None => s
       }
       if (s1.deleteManifests.isEmpty) s1
@@ -132,6 +141,70 @@ class TableOps(val warehouse: String, val tableLocation: String,
     val abs = RelPaths.absolutize(warehouse, rel)
     ManifestListCache.get(abs)(TableMeta.stampsFromJson(Io.readString(abs)))
   }
+
+  /** Manifest-LIST spill threshold: a snapshot with more chunk stamps
+    * than this serializes them to a side file instead of inline. */
+  protected val listSpillMin = 32
+
+  /** Serialize-side manifest-LIST spill for ONE snapshot (see
+    * [[graft.meta.Snapshot.manifestList]]): above the threshold the
+    * stamps move to a CONTENT-ADDRESSED side file — an append that
+    * reuses the parent's chunks hashes to the parent's list name and
+    * writes zero new bytes, so metadata.json stays O(snapshots), not
+    * O(snapshots × chunks). List files are deliberately NOT deleted
+    * when a commit loses the race (a concurrent winner can own the
+    * same content-addressed name; a retry of the same stamps reuses
+    * the file); unreferenced lists are reclaimed at snapshot expiry,
+    * rewrite_manifests, and the orphan vacuum. Below the threshold,
+    * stamps inline exactly as before (manifestList force-cleared so a
+    * stale pointer from a path-remapping op can never resurrect old
+    * stamps). Shared by [[spillAndSerialize]] and the JDBC catalog's
+    * rename rewrite.
+    */
+  def spillStampList(s: Snapshot): Snapshot =
+    if (s.manifests.size <= listSpillMin) s.copy(manifestList = None)
+    else {
+      // POISON PILL for pre-list readers: the serialized snapshot
+      // keeps ONE inline manifest entry whose path is the list file
+      // and which carries NO pruning keys. A reader without list
+      // support ignores the unknown manifestList field, always
+      // "loads" this entry as a chunk, and fails LOUDLY extracting
+      // stamp JSON as DataFile records (no `records` field) — never
+      // a silent near-empty scan. count/bytes aggregate the real
+      // stamps so dataFileCount/dataBytes stay exact for any reader.
+      def sentinel(rel: String) = Manifest(rel,
+        s.manifests.map(_.count).sum, bytes = s.manifests.map(_.bytes).sum)
+      // unchanged-stamps fast path: if the materialized list is still
+      // exactly the instance parse cached for this snapshot's pointer,
+      // reuse the name — a plain append pays O(count-sum) here per
+      // untouched historic snapshot instead of O(chunks) JSON + SHA
+      val reusable = s.manifestList.filter { p =>
+        ManifestListCache.peek(RelPaths.absolutize(warehouse, p)) eq s.manifests
+      }
+      reusable match {
+        case Some(p) => s.copy(manifests = List(sentinel(p)))
+        case None =>
+          val body = TableMeta.stampsToJson(s.manifests)
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .take(16).map("%02x".format(_)).mkString
+          val fname = s"manifest-list-$digest.json"
+          Io.mkdirs(metadataDir)
+          val abs = s"$metadataDir/$fname"
+          if (!Io.exists(abs)) {
+            // temp + rename-no-replace: a crash mid-write must never
+            // leave a TORN file at the content-addressed name (it
+            // would be "reused" verbatim forever); losing the rename
+            // to a concurrent same-content writer is fine — the
+            // winner's file IS this content
+            val tmp = s"$metadataDir/.${java.util.UUID.randomUUID()}.mlist"
+            Io.writeString(tmp, body)
+            if (!Io.renameNoReplace(tmp, abs)) Io.deleteIfExists(tmp)
+          }
+          val rel = s"$tableLocation/metadata/$fname"
+          s.copy(manifests = List(sentinel(rel)), manifestList = Some(rel))
+      }
+    }
 
   /** Read one manifest chunk through the process-wide [[ChunkCache]]
     * (chunks are immutable once written, so cached contents stay valid
@@ -234,32 +307,6 @@ class TableOps(val warehouse: String, val tableLocation: String,
       }
       (newManifests, rest.flatten)
     }
-    // Manifest-LIST spill (see Snapshot.manifestList): above the
-    // threshold a snapshot's chunk stamps move to a CONTENT-ADDRESSED
-    // side file — an append that reuses the parent's chunks hashes to
-    // the parent's list name and writes zero new bytes, so
-    // metadata.json stays O(snapshots), not O(snapshots × chunks).
-    // List files are deliberately NOT deleted when a commit loses the
-    // race: a concurrent winner can legitimately have produced the
-    // same content-addressed name, and a retried commit of the same
-    // stamps reuses the file anyway; unreferenced lists are reclaimed
-    // at snapshot expiry. Below the threshold, stamps inline exactly
-    // as before (and manifestList is force-cleared so a stale pointer
-    // from a path-remapping op can never resurrect old stamps).
-    val listSpillMin = 32
-    def spillStampList(s: Snapshot): Snapshot =
-      if (s.manifests.size <= listSpillMin) s.copy(manifestList = None)
-      else {
-        val body = TableMeta.stampsToJson(s.manifests)
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .take(16).map("%02x".format(_)).mkString
-        val fname = s"manifest-list-$digest.json"
-        Io.mkdirs(metadataDir)
-        val abs = s"$metadataDir/$fname"
-        if (!Io.exists(abs)) Io.writeString(abs, body)
-        s.copy(manifests = Nil, manifestList = Some(s"$tableLocation/metadata/$fname"))
-      }
     val spilled = meta.copy(snapshots = meta.snapshots.map { s =>
       val s1 =
         if (s.files.size <= chunkSize) s
@@ -420,40 +467,39 @@ class TableOps(val warehouse: String, val tableLocation: String,
   * driver-side metadata IO would serialize every concurrent planner
   * in the process.
   */
-/** Process-wide cache of manifest-LIST side files (snapshot chunk
-  * stamps, [[graft.meta.Snapshot.manifestList]]), keyed by ABSOLUTE
-  * path. Content-addressed names make entries immutable-forever; the
-  * cache is bounded by total stamp entries with LRU eviction and
-  * single-flight loads (same discipline as [[ChunkCache]], scaled to
-  * the much smaller stamp records).
+/** Bounded LRU + single-flight cache for immutable metadata side
+  * files, keyed by ABSOLUTE path — one implementation behind both
+  * [[ChunkCache]] and [[ManifestListCache]] (they differ only in
+  * value type and size accounting). Loads run with no lock held;
+  * concurrent loads of the same path read once; a replaced entry's
+  * size is subtracted (two threads racing past the in-flight window
+  * may both put the same key — counting both would permanently
+  * shrink the effective capacity).
   */
-object ManifestListCache {
-  private val maxStampEntries: Long =
-    sys.props.get("graft.manifest-list-cache.max-entries")
-      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L)
-  private val map =
-    new java.util.LinkedHashMap[String, List[Manifest]](64, 0.75f, true)
+final class SideFileCache[V >: Null <: AnyRef](maxEntries: Long, entrySize: V => Int) {
+  private val map = new java.util.LinkedHashMap[String, V](64, 0.75f, true)
   private var totalEntries = 0L
   private val inflight = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[List[Manifest]]]
+    String, java.util.concurrent.CompletableFuture[V]]
 
-  def get(absPath: String)(load: => List[Manifest]): List[Manifest] = {
+  def get(absPath: String)(load: => V): V = {
     synchronized {
       val hit = map.get(absPath)
       if (hit != null) return hit
     }
-    val fut = new java.util.concurrent.CompletableFuture[List[Manifest]]()
+    val fut = new java.util.concurrent.CompletableFuture[V]()
     val prev = inflight.putIfAbsent(absPath, fut)
     if (prev != null) return prev.join()
     try {
       val v = load // IO with no lock held
       synchronized {
-        map.put(absPath, v)
-        totalEntries += v.size
+        val replaced = map.put(absPath, v)
+        if (replaced != null) totalEntries -= entrySize(replaced)
+        totalEntries += entrySize(v)
         val it = map.entrySet().iterator()
-        while (totalEntries > maxStampEntries && it.hasNext) {
+        while (totalEntries > maxEntries && it.hasNext) {
           val e = it.next()
-          if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
+          if (e.getKey != absPath) { totalEntries -= entrySize(e.getValue); it.remove() }
         }
       }
       fut.complete(v)
@@ -463,51 +509,14 @@ object ManifestListCache {
     } finally inflight.remove(absPath)
   }
 
-  def invalidateAll(): Unit = synchronized {
-    map.clear()
-    totalEntries = 0L
-  }
-}
-
-object ChunkCache {
-  private val maxFileEntries: Long =
-    sys.props.get("graft.chunk-cache.max-file-entries")
-      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L)
-  private val map =
-    new java.util.LinkedHashMap[String, List[DataFile]](64, 0.75f, true)
-  private var totalEntries = 0L
-  private val inflight = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[List[DataFile]]]
-
-  def get(absPath: String)(load: => List[DataFile]): List[DataFile] = {
-    synchronized {
-      val hit = map.get(absPath)
-      if (hit != null) return hit
-    }
-    val fut = new java.util.concurrent.CompletableFuture[List[DataFile]]()
-    val prev = inflight.putIfAbsent(absPath, fut)
-    if (prev != null) return prev.join()
-    try {
-      val v = load // IO with no lock held
-      synchronized {
-        map.put(absPath, v)
-        totalEntries += v.size
-        val it = map.entrySet().iterator()
-        while (totalEntries > maxFileEntries && it.hasNext) {
-          val e = it.next()
-          if (e.getKey != absPath) { totalEntries -= e.getValue.size; it.remove() }
-        }
-      }
-      fut.complete(v)
-      v
-    } catch {
-      case e: Throwable => fut.completeExceptionally(e); throw e
-    } finally inflight.remove(absPath)
-  }
+  /** Cached value for `absPath`, or null — no load, no LRU touch-up
+    * beyond the accessOrder get. Used for identity checks ("are these
+    * stamps still exactly the parsed list?"). */
+  def peek(absPath: String): V = synchronized(map.get(absPath))
 
   def invalidate(absPath: String): Unit = synchronized {
     val v = map.remove(absPath)
-    if (v != null) totalEntries -= v.size
+    if (v != null) totalEntries -= entrySize(v)
   }
 
   def invalidateAll(): Unit = synchronized {
@@ -515,6 +524,38 @@ object ChunkCache {
     totalEntries = 0L
   }
 
+  def cachedCount: Int = synchronized(map.size)
+}
+
+/** Process-wide cache of manifest-LIST side files (snapshot chunk
+  * stamps, [[graft.meta.Snapshot.manifestList]]). Content-addressed
+  * names make entries immutable-forever.
+  */
+object ManifestListCache {
+  private val impl = new SideFileCache[List[Manifest]](
+    sys.props.get("graft.manifest-list-cache.max-entries")
+      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L),
+    _.size)
+
+  def get(absPath: String)(load: => List[Manifest]): List[Manifest] =
+    impl.get(absPath)(load)
+  def peek(absPath: String): List[Manifest] = impl.peek(absPath)
+  def invalidateAll(): Unit = impl.invalidateAll()
+}
+
+object ChunkCache {
+  private val impl = new SideFileCache[List[DataFile]](
+    sys.props.get("graft.chunk-cache.max-file-entries")
+      .flatMap(s => Try(s.toLong).toOption).filter(_ > 0).getOrElse(1000000L),
+    _.size)
+
+  def get(absPath: String)(load: => List[DataFile]): List[DataFile] =
+    impl.get(absPath)(load)
+
+  def invalidate(absPath: String): Unit = impl.invalidate(absPath)
+
+  def invalidateAll(): Unit = impl.invalidateAll()
+
   /** Test/diagnostic hook: number of chunks currently cached. */
-  def cachedChunks: Int = synchronized(map.size)
+  def cachedChunks: Int = impl.cachedCount
 }

@@ -132,4 +132,81 @@ class MetaGrowthSpec extends AnyFunSuite {
     assert(listProblems.nonEmpty,
       "a deleted manifest-list file must fail integrity despite the warm cache")
   }
+
+  test("pre-list readers fail LOUDLY on a list-spilled snapshot (poison-pill sentinel)") {
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val ops = new TableOps(wh, "p/bigt")
+    var (v, meta) = ops.refresh().get
+    // one commit so the metadata on disk goes through spillStampList
+    val snap = meta.currentSnapshot.get
+    val s2 = snap.copy(snapshotId = 2L, parentId = Some(1L),
+      sequenceNumber = Chunks + 1L,
+      files = List(DataFile("p/bigt/data/k=999/x.parquet", 1L, 1L,
+        partition = Map("k" -> "999"), seq = Some(Chunks + 1L))))
+    v = ops.commit(v, meta.copy(lastSequenceNumber = Chunks + 1L,
+      currentSnapshotId = Some(2L), snapshots = meta.snapshots :+ s2,
+      refs = Map("main" -> Ref(2L, "branch"))))
+
+    // the RAW serialized form (what a pre-list reader deserializes,
+    // ignoring the unknown manifestList field): exactly one inline
+    // manifest entry per spilled snapshot, whose path IS the list file
+    // and whose count/bytes equal the real chunked totals
+    val raw = TableMeta.fromJson(ops.readMetadataString(ops.existingMetadataFile(v).get))
+    raw.snapshots.foreach { s =>
+      assert(s.manifestList.isDefined, "both snapshots exceed the spill threshold")
+      assert(s.manifests.size == 1 && s.manifests.head.path == s.manifestList.get,
+        s"sentinel shape wrong: ${s.manifests.map(_.path)} vs ${s.manifestList}")
+      assert(s.manifests.head.count == Chunks * PerChunk,
+        s"sentinel count ${s.manifests.head.count}")
+      assert(s.manifests.head.minBound.isEmpty && s.manifests.head.minSeq.isEmpty,
+        "sentinel must carry NO pruning keys (an old reader must always load it)")
+    }
+    // and the old reader's load path — parsing the list file as a
+    // CHUNK (DataFile records) — throws instead of returning rows
+    val sentinelAbs = RelPaths_abs(wh, raw.snapshots.head.manifests.head.path)
+    intercept[Throwable] {
+      TableMeta.manifestFromJson(Io.readString(sentinelAbs))
+    }
+    // while the NEW reader materializes the stamps and sees every file
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val parsed = ops.refresh().get._2
+    assert(parsed.snapshots.forall(s =>
+      s.manifests.size == Chunks && s.manifests.forall(_.minBound.nonEmpty)))
+  }
+
+  private def RelPaths_abs(wh: String, p: String): String =
+    graft.meta.RelPaths.absolutize(wh, p)
+
+  test("orphan vacuum reclaims never-referenced manifest-list files, keeps live ones") {
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val ops = new TableOps(wh, "p/bigt")
+    val (v, meta) = ops.refresh().get
+    // commit once → the live, referenced list file exists
+    ops.commit(v, meta.copy(lastSequenceNumber = Chunks + 1L,
+      currentSnapshotId = Some(2L),
+      snapshots = meta.snapshots :+ meta.currentSnapshot.get.copy(
+        snapshotId = 2L, parentId = Some(1L), sequenceNumber = Chunks + 1L),
+      refs = Map("main" -> Ref(2L, "branch"))))
+    val mdDir = new java.io.File(s"$wh/p/bigt/metadata")
+    val live = mdDir.listFiles().map(_.getName).filter(_.startsWith("manifest-list-"))
+    assert(live.length == 1)
+    // plant a lost-commit leftover: a list file nothing references
+    val stale = new java.io.File(mdDir, "manifest-list-deadbeef00.json")
+    Io.writeString(stale.getPath, TableMeta.stampsToJson(Nil))
+    assert(stale.setLastModified(System.currentTimeMillis() - 86400000L))
+    val removed = graft.catalog.Maintenance.removeOrphanFiles(ops,
+      olderThanMs = System.currentTimeMillis() - 3600000L)
+    assert(removed >= 1 && !stale.exists(), "stale unreferenced list must be vacuumed")
+    assert(mdDir.listFiles().map(_.getName).count(_.startsWith("manifest-list-")) == 1,
+      "the referenced list must survive the vacuum")
+    // the table still reads whole
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    assert(ops.refresh().get._2.currentSnapshot.get.dataFileCount == Chunks * PerChunk)
+  }
 }
