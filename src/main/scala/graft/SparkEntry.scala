@@ -33,6 +33,7 @@ object SparkEntry {
     ops.TpchOps,
     ops.StreamOps,
     ops.CatalogOps,
+    ops.CatalogOps2,
   )
 
   private lazy val allDecls: Seq[Decl] = {

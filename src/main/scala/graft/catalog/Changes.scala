@@ -77,13 +77,16 @@ object Changes {
   /** Materialized state of one snapshot: its files minus its deletes
     * (None = the empty pre-genesis state). */
   private def state(spark: SparkSession, warehouse: String, ops: TableOps,
-      snap: Option[Snapshot], dataSchema: StructType): DataFrame = {
+      snap: Option[Snapshot], dataSchema: StructType,
+      mapping: Map[Int, String]): DataFrame = {
     val files = snap.map(ops.allFiles).getOrElse(Nil)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-    val paths = files.map(f => RelPaths.absolutize(warehouse, f.path))
-    val raw = spark.read.schema(dataSchema).parquet(paths: _*)
-    Mor.applyDeletes(spark, raw, warehouse, snap.get.deleteFiles, files)
+    val dels = snap.get.deleteFiles
+    val raw = Mor.readData(spark, warehouse, dataSchema, files, mapping,
+      if (dels.nonEmpty) Mor.withPositions(_, warehouse) else identity)
+    Mor.applyDeletes(spark, raw, warehouse, dels, files)
+      .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Change rows produced by the commits in (fromSeq, toSeq], tagged
@@ -132,6 +135,7 @@ object Changes {
       meta: TableMeta, fromSeq: Long, toSeq: Long,
       allowSyntheticGenesis: Boolean = true): Option[DataFrame] = {
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    val mapping = meta.nameMapping
     if (toSeq <= fromSeq) return None
     if (fromSeq > 0 && !meta.snapshots.exists(_.sequenceNumber == fromSeq))
       throw new IllegalStateException(
@@ -199,7 +203,7 @@ object Changes {
         // ancestors left behind — the append fast path below would
         // wrongly skip inherited files here
         prev = Some(snap)
-        Seq(tag(state(spark, warehouse, ops, Some(snap), dataSchema), "insert", ord))
+        Seq(tag(state(spark, warehouse, ops, Some(snap), dataSchema, mapping), "insert", ord))
       } else {
       // appends never remove files and their added set is exactly the
       // files stamped with their own seq — the seq-pruned chunk walk
@@ -224,8 +228,8 @@ object Changes {
       val addedDels = snap.deleteFiles.filterNot(d => prevDels(d.path))
       def readAdded: Seq[DataFrame] =
         if (addedData.isEmpty) Nil
-        else Seq(tag(spark.read.schema(dataSchema).parquet(
-          addedData.map(f => RelPaths.absolutize(warehouse, f.path)): _*), "insert", ord))
+        else Seq(tag(
+          Mor.readData(spark, warehouse, dataSchema, addedData, mapping), "insert", ord))
       val out: Seq[DataFrame] = snap.operation match {
         case "append" => readAdded
         case "replace" => Nil // compaction rewrites bytes, not rows
@@ -248,8 +252,8 @@ object Changes {
               val refFiles = prevFiles.filter(f => referenced(f.path))
               if (refFiles.isEmpty) Nil
               else {
-                val raw = spark.read.schema(dataSchema).parquet(
-                  refFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
+                val raw = Mor.readData(spark, warehouse, dataSchema, refFiles,
+                  mapping, Mor.withPositions(_, warehouse))
                 // rows dead BEFORE this commit must not re-die in it
                 val aliveBefore = Mor.applyDeletesKeepPositions(spark,
                   raw, warehouse, prevDeleteFiles, refFiles)
@@ -262,8 +266,8 @@ object Changes {
             else {
               // eq deletes only hit strictly-older files; the commit's
               // own added files are never candidates
-              val raw = spark.read.schema(dataSchema).parquet(
-                prevFiles.map(f => RelPaths.absolutize(warehouse, f.path)): _*)
+              val raw = Mor.readData(spark, warehouse, dataSchema, prevFiles,
+                mapping, Mor.withPositions(_, warehouse))
               val aliveBefore = Mor.applyDeletesKeepPositions(spark,
                 raw, warehouse, prevDeleteFiles, prevFiles)
               val survivors = Mor.subtractEquality(spark, aliveBefore,
@@ -275,8 +279,8 @@ object Changes {
             }
           readAdded ++ posDeleted ++ eqDeleted
         case _ =>
-          val cur = state(spark, warehouse, ops, Some(snap), dataSchema)
-          val par = state(spark, warehouse, ops, prev, dataSchema)
+          val cur = state(spark, warehouse, ops, Some(snap), dataSchema, mapping)
+          val par = state(spark, warehouse, ops, prev, dataSchema, mapping)
           Seq(tag(cur.exceptAll(par), "insert", ord),
             tag(par.exceptAll(cur), "delete", ord))
       }

@@ -259,8 +259,8 @@ class GraftTable(
       // rows matching the predicate → (relative file path, row ordinal),
       // staged as a position-delete parquet; NULL predicate = not matched.
       // Already-deleted rows are excluded so re-deleting is idempotent.
-      val annotated = Mor.withPositions(
-        spark.read.schema(schema()).parquet(affectedAbs: _*), ops.warehouse)
+      val annotated = Mor.readData(spark, ops.warehouse, schema(), affected,
+        meta.nameMapping, Mor.withPositions(_, ops.warehouse))
       val (eqLive, posLive) = liveDeletes.partition(Mor.isEquality)
       val alive0 = Mor.subtract(spark, annotated, ops.warehouse, posLive)
       val alive = if (eqLive.isEmpty) alive0
@@ -298,8 +298,10 @@ class GraftTable(
       // a bare !cond is NULL for those rows and the filter would
       // silently delete them
       val remaining = Mor.applyDeletes(spark,
-          spark.read.schema(schema()).parquet(affectedAbs: _*),
+          Mor.readData(spark, ops.warehouse, schema(), affected, meta.nameMapping,
+            if (liveDeletes.nonEmpty) Mor.withPositions(_, ops.warehouse) else identity),
           ops.warehouse, liveDeletes, affected)
+        .select(schema().fieldNames.map(col).toIndexedSeq: _*)
         .filter(!coalesce(cond, lit(false)))
       Writer.append(this, remaining, overwrite = true,
         operation = "delete", carryover = untouched,
@@ -358,11 +360,14 @@ object GraftTable {
     val combined =
       if (affected.isEmpty) aligned
       else {
-        val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+        val dels = snap.map(_.deleteFiles).getOrElse(Nil)
         val keep = Mor.applyDeletes(spark,
-            spark.read.schema(schema).parquet(affectedAbs: _*),
-            table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), affected)
+            Mor.readData(spark, table.ops.warehouse, schema, affected,
+              table.meta.nameMapping,
+              if (dels.nonEmpty) Mor.withPositions(_, table.ops.warehouse) else identity),
+            table.ops.warehouse, dels, affected)
           .filter(!coalesce(cond, lit(false)))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         keep.unionByName(aligned)
       }
     Writer.append(table, combined, overwrite = true, operation = "overwrite",
@@ -409,7 +414,12 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
-    if (liveDeletes.nonEmpty) {
+    if (liveDeletes.nonEmpty ||
+        // a table that ever ran add_files (the name-mapping property is
+        // set exactly then) may serve this scan through the V1 fallback
+        // (build() decides per pruned file set) — predicates must stay
+        // residual so a non-translatable one is never silently dropped
+        table.meta.properties.contains(graft.meta.TableMeta.NameMappingKey)) {
       // merge-on-read scan: report every predicate residual (Spark
       // re-filters above the V1 relation); the translated subset is
       // still applied INSIDE the relation's plan so parquet row-group
@@ -444,7 +454,11 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     val prunedDeletes = Mor.relevantDeletes(liveDeletes, pruned)
     if (required.fieldNames.exists(GraftTable.MetaColNames))
       new MetaScan(table, required, pruned, prunedDeletes, v1)
-    else if (prunedDeletes.nonEmpty)
+    // add_files imports (no parquet field ids) can't ride the raw-path
+    // parquet delegate below — the MOR-style V1 scan resolves them
+    // through the name mapping ([[Mor.readData]]); compaction rewrites
+    // them as native files and restores the delegate fast path
+    else if (prunedDeletes.nonEmpty || pruned.exists(_.nameMapped.contains(true)))
       new MorScan(table, required, pruned, prunedDeletes, v1)
     else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
       // default: vectorized delegate + dynamic file pruning + streaming
@@ -498,8 +512,8 @@ class MorRelation(ctx: SQLContext, table: GraftTable, required: StructType,
     val w = table.ops.warehouse
     if (files.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val paths = files.map(f => RelPaths.absolutize(w, f.path))
-    val data = spark.read.schema(table.schema()).parquet(paths: _*)
+    val data = Mor.readData(spark, w, table.schema(), files, table.meta.nameMapping,
+      if (deletes.nonEmpty) Mor.withPositions(_, w) else identity)
     val alive = Mor.applyDeletes(spark, data, w, deletes, files)
     val filtered = filters.flatMap(Writer.filterToColumn)
       .foldLeft(alive)(_.filter(_))
@@ -545,9 +559,8 @@ class MetaRelation(ctx: SQLContext, table: GraftTable, required: StructType,
     val w = table.ops.warehouse
     if (files.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val paths = files.map(f => RelPaths.absolutize(w, f.path))
-    val data = spark.read.schema(table.schema()).parquet(paths: _*)
-    val annotated = Mor.withPositions(data, w)
+    val annotated = Mor.readData(spark, w, table.schema(), files,
+      table.meta.nameMapping, Mor.withPositions(_, w))
     val (eq, pos) = deletes.partition(Mor.isEquality)
     var alive = Mor.subtract(spark, annotated, w, pos)
     if (eq.nonEmpty) alive = Mor.subtractEquality(spark, alive, w, eq, files)

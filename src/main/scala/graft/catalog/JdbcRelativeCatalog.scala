@@ -409,6 +409,54 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     }
   }
 
+  /** Attach an EXISTING on-disk table to this catalog — Iceberg's
+    * `register_table`, the disaster-recovery path when the warehouse
+    * directory survived but the catalog database did not (or a table
+    * is being adopted from another JDBC catalog over the same files).
+    * Pure pointer insert: nothing on disk is read-modified; the given
+    * metadata file becomes the table's current version. The location
+    * must match the identifier's derived directory (this catalog
+    * FORCES relative locations from identifiers — C6 — so a register
+    * under a mismatched name would brick rename/drop path handling),
+    * and the file must parse as table metadata before the row lands
+    * (refuse to register garbage a reader would then trip over).
+    */
+  def registerTable(ident: Identifier, metadataLocation: String): GraftTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (isV1 && viewExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    require(!metadataLocation.startsWith("/") && !metadataLocation.contains(":/"),
+      s"metadata location must be warehouse-relative: $metadataLocation")
+    val expectedDir = s"${tableLocation(ident)}/metadata/"
+    require(metadataLocation.startsWith(expectedDir),
+      s"metadata location $metadataLocation is outside the identifier's " +
+        s"table directory ($expectedDir) — register under the matching name")
+    // the version counter for future commits parses off the filename
+    // (vN or vN-uuid — both catalogs' naming); refuse names it can't read
+    require(metadataLocation.substring(metadataLocation.lastIndexOf('/') + 1)
+        .matches("v\\d+([.-].*)?\\.metadata\\.json"),
+      s"metadata filename must be v<N>[-uuid].metadata.json: $metadataLocation")
+    val ops = opsFor(ident)
+    val abs = graft.meta.RelPaths.absolutize(warehouse, metadataLocation)
+    require(Io.exists(abs), s"metadata file not found: $metadataLocation")
+    ops.parseMeta(ops.readMetadataString(abs)) // must parse, or refuse
+    try {
+      val n =
+        if (isV1) update(
+          "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location, record_type) VALUES (?,?,?,?,NULL,'TABLE')",
+          name(), nsKey(ident.namespace().toSeq), ident.name(), metadataLocation)
+        else update(
+          "INSERT INTO graft_tables (catalog_name, table_namespace, table_name, metadata_location, previous_metadata_location) VALUES (?,?,?,?,NULL)",
+          name(), nsKey(ident.namespace().toSeq), ident.name(), metadataLocation)
+      if (n != 1) throw new TableAlreadyExistsException(ident)
+    } catch {
+      case e: SQLException if Option(e.getSQLState).exists(_.startsWith("23")) =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    loadTable(ident).asInstanceOf[GraftTable]
+  }
+
   // ---- views (V1 stores only: rows in graft_tables with
   // record_type='VIEW', metadata_location pointing at the ViewDef
   // JSON under the namespace dir — the row is the source of truth for

@@ -301,9 +301,10 @@ object Maintenance {
         graft.meta.TableStats(snapId, 0L, 0L, cols.map(_ -> graft.meta.ColumnStats(0L, 0L)).toMap)
       else {
         val df = Mor.applyDeletes(spark,
-          spark.read.schema(schema)
-            .parquet(files.map(f => RelPaths.absolutize(wh, f.path)): _*),
+          Mor.readData(spark, wh, schema, files, table.meta.nameMapping,
+            if (deleteFiles.nonEmpty) Mor.withPositions(_, wh) else identity),
           wh, deleteFiles, files)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         val aggs = count(lit(1)).as("__n") +:
           cols.flatMap(c => Seq(
             approx_count_distinct(col(c)).as(s"__ndv_$c"),
@@ -351,9 +352,9 @@ object Maintenance {
     if (pexprs.isEmpty || files.isEmpty) return Nil
     val wh = table.ops.warehouse
     val schema = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
-    val raw = spark.read.schema(schema)
-      .parquet(files.map(f => RelPaths.absolutize(wh, f.path)): _*)
-    val annotated = Mor.withPositions(raw, wh)
+    val raw = Mor.readData(spark, wh, schema, files, table.meta.nameMapping,
+      Mor.withPositions(_, wh))
+    val annotated = raw
     val (eq, pos) = deleteFiles.partition(Mor.isEquality)
     val alive0 = Mor.subtract(spark, annotated, wh, pos)
     val alive = if (eq.isEmpty) alive0
@@ -392,12 +393,13 @@ object Maintenance {
     val snap = table.readSnapshot
     val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     if (files.isEmpty) return
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val dels = snap.map(_.deleteFiles).getOrElse(Nil)
+    val sch = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
     val df = Mor.applyDeletes(spark,
-        spark.read
-          .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
-          .parquet(paths: _*),
-        table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
+        Mor.readData(spark, table.ops.warehouse, sch, files, table.meta.nameMapping,
+          if (dels.nonEmpty) Mor.withPositions(_, table.ops.warehouse) else identity),
+        table.ops.warehouse, dels, files)
+      .select(sch.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .coalesce(targetFiles)
     // "replace": same rows, different bytes — the marker the changelog
     // and the streaming tail both use to emit nothing for this commit
@@ -427,14 +429,14 @@ object Maintenance {
     if (small.size < minInputFiles) return 0
     val smallPaths = small.map(_.path).toSet
     val untouched = files.filterNot(f => smallPaths(f.path))
-    val paths = small.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val groups = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetSizeBytes).toInt)
+    val sch = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
     val df = Mor.applyDeletes(spark,
-        spark.read
-          .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
-          .parquet(paths: _*),
+        Mor.readData(spark, table.ops.warehouse, sch, small, table.meta.nameMapping,
+          if (deletes.nonEmpty) Mor.withPositions(_, table.ops.warehouse) else identity),
         table.ops.warehouse, deletes, small)
+      .select(sch.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .coalesce(groups)
     Writer.append(table, df, overwrite = true, operation = "replace",
       carryover = untouched,
@@ -697,12 +699,13 @@ object Maintenance {
     val snap = table.readSnapshot
     val files = snap.map(table.ops.allFiles).getOrElse(Nil)
     if (files.isEmpty) return
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val dels = snap.map(_.deleteFiles).getOrElse(Nil)
+    val sch = graft.meta.TableMeta.schemaToSpark(table.meta.schema)
     val data = Mor.applyDeletes(spark,
-      spark.read
-        .schema(graft.meta.TableMeta.schemaToSpark(table.meta.schema))
-        .parquet(paths: _*),
-      table.ops.warehouse, snap.map(_.deleteFiles).getOrElse(Nil), files)
+      Mor.readData(spark, table.ops.warehouse, sch, files, table.meta.nameMapping,
+        if (dels.nonEmpty) Mor.withPositions(_, table.ops.warehouse) else identity),
+      table.ops.warehouse, dels, files)
+      .select(sch.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val z = graft.functions.ZOrder.zValue(data, cols)
     val arranged = data.withColumn("__z", z)
       .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
@@ -713,5 +716,134 @@ object Maintenance {
     Writer.append(table, arranged, overwrite = true, operation = "replace",
       validateFrom = Some(snap.map(_.snapshotId)),
       clearDeletes = true)
+  }
+
+  /** Roll back to the snapshot that was CURRENT at `tsMs` — Iceberg's
+    * `rollback_to_timestamp`. Resolved through the snapshot LOG (the
+    * history of what `main` pointed at, including past rollbacks), not
+    * the snapshots' own commit times: "what did readers see at 9am"
+    * is a question about the pointer, not about when data was written.
+    * The logged snapshot must still be retained. Returns the id rolled
+    * back to.
+    */
+  def rollbackToTimestamp(ops: TableOps, tsMs: Long): Long = {
+    val meta = ops.refresh().map(_._2)
+      .getOrElse(throw new IllegalStateException("no such table"))
+    val target = meta.snapshotLog.filter(_.timestampMs <= tsMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot in the log at or before $tsMs " +
+          s"(earliest: ${meta.snapshotLog.headOption.map(_.timestampMs)})"))
+    require(meta.snapshot(target.snapshotId).isDefined,
+      s"snapshot ${target.snapshotId} (current at $tsMs) has been expired")
+    rollbackTo(ops, target.snapshotId)
+    target.snapshotId
+  }
+
+  /** The ancestor chain of a snapshot (Iceberg's `ancestors_of`):
+    * the snapshot itself, then parent links walked to the root or to
+    * the first expired ancestor. Newest first. Metadata-only — the
+    * chain is bounded by retained-snapshot count, never file count.
+    */
+  def ancestorsOf(ops: TableOps, snapshotId: Option[Long] = None): Seq[graft.meta.Snapshot] = {
+    val meta = ops.refresh().map(_._2)
+      .getOrElse(throw new IllegalStateException("no such table"))
+    val start = snapshotId.orElse(meta.currentSnapshotId)
+    snapshotId.foreach(id => require(meta.snapshot(id).isDefined,
+      s"unknown or expired snapshot $id"))
+    Iterator.iterate(start.flatMap(meta.snapshot))(
+        _.flatMap(_.parentId).flatMap(meta.snapshot))
+      .takeWhile(_.isDefined).flatten.toList
+  }
+
+  /** Import EXISTING parquet files into the table as one append commit
+    * without rewriting a byte — Iceberg's `add_files`, the bulk-onboard
+    * path for data produced outside the catalog. Metadata-only and
+    * footer-driven: row counts, sizes, and column bounds come from
+    * parquet footers ([[Writer.collectStats]], parallel, O(files)); the
+    * data itself is never scanned. Files must already live INSIDE the
+    * warehouse (the relative-path invariant is the whole catalog
+    * design — an absolute reference would break warehouse relocation),
+    * and for identity-partitioned tables each file must be
+    * partition-clustered (footer min == max on every partition column —
+    * exactly what any partitioned writer produces); a file spanning
+    * partition values is rejected loudly rather than imported with
+    * wrong pruning metadata. Returns the number of files added.
+    */
+  def addFiles(spark: SparkSession, table: GraftTable, sourceDir: String): Int = {
+    val ops = table.ops
+    require(!sourceDir.startsWith("/") && !sourceDir.contains(":/"),
+      s"source dir must be warehouse-relative: $sourceDir")
+    val meta = ops.refresh().map(_._2)
+      .getOrElse(throw new IllegalStateException("no such table"))
+    val spec = meta.spec
+    val nonIdentity = spec.fields.filterNot(_.transform == "identity")
+    require(nonIdentity.isEmpty,
+      s"add_files supports unpartitioned and identity-partitioned tables; " +
+        s"spec has ${nonIdentity.map(f => s"${f.name}:${f.transform}").mkString(", ")} " +
+        "(derived partition values can't be recovered from column bounds)")
+    val abs = RelPaths.absolutize(ops.warehouse, sourceDir)
+    require(Io.exists(abs), s"source dir not found: $sourceDir")
+    // imported files resolve by NAME through the table's name mapping
+    // (they carry no field ids we can trust — a foreign writer's ids
+    // bind to ITS schema, not ours), so the mapping must still agree
+    // with the current column names; a mapping frozen under pre-rename
+    // names would silently mis-bind files imported NOW
+    val existing = meta.nameMapping
+    if (existing.nonEmpty) {
+      val clash = meta.schema.fields.filter(f => existing.get(f.id).exists(_ != f.name))
+      require(clash.isEmpty,
+        s"name mapping was frozen under different column names " +
+          s"(${clash.map(f => s"${existing(f.id)} -> ${f.name}").mkString(", ")}); " +
+          "files imported now would resolve through the old names")
+    }
+    val schema = graft.meta.TableMeta.schemaToSpark(meta.schema)
+    // the read path resolves imported files by name, so the bound
+    // collector gets the id-LESS spelling (its footer path only uses
+    // names; this keeps the scan fallback consistent too)
+    val schemaNoIds = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val stats = Writer.collectStats(spark, schemaNoIds, ops.warehouse, abs)
+    require(stats.nonEmpty, s"no parquet files under $sourceDir")
+    // a file sharing NO column name with the table would import as
+    // all-NULL rows — catch it loudly (bounds/nullCount keys exist
+    // only for name-matched columns; an all-null-yet-matching file
+    // legitimately has nullCount entries)
+    val blind = stats.filter(f =>
+      f.minBound.isEmpty && f.maxBound.isEmpty && f.nullCount.isEmpty)
+    require(blind.isEmpty,
+      s"${blind.size} file(s) share no column with the table schema, e.g. ${blind.head.path}")
+    // double-import guard: a file the current snapshot already
+    // references would double-count on every scan
+    val current = meta.currentSnapshot
+      .map(s => ops.allFiles(s).map(_.path).toSet).getOrElse(Set.empty)
+    val dup = stats.map(_.path).filter(current)
+    require(dup.isEmpty,
+      s"${dup.size} file(s) already referenced by the current snapshot, e.g. ${dup.head}")
+    val withPart = stats.map { f =>
+      val pvals = spec.fields.map { pf =>
+        (f.minBound.get(pf.name), f.maxBound.get(pf.name)) match {
+          case (Some(mn), Some(mx)) if mn == mx => pf.name -> mn
+          case (mn, mx) => throw new IllegalArgumentException(
+            s"file ${f.path} is not clustered on partition column '${pf.name}' " +
+              s"(footer bounds min=$mn max=$mx); split it by partition before add_files")
+        }
+      }.toMap
+      f.copy(partition = pvals, nameMapped = Some(true))
+    }
+    Writer.commitSnapshot(table, withPart, overwrite = false,
+      operation = "append", carryover = Nil,
+      extraSummary = Map(
+        "added-files" -> stats.size.toString,
+        "added-files-source" -> sourceDir),
+      // freeze the fallback name mapping in the SAME commit the first
+      // import lands (id -> import-time name): later renames stay
+      // metadata-only for imported files too
+      metaTransform = { base =>
+        if (base.properties.contains(graft.meta.TableMeta.NameMappingKey)) base
+        else base.copy(properties = base.properties +
+          (graft.meta.TableMeta.NameMappingKey ->
+            graft.meta.TableMeta.nameMappingToJson(base.schema)))
+      })
+    stats.size
   }
 }

@@ -37,6 +37,58 @@ object Mor {
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
+  /** Read committed DATA files with id-based column resolution,
+    * honoring the per-file name-mapping flag: a file imported by
+    * `add_files` carries NO parquet field ids and resolves through the
+    * table's frozen name mapping ([[graft.meta.TableMeta.NameMappingKey]])
+    * instead — each field id reads the column NAME the file was
+    * imported under, then aliases back to the current schema name, so
+    * post-import renames stay metadata-only for imported files too.
+    * Native files keep strict id resolution (a dropped-and-re-added
+    * name must read NULL, never resurrect stale values).
+    *
+    * The plan is at most a 2-way union (one scan per resolution mode,
+    * never per-file), and the no-imports common case is the IDENTICAL
+    * single scan as before. `perRead` runs on each underlying
+    * file-source relation BEFORE the union — where `_metadata`-derived
+    * annotations ([[withPositions]]) must attach.
+    */
+  def readData(spark: SparkSession, warehouse: String, schema: StructType,
+      files: Seq[DataFile], mapping: Map[Int, String] = Map.empty,
+      perRead: DataFrame => DataFrame = identity): DataFrame = {
+    val (mapped, idful) = files.partition(_.nameMapped.contains(true))
+    def absOf(fs: Seq[DataFile]) = fs.map(f => RelPaths.absolutize(warehouse, f.path))
+    val idRead =
+      if (idful.isEmpty) None
+      else Some(perRead(spark.read.schema(schema).parquet(absOf(idful): _*)))
+    val nmRead =
+      if (mapped.isEmpty) None
+      else Some {
+        val importNames = schema.fields.map { f =>
+          val id = if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
+            f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt else -1
+          mapping.getOrElse(id, f.name)
+        }
+        val readSchema = StructType(schema.fields.zip(importNames).map {
+          case (f, n) => StructField(n, f.dataType, nullable = true,
+            new MetadataBuilder().withMetadata(f.metadata)
+              .remove(graft.meta.TableMeta.FieldIdKey).build())
+        })
+        val raw = perRead(spark.read.schema(readSchema).parquet(absOf(mapped): _*))
+        val extra = raw.columns.filterNot(readSchema.fieldNames.contains)
+        raw.select((schema.fields.zip(importNames).map {
+          case (f, n) => col(n).as(f.name) } ++ extra.map(col)).toIndexedSeq: _*)
+      }
+    (idRead, nmRead) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** broadcast the delete side below this many bytes (parquet size —
     * generous because the decoded two-column set stays small) */
   private val BroadcastMaxBytes: Long = 64L << 20
@@ -86,7 +138,11 @@ object Mor {
     * position) as __gf/__gp — materialized BEFORE any join so `_metadata`
     * never needs to resolve through one. */
   def withPositions(data: DataFrame, warehouse: String): DataFrame =
-    data.withColumn("__gf", relFileCol(warehouse))
+    // idempotent: [[readData]] pre-annotates each underlying file
+    // relation (a union can't resolve `_metadata` after the fact), and
+    // delete application must not re-derive over the annotated frame
+    if (data.columns.contains("__gf")) data
+    else data.withColumn("__gf", relFileCol(warehouse))
       .withColumn("__gp", col("_metadata.row_index"))
 
   /** Anti-join a __gf/__gp-annotated frame against the POSITION delete

@@ -200,6 +200,93 @@ object Procedures {
         row(tbl(cat, args.getUTF8String(0).toString)
           .meta.statistics.map(_.totalRecords).getOrElse(0L))
       }),
+
+    ProcDef("rollback_to_timestamp",
+      Seq(in("tbl", StringType), in("timestamp_ms", LongType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType))),
+      (cat, args) => row(
+        Maintenance.rollbackToTimestamp(
+          tbl(cat, args.getUTF8String(0).toString).ops, args.getLong(1)))),
+
+    // rollbackTo accepts ANY retained snapshot (not just ancestors of
+    // current), which is exactly Iceberg's set_current_snapshot; the
+    // separate name keeps user scripts portable
+    ProcDef("set_current_snapshot",
+      Seq(in("tbl", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType))),
+      (cat, args) => {
+        Maintenance.rollbackTo(tbl(cat, args.getUTF8String(0).toString).ops,
+          args.getLong(1))
+        row(args.getLong(1))
+      }),
+
+    // multi-row output: the lineage chain, newest first
+    // (snapshot_id => 0 means "from the current snapshot")
+    ProcDef("ancestors_of",
+      Seq(in("tbl", StringType), inDefault("snapshot_id", LongType, "0")),
+      StructType(Seq(
+        StructField("snapshot_id", LongType),
+        StructField("parent_id", LongType),
+        StructField("timestamp_ms", LongType),
+        StructField("operation", StringType),
+        StructField("data_files", IntegerType))),
+      (cat, args) => {
+        val sid = Some(args.getLong(1)).filter(_ != 0L)
+        Maintenance.ancestorsOf(
+            tbl(cat, args.getUTF8String(0).toString).ops, sid).map { s =>
+          new GenericInternalRow(Array[Any](
+            s.snapshotId, s.parentId.map(Long.box).orNull, s.timestampMs,
+            UTF8String.fromString(s.operation), s.dataFileCount))
+        }
+      }),
+
+    ProcDef("add_files",
+      Seq(in("tbl", StringType), in("source_dir", StringType)),
+      StructType(Seq(StructField("added_files", IntegerType),
+        StructField("table_files", IntegerType))),
+      (cat, args) => {
+        val added = Maintenance.addFiles(SparkSession.active,
+          tbl(cat, args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString)
+        row(added, tbl(cat, args.getUTF8String(0).toString)
+          .readSnapshot.map(_.dataFileCount).getOrElse(0))
+      }),
+
+    ProcDef("register_table",
+      Seq(in("tbl", StringType), in("metadata_location", StringType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType),
+        StructField("total_data_files", IntegerType))),
+      (cat, args) => cat match {
+        case j: JdbcRelativeCatalog =>
+          val parts = args.getUTF8String(0).toString.split('.')
+          val t = j.registerTable(Identifier.of(parts.init, parts.last),
+            args.getUTF8String(1).toString)
+          row(t.meta.currentSnapshotId.getOrElse(-1L),
+            t.readSnapshot.map(_.dataFileCount).getOrElse(0))
+        case _ => throw new UnsupportedOperationException(
+          "register_table applies to the JDBC catalog (a path-based " +
+            "catalog locates tables by directory; an on-disk table under " +
+            "the warehouse root IS registered)")
+      }),
+
+    // temp-view wrapper over the `t$changes` CDC source — Iceberg's
+    // create_changelog_view; downstream SQL then reads the view like a
+    // table (per-commit insert/delete rows with _change_type/_change_ordinal)
+    ProcDef("create_changelog_view",
+      Seq(in("tbl", StringType), inDefault("view_name", StringType, "'changes_view'"),
+        inDefault("start_snapshot_id", LongType, "1")),
+      StructType(Seq(StructField("view_name", StringType))),
+      (cat, args) => {
+        val t = args.getUTF8String(0).toString
+        val view = args.getUTF8String(1).toString
+        val parts = t.split('.')
+        val qualified = (cat.name() +: parts.init :+ s"`${parts.last}$$changes`").mkString(".")
+        SparkSession.active.read
+          .option("start-snapshot-id", args.getLong(2).toString)
+          .table(qualified)
+          .createOrReplaceTempView(view)
+        row(UTF8String.fromString(view))
+      }),
   )
 
   def names: Seq[String] = defs.map(_.name)

@@ -105,16 +105,20 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
       v1.forall(FilePruning.keepFile(f, _)))
     op.carryover = untouched
     val deletes = snap.map(_.deleteFiles).getOrElse(Nil)
-    if (op.useFileGroups && deletes.isEmpty)
+    // add_files imports (no parquet field ids) can't go through the
+    // raw-path delegate below — it reads with the id-annotated schema;
+    // they take the scratch-materialize route with everything else
+    val hasMapped = affected.exists(_.nameMapped.contains(true))
+    if (op.useFileGroups && deletes.isEmpty && !hasMapped)
       return new FileGroupScan(table, options, required, affected, untouched, op)
-    if (deletes.isEmpty) {
+    if (deletes.isEmpty && !hasMapped) {
       val rtCols = RowLevelScanBuilder.runtimeFilterCols(table, affected)
       if (rtCols.nonEmpty)
         return new GroupFilterScan(table, options, required, affected, untouched, rtCols, op)
     }
     val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val paths =
-      if (deletes.isEmpty) affectedAbs
+      if (deletes.isEmpty && !hasMapped) affectedAbs
       else {
         // merge-on-read table: the rewrite must not resurrect deleted
         // rows, but the row-level planner can't serve a V1 fallback
@@ -124,9 +128,18 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
         // vectorized delegate. Cost is one extra copy of the AFFECTED
         // files only (the carryover majority is untouched).
         val scratch = Files.createTempDirectory("graft_mor_rewrite")
+        val sch = table.schema()
         Mor.applyDeletes(spark,
-            spark.read.schema(table.schema()).parquet(affectedAbs: _*),
+            Mor.readData(spark, table.ops.warehouse, sch, affected,
+              table.meta.nameMapping,
+              if (deletes.nonEmpty) Mor.withPositions(_, table.ops.warehouse)
+              else identity),
             table.ops.warehouse, deletes, affected)
+          // re-stamp field-id metadata (a name-mapped read strips it)
+          // so the scratch files resolve by id like any native file
+          .select(sch.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata))
+            .toIndexedSeq: _*)
           .write.mode("overwrite").parquet(scratch.toString)
         Seq(scratch.toString)
       }

@@ -60,7 +60,11 @@ final case class DataFile(
     // ABSENT from the map is "unknown" (old metadata / footer didn't
     // say), never "zero" — consumers needing a no-nulls proof (runtime
     // group filtering) must see an explicit 0
-    nullCount: Map[String, Long] = Map.empty)
+    nullCount: Map[String, Long] = Map.empty,
+    // Some(true) = the file carries NO parquet field ids (add_files
+    // import) and resolves via the table's name mapping
+    // (`schema.name-mapping.default`), not by id — see [[Mor.readData]]
+    nameMapped: Option[Boolean] = None)
 
 /** An immutable spilled chunk of a snapshot's file list (the analog
   * of the reference's manifest indirection, README.md:96): `path` is a
@@ -228,6 +232,9 @@ final case class TableMeta(
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  /** Parsed fallback name mapping — see [[TableMeta.NameMappingKey]]. */
+  def nameMapping: Map[Int, String] = TableMeta.nameMappingFromProps(properties)
 }
 
 object TableMeta {
@@ -243,6 +250,28 @@ object TableMeta {
 
   def manifestFromJson(s: String): List[DataFile] =
     JsonMethods.parse(s).extract[List[DataFile]]
+
+  /** Iceberg-style fallback NAME MAPPING (table property
+    * `schema.name-mapping.default`, spec format: JSON list of
+    * `{"field-id": n, "names": [...]}`): how files WITHOUT parquet
+    * field ids — `add_files` imports — resolve columns. The mapping
+    * binds each field ID to the column name the file was imported
+    * under, so a later schema RENAME never orphans imported files
+    * (they keep resolving through the frozen import-time names), and
+    * a column added after import correctly reads NULL from them.
+    */
+  val NameMappingKey = "schema.name-mapping.default"
+
+  final case class NameMapEntry(`field-id`: Int, names: List[String])
+
+  def nameMappingToJson(s: SchemaDef): String =
+    Serialization.write(s.fields.map(f => NameMapEntry(f.id, List(f.name))))
+
+  def nameMappingFromProps(props: Map[String, String]): Map[Int, String] =
+    props.get(NameMappingKey).map { js =>
+      JsonMethods.parse(js).extract[List[NameMapEntry]]
+        .flatMap(e => e.names.headOption.map(e.`field-id` -> _)).toMap
+    }.getOrElse(Map.empty)
 
   /** Manifest-LIST side file body: the chunk STAMPS of one snapshot
     * (see [[Snapshot.manifestList]]), not the file records. */
