@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** A `snapshot`-procedure copy references files under ANOTHER
+    * table's directory; expiring its lineage could physically delete
+    * files the source still needs — Iceberg's `gc.enabled=false`
+    * refusal, checked at every expiry entry point. */
+  private def requireGcEnabled(meta: graft.meta.TableMeta): Unit =
+    require(!meta.properties.get("gc.enabled").contains("false"),
+      "gc.enabled=false on this table (a zero-copy `snapshot` of another " +
+        "table): snapshot expiry could delete files the source still " +
+        "references — drop the table instead, or flip gc.enabled after " +
+        "compacting it onto its own files")
+
   /** Drop all but the newest `keepLast` snapshots, then delete data
     * files that no surviving snapshot references. Returns the number
     * of files deleted. Metadata-only commit + physical delete AFTER
@@ -23,6 +34,7 @@ object Maintenance {
       attempts += 1
       val (v, meta) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
+      requireGcEnabled(meta)
       // ref-pinned snapshots (tags/branches) are never expired
       val pinned = meta.refs.values.map(_.snapshotId).toSet
       val kept = (meta.snapshots.sortBy(_.sequenceNumber).takeRight(keepLast) ++
@@ -549,6 +561,7 @@ object Maintenance {
       attempts += 1
       val (v, meta) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
+      requireGcEnabled(meta)
       val pinned = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId
       val kept = meta.snapshots.filter(s =>
         s.timestampMs >= olderThanMs || pinned(s.snapshotId))

@@ -269,6 +269,22 @@ object Procedures {
             "the warehouse root IS registered)")
       }),
 
+    // zero-copy dev copy — Iceberg's `snapshot` procedure: a new
+    // independent table referencing the source's current files in
+    // place (gc.enabled=false guards expiry on the copy)
+    ProcDef("snapshot",
+      Seq(in("source_tbl", StringType), in("tbl", StringType)),
+      StructType(Seq(StructField("current_snapshot_id", LongType),
+        StructField("total_data_files", IntegerType))),
+      (cat, args) => {
+        val sp = args.getUTF8String(0).toString.split('.')
+        val dp = args.getUTF8String(1).toString.split('.')
+        val t = cat.snapshotTable(Identifier.of(sp.init, sp.last),
+          Identifier.of(dp.init, dp.last))
+        row(t.meta.currentSnapshotId.getOrElse(-1L),
+          t.readSnapshot.map(_.dataFileCount).getOrElse(0))
+      }),
+
     // temp-view wrapper over the `t$changes` CDC source — Iceberg's
     // create_changelog_view; downstream SQL then reads the view like a
     // table (per-commit insert/delete rows with _change_type/_change_ordinal)

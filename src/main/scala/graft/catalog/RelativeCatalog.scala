@@ -519,6 +519,55 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
       metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = remap(e.metadataFile)))))
   }
 
+  /** Iceberg's `snapshot` procedure: a zero-copy "dev copy" — a NEW
+    * independent table whose initial snapshot references the SOURCE's
+    * current data (and live delete) files in place. One metadata
+    * commit, no data bytes move; writes to either table never affect
+    * the other (new files land under each table's own directory).
+    * Field ids, partition spec, sort order, and sequence numbers are
+    * preserved verbatim — shared files resolve by the same ids, and
+    * carried MOR deletes keep their strictly-older scoping. The copy
+    * gets `gc.enabled=false` (Iceberg's guard): snapshot EXPIRY on it
+    * is refused, because expiring its lineage could physically delete
+    * files the source still references. Plain DROP stays safe in this
+    * layout — purge removes only the table's OWN directory, and the
+    * shared files live under the source's.
+    */
+  def snapshotTable(src: Identifier, dest: Identifier): GraftTable = {
+    if (tableExists(dest)) throw new TableAlreadyExistsException(dest)
+    if (dest.namespace().nonEmpty && !namespaceExists(dest.namespace()))
+      throw new NoSuchNamespaceException(dest.namespace())
+    val s = loadTable(src).asInstanceOf[GraftTable]
+    val (_, sm) = s.ops.refresh().getOrElse(throw new NoSuchTableException(src))
+    val cur = sm.currentSnapshot
+    val files = cur.map(s.ops.allFiles).getOrElse(Nil)
+    val now = System.currentTimeMillis()
+    val sid = now * 1000 + scala.util.Random.nextInt(1000)
+    val snap = cur.map(c => graft.meta.Snapshot(
+      snapshotId = sid, parentId = None,
+      sequenceNumber = sm.lastSequenceNumber, timestampMs = now,
+      operation = "append",
+      summary = Map(
+        "snapshot-source" -> s"${src.namespace().mkString(".")}.${src.name()}",
+        "total-records" -> files.map(_.records).sum.toString,
+        "total-data-files" -> files.size.toString),
+      files = files, deleteFiles = c.deleteFiles,
+      schemaId = Some(sm.currentSchemaId)))
+    val destMeta = sm.copy(
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = tableLocation(dest),
+      lastUpdatedMs = now,
+      properties = sm.properties + ("gc.enabled" -> "false"),
+      currentSnapshotId = snap.map(_ => sid),
+      snapshots = snap.toList,
+      snapshotLog = snap.map(_ => graft.meta.SnapshotLogEntry(now, sid)).toList,
+      metadataLog = Nil,
+      refs = snap.map(_ => "main" -> graft.meta.Ref(sid, "branch")).toMap,
+      statistics = None)
+    opsFor(dest).commit(0, destMeta)
+    loadTable(dest).asInstanceOf[GraftTable]
+  }
+
   // ---- views (C10, path-based analog of the JDBC catalog's view
   // records, JdbcRelativeCatalog.java:157-201,476-547) ---------------
 

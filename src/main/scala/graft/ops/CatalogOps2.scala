@@ -173,6 +173,31 @@ object CatalogOps2 extends Pack {
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin)),
 
+    // snapshot: the zero-copy dev copy. The copy diverges (an extra
+    // insert lands only in it) and the SOURCE must read back
+    // byte-identical — the isolation contract a team cloning a 100 TB
+    // table for experiments actually depends on (no bytes copied:
+    // the copy's initial snapshot references the source's files).
+    Decl("q_cat_snapshot", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_snp")
+      spark.sql(s"CREATE TABLE $c.demo_snp.src (p_partkey BIGINT, p_retailprice DOUBLE)")
+      Tables(spark, dir, "part").createOrReplaceTempView("part_src")
+      spark.sql(s"INSERT INTO $c.demo_snp.src SELECT p_partkey, p_retailprice FROM part_src")
+      spark.sql(s"CALL $c.system.snapshot(source_tbl => 'demo_snp.src', tbl => 'demo_snp.dev')")
+      // the copy diverges; the source must not see it
+      spark.sql(s"INSERT INTO $c.demo_snp.dev SELECT p_partkey + 5000000, 1.0 FROM part_src WHERE p_partkey % 100 = 0")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM $c.demo_snp.src) AS src_n,
+           |  (SELECT D4SUM(p_retailprice) FROM $c.demo_snp.src) AS src_total,
+           |  (SELECT COUNT(*) FROM $c.demo_snp.dev) AS dev_n""".stripMargin))
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM part) AS src_n,
+        |  (SELECT D4SUM(p_retailprice) FROM part) AS src_total,
+        |  (SELECT COUNT(*) + COUNT(*) FILTER (WHERE p_partkey % 100 = 0) FROM part) AS dev_n""".stripMargin)),
+
     // create_changelog_view: the CDC read packaged as a named view so
     // downstream SQL (audits, incremental syncs) can query per-commit
     // insert/delete rows without knowing the `t$changes` spelling.

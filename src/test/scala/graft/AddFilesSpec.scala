@@ -193,6 +193,37 @@ class AddFilesSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot: zero-copy copy diverges independently, carries MOR deletes, refuses expiry, drops safely") {
+    freshWh("tcSnp")
+    spark.sql("CREATE NAMESPACE tcSnp.s")
+    spark.sql("CREATE TABLE tcSnp.s.src (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO tcSnp.s.src SELECT id FROM range(0, 10)")
+    spark.sql("DELETE FROM tcSnp.s.src WHERE id >= 8") // MOR delete files
+    assert(gt("tcSnp", "s", "src").readSnapshot.get.deleteFiles.nonEmpty)
+    spark.sql("CALL tcSnp.system.snapshot(source_tbl => 's.src', tbl => 's.dev')")
+    // the copy sees the delete-applied state without copying a byte
+    assert(spark.sql("SELECT COUNT(*), SUM(id) FROM tcSnp.s.dev").collect()(0)
+      .toSeq == Seq(8L, 28L))
+    assert(gt("tcSnp", "s", "dev").meta.properties.get("gc.enabled").contains("false"))
+    // divergence is two-way invisible
+    spark.sql("INSERT INTO tcSnp.s.dev VALUES (100)")
+    spark.sql("DELETE FROM tcSnp.s.src WHERE id = 0")
+    assert(spark.sql("SELECT COUNT(*) FROM tcSnp.s.dev").collect()(0).getLong(0) == 9)
+    assert(spark.sql("SELECT COUNT(*) FROM tcSnp.s.src").collect()(0).getLong(0) == 7)
+    // expiry on the copy is refused (it could delete the source's files)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.expireSnapshots(gt("tcSnp", "s", "dev").ops, keepLast = 1)
+    }
+    assert(e.getMessage.contains("gc.enabled"))
+    intercept[IllegalArgumentException] {
+      Maintenance.expireOlderThan(gt("tcSnp", "s", "dev").ops, System.currentTimeMillis())
+    }
+    // dropping the copy removes only ITS directory; the source reads on
+    spark.sql("DROP TABLE tcSnp.s.dev")
+    assert(spark.sql("SELECT COUNT(*) FROM tcSnp.s.src").collect()(0).getLong(0) == 7)
+  }
+
   test("rollback_to_timestamp resolves through the snapshot log; ancestors_of rejects unknown ids") {
     val wh = freshWh("tcRts")
     spark.sql("CREATE NAMESPACE tcRts.r")
