@@ -54,7 +54,8 @@ class GraftTable(
     * to. */
   override def truncateTable(): Boolean = {
     Writer.commitSnapshot(this, Nil, overwrite = true,
-      operation = "overwrite", carryover = Nil)
+      operation = "overwrite", carryover = Nil,
+      wapId = Writer.sessionWapId(meta))
     true
   }
 
@@ -249,7 +250,8 @@ class GraftTable(
         .filter(_.records > 0)
         .map(_.copy(content = Some("equality"), equalityIds = Some(ids)))
       try Writer.commitSnapshot(this, Nil, overwrite = false,
-        operation = "delete", carryover = Nil, newDeletes = delFiles)
+        operation = "delete", carryover = Nil, newDeletes = delFiles,
+        wapId = Writer.sessionWapId(meta))
       catch {
         case e: Throwable =>
           Io.deleteRecursiveQuietly(stagingAbs)
@@ -286,7 +288,8 @@ class GraftTable(
       }
       try Writer.commitSnapshot(this, Nil, overwrite = false,
         operation = "delete", carryover = Nil,
-        newDeletes = delFiles, mustExist = affected.map(_.path).toSet)
+        newDeletes = delFiles, mustExist = affected.map(_.path).toSet,
+        wapId = Writer.sessionWapId(meta))
       catch {
         case e: Throwable =>
           Io.deleteRecursiveQuietly(stagingAbs)
@@ -305,7 +308,8 @@ class GraftTable(
         .filter(!coalesce(cond, lit(false)))
       Writer.append(this, remaining, overwrite = true,
         operation = "delete", carryover = untouched,
-        validateFrom = Some(snap.map(_.snapshotId)))
+        validateFrom = Some(snap.map(_.snapshotId)),
+        wapId = Writer.sessionWapId(meta))
     }
   }
 }
@@ -371,7 +375,8 @@ object GraftTable {
         keep.unionByName(aligned)
       }
     Writer.append(table, combined, overwrite = true, operation = "overwrite",
-      carryover = untouched, validateFrom = Some(snap.map(_.snapshotId)))
+      carryover = untouched, validateFrom = Some(snap.map(_.snapshotId)),
+      wapId = Writer.sessionWapId(table.meta))
   }
 
 }
@@ -688,9 +693,11 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     case _ => new V1Write {
       override def toInsertableRelation: InsertableRelation =
         (data: DataFrame, _: Boolean) => mode match {
-          case TruncateMode => Writer.append(table, data, overwrite = true)
+          case TruncateMode => Writer.append(table, data, overwrite = true,
+            wapId = Writer.sessionWapId(table.meta))
           case FilterMode(filters) => GraftTable.overwriteByFilter(table, data, filters)
-          case _ => Writer.append(table, data, overwrite = false)
+          case _ => Writer.append(table, data, overwrite = false,
+            wapId = Writer.sessionWapId(table.meta))
         }
 
       // writeStream.toTable: one OCC append per epoch, exactly-once via
@@ -763,7 +770,8 @@ class GraftDynamicOverwriteWrite(val table: GraftTable, rowSchema: StructType)
       }
     try Writer.commitSnapshot(table, newFiles, overwrite = true,
       operation = "overwrite", carryover = carryover,
-      validateFrom = Some(snap.map(_.snapshotId)))
+      validateFrom = Some(snap.map(_.snapshotId)),
+      wapId = Writer.sessionWapId(table.meta))
     catch { case e: Throwable => fail(e) }
   }
 

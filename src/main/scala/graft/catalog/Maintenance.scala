@@ -262,7 +262,8 @@ object Maintenance {
     * replace) have no position-independent row interpretation on a
     * moved base and are rejected.
     */
-  def cherryPick(table: GraftTable, snapshotId: Long): Unit = {
+  def cherryPick(table: GraftTable, snapshotId: Long,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     // Work from a fresh refresh, not the possibly stale table.meta —
     // and re-verify inside the OCC loop (metaTransform runs per
     // attempt on the refreshed base) so a racing commit that lands the
@@ -279,7 +280,8 @@ object Maintenance {
     val addedPaths = added.map(_.path).toSet
     Writer.commitSnapshot(table, added.map(_.copy(seq = None)),
       overwrite = false, operation = "append", carryover = Nil,
-      extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString),
+      extraSummary = Map("cherry-picked-snapshot-id" -> snapshotId.toString) ++
+        extraSummary,
       metaTransform = { base =>
         val current = base.currentSnapshot
           .map(s => table.ops.allFiles(s).map(_.path).toSet)
@@ -290,6 +292,76 @@ object Maintenance {
           s"(${dup.size} of its files present, e.g. ${dup.head})")
         base
       })
+  }
+
+  /** Publish the snapshot STAGED under `wapId` — Iceberg's
+    * `publish_changes`, the id-keyed half of write-audit-publish:
+    * writes made with `spark.wap.id` set (on a `write.wap.enabled`
+    * table) commit staged — in the snapshot set, auditable via
+    * `VERSION AS OF`, invisible to every table/stream/$changes reader
+    * — until this call moves the table onto them. Publishing is
+    *  - a metadata-only set-current when main hasn't moved since the
+    *    stage (parent == current): ANY staged operation (append,
+    *    overwrite, delete, merge) publishes this way, because the
+    *    staged snapshot was computed against exactly this base;
+    *  - a cherry-pick re-append when main HAS moved — append snapshots
+    *    only (a staged overwrite/delete has no position-independent
+    *    interpretation on a moved base: refused, like Iceberg).
+    * A wap id already on main lineage (as `wap.id` or
+    * `published-wap-id`) is refused — publish is exactly-once.
+    * Returns the snapshot id the table lands on.
+    */
+  def publishChanges(table: GraftTable, wapId: String): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (v, meta) = table.ops.refresh()
+        .getOrElse(throw new IllegalStateException("no such table"))
+      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+      val lineage = {
+        val b = List.newBuilder[graft.meta.Snapshot]
+        val seen = scala.collection.mutable.Set.empty[Long]
+        var cur = meta.currentSnapshotId.flatMap(byId.get)
+        while (cur.isDefined && seen.add(cur.get.snapshotId)) {
+          b += cur.get
+          cur = cur.get.parentId.flatMap(byId.get)
+        }
+        b.result()
+      }
+      require(!lineage.exists(s => s.summary.get("wap.id").contains(wapId) ||
+          s.summary.get("published-wap-id").contains(wapId)),
+        s"wap.id '$wapId' is already published")
+      val staged = meta.snapshots.filter(_.summary.get("wap.id").contains(wapId))
+      require(staged.nonEmpty, s"no snapshot staged with wap.id '$wapId'")
+      require(staged.size == 1,
+        s"wap.id '$wapId' is ambiguous: ${staged.size} staged snapshots carry it")
+      val s = staged.head
+      if (s.parentId == meta.currentSnapshotId) {
+        val now = System.currentTimeMillis()
+        try {
+          table.ops.commit(v, meta.copy(
+            lastUpdatedMs = now,
+            currentSnapshotId = Some(s.snapshotId),
+            snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, s.snapshotId),
+            refs = meta.refs + ("main" -> graft.meta.Ref(s.snapshotId, "branch"))))
+          return s.snapshotId
+        } catch {
+          // main may have moved mid-publish: refresh and re-evaluate
+          // (the re-check may switch to the cherry-pick path)
+          case _: CommitFailedException if attempts < 10 =>
+        }
+      } else {
+        require(s.operation == "append",
+          s"staged snapshot ${s.snapshotId} is '${s.operation}' and main has " +
+            "moved since the stage; only append snapshots can be published " +
+            "onto a moved base")
+        cherryPick(table, s.snapshotId,
+          extraSummary = Map("published-wap-id" -> wapId))
+        return table.ops.refresh().flatMap(_._2.currentSnapshotId)
+          .getOrElse(s.snapshotId)
+      }
+    }
+    throw new CommitFailedException("publishChanges: commit retries exhausted")
   }
 
   /** Compute table-level statistics (ref README.md:99-100 `statistics`

@@ -118,6 +118,22 @@ object Procedures {
           .meta.currentSnapshotId.getOrElse(-1L))
       }),
 
+    // write-audit-publish by id: writes staged under spark.wap.id
+    // (write.wap.enabled tables) become the table state exactly once
+    ProcDef("publish_changes",
+      Seq(in("tbl", StringType), in("wap_id", StringType)),
+      StructType(Seq(StructField("published_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      (cat, args) => {
+        val t = tbl(cat, args.getUTF8String(0).toString)
+        val wapId = args.getUTF8String(1).toString
+        val staged = t.meta.snapshots
+          .find(_.summary.get("wap.id").contains(wapId))
+          .map(_.snapshotId).getOrElse(-1L)
+        val cur = Maintenance.publishChanges(t, wapId)
+        row(staged, cur)
+      }),
+
     ProcDef("create_ref",
       Seq(in("tbl", StringType), in("ref", StringType),
         inDefault("ref_type", StringType, "'tag'")),

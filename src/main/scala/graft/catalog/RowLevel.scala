@@ -381,7 +381,8 @@ class GraftBatchWrite(val table: GraftTable, operation: String,
     // a conflicted commit must not leak the staged rewrite as orphans
     try Writer.commitSnapshot(table, newFiles, overwrite = true,
       operation = operation, carryover = carryover(),
-      validateFrom = Some(table.readSnapshot.map(_.snapshotId)))
+      validateFrom = Some(table.readSnapshot.map(_.snapshotId)),
+      wapId = Writer.sessionWapId(table.meta))
     catch {
       case e: Throwable =>
         Io.deleteRecursiveQuietly(stagingAbs)
@@ -708,7 +709,8 @@ class GraftDeltaWrite(val table: GraftTable, operation: String, rowSchema: Struc
         .select("file_path").distinct().collect().map(_.getString(0)).toSet
     try Writer.commitSnapshot(table, newFiles, overwrite = false,
       operation = operation, carryover = Nil,
-      newDeletes = delFiles, mustExist = mustExist)
+      newDeletes = delFiles, mustExist = mustExist,
+      wapId = Writer.sessionWapId(table.meta))
     catch {
       case e: Throwable =>
         Io.deleteRecursiveQuietly(dataAbs)

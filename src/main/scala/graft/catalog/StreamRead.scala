@@ -69,9 +69,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       math.min(meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L), _))
     if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
       return SeqOffset(curSeq)
-    val snaps = meta.snapshots
-      .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= curSeq)
-      .sortBy(_.sequenceNumber)
+    val snaps = lineageWindow(meta, startSeq, curSeq)
     var files = 0L; var rows = 0L; var end = startSeq
     var stop = false
     for (s <- snaps if !stop) {
@@ -96,11 +94,56 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.stripPrefix("{\"seq\":").stripSuffix("}").trim.toLong)
 
+  /** Snapshots in (startSeq, endSeq] that are ON MAIN LINEAGE.
+    * `meta.snapshots` is the table's whole snapshot SET: branch
+    * (write-audit-publish) commits and WAP-staged (`spark.wap.id`)
+    * commits share the table's sequence space WITHOUT being main
+    * history, so the old plain seq-range filter would leak unpublished
+    * audit rows into the stream. Lineage is resolved by walking
+    * `parentId` from the endSeq snapshot (the same rule `$changes`
+    * uses): for a live batch that anchor IS the current head, and for
+    * a checkpoint replay it is the batch's own head — immune to
+    * branch/staging motion that happened since. A parent link into an
+    * expired snapshot with in-range snapshots still unclassified fails
+    * loudly (delivering them might replay someone's audit branch,
+    * skipping them might lose main data): retention must cover
+    * streaming lag, as with any table-tail source. */
+  private def lineageWindow(meta: graft.meta.TableMeta, startSeq: Long,
+      endSeq: Long): List[graft.meta.Snapshot] = {
+    if (endSeq <= startSeq) return Nil
+    val anchor = meta.snapshots.find(_.sequenceNumber == endSeq).getOrElse(
+      throw new IllegalStateException(
+        s"streaming batch end (seq $endSeq) has no retained snapshot; " +
+          "retention must cover streaming lag"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val out = scala.collection.mutable.ListBuffer.empty[graft.meta.Snapshot]
+    var broken = false
+    var cur: Option[graft.meta.Snapshot] = Some(anchor)
+    while (cur.exists(_.sequenceNumber > startSeq)) {
+      val s = cur.get
+      out += s
+      cur = s.parentId match {
+        case None => None
+        case Some(p) => byId.get(p).orElse { broken = true; None }
+      }
+    }
+    val walked = out.map(_.snapshotId).toSet
+    val unclassified = meta.snapshots.filter(s =>
+      s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq &&
+        !walked(s.snapshotId))
+    if (broken && unclassified.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming lineage walk hit an expired parent below seq " +
+          s"${out.last.sequenceNumber} with ${unclassified.size} snapshot(s) " +
+          s"in (${startSeq}, ${endSeq}] unclassified (e.g. " +
+          s"${unclassified.head.snapshotId}): cannot tell main history from " +
+          "unpublished branch/WAP work — retention must cover streaming lag")
+    out.toList.sortBy(_.sequenceNumber)
+  }
+
   private def filesBetween(startSeq: Long, endSeq: Long): Seq[DataFile] = {
     val meta = freshMeta
-    val snaps = meta.snapshots
-      .filter(s => s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq)
-      .sortBy(_.sequenceNumber)
+    val snaps = lineageWindow(meta, startSeq, endSeq)
     val bad = snaps.filter(s => s.operation != "append" && s.operation != "replace")
     if (bad.nonEmpty && !skipNonAppend)
       throw new IllegalStateException(

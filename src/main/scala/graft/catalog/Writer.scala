@@ -96,16 +96,30 @@ object Writer {
       }
     }
 
+  /** Iceberg's write-audit-publish gate: when the table opts in
+    * (`write.wap.enabled=true`) AND the session carries a
+    * `spark.wap.id`, SQL writes commit STAGED snapshots that the table
+    * state doesn't advance to until `CALL system.publish_changes`.
+    * Read at the SQL write paths only — maintenance (compaction,
+    * rewrites, stats) never stages: it moves bytes, not rows, and must
+    * land regardless of a lingering session wap id. */
+  def sessionWapId(meta: TableMeta): Option[String] =
+    if (!meta.properties.get("write.wap.enabled").contains("true")) None
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.wap.id", null)))
+      .map(_.trim).filter(_.nonEmpty)
+
   def append(table: GraftTable, data: DataFrame, overwrite: Boolean,
       operation: String = null, carryover: Seq[graft.meta.DataFile] = Nil,
       branch: Option[String] = None,
       validateFrom: Option[Option[Long]] = None,
-      clearDeletes: Boolean = false): Unit = {
+      clearDeletes: Boolean = false,
+      wapId: Option[String] = None): Unit = {
     val (stagingAbs, newFiles) = stageFiles(table.meta, table.ops.warehouse, data)
     // a conflicted (or retry-exhausted) commit must not leak its staged
     // rewrite output as orphan files
     try commitSnapshot(table, newFiles, overwrite, operation, carryover, branch,
-      validateFrom, clearDeletes = clearDeletes)
+      validateFrom, clearDeletes = clearDeletes, wapId = wapId)
     catch {
       case e: Throwable =>
         Io.deleteRecursiveQuietly(stagingAbs)
@@ -501,7 +515,18 @@ object Writer {
       // uses to swap schema/spec/properties in the SAME commit that
       // replaces the data; may throw CommitConflictException to
       // reject a base that moved incompatibly mid-operation
-      metaTransform: TableMeta => TableMeta = identity): Unit = {
+      metaTransform: TableMeta => TableMeta = identity,
+      // write-audit-publish by id: Some(id) commits the snapshot
+      // STAGED — appended to the snapshot set, stamped `wap.id` in its
+      // summary, chained off the current head — while current/`main`/
+      // the snapshot log stay untouched until CALL
+      // system.publish_changes. Audit reads reach it via
+      // VERSION AS OF <staged id>. Stream/`$changes`/incremental reads
+      // never see it: they resolve main history by parentId lineage.
+      wapId: Option[String] = None): Unit = {
+    require(branch.isEmpty || wapId.isEmpty,
+      "spark.wap.id staging and an explicit branch write don't compose: " +
+        "pick one (wap.id stages refless; a branch write IS the audit ref)")
     var attempts = 0
     var done = false
     while (!done) {
@@ -637,7 +662,8 @@ object Writer {
           "total-position-deletes" -> posDel.map(_.records).sum.toString,
           "total-equality-deletes" -> eqDel.map(_.records).sum.toString,
           "total-records" -> (prevRecords + addedRecords).toString,
-          "total-data-files" -> (prevCount + newFiles.size).toString) ++ extraSummary,
+          "total-data-files" -> (prevCount + newFiles.size).toString) ++
+          extraSummary ++ wapId.map("wap.id" -> _),
         files = inlineTail,
         deleteFiles = allStampedDeletes,
         // the post-transform schema: an RTAS snapshot is written under
@@ -653,7 +679,18 @@ object Writer {
         deleteManifests =
           if (prevDeletes.nonEmpty) baseSnap.map(_.deleteManifests).getOrElse(Nil)
           else Nil)
-      val next = branch match {
+      val next = if (wapId.isDefined)
+        // staged (write-audit-publish): the snapshot joins the set and
+        // consumes a sequence number, but nothing points at it yet —
+        // readers of the table, the stream, and $changes are untouched
+        // until publish_changes cherry-picks/fast-forwards it
+        xBase.copy(
+          lastSequenceNumber = snap.sequenceNumber,
+          lastUpdatedMs = now,
+          snapshots = baseMeta.snapshots :+ snap,
+          metadataLog = baseMeta.metadataLog :+
+            MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"))
+      else branch match {
         case Some(b) => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,
           lastUpdatedMs = now,

@@ -1,0 +1,179 @@
+package graft
+
+import graft.catalog.Maintenance
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish by id (Iceberg's `spark.wap.id` +
+  * `publish_changes`) and the streaming-lineage guarantee it depends
+  * on: snapshots outside main lineage (branch writes, WAP stages)
+  * share the table's sequence space but must never reach a main-table
+  * reader — batch, stream, or `$changes` — until published.
+  */
+class WapSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshWh(name: String): String = {
+    val wh = s"/tmp/graft_test_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  private def gt(cat: String, ns: String, t: String): graft.catalog.GraftTable =
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+      .loadTable(Identifier.of(Array(ns), t))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+  private def count(t: String): Long =
+    spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0)
+
+  test("wap.id staging: invisible until publish; auditable by VERSION AS OF; publish exactly-once") {
+    freshWh("tcWapA")
+    spark.sql("CREATE NAMESPACE tcWapA.w")
+    spark.sql("CREATE TABLE tcWapA.w.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO tcWapA.w.t SELECT id FROM range(50)")
+
+    spark.conf.set("spark.wap.id", "audit-1")
+    try {
+      spark.sql("INSERT INTO tcWapA.w.t SELECT id FROM range(50, 80)")
+    } finally spark.conf.unset("spark.wap.id")
+
+    // staged: the table (and its history log) did not move
+    assert(count("tcWapA.w.t") == 50, "staged write leaked into the table")
+    val meta = gt("tcWapA", "w", "t").meta
+    val staged = meta.snapshots.filter(_.summary.get("wap.id").contains("audit-1"))
+    assert(staged.size == 1 && meta.currentSnapshotId != Some(staged.head.snapshotId))
+    assert(meta.snapshotLog.size == 1, "staging must not enter the snapshot log")
+    // ...but the auditor can read it by id
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM tcWapA.w.t VERSION AS OF ${staged.head.snapshotId}")
+      .collect()(0).getLong(0) == 80)
+    // and CDC (changes strictly after the first commit) sees only
+    // main history: nothing until the publish
+    val firstSnap = meta.snapshots.minBy(_.sequenceNumber).snapshotId
+    def changes(): Long = spark.read.option("start-snapshot-id", firstSnap)
+      .table("tcWapA.w.`t$changes`").count()
+    assert(changes() == 0, "a staged snapshot leaked into $changes")
+
+    // fast publish: main unmoved -> metadata-only set-current
+    val out = spark.sql(
+      "CALL tcWapA.system.publish_changes(tbl => 'w.t', wap_id => 'audit-1')")
+      .collect()(0)
+    assert(out.getLong(0) == staged.head.snapshotId &&
+      out.getLong(1) == staged.head.snapshotId)
+    assert(count("tcWapA.w.t") == 80)
+    assert(changes() == 30)
+
+    // exactly-once: a second publish of the same id is refused
+    val e = intercept[Exception] {
+      spark.sql("CALL tcWapA.system.publish_changes(tbl => 'w.t', wap_id => 'audit-1')")
+        .collect()
+    }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL tcWapA.system.publish_changes(tbl => 'w.t', wap_id => 'nope')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("no snapshot staged"), e2.getMessage)
+
+    // without write.wap.enabled the session wap id is inert
+    spark.sql("CREATE TABLE tcWapA.w.plain (id BIGINT)")
+    spark.conf.set("spark.wap.id", "audit-2")
+    try spark.sql("INSERT INTO tcWapA.w.plain SELECT id FROM range(7)")
+    finally spark.conf.unset("spark.wap.id")
+    assert(count("tcWapA.w.plain") == 7)
+  }
+
+  test("publish onto a moved main: appends cherry-pick, row-level stages are refused") {
+    freshWh("tcWapB")
+    spark.sql("CREATE NAMESPACE tcWapB.w")
+    spark.sql("CREATE TABLE tcWapB.w.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO tcWapB.w.t SELECT id FROM range(50)")
+
+    // stage an append AND a row-level delete under two wap ids
+    spark.conf.set("spark.wap.id", "addA")
+    try spark.sql("INSERT INTO tcWapB.w.t SELECT id FROM range(100, 110)")
+    finally spark.conf.unset("spark.wap.id")
+    spark.conf.set("spark.wap.id", "delB")
+    try spark.sql("DELETE FROM tcWapB.w.t WHERE id < 10")
+    finally spark.conf.unset("spark.wap.id")
+    assert(count("tcWapB.w.t") == 50)
+
+    // main moves past both stages
+    spark.sql("INSERT INTO tcWapB.w.t SELECT id FROM range(50, 60)")
+    assert(count("tcWapB.w.t") == 60)
+
+    // the staged APPEND publishes via cherry-pick re-append
+    spark.sql("CALL tcWapB.system.publish_changes(tbl => 'w.t', wap_id => 'addA')")
+      .collect()
+    assert(count("tcWapB.w.t") == 70)
+    val head = gt("tcWapB", "w", "t").readSnapshot.get
+    assert(head.summary.get("published-wap-id").contains("addA"))
+    assert(head.summary.contains("cherry-picked-snapshot-id"))
+    // exactly-once holds across the cherry-pick spelling too
+    val e0 = intercept[Exception] {
+      spark.sql("CALL tcWapB.system.publish_changes(tbl => 'w.t', wap_id => 'addA')")
+        .collect()
+    }
+    assert(e0.getMessage.contains("already published"), e0.getMessage)
+
+    // the staged DELETE has no position-independent meaning on the
+    // moved base: refused loudly, never silently misapplied
+    val e = intercept[Exception] {
+      spark.sql("CALL tcWapB.system.publish_changes(tbl => 'w.t', wap_id => 'delB')")
+        .collect()
+    }
+    assert(e.getMessage.contains("only append snapshots"), e.getMessage)
+    assert(count("tcWapB.w.t") == 70)
+  }
+
+  test("streaming tail never delivers branch or WAP-staged snapshots until published") {
+    freshWh("tcWapC")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcWapC.w")
+    spark.sql("CREATE TABLE tcWapC.w.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO tcWapC.w.t SELECT id FROM range(50)")
+
+    val q = spark.readStream.table("tcWapC.w.t")
+      .writeStream.format("memory").queryName("wap_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").count() == 50)
+
+      // off-lineage commits: an audit branch and a WAP stage — both
+      // consume sequence numbers without touching main
+      Maintenance.appendToBranch(gt("tcWapC", "w", "t"),
+        (1000L until 1050L).toDF("id"), "audit")
+      spark.conf.set("spark.wap.id", "w1")
+      try spark.sql("INSERT INTO tcWapC.w.t SELECT id FROM range(2000, 2010)")
+      finally spark.conf.unset("spark.wap.id")
+      // ...then main itself moves
+      spark.sql("INSERT INTO tcWapC.w.t SELECT id FROM range(50, 80)")
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").count() == 80,
+        "branch/staged snapshots leaked into the main-table stream")
+
+      // publishing makes each visible as a NEW main commit, exactly once
+      spark.sql("CALL tcWapC.system.publish_changes(tbl => 'w.t', wap_id => 'w1')")
+        .collect() // main moved since the stage -> cherry-pick path
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").count() == 90)
+      val branchHead = gt("tcWapC", "w", "t").meta.refs("audit").snapshotId
+      Maintenance.cherryPick(gt("tcWapC", "w", "t"), branchHead)
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").count() == 140)
+      assert(count("tcWapC.w.t") == 140)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("wap_tail")
+    }
+  }
+}
