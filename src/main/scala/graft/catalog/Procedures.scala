@@ -285,6 +285,41 @@ object Procedures {
             "the warehouse root IS registered)")
       }),
 
+    // migrate: adopt an existing parquet directory as a NEW graft
+    // table in one call — Iceberg's `migrate` re-based on this
+    // catalog's relative-path model. The schema is INFERRED from the
+    // parquet footers (all-nullable: later imports may omit columns),
+    // the table is created unpartitioned at its identifier's location,
+    // and the files import zero-copy through add_files' frozen name
+    // mapping — no byte moves, O(files) footer reads, so migrating
+    // 100 TB is a metadata operation. The source must live under the
+    // warehouse (every path in this format is warehouse-relative). A
+    // failed import rolls the created table back out.
+    ProcDef("migrate",
+      Seq(in("source_dir", StringType), in("tbl", StringType)),
+      StructType(Seq(StructField("migrated_files_count", IntegerType),
+        StructField("table_location", StringType))),
+      (cat, args) => {
+        val srcDir = args.getUTF8String(0).toString
+        val dp = args.getUTF8String(1).toString.split('.')
+        val ident = Identifier.of(dp.init, dp.last)
+        val spark = SparkSession.active
+        require(!srcDir.startsWith("/") && !srcDir.contains(":/"),
+          s"source dir must be warehouse-relative: $srcDir")
+        val abs = graft.meta.RelPaths.absolutize(cat.warehouse, srcDir)
+        require(Io.exists(abs), s"source dir not found: $srcDir")
+        val inferred = spark.read.parquet(abs).schema
+        val schema = StructType(inferred.fields.map(_.copy(nullable = true)))
+        cat.createTable(ident, schema,
+          Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+          new java.util.HashMap[String, String]())
+        val t = cat.loadTable(ident).asInstanceOf[GraftTable]
+        val n =
+          try Maintenance.addFiles(spark, t, srcDir)
+          catch { case e: Throwable => cat.dropTable(ident); throw e }
+        row(n, UTF8String.fromString(t.meta.location))
+      }),
+
     // zero-copy dev copy — Iceberg's `snapshot` procedure: a new
     // independent table referencing the source's current files in
     // place (gc.enabled=false guards expiry on the copy)

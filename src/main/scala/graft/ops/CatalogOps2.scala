@@ -132,6 +132,32 @@ object CatalogOps2 extends Pack {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)),
 
+    // migrate: one-call adoption of a raw parquet directory — schema
+    // inferred from footers, table created, files imported zero-copy.
+    // The oracle reads the same fixture directly: migrate must be a
+    // pure re-housing, never a rewrite.
+    Decl("q_cat_migrate", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_mig")
+      val staging = s"landing_mig_${runN.incrementAndGet()}"
+      val stagingAbs = s"/tmp/graft_wh_$c/$staging"
+      rmTree(stagingAbs)
+      Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .coalesce(2).write.parquet(stagingAbs)
+      spark.sql(s"CALL $c.system.migrate(source_dir => '$staging', tbl => 'demo_mig.supp')")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT s_nationkey, COUNT(*) AS n, D4SUM(s_acctbal) AS total
+           |FROM $c.demo_mig.supp
+           |GROUP BY s_nationkey
+           |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin))
+    }, Some(
+      """SELECT s_nationkey, COUNT(*) AS n, D4SUM(s_acctbal) AS total
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin)),
+
     // register_table: the catalog DATABASE is lost, the warehouse
     // directory survived — a fresh JDBC catalog over the same files
     // re-adopts the table from its latest metadata file with one
@@ -197,6 +223,48 @@ object CatalogOps2 extends Pack {
         |  (SELECT COUNT(*) FROM part) AS src_n,
         |  (SELECT D4SUM(p_retailprice) FROM part) AS src_total,
         |  (SELECT COUNT(*) + COUNT(*) FILTER (WHERE p_partkey % 100 = 0) FROM part) AS dev_n""".stripMargin)),
+
+    // write-audit-publish by id: the odd half of orders is written
+    // STAGED under spark.wap.id (invisible — the count the auditor's
+    // gate sees is still the even half), audited via VERSION AS OF,
+    // then published exactly-once by CALL publish_changes. The oracle
+    // pins all three states cross-engine: visible-while-staged count,
+    // audited staged count, and the published total.
+    Decl("q_cat_wap", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_wap")
+      spark.sql(s"CREATE TABLE $c.demo_wap.t (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.wap.enabled'='true')")
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_wap")
+      spark.sql(s"INSERT INTO $c.demo_wap.t " +
+        "SELECT o_orderkey, o_totalprice FROM orders_wap WHERE o_orderkey % 2 = 0")
+      spark.conf.set("spark.wap.id", "w-load")
+      val (stagedVisible, auditN) = try {
+        spark.sql(s"INSERT INTO $c.demo_wap.t " +
+          "SELECT o_orderkey, o_totalprice FROM orders_wap WHERE o_orderkey % 2 = 1")
+        val vis = spark.sql(s"SELECT COUNT(*) FROM $c.demo_wap.t")
+          .collect()(0).getLong(0)
+        val sid = spark.sql(s"CALL $c.system.publish_changes(" +
+          "tbl => 'demo_wap.t', wap_id => 'w-load')").collect()(0).getLong(0)
+        // the auditor's read of the staged snapshot, pre-publish shape
+        // (VERSION AS OF the staged id still resolves after publish)
+        val audit = spark.sql(
+          s"SELECT COUNT(*) FROM $c.demo_wap.t VERSION AS OF $sid")
+          .collect()(0).getLong(0)
+        (vis, audit)
+      } finally spark.conf.unset("spark.wap.id")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT
+           |  CAST($stagedVisible AS BIGINT) AS staged_visible,
+           |  CAST($auditN AS BIGINT) AS audited_n,
+           |  (SELECT COUNT(*) FROM $c.demo_wap.t) AS published_n,
+           |  (SELECT D4SUM(o_totalprice) FROM $c.demo_wap.t) AS total""".stripMargin))
+    }, Some(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS staged_visible,
+        |  (SELECT COUNT(*) FROM orders) AS audited_n,
+        |  (SELECT COUNT(*) FROM orders) AS published_n,
+        |  (SELECT D4SUM(o_totalprice) FROM orders) AS total""".stripMargin)),
 
     // create_changelog_view: the CDC read packaged as a named view so
     // downstream SQL (audits, incremental syncs) can query per-commit

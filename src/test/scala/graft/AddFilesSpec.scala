@@ -224,6 +224,42 @@ class AddFilesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcSnp.s.src").collect()(0).getLong(0) == 7)
   }
 
+  test("migrate adopts a parquet directory zero-copy: inferred schema, no byte moves, rename-safe") {
+    val wh = freshWh("tcMig")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcMig.m")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null.asInstanceOf[String], 3.5))
+      .toDF("id", "name", "score")
+      .repartition(2).write.parquet(s"$wh/landing/raw")
+    val before = new java.io.File(s"$wh/landing/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+
+    val out = spark.sql(
+      "CALL tcMig.system.migrate(source_dir => 'landing/raw', tbl => 'm.t')")
+      .collect()(0)
+    assert(out.getInt(0) == before.size && out.getString(1) == "m/t")
+    // inferred schema + data intact, zero-copy (source files untouched)
+    assert(spark.sql("SELECT COUNT(*), SUM(score) FROM tcMig.m.t").collect()(0)
+      .toSeq == Seq(3L, 7.5))
+    assert(spark.table("tcMig.m.t").schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val after = new java.io.File(s"$wh/landing/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(after == before, "migrate must not move or rewrite a byte")
+    // imports resolve by frozen name mapping: a post-migrate rename
+    // stays metadata-only
+    spark.sql("ALTER TABLE tcMig.m.t RENAME COLUMN score TO points")
+    assert(spark.sql("SELECT SUM(points) FROM tcMig.m.t").collect()(0).getDouble(0) == 7.5)
+    // guard rails: absolute source refused; a failed import leaves no table
+    val e = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => '/etc', tbl => 'm.bad')").collect()
+    }
+    assert(e.getMessage.contains("warehouse-relative"), e.getMessage)
+    intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => 'landing/nope', tbl => 'm.bad')").collect()
+    }
+    assert(!spark.catalog.tableExists("tcMig.m.bad"))
+  }
+
   test("rollback_to_timestamp resolves through the snapshot log; ancestors_of rejects unknown ids") {
     val wh = freshWh("tcRts")
     spark.sql("CREATE NAMESPACE tcRts.r")
