@@ -66,6 +66,36 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 30)
   }
 
+  test("snapshot / migrate / WAP publish land through the pointer CAS too") {
+    val c = fresh("life")
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(20)")
+
+    // zero-copy snapshot: base-0 commit INSERTs a fresh pointer row
+    spark.sql(s"CALL $c.system.snapshot(source_tbl => 'ns.t', tbl => 'ns.dev')")
+    spark.sql(s"INSERT INTO $c.ns.dev VALUES (100)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.dev").collect()(0).getLong(0) == 21)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 20)
+
+    // WAP stage + publish: stage leaves the pointer in place, publish CASes it
+    spark.conf.set("spark.wap.id", "jwap")
+    try spark.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(20, 25)")
+    finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 20)
+    spark.sql(s"CALL $c.system.publish_changes(tbl => 'ns.t', wap_id => 'jwap')").collect()
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.ns.t").collect()(0).getLong(0) == 25)
+
+    // migrate: inferred-schema adoption registers via the same INSERT path
+    (0L until 7L).toDF("id").coalesce(1)
+      .write.parquet(s"/tmp/graft_test_jdbc_life/landing/raw")
+    spark.sql(s"CALL $c.system.migrate(source_dir => 'landing/raw', tbl => 'ns.m')")
+    assert(spark.sql(s"SELECT COUNT(*), SUM(id) FROM $c.ns.m").collect()(0)
+      .toSeq == Seq(7L, 21L))
+  }
+
   test("atomic CTAS/RTAS land through the pointer CAS") {
     val c = fresh("ctas")
     spark.sql(s"CREATE NAMESPACE $c.ns")
