@@ -317,17 +317,7 @@ object Maintenance {
       attempts += 1
       val (v, meta) = table.ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
-      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-      val lineage = {
-        val b = List.newBuilder[graft.meta.Snapshot]
-        val seen = scala.collection.mutable.Set.empty[Long]
-        var cur = meta.currentSnapshotId.flatMap(byId.get)
-        while (cur.isDefined && seen.add(cur.get.snapshotId)) {
-          b += cur.get
-          cur = cur.get.parentId.flatMap(byId.get)
-        }
-        b.result()
-      }
+      val lineage = meta.mainLineage
       require(!lineage.exists(s => s.summary.get("wap.id").contains(wapId) ||
           s.summary.get("published-wap-id").contains(wapId)),
         s"wap.id '$wapId' is already published")
@@ -835,9 +825,7 @@ object Maintenance {
     val start = snapshotId.orElse(meta.currentSnapshotId)
     snapshotId.foreach(id => require(meta.snapshot(id).isDefined,
       s"unknown or expired snapshot $id"))
-    Iterator.iterate(start.flatMap(meta.snapshot))(
-        _.flatMap(_.parentId).flatMap(meta.snapshot))
-      .takeWhile(_.isDefined).flatten.toList
+    meta.lineageFrom(start)
   }
 
   /** Import EXISTING parquet files into the table as one append commit
@@ -858,6 +846,11 @@ object Maintenance {
     val ops = table.ops
     require(!sourceDir.startsWith("/") && !sourceDir.contains(":/"),
       s"source dir must be warehouse-relative: $sourceDir")
+    // '..' would import files whose stored relative paths escape the
+    // warehouse root — readable today, dangling after the relocation
+    // (`mv` the warehouse) the relative-path format exists to allow
+    require(!sourceDir.split('/').contains(".."),
+      s"source dir must not contain '..' segments: $sourceDir")
     val meta = ops.refresh().map(_._2)
       .getOrElse(throw new IllegalStateException("no such table"))
     val spec = meta.spec

@@ -532,6 +532,14 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
     * files the source still references. Plain DROP stays safe in this
     * layout — purge removes only the table's OWN directory, and the
     * shared files live under the source's.
+    *
+    * The inverse direction is the user's contract, exactly as in
+    * Iceberg's `snapshot` procedure: the SOURCE records nothing about
+    * its copies, so expiry/compaction-then-expiry ON THE SOURCE can
+    * physically delete shared files once no surviving SOURCE snapshot
+    * references them, breaking the copy's reads. A dev copy is a
+    * short-lived artifact scoped inside the source's retention window
+    * — copies that must outlive it should CTAS (own files) instead.
     */
   def snapshotTable(src: Identifier, dest: Identifier): GraftTable = {
     if (tableExists(dest)) throw new TableAlreadyExistsException(dest)

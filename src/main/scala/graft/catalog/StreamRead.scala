@@ -131,13 +131,26 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     val unclassified = meta.snapshots.filter(s =>
       s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq &&
         !walked(s.snapshotId))
-    if (broken && unclassified.nonEmpty)
+    // A broken walk is fatal in two distinct ways:
+    //  - retained in-range snapshots we can't classify (delivering
+    //    might replay someone's audit branch, skipping might drop
+    //    main data);
+    //  - a SEQUENCE GAP below the break (sequence numbers are dense —
+    //    every commit takes lastSequenceNumber+1 — so stopping above
+    //    startSeq+1 proves snapshots in the window were expired; if
+    //    any were main history their rows would silently vanish from
+    //    the stream, and we cannot tell).
+    // The only clean break is genesis (parentId=None, broken stays
+    // false) — which also covers a `snapshot`-procedure copy, whose
+    // single snapshot legitimately starts above seq 1.
+    if (broken &&
+        (unclassified.nonEmpty || out.last.sequenceNumber > startSeq + 1))
       throw new IllegalStateException(
         s"streaming lineage walk hit an expired parent below seq " +
-          s"${out.last.sequenceNumber} with ${unclassified.size} snapshot(s) " +
-          s"in (${startSeq}, ${endSeq}] unclassified (e.g. " +
-          s"${unclassified.head.snapshotId}): cannot tell main history from " +
-          "unpublished branch/WAP work — retention must cover streaming lag")
+          s"${out.last.sequenceNumber} with offsets back to $startSeq still " +
+          s"owed (${unclassified.size} retained snapshot(s) unclassified): " +
+          "cannot tell expired main history from unpublished branch/WAP " +
+          "work — retention must cover streaming lag")
     out.toList.sortBy(_.sequenceNumber)
   }
 

@@ -233,6 +233,29 @@ final case class TableMeta(
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
+  /** Snapshots reachable from `start` by `parentId` links, head first.
+    * `snapshots` is the table's whole snapshot SET — branch writes and
+    * WAP-staged commits included — so every "is this published
+    * history?" question must use this walk, never a raw seq-range or
+    * set scan (the rule `$changes`, the streaming source, WAP publish,
+    * and `ancestors_of` all share). The walk stops at genesis or at an
+    * expired (absent) parent; cycle-guarded defensively (ids are
+    * timestamp-derived — a cycle means corrupt metadata). */
+  def lineageFrom(start: Option[Long]): List[Snapshot] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    val out = List.newBuilder[Snapshot]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var cur = start.flatMap(byId.get)
+    while (cur.isDefined && seen.add(cur.get.snapshotId)) {
+      out += cur.get
+      cur = cur.get.parentId.flatMap(byId.get)
+    }
+    out.result()
+  }
+
+  /** Main history: the lineage of the CURRENT snapshot. */
+  def mainLineage: List[Snapshot] = lineageFrom(currentSnapshotId)
+
   /** Parsed fallback name mapping — see [[TableMeta.NameMappingKey]]. */
   def nameMapping: Map[Int, String] = TableMeta.nameMappingFromProps(properties)
 }

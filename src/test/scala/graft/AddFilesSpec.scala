@@ -258,6 +258,24 @@ class AddFilesSpec extends AnyFunSuite {
       spark.sql("CALL tcMig.system.migrate(source_dir => 'landing/nope', tbl => 'm.bad')").collect()
     }
     assert(!spark.catalog.tableExists("tcMig.m.bad"))
+    // '..' escapes would store relative paths that dangle after a
+    // warehouse relocation — refused in migrate AND add_files
+    val e2 = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => '../elsewhere', tbl => 'm.bad')").collect()
+    }
+    assert(e2.getMessage.contains(".."), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Maintenance.addFiles(spark, gt("tcMig", "m", "t"), "landing/../../etc")
+    }
+    assert(e3.getMessage.contains(".."), e3.getMessage)
+    // hive-partitioned layout: partition values live in dir names, not
+    // footers — inference would invent all-NULL columns; refused
+    Seq((1L, 9.0)).toDF("id", "score").write.parquet(s"$wh/landing/hive/day=2026-08-01")
+    val e4 = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => 'landing/hive', tbl => 'm.bad')").collect()
+    }
+    assert(e4.getMessage.contains("hive-partitioned"), e4.getMessage)
+    assert(!spark.catalog.tableExists("tcMig.m.bad"))
   }
 
   test("rollback_to_timestamp resolves through the snapshot log; ancestors_of rejects unknown ids") {

@@ -133,6 +133,92 @@ class WapSpec extends AnyFunSuite {
     assert(count("tcWapB.w.t") == 70)
   }
 
+  test("concurrent stagers, publishers, and writers: every publish lands exactly once") {
+    freshWh("tcWapE")
+    spark.sql("CREATE NAMESPACE tcWapE.w")
+    spark.sql("CREATE TABLE tcWapE.w.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO tcWapE.w.t SELECT id FROM range(50)")
+
+    // 4 stage+publish pipelines (each in its OWN session — spark.wap.id
+    // is session state) racing 4 plain writers; some publishes will hit
+    // an unmoved base (set-current), some a moved one (cherry-pick).
+    // newSession() starts from the shared initial conf, so each session
+    // re-registers the catalog (same class + warehouse = same tables).
+    def sess() = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.tcWapE", "graft.catalog.RelativeCatalog")
+      s.conf.set("spark.sql.catalog.tcWapE.warehouse", "/tmp/graft_test_tcWapE")
+      s
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads =
+      (0 until 4).map { i =>
+        new Thread(() => {
+          try {
+            val s = sess()
+            s.conf.set("spark.wap.id", s"wap-$i")
+            try s.sql(s"INSERT INTO tcWapE.w.t SELECT id FROM range(${1000 + i * 10}, ${1010 + i * 10})")
+            finally s.conf.unset("spark.wap.id")
+            s.sql(s"CALL tcWapE.system.publish_changes(tbl => 'w.t', wap_id => 'wap-$i')")
+              .collect()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      } ++ (0 until 4).map { i =>
+        new Thread(() => {
+          try {
+            sess().sql(s"INSERT INTO tcWapE.w.t SELECT id FROM range(${2000 + i * 5}, ${2005 + i * 5})")
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"${errs.size} failures, first: ${Option(errs.peek())}")
+
+    // exact final state: base + 4 staged-and-published + 4 plain
+    assert(count("tcWapE.w.t") == 50 + 40 + 20)
+    // each wap id on main lineage EXACTLY once (either spelling)
+    val lineage = gt("tcWapE", "w", "t").meta.mainLineage
+    for (i <- 0 until 4) {
+      val hits = lineage.count(s =>
+        s.summary.get("wap.id").contains(s"wap-$i") ||
+          s.summary.get("published-wap-id").contains(s"wap-$i"))
+      assert(hits == 1, s"wap-$i appears $hits times on main lineage")
+    }
+  }
+
+  test("resuming a stream across an expiry gap fails loudly instead of dropping rows") {
+    val wh = freshWh("tcWapD")
+    spark.sql("CREATE NAMESPACE tcWapD.w")
+    spark.sql("CREATE TABLE tcWapD.w.t (id BIGINT)")
+    spark.sql("INSERT INTO tcWapD.w.t SELECT id FROM range(10)")
+    val ckpt = s"$wh/_ckpt"
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def start() = spark.readStream.table("tcWapD.w.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        seen.addAndGet(df.count()); ()
+      }).start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.get() == 10)
+
+    // while the stream is down: three more commits, then expiry drops
+    // the middle of the lineage the checkpointed offset still owes
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO tcWapD.w.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    Maintenance.expireSnapshots(gt("tcWapD", "w", "t").ops, keepLast = 1)
+
+    // resuming must FAIL (sequence gap below the retained head proves
+    // expired history in the owed window), never silently skip seq 2-3
+    val q2 = start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(e.getMessage.contains("retention must cover streaming lag"),
+      s"unexpected: ${e.getMessage}")
+    q2.stop()
+    assert(seen.get() == 10, "rows were delivered across the expiry gap")
+  }
+
   test("streaming tail never delivers branch or WAP-staged snapshots until published") {
     freshWh("tcWapC")
     import spark.implicits._
