@@ -28,18 +28,40 @@ object Maintenance {
     * the commit point, so a crash mid-delete leaves only harmless
     * orphans (never a broken table).
     */
+  /** Refs that outlived their retention — Iceberg's max-ref-age-ms:
+    * a non-main ref whose TARGET snapshot's timestamp is older than
+    * the ref's own `maxRefAgeMs` (or the table's
+    * `history.expire.max-ref-age-ms` default) is dropped by expiry,
+    * unpinning its lineage. Without aging, every forgotten audit
+    * branch/tag pins snapshots and files forever. `main` never ages. */
+  private def agedOutRefs(meta: graft.meta.TableMeta, now: Long): Set[String] = {
+    val tableDefault = meta.properties.get("history.expire.max-ref-age-ms")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    meta.refs.collect {
+      case (name, r) if name != "main" =>
+        val maxAge = r.maxRefAgeMs.orElse(tableDefault)
+        val born = meta.snapshot(r.snapshotId).map(_.timestampMs)
+        // unknown target timestamp -> keep (never age out on a guess)
+        if (maxAge.exists(a => born.exists(now - _ > a))) Some(name) else None
+    }.flatten.toSet
+  }
+
   def expireSnapshots(ops: TableOps, keepLast: Int): Int = {
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
-      val (v, meta) = ops.refresh()
+      val (v, meta0) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
-      requireGcEnabled(meta)
-      // ref-pinned snapshots (tags/branches) are never expired
+      requireGcEnabled(meta0)
+      // aged-out refs drop FIRST so they stop pinning their snapshots
+      val meta = meta0.copy(
+        refs = meta0.refs -- agedOutRefs(meta0, System.currentTimeMillis()))
+      // ref-pinned snapshots (surviving tags/branches) are never expired
       val pinned = meta.refs.values.map(_.snapshotId).toSet
       val kept = (meta.snapshots.sortBy(_.sequenceNumber).takeRight(keepLast) ++
         meta.snapshots.filter(s => pinned(s.snapshotId))).distinct
-      if (kept.size == meta.snapshots.size) return 0
+      if (kept.size == meta.snapshots.size && meta.refs.size == meta0.refs.size)
+        return 0
       val keptIds = kept.map(_.snapshotId).toSet
       // expiry decides physical deletion → full lists (chunk cache
       // dedups the shared majority between adjacent snapshots)
@@ -136,12 +158,14 @@ object Maintenance {
     throw new CommitFailedException("rewriteManifests: commit retries exhausted")
   }
 
-  /** Create (or move) a named ref — `tag` pins a snapshot forever,
-    * `branch` tracks it until moved (README.md:67-75 `refs`). Readable
-    * through `VERSION AS OF '<name>'`.
+  /** Create (or move) a named ref — `tag` pins a snapshot, `branch`
+    * tracks it until moved (README.md:67-75 `refs`). Readable through
+    * `VERSION AS OF '<name>'`. `maxRefAgeMs` (Iceberg's
+    * max-ref-age-ms / SQL `RETAIN`) bounds how long the ref survives
+    * expiry once its target snapshot ages — see [[agedOutRefs]].
     */
   def createRef(ops: TableOps, refName: String, refType: String = "tag",
-      snapshotId: Option[Long] = None): Unit = {
+      snapshotId: Option[Long] = None, maxRefAgeMs: Option[Long] = None): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -154,7 +178,8 @@ object Maintenance {
       try {
         ops.commit(v, meta.copy(
           lastUpdatedMs = System.currentTimeMillis(),
-          refs = meta.refs + (refName -> graft.meta.Ref(sid, refType))))
+          refs = meta.refs +
+            (refName -> graft.meta.Ref(sid, refType, maxRefAgeMs))))
         done = true
       } catch {
         case _: CommitFailedException if attempts < 10 =>
@@ -621,13 +646,16 @@ object Maintenance {
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
-      val (v, meta) = ops.refresh()
+      val (v, meta0) = ops.refresh()
         .getOrElse(throw new IllegalStateException("no such table"))
-      requireGcEnabled(meta)
+      requireGcEnabled(meta0)
+      val meta = meta0.copy(
+        refs = meta0.refs -- agedOutRefs(meta0, System.currentTimeMillis()))
       val pinned = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId
       val kept = meta.snapshots.filter(s =>
         s.timestampMs >= olderThanMs || pinned(s.snapshotId))
-      if (kept.size == meta.snapshots.size) return 0
+      if (kept.size == meta.snapshots.size && meta.refs.size == meta0.refs.size)
+        return 0
       val keptIds = kept.map(_.snapshotId).toSet
       val keptFiles = kept.flatMap(s =>
         ops.allFiles(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet

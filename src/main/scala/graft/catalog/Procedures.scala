@@ -136,12 +136,16 @@ object Procedures {
 
     ProcDef("create_ref",
       Seq(in("tbl", StringType), in("ref", StringType),
-        inDefault("ref_type", StringType, "'tag'")),
+        inDefault("ref_type", StringType, "'tag'"),
+        // <= 0 means "no ref-level retention" (the table's
+        // history.expire.max-ref-age-ms default still applies)
+        inDefault("max_ref_age_ms", LongType, "0")),
       StructType(Seq(StructField("snapshot_id", LongType))),
       (cat, args) => {
         val t = tbl(cat, args.getUTF8String(0).toString)
         Maintenance.createRef(t.ops, args.getUTF8String(1).toString,
-          args.getUTF8String(2).toString)
+          args.getUTF8String(2).toString,
+          maxRefAgeMs = Some(args.getLong(3)).filter(_ > 0))
         row(tbl(cat, args.getUTF8String(0).toString)
           .meta.refs(args.getUTF8String(1).toString).snapshotId)
       }),

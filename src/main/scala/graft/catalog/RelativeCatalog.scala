@@ -766,9 +766,11 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         val sch = StructType(Seq(
           StructField("name", StringType),
           StructField("type", StringType),
-          StructField("snapshot_id", LongType)))
+          StructField("snapshot_id", LongType),
+          StructField("max_ref_age_ms", LongType)))
         val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, r) =>
-          Row(n, r.refType, r.snapshotId)
+          Row(n, r.refType, r.snapshotId,
+            r.maxRefAgeMs.map(Long.box).orNull)
         }
         new MemTable(s"${ident.name()}$$refs", sch, rows)
       case "manifests" =>

@@ -198,7 +198,16 @@ final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 
-final case class Ref(snapshotId: Long, refType: String) // branch | tag
+/** A named ref (branch | tag). `maxRefAgeMs` is the ref-level
+  * retention override (Iceberg's SnapshotRef max-ref-age-ms): during
+  * snapshot expiry a non-main ref whose TARGET SNAPSHOT is older than
+  * this (or than the table's `history.expire.max-ref-age-ms` default)
+  * is dropped, unpinning its lineage — without it, every forgotten
+  * audit branch/tag pins snapshots and their files forever, unbounded
+  * metadata+storage growth at ingest rates. Absent = keep forever
+  * (unless the table default says otherwise). */
+final case class Ref(snapshotId: Long, refType: String,
+  maxRefAgeMs: Option[Long] = None)
 
 final case class TableMeta(
     formatVersion: Int,

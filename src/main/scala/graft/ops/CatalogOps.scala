@@ -162,11 +162,14 @@ object CatalogOps extends Pack {
       spark.sql(s"CREATE TABLE $c.demo_mr.reg (r_regionkey INT, r_name STRING)")
       Tables(spark, dir, "region").createOrReplaceTempView("region_src")
       spark.sql(s"INSERT INTO $c.demo_mr.reg SELECT * FROM region_src")
-      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_mr.reg', ref => 'v1', ref_type => 'tag')")
+      spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_mr.reg', ref => 'v1', " +
+        "ref_type => 'tag', max_ref_age_ms => 86400000)")
       spark.sql(s"CALL $c.system.create_ref(tbl => 'demo_mr.reg', ref => 'audit', ref_type => 'branch')")
-      spark.sql(s"SELECT name, type FROM $c.demo_mr.`reg$$refs` ORDER BY name ASC NULLS FIRST")
+      spark.sql(s"SELECT name, type, max_ref_age_ms FROM $c.demo_mr.`reg$$refs` " +
+        "ORDER BY name ASC NULLS FIRST")
     }, Some(
-      """SELECT * FROM (VALUES ('audit','branch'), ('main','branch'), ('v1','tag')) t(name, type)
+      """SELECT name, type, CAST(max_age AS BIGINT) AS max_ref_age_ms
+        |FROM (VALUES ('audit','branch',NULL), ('main','branch',NULL), ('v1','tag',86400000)) t(name, type, max_age)
         |ORDER BY name ASC NULLS FIRST""".stripMargin)),
 
     // Delete-files metadata table: live MOR position-delete inventory.

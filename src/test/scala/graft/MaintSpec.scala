@@ -213,6 +213,52 @@ class MaintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM tcWap.w.t").collect()(0).getLong(0) == 200)
   }
 
+  test("ref retention: aged-out tags/branches stop pinning snapshots; main never ages") {
+    val wh = "/tmp/graft_test_refage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcRa", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcRa.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcRa.r")
+    spark.sql("CREATE TABLE tcRa.r.t (id BIGINT)")
+    spark.sql("INSERT INTO tcRa.r.t SELECT id FROM range(10)")
+    // short-lived tag on the first snapshot; unaged branch beside it
+    spark.sql("CALL tcRa.system.create_ref(tbl => 'r.t', ref => 'nightly', " +
+      "ref_type => 'tag', max_ref_age_ms => 1)")
+    spark.sql("CALL tcRa.system.create_ref(tbl => 'r.t', ref => 'keepme', ref_type => 'branch')")
+    spark.sql("INSERT INTO tcRa.r.t SELECT id FROM range(10, 20)")
+    spark.sql("INSERT INTO tcRa.r.t SELECT id FROM range(20, 30)")
+    Thread.sleep(30) // the tag's target snapshot is now well past 1 ms old
+
+    val ops = new TableOps(wh, "r/t")
+    val refsBefore = ops.refresh().get._2
+    assert(refsBefore.refs.keySet == Set("main", "nightly", "keepme"))
+    assert(refsBefore.refs("nightly").maxRefAgeMs.contains(1L))
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+
+    val after = ops.refresh().get._2
+    // the aged tag is gone AND its snapshot became expirable; the
+    // unaged branch still pins its target; main is untouched
+    assert(after.refs.keySet == Set("main", "keepme"), s"${after.refs.keySet}")
+    assert(after.snapshots.map(_.snapshotId).toSet ==
+      Set(after.refs("main").snapshotId, after.refs("keepme").snapshotId))
+    assert(spark.sql("SELECT COUNT(*) FROM tcRa.r.t").collect()(0).getLong(0) == 30)
+    assert(spark.sql("SELECT COUNT(*) FROM tcRa.r.t VERSION AS OF 'keepme'")
+      .collect()(0).getLong(0) == 10)
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM tcRa.r.t VERSION AS OF 'nightly'").collect()
+    }
+
+    // table-level default ages refs that set no explicit retention
+    spark.sql("ALTER TABLE tcRa.r.t SET TBLPROPERTIES ('history.expire.max-ref-age-ms'='1')")
+    Thread.sleep(30)
+    Maintenance.expireSnapshots(ops, keepLast = 1)
+    val after2 = ops.refresh().get._2
+    assert(after2.refs.keySet == Set("main"), s"${after2.refs.keySet}")
+    // $refs exposes the retention column
+    assert(spark.sql("SELECT max_ref_age_ms FROM tcRa.r.`t$refs` WHERE name = 'main'")
+      .collect()(0).isNullAt(0))
+  }
+
   test("CALL procedures: SQL maintenance surface end-to-end") {
     val wh = "/tmp/graft_test_proc"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
