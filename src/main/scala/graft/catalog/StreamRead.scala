@@ -33,11 +33,33 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(
-      freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+    availableNowCap = Some(headSeq(freshMeta))
 
   private val skipNonAppend =
     Option(options.get("streaming-skip-nonappend")).exists(_.toBoolean)
+
+  // `branch` option: tail a BRANCH head instead of main — the read
+  // half of write-audit-publish (auditors stream exactly what landed
+  // on the audit branch, main readers see none of it). The lineage
+  // machinery below needs no special case: batches anchor at the
+  // branch head and walk ITS parent chain, so main-only commits are
+  // excluded from a branch tail just like branch commits are excluded
+  // from a main tail. Tags are refused — a tag never moves, so
+  // "tailing" one is a misread of the API (batch VERSION AS OF is the
+  // right spelling).
+  private val branch = Option(options.get("branch"))
+  private def headSeq(meta: graft.meta.TableMeta): Long = branch match {
+    case None => meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    case Some(b) => meta.refs.get(b) match {
+      case Some(r) if r.refType == "branch" =>
+        meta.snapshot(r.snapshotId).map(_.sequenceNumber).getOrElse(
+          throw new IllegalStateException(
+            s"branch $b points at expired snapshot ${r.snapshotId}"))
+      case Some(_) => throw new IllegalArgumentException(
+        s"ref $b is a tag; tags never move — read it with VERSION AS OF")
+      case None => throw new IllegalArgumentException(s"no branch $b")
+    }
+  }
   // rate limits: cap each trigger's admission (snapshot-granular —
   // offsets stay contiguous seq ranges, so batches remain replayable).
   // A huge backfill then drains as bounded micro-batches instead of
@@ -53,7 +75,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def initialOffset(): Offset = SeqOffset(0L)
 
   override def latestOffset(): Offset = {
-    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val cur = headSeq(freshMeta)
     SeqOffset(availableNowCap.fold(cur)(math.min(cur, _)))
   }
 
@@ -64,9 +86,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startSeq = start.asInstanceOf[SeqOffset].seq
     val meta = freshMeta
-    val curSeq = availableNowCap.fold(
-      meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))(
-      math.min(meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L), _))
+    val curSeq = availableNowCap.fold(headSeq(meta))(
+      math.min(headSeq(meta), _))
     if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
       return SeqOffset(curSeq)
     val snaps = lineageWindow(meta, startSeq, curSeq)
@@ -189,9 +210,13 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     else delegate(files).toBatch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    delegate(freshMeta.currentSnapshot.map(table.ops.allFiles).getOrElse(Nil)).toBatch
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = freshMeta
+    val head = branch.flatMap(b => meta.refs.get(b))
+      .flatMap(r => meta.snapshot(r.snapshotId)).orElse(meta.currentSnapshot)
+    delegate(head.map(table.ops.allFiles).getOrElse(Nil)).toBatch
       .createReaderFactory()
+  }
 
   override def commit(end: Offset): Unit = ()
 

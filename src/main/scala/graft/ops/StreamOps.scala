@@ -450,6 +450,49 @@ object StreamOps extends Pack {
         |  D2(SUM(CAST(value AS DECIMAL(18,6)))) AS total
         |FROM events""".stripMargin)),
 
+    // The READ half of write-audit-publish: stream a BRANCH tail. The
+    // auditor's pipeline consumes exactly what lands on the audit
+    // branch — the shared prefix plus branch appends — while commits
+    // that land on MAIN after the fork never enter the tail (the
+    // batch anchor is the branch head and lineage is a parentId walk,
+    // so main-only snapshots are off-lineage by construction). Leak
+    // detection is oracled: the post-fork main batch carries marker
+    // keys and the tail must contain zero of them.
+    Decl("q_str_branchtail", (spark, dir) => {
+      val cname = s"graftwap${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.btl CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.btl")
+      spark.sql(s"CREATE TABLE $cname.btl.ord (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_btl")
+      spark.sql(s"INSERT INTO $cname.btl.ord SELECT * FROM orders_btl WHERE o_orderkey % 2 = 0")
+      spark.sql(s"CALL $cname.system.create_ref(tbl => 'btl.ord', ref => 'audit', ref_type => 'branch')")
+      def tbl = spark.sessionState.catalogManager.catalog(cname)
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("btl"), "ord"))
+        .asInstanceOf[graft.catalog.GraftTable]
+      graft.catalog.Maintenance.appendToBranch(tbl,
+        spark.sql("SELECT * FROM orders_btl WHERE o_orderkey % 2 = 1"), "audit")
+      // main moves past the fork with marker keys the tail must not see
+      spark.sql(s"INSERT INTO $cname.btl.ord " +
+        "SELECT o_orderkey + 10000000, o_totalprice FROM orders_btl WHERE o_orderkey % 100 = 0")
+      val sink = s"btl_tail_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.option("branch", "audit").table(s"$cname.btl.ord")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n,
+           |  COUNT(*) FILTER (WHERE o_orderkey >= 10000000) AS leaked,
+           |  D4SUM(o_totalprice) AS total
+           |FROM $sink""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n, CAST(0 AS BIGINT) AS leaked, D4SUM(o_totalprice) AS total
+        |FROM orders""".stripMargin)),
+
     // transformWithState (Spark 4's arbitrary-state API, successor of
     // mapGroupsWithState): per-user running (count, exact-decimal sum)
     // in a ValueState backed by the ROCKSDB state-store provider — the

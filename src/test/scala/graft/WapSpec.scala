@@ -186,6 +186,52 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming a BRANCH tails audit commits only; main commits stay out of it") {
+    freshWh("tcWapF")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcWapF.w")
+    spark.sql("CREATE TABLE tcWapF.w.t (id BIGINT)")
+    spark.sql("INSERT INTO tcWapF.w.t SELECT id FROM range(10)")
+    Maintenance.appendToBranch(gt("tcWapF", "w", "t"),
+      (100L until 130L).toDF("id"), "audit")
+
+    val q = spark.readStream.option("branch", "audit").table("tcWapF.w.t")
+      .writeStream.format("memory").queryName("audit_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the branch tail = shared prefix (10) + the audit batch (30)
+      assert(spark.table("audit_tail").count() == 40)
+
+      // a MAIN commit must not show up in the branch tail...
+      spark.sql("INSERT INTO tcWapF.w.t SELECT id FROM range(10, 20)")
+      q.processAllAvailable()
+      assert(spark.table("audit_tail").count() == 40,
+        "a main commit leaked into the branch tail")
+      // ...but a new audit batch does
+      Maintenance.appendToBranch(gt("tcWapF", "w", "t"),
+        (130L until 140L).toDF("id"), "audit")
+      q.processAllAvailable()
+      assert(spark.table("audit_tail").count() == 50)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("audit_tail")
+    }
+
+    // tags and unknown refs are refused loudly
+    spark.sql("CALL tcWapF.system.create_ref(tbl => 'w.t', ref => 'v1', ref_type => 'tag')")
+    val qt = spark.readStream.option("branch", "v1").table("tcWapF.w.t")
+      .writeStream.format("memory").queryName("tag_tail")
+      .outputMode("append").start()
+    try {
+      val e = intercept[Exception] { qt.processAllAvailable() }
+      assert(e.getMessage.contains("tag"), e.getMessage)
+    } finally {
+      qt.stop()
+      spark.catalog.dropTempView("tag_tail")
+    }
+  }
+
   test("resuming a stream across an expiry gap fails loudly instead of dropping rows") {
     val wh = freshWh("tcWapD")
     spark.sql("CREATE NAMESPACE tcWapD.w")
