@@ -74,6 +74,53 @@ object Changes {
       StructField("_change_type", StringType, nullable = false),
       StructField("_change_ordinal", IntegerType, nullable = false)))
 
+  /** Iceberg's `compute_updates` for the changelog view: refine raw
+    * per-commit insert/delete rows into update pre/post-images.
+    * Two passes, both pure window functions (one shuffle each, scales
+    * like any keyed window at 100 TB — no self-join, no collect):
+    *
+    *  1. CARRY-OVER removal. A copy-on-write commit rewrites whole
+    *     file groups, so unchanged rows surface as an identical
+    *     (delete, insert) pair in the same commit. Pairs are cancelled
+    *     with exact multiplicity: within each (all data columns,
+    *     ordinal) group, min(#inserts, #deletes) rows of EACH type are
+    *     dropped (row_number within type > min survives) — a row that
+    *     legitimately appears k times keeps its surplus.
+    *  2. UPDATE pairing. Within each (identifier columns, ordinal)
+    *     group that still has BOTH types, deletes become
+    *     `update_preimage` and inserts `update_postimage`; unmatched
+    *     rows keep their raw type. Identifier columns must identify a
+    *     row within one commit (Iceberg's identifier-field contract).
+    */
+  def computeUpdates(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(idCols.nonEmpty, "compute_updates needs identifier_columns")
+    val dataCols = df.columns.filterNot(c =>
+      c == "_change_type" || c == "_change_ordinal").toIndexedSeq
+    val missing = idCols.filterNot(dataCols.contains)
+    require(missing.isEmpty, s"identifier columns not in schema: ${missing.mkString(", ")}")
+    val wAll = Window.partitionBy(
+      (dataCols :+ "_change_ordinal").map(col): _*)
+    val wAllTyped = Window.partitionBy(
+      (dataCols ++ Seq("_change_ordinal", "_change_type")).map(col): _*)
+      .orderBy(lit(1))
+    val wId = Window.partitionBy((idCols :+ "_change_ordinal").map(col): _*)
+    def n(t: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(when(col("_change_type") === t, 1).otherwise(0)).over(w)
+    df
+      .withColumn("__rn", row_number().over(wAllTyped))
+      .withColumn("__pairs",
+        least(n("insert", wAll), n("delete", wAll)))
+      .filter(col("__rn") > col("__pairs")) // cancel carry-over pairs
+      .withColumn("__upd",
+        n("insert", wId) > 0 && n("delete", wId) > 0)
+      .withColumn("_change_type",
+        when(col("__upd") && col("_change_type") === "delete", "update_preimage")
+          .when(col("__upd") && col("_change_type") === "insert", "update_postimage")
+          .otherwise(col("_change_type")))
+      .drop("__rn", "__pairs", "__upd")
+  }
+
   /** Materialized state of one snapshot: its files minus its deletes
     * (None = the empty pre-genesis state). */
   private def state(spark: SparkSession, warehouse: String, ops: TableOps,

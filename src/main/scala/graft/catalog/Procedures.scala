@@ -362,17 +362,25 @@ object Procedures {
     // table (per-commit insert/delete rows with _change_type/_change_ordinal)
     ProcDef("create_changelog_view",
       Seq(in("tbl", StringType), inDefault("view_name", StringType, "'changes_view'"),
-        inDefault("start_snapshot_id", LongType, "1")),
+        inDefault("start_snapshot_id", LongType, "1"),
+        // compute_updates: pair per-commit delete+insert rows into
+        // update_preimage/update_postimage by these identifier columns
+        // (comma-separated), cancelling copy-on-write carry-over pairs
+        // first — Iceberg's create_changelog_view(compute_updates)
+        inDefault("identifier_columns", StringType, "''")),
       StructType(Seq(StructField("view_name", StringType))),
       (cat, args) => {
         val t = args.getUTF8String(0).toString
         val view = args.getUTF8String(1).toString
         val parts = t.split('.')
         val qualified = (cat.name() +: parts.init :+ s"`${parts.last}$$changes`").mkString(".")
-        SparkSession.active.read
+        val raw = SparkSession.active.read
           .option("start-snapshot-id", args.getLong(2).toString)
           .table(qualified)
-          .createOrReplaceTempView(view)
+        val idCols = args.getUTF8String(3).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val out = if (idCols.isEmpty) raw else Changes.computeUpdates(raw, idCols)
+        out.createOrReplaceTempView(view)
         row(UTF8String.fromString(view))
       }),
   )

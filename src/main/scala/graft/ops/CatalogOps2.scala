@@ -292,5 +292,36 @@ object CatalogOps2 extends Pack {
         |SELECT r_regionkey, r_name, 'insert', 2 FROM region WHERE r_regionkey = 4
         |ORDER BY _change_ordinal ASC NULLS FIRST, _change_type ASC NULLS FIRST,
         |  r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
+
+    // create_changelog_view(compute_updates): the per-commit
+    // delete+insert pairs of an UPDATE refined into
+    // update_preimage/update_postimage rows keyed by the identifier
+    // column, with copy-on-write carry-over pairs cancelled first.
+    // The oracle pins count AND value per image side: preimages carry
+    // the OLD price, postimages the price after +1.
+    Decl("q_cat_changelog_updates", (spark, dir) => {
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_upd")
+      spark.sql(s"CREATE TABLE $c.demo_upd.p (p_partkey BIGINT, p_retailprice DOUBLE)")
+      Tables(spark, dir, "part").createOrReplaceTempView("part_upd")
+      spark.sql(s"INSERT INTO $c.demo_upd.p SELECT p_partkey, p_retailprice FROM part_upd")
+      spark.sql(s"UPDATE $c.demo_upd.p SET p_retailprice = p_retailprice + 1 " +
+        "WHERE p_partkey % 10 = 0")
+      val view = s"upd_changes_${runN.incrementAndGet()}"
+      spark.sql(s"CALL $c.system.create_changelog_view(tbl => 'demo_upd.p', " +
+        s"view_name => '$view', start_snapshot_id => 1, identifier_columns => 'p_partkey')")
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT _change_type, COUNT(*) AS n, D4SUM(p_retailprice) AS total
+           |FROM $view
+           |GROUP BY _change_type
+           |ORDER BY _change_type ASC NULLS FIRST""".stripMargin))
+    }, Some(
+      """SELECT 'update_postimage' AS _change_type, COUNT(*) AS n,
+        |  D4SUM(p_retailprice + 1) AS total
+        |FROM part WHERE p_partkey % 10 = 0
+        |UNION ALL
+        |SELECT 'update_preimage', COUNT(*), D4SUM(p_retailprice)
+        |FROM part WHERE p_partkey % 10 = 0
+        |ORDER BY _change_type ASC NULLS FIRST""".stripMargin)),
   )
 }

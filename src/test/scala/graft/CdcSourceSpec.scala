@@ -394,6 +394,38 @@ class CdcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("computeUpdates: carry-over cancels with exact multiplicity, pairs become pre/post images") {
+    import spark.implicits._
+    val df = Seq(
+      // id 1, ordinal 1: identical (delete,delete,insert) — ONE
+      // carry-over pair cancels, the surplus delete must survive as a
+      // plain delete (no insert left to pair with)
+      (1L, "a", "delete", 1), (1L, "a", "delete", 1), (1L, "a", "insert", 1),
+      // id 2, ordinal 1: value changed b -> c = a real update pair
+      (2L, "b", "delete", 1), (2L, "c", "insert", 1),
+      // id 3: plain insert stays
+      (3L, "d", "insert", 1),
+      // id 2 again but ordinal 2: no insert in THAT commit -> delete
+      // (pairing must never cross commit boundaries)
+      (2L, "b", "delete", 2)
+    ).toDF("id", "v", "_change_type", "_change_ordinal")
+    val out = graft.catalog.Changes.computeUpdates(df, Seq("id"))
+      .as[(Long, String, String, Int)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, "a", "delete", 1),
+      (2L, "b", "delete", 2),
+      (2L, "b", "update_preimage", 1),
+      (2L, "c", "update_postimage", 1),
+      (3L, "d", "insert", 1)), out.toString)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      graft.catalog.Changes.computeUpdates(df, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.catalog.Changes.computeUpdates(df, Seq("nope"))
+    }
+  }
+
   test("post-rollback commits diff against their actual parent (lineage walk)") {
     val wh = "/tmp/graft_test_cdcrb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
