@@ -112,13 +112,23 @@ object Changes {
       .withColumn("__pairs",
         least(n("insert", wAll), n("delete", wAll)))
       .filter(col("__rn") > col("__pairs")) // cancel carry-over pairs
-      .withColumn("__upd",
-        n("insert", wId) > 0 && n("delete", wId) > 0)
+      .withColumn("__ni", n("insert", wId))
+      .withColumn("__nd", n("delete", wId))
+      // identifier contract (Iceberg's rule): within one commit the
+      // identifier columns name AT MOST one surviving row per side —
+      // an unbalanced pairing (2 inserts vs 1 delete) would emit a
+      // structurally corrupt update stream, so refuse loudly
       .withColumn("_change_type",
-        when(col("__upd") && col("_change_type") === "delete", "update_preimage")
-          .when(col("__upd") && col("_change_type") === "insert", "update_postimage")
+        when(col("__ni") > 1 || col("__nd") > 1, raise_error(concat(
+          lit(s"compute_updates: identifier columns (${idCols.mkString(", ")}) " +
+            "do not uniquely identify a row within commit ordinal "),
+          col("_change_ordinal").cast("string"))))
+          .when(col("__ni") > 0 && col("__nd") > 0 &&
+            col("_change_type") === "delete", "update_preimage")
+          .when(col("__ni") > 0 && col("__nd") > 0 &&
+            col("_change_type") === "insert", "update_postimage")
           .otherwise(col("_change_type")))
-      .drop("__rn", "__pairs", "__upd")
+      .drop("__rn", "__pairs", "__ni", "__nd")
   }
 
   /** Materialized state of one snapshot: its files minus its deletes

@@ -178,8 +178,10 @@ object Maintenance {
       try {
         ops.commit(v, meta.copy(
           lastUpdatedMs = System.currentTimeMillis(),
-          refs = meta.refs +
-            (refName -> graft.meta.Ref(sid, refType, maxRefAgeMs))))
+          // moving an existing ref PRESERVES its retention unless a
+          // new value is passed (clearing = drop_ref + create_ref)
+          refs = meta.refs + (refName -> graft.meta.Ref(sid, refType,
+            maxRefAgeMs.orElse(meta.refs.get(refName).flatMap(_.maxRefAgeMs))))))
         done = true
       } catch {
         case _: CommitFailedException if attempts < 10 =>
@@ -237,7 +239,7 @@ object Maintenance {
           lastUpdatedMs = now,
           currentSnapshotId = Some(head),
           snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, head),
-          refs = meta.refs + ("main" -> graft.meta.Ref(head, "branch"))))
+          refs = meta.refs + graft.meta.Ref.moved(meta.refs, "main", head)))
         done = true
       } catch {
         case _: CommitFailedException if attempts < 10 =>
@@ -267,7 +269,7 @@ object Maintenance {
           lastUpdatedMs = now,
           currentSnapshotId = Some(snapshotId),
           snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, snapshotId),
-          refs = meta.refs + ("main" -> graft.meta.Ref(snapshotId, "branch"))))
+          refs = meta.refs + graft.meta.Ref.moved(meta.refs, "main", snapshotId)))
         done = true
       } catch {
         case _: CommitFailedException if attempts < 10 =>
@@ -358,7 +360,7 @@ object Maintenance {
             lastUpdatedMs = now,
             currentSnapshotId = Some(s.snapshotId),
             snapshotLog = meta.snapshotLog :+ graft.meta.SnapshotLogEntry(now, s.snapshotId),
-            refs = meta.refs + ("main" -> graft.meta.Ref(s.snapshotId, "branch"))))
+            refs = meta.refs + graft.meta.Ref.moved(meta.refs, "main", s.snapshotId)))
           return s.snapshotId
         } catch {
           // main may have moved mid-publish: refresh and re-evaluate
@@ -847,6 +849,25 @@ object Maintenance {
     * the first expired ancestor. Newest first. Metadata-only — the
     * chain is bounded by retained-snapshot count, never file count.
     */
+  /** A hive-partitioned layout (k=v directories) keeps partition
+    * VALUES in directory names, not parquet footers: a footer-driven
+    * import would read those columns as all-NULL with matching row
+    * counts — invisible corruption. Refused loudly at both import
+    * entry points (add_files and migrate); such data needs the
+    * partition columns materialized into the files first. */
+  def requireNoHiveLayout(absDir: String): Unit = {
+    require(Io.exists(absDir), s"source dir not found: $absDir")
+    val hiveDirs = Io.walkFiles(absDir).map(_.stripPrefix(absDir))
+      .flatMap(_.split('/').filter(seg =>
+        seg.nonEmpty && !seg.endsWith(".parquet") && seg.contains('=')))
+      .distinct
+    require(hiveDirs.isEmpty,
+      s"source dir uses a hive-partitioned layout (${hiveDirs.take(3).mkString(", ")}): " +
+        "partition values live in directory names, not parquet footers — " +
+        "rewrite the files with the partition columns included, then " +
+        "migrate or add_files")
+  }
+
   def ancestorsOf(ops: TableOps, snapshotId: Option[Long] = None): Seq[graft.meta.Snapshot] = {
     val meta = ops.refresh().map(_._2)
       .getOrElse(throw new IllegalStateException("no such table"))
@@ -879,6 +900,7 @@ object Maintenance {
     // (`mv` the warehouse) the relative-path format exists to allow
     require(!sourceDir.split('/').contains(".."),
       s"source dir must not contain '..' segments: $sourceDir")
+    requireNoHiveLayout(RelPaths.absolutize(ops.warehouse, sourceDir))
     val meta = ops.refresh().map(_._2)
       .getOrElse(throw new IllegalStateException("no such table"))
     val spec = meta.spec

@@ -314,21 +314,9 @@ object Procedures {
           s"source dir must not contain '..' segments: $srcDir")
         val abs = graft.meta.RelPaths.absolutize(cat.warehouse, srcDir)
         require(Io.exists(abs), s"source dir not found: $srcDir")
-        // a hive-partitioned layout (k=v directories) keeps partition
-        // VALUES in directory names, not parquet footers: Spark's
-        // schema inference would invent the partition columns and
-        // every imported row would read them as NULL — silently, since
-        // row counts still match. Refuse loudly; such data needs the
-        // partition columns materialized into the files first.
-        val hiveDirs = Io.walkFiles(abs).map(_.stripPrefix(abs))
-          .flatMap(_.split('/').filter(seg =>
-            seg.nonEmpty && !seg.endsWith(".parquet") && seg.contains('=')))
-          .distinct
-        require(hiveDirs.isEmpty,
-          s"source dir uses a hive-partitioned layout (${hiveDirs.take(3).mkString(", ")}): " +
-            "partition values live in directory names, not parquet footers — " +
-            "rewrite the files with the partition columns included, then " +
-            "migrate or add_files")
+        // refuse k=v layouts BEFORE schema inference invents all-NULL
+        // partition columns (shared guard — add_files enforces it too)
+        Maintenance.requireNoHiveLayout(abs)
         val inferred = spark.read.parquet(abs).schema
         val schema = StructType(inferred.fields.map(_.copy(nullable = true)))
         cat.createTable(ident, schema,

@@ -91,13 +91,14 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
       return SeqOffset(curSeq)
     val snaps = lineageWindow(meta, startSeq, curSeq)
+    val genesisId =
+      if (startSeq == 0) snaps.headOption.map(_.snapshotId) else None
     var files = 0L; var rows = 0L; var end = startSeq
     var stop = false
     for (s <- snaps if !stop) {
       val added =
-        if (s.operation == "append")
-          table.ops.filesAtSeq(s, s.sequenceNumber)
-            .filter(_.seq.contains(s.sequenceNumber))
+        if (genesisId.contains(s.snapshotId) || s.operation == "append")
+          contributed(s, genesisId.contains(s.snapshotId))
         else Nil
       val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
         maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
@@ -152,7 +153,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     val unclassified = meta.snapshots.filter(s =>
       s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq &&
         !walked(s.snapshotId))
-    // A broken walk is fatal in two distinct ways:
+    // A broken walk is fatal — but only for a RESUMING stream
+    // (startSeq > 0), which was promised contiguous delivery from its
+    // checkpointed offset. Two distinct hazards:
     //  - retained in-range snapshots we can't classify (delivering
     //    might replay someone's audit branch, skipping might drop
     //    main data);
@@ -161,10 +164,16 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     //    startSeq+1 proves snapshots in the window were expired; if
     //    any were main history their rows would silently vanish from
     //    the stream, and we cannot tell).
+    // A FRESH start (startSeq == 0) owes nothing before the table's
+    // retained lineage: tables routinely age out ancient history, and
+    // refusing to ever start a stream on them would make every
+    // long-lived table unstreamable. The first batch is the retained
+    // anchor lineage — the same initial-catch-up semantics the CDC
+    // source's genesis handling defines.
     // The only clean break is genesis (parentId=None, broken stays
     // false) — which also covers a `snapshot`-procedure copy, whose
     // single snapshot legitimately starts above seq 1.
-    if (broken &&
+    if (broken && startSeq > 0 &&
         (unclassified.nonEmpty || out.last.sequenceNumber > startSeq + 1))
       throw new IllegalStateException(
         s"streaming lineage walk hit an expired parent below seq " +
@@ -175,10 +184,40 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     out.toList.sortBy(_.sequenceNumber)
   }
 
+  /** Files a snapshot contributes to its batch. Normally the files it
+    * ADDED (stamped with its own seq). The OLDEST snapshot of a
+    * fresh-start catch-up (startSeq == 0) instead contributes its FULL
+    * cumulative state — the genesis batch: files that entered in
+    * since-expired ancestors live on in the surviving snapshots'
+    * lists but carry old seq stamps, so per-added delivery would
+    * silently drop them (same rule for a `snapshot`-procedure copy,
+    * whose single snapshot carries the source's stamps verbatim). On a
+    * complete history the genesis commit's state IS its added set, so
+    * the rule changes nothing there. A genesis snapshot with live MOR
+    * deletes can't be served append-only — loud fail, `$changes` is
+    * the CDC spelling. */
+  private def contributed(s: graft.meta.Snapshot, genesis: Boolean): Seq[DataFile] =
+    if (!genesis)
+      table.ops.filesAtSeq(s, s.sequenceNumber)
+        .filter(_.seq.contains(s.sequenceNumber))
+    else {
+      if (s.deleteFiles.nonEmpty) throw new IllegalStateException(
+        s"fresh stream start: oldest retained snapshot ${s.snapshotId} carries " +
+          "row-level delete files; an append-only tail cannot apply them — " +
+          "compact the table once, or read the $changes table for CDC")
+      table.ops.allFiles(s)
+    }
+
   private def filesBetween(startSeq: Long, endSeq: Long): Seq[DataFile] = {
     val meta = freshMeta
     val snaps = lineageWindow(meta, startSeq, endSeq)
-    val bad = snaps.filter(s => s.operation != "append" && s.operation != "replace")
+    // the genesis snapshot (oldest of a fresh-start catch-up) delivers
+    // STATE, which is well-defined whatever operation produced it —
+    // the non-append check applies to the incremental tail only
+    val genesisId =
+      if (startSeq == 0) snaps.headOption.map(_.snapshotId) else None
+    val bad = snaps.filter(s => !genesisId.contains(s.snapshotId) &&
+      s.operation != "append" && s.operation != "replace")
     if (bad.nonEmpty && !skipNonAppend)
       throw new IllegalStateException(
         s"streaming read hit non-append snapshot(s) ${bad.map(_.operation).distinct.mkString(",")} " +
@@ -188,9 +227,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     // from s itself keeps the batch replayable even after later
     // compactions drop the file from the current snapshot (retention
     // must cover streaming lag, as with any table-tail source)
-    snaps.filter(_.operation == "append")
-      .flatMap(s => table.ops.filesAtSeq(s, s.sequenceNumber)
-        .filter(_.seq.contains(s.sequenceNumber)))
+    snaps.filter(s => genesisId.contains(s.snapshotId) || s.operation == "append")
+      .flatMap(s => contributed(s, genesisId.contains(s.snapshotId)))
   }
 
   private def delegate(files: Seq[DataFile]): Scan = {

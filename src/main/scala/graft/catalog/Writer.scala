@@ -697,7 +697,7 @@ object Writer {
           snapshots = baseMeta.snapshots :+ snap,
           metadataLog = baseMeta.metadataLog :+
             MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
-          refs = baseMeta.refs + (b -> Ref(snapId, "branch")))
+          refs = baseMeta.refs + graft.meta.Ref.moved(baseMeta.refs, b, snapId))
         case None => xBase.copy(
           lastSequenceNumber = snap.sequenceNumber,
           lastUpdatedMs = now,
@@ -706,7 +706,7 @@ object Writer {
           snapshotLog = baseMeta.snapshotLog :+ SnapshotLogEntry(now, snapId),
           metadataLog = baseMeta.metadataLog :+
             MetadataLogEntry(now, s"${baseMeta.location}/metadata/v$baseV.metadata.json"),
-          refs = baseMeta.refs + ("main" -> Ref(snapId, "branch")))
+          refs = baseMeta.refs + graft.meta.Ref.moved(baseMeta.refs, "main", snapId))
       }
       try {
         table.ops.commit(baseV, next)

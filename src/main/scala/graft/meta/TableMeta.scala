@@ -209,6 +209,17 @@ final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 final case class Ref(snapshotId: Long, refType: String,
   maxRefAgeMs: Option[Long] = None)
 
+object Ref {
+  /** Move `name` to a new target, PRESERVING ref-level retention — a
+    * ref move (branch append, fast-forward, rollback, WAP publish)
+    * must never silently clear `maxRefAgeMs`; only an explicit
+    * create_ref with a new value (or drop+recreate) changes it. */
+  def moved(refs: Map[String, Ref], name: String,
+      newSnapshotId: Long): (String, Ref) =
+    name -> refs.get(name).map(_.copy(snapshotId = newSnapshotId))
+      .getOrElse(Ref(newSnapshotId, "branch"))
+}
+
 final case class TableMeta(
     formatVersion: Int,
     tableUuid: String,

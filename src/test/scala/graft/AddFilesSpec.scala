@@ -269,13 +269,18 @@ class AddFilesSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains(".."), e3.getMessage)
     // hive-partitioned layout: partition values live in dir names, not
-    // footers — inference would invent all-NULL columns; refused
+    // footers — inference would invent all-NULL columns; refused at
+    // BOTH import entry points
     Seq((1L, 9.0)).toDF("id", "score").write.parquet(s"$wh/landing/hive/day=2026-08-01")
     val e4 = intercept[Exception] {
       spark.sql("CALL tcMig.system.migrate(source_dir => 'landing/hive', tbl => 'm.bad')").collect()
     }
     assert(e4.getMessage.contains("hive-partitioned"), e4.getMessage)
     assert(!spark.catalog.tableExists("tcMig.m.bad"))
+    val e5 = intercept[Exception] {
+      Maintenance.addFiles(spark, gt("tcMig", "m", "t"), "landing/hive")
+    }
+    assert(e5.getMessage.contains("hive-partitioned"), e5.getMessage)
   }
 
   test("rollback_to_timestamp resolves through the snapshot log; ancestors_of rejects unknown ids") {

@@ -424,6 +424,18 @@ class CdcSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.catalog.Changes.computeUpdates(df, Seq("nope"))
     }
+    // the identifier contract: duplicate ids within one commit (after
+    // carry-over cancel) would emit a corrupt 1-pre/2-post stream —
+    // refused loudly, like Iceberg
+    val dup = Seq(
+      (7L, "a", "delete", 1), (7L, "b", "insert", 1), (7L, "c", "insert", 1)
+    ).toDF("id", "v", "_change_type", "_change_ordinal")
+    val e = intercept[Exception] {
+      graft.catalog.Changes.computeUpdates(dup, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("uniquely identify") ||
+      Option(e.getCause).exists(_.getMessage.contains("uniquely identify")),
+      e.toString)
   }
 
   test("post-rollback commits diff against their actual parent (lineage walk)") {

@@ -248,6 +248,24 @@ class MaintSpec extends AnyFunSuite {
       spark.sql("SELECT COUNT(*) FROM tcRa.r.t VERSION AS OF 'nightly'").collect()
     }
 
+    // a ref MOVE preserves retention: branch appends and create_ref
+    // re-pins must never silently clear maxRefAgeMs
+    import spark.implicits._
+    spark.sql("CALL tcRa.system.create_ref(tbl => 'r.t', ref => 'aud', " +
+      "ref_type => 'branch', max_ref_age_ms => 3600000)")
+    Maintenance.appendToBranch(
+      spark.sessionState.catalogManager.catalog("tcRa")
+        .asInstanceOf[graft.catalog.RelativeCatalog]
+        .loadTable(Identifier.of(Array("r"), "t"))
+        .asInstanceOf[graft.catalog.GraftTable],
+      (900L until 910L).toDF("id"), "aud")
+    assert(ops.refresh().get._2.refs("aud").maxRefAgeMs.contains(3600000L),
+      "branch append cleared ref retention")
+    spark.sql("CALL tcRa.system.create_ref(tbl => 'r.t', ref => 'aud', ref_type => 'branch')")
+    assert(ops.refresh().get._2.refs("aud").maxRefAgeMs.contains(3600000L),
+      "re-pinning without the parameter cleared ref retention")
+    spark.sql("CALL tcRa.system.drop_ref(tbl => 'r.t', ref => 'aud')")
+
     // table-level default ages refs that set no explicit retention
     spark.sql("ALTER TABLE tcRa.r.t SET TBLPROPERTIES ('history.expire.max-ref-age-ms'='1')")
     Thread.sleep(30)

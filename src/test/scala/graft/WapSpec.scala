@@ -263,6 +263,20 @@ class WapSpec extends AnyFunSuite {
       s"unexpected: ${e.getMessage}")
     q2.stop()
     assert(seen.get() == 10, "rows were delivered across the expiry gap")
+
+    // ...but a FRESH stream (new checkpoint, offset 0) on the same
+    // aged table must start fine: it owes nothing before the retained
+    // lineage. Refusing here would make every long-lived table
+    // permanently unstreamable after its first expiry.
+    val freshSeen = new java.util.concurrent.atomic.AtomicLong
+    val q3 = spark.readStream.table("tcWapD.w.t")
+      .writeStream.option("checkpointLocation", s"$wh/_ckpt_fresh")
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        freshSeen.addAndGet(df.count()); ()
+      }).start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(freshSeen.get() == 40, s"fresh start read ${freshSeen.get()} of 40 retained rows")
   }
 
   test("streaming tail never delivers branch or WAP-staged snapshots until published") {
