@@ -135,12 +135,76 @@ class GraftTable(
   // BATCH_WRITE + V1_BATCH_WRITE: appends/filter-overwrites return a
   // V1Write (planner routes them to the V1 execs); dynamic overwrite
   // returns a real BatchWrite, whose analyzer check demands BATCH_WRITE
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE)
+    // merge-schema ingest (Iceberg's accept-any-schema): the table
+    // opts in via property, Spark then skips write-side schema
+    // validation and the write path merges/validates itself — see
+    // [[mergedForWrite]] and the V1Write gate in [[GraftWriteBuilder]]
+    (if (meta.properties.get("write.merge-schema").contains("true"))
+      base + TableCapability.ACCEPT_ANY_SCHEMA
+    else base).asJava
+  }
+
+  /** Evolve THIS table's schema to accept `incoming` (merge-schema
+    * ingest): unknown incoming columns are ADDED (fresh field ids, all
+    * nullable — an added column must read NULL from every existing
+    * file), and an incoming type that safely widens the table's
+    * (int→long, float→double, decimal precision growth) WIDENS it —
+    * metadata-only either way, the id-keyed evolution rules that keep
+    * schema drift O(1) on a 100 TB table. Anything else (narrowing,
+    * incompatible types) is refused loudly. A no-op when the schemas
+    * already agree. OCC-committed; returns the table to write against. */
+  def mergedForWrite(incoming: StructType): GraftTable = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val (v, m) = ops.refresh()
+        .getOrElse(throw new IllegalStateException(s"table ${name()} vanished"))
+      val byName = m.schema.fields.map(f => f.name -> f).toMap
+      var lastId = m.lastColumnId
+      var changed = false
+      var fields = m.schema.fields
+      incoming.fields.foreach { in =>
+        byName.get(in.name) match {
+          case None =>
+            lastId += 1; changed = true
+            fields = fields :+ FieldDef(lastId, in.name, in.dataType.json,
+              required = false)
+          case Some(f) =>
+            val cur = org.apache.spark.sql.types.DataType.fromJson(f.dataType)
+            if (cur != in.dataType &&
+                RelativeCatalog.safePromotion(cur, in.dataType)) {
+              changed = true
+              fields = fields.map(x =>
+                if (x.id == f.id) x.copy(dataType = in.dataType.json) else x)
+            } else require(cur == in.dataType ||
+                RelativeCatalog.safePromotion(in.dataType, cur),
+              s"merge-schema: column ${in.name} is ${cur.simpleString} in the " +
+                s"table but ${in.dataType.simpleString} incoming — neither side " +
+                "widens the other")
+        }
+      }
+      if (!changed) return new GraftTable(catalogName, ident, ops, m, v)
+      val sid = m.currentSchemaId + 1
+      val next = m.copy(
+        lastUpdatedMs = System.currentTimeMillis(),
+        lastColumnId = lastId,
+        currentSchemaId = sid,
+        schemas = m.schemas :+ SchemaDef(sid, fields))
+      try {
+        val v2 = ops.commit(v, next)
+        return new GraftTable(catalogName, ident, ops, next, v2)
+      } catch {
+        case _: CommitFailedException => // refresh + retry
+      }
+    }
+    throw new CommitFailedException("merge-schema: commit retries exhausted")
+  }
 
   def readSnapshot: Option[Snapshot] =
     pinnedSnapshot.flatMap(meta.snapshot).orElse(meta.currentSnapshot)
@@ -685,25 +749,86 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 
   override def overwriteDynamicPartitions(): WriteBuilder = { mode = DynamicMode; this }
 
+  /** Merge-schema gate, evaluated once per write with the LIVE data
+    * frame. With `write.merge-schema=true` Spark skipped its own
+    * schema validation (ACCEPT_ANY_SCHEMA), so this is where the write
+    * either merges (writer passed merge-schema/mergeSchema=true:
+    * evolve the table via [[GraftTable.mergedForWrite]], then
+    * null-fill any table column the frame omits) or REFUSES extra
+    * columns loudly — a silently dropped column is the one outcome
+    * that must never happen. */
+  private def mergeGate(data0: DataFrame): (GraftTable, DataFrame) = {
+    if (!table.meta.properties.get("write.merge-schema").contains("true"))
+      return (table, data0) // capability absent: Spark already validated
+    // ACCEPT_ANY_SCHEMA also skips Spark's by-POSITION output
+    // resolution, so `INSERT ... VALUES` arrives under synthetic names
+    // (col1, col2, …). A same-arity frame sharing NO name with the
+    // table is unambiguously positional — rename it; any name overlap
+    // means by-name intent and falls through to the checks below.
+    val tcols = table.schema().fieldNames
+    val data =
+      if (data0.schema.fieldNames.length == tcols.length &&
+          !data0.schema.fieldNames.exists(tcols.contains))
+        data0.toDF(tcols.toIndexedSeq: _*)
+      else data0
+    val requested = Seq("merge-schema", "mergeschema")
+      .exists(k => Option(info.options.get(k)).exists(_.toBoolean))
+    val extra = data.schema.fieldNames
+      .filterNot(table.schema().fieldNames.contains).toSeq
+    if (!requested) {
+      require(extra.isEmpty,
+        s"table ${table.name()} accepts any schema but this write did not " +
+          s"pass merge-schema=true; refusing to silently drop incoming " +
+          s"column(s) ${extra.mkString(", ")}")
+      (table, data)
+    } else {
+      val t2 = table.mergedForWrite(data.schema)
+      val have = data.columns.toSet
+      val filled = t2.schema().fields.foldLeft(data) { (df, f) =>
+        if (have(f.name)) df
+        else {
+          require(f.nullable, s"merge-schema: frame omits required column ${f.name}")
+          df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        }
+      }
+      (t2, filled)
+    }
+  }
+
   override def build(): Write = mode match {
     // dynamic overwrite has no V1 fallback exec in Spark → a real V2
     // BatchWrite (fanout writer; the incoming partition set falls out
     // of the writer-stamped tuples, no extra job)
-    case DynamicMode => new GraftDynamicOverwriteWrite(table, info.schema())
+    case DynamicMode =>
+      // the partition set must be computed against a settled schema —
+      // merge-schema composes with append/truncate/filter writes only
+      require(info.schema().fieldNames.forall(table.schema().fieldNames.contains),
+        "merge-schema is not supported for dynamic partition overwrite; " +
+          "evolve the schema first (ALTER TABLE ADD COLUMN)")
+      new GraftDynamicOverwriteWrite(table, info.schema())
     case _ => new V1Write {
       override def toInsertableRelation: InsertableRelation =
-        (data: DataFrame, _: Boolean) => mode match {
-          case TruncateMode => Writer.append(table, data, overwrite = true,
-            wapId = Writer.sessionWapId(table.meta))
-          case FilterMode(filters) => GraftTable.overwriteByFilter(table, data, filters)
-          case _ => Writer.append(table, data, overwrite = false,
-            wapId = Writer.sessionWapId(table.meta))
+        (data: DataFrame, _: Boolean) => {
+          val (t2, d2) = mergeGate(data)
+          mode match {
+            case TruncateMode => Writer.append(t2, d2, overwrite = true,
+              wapId = Writer.sessionWapId(t2.meta))
+            case FilterMode(filters) => GraftTable.overwriteByFilter(t2, d2, filters)
+            case _ => Writer.append(t2, d2, overwrite = false,
+              wapId = Writer.sessionWapId(t2.meta))
+          }
         }
 
       // writeStream.toTable: one OCC append per epoch, exactly-once via
       // the (query-id, epoch-id) stamp in the snapshot summary
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        // ACCEPT_ANY_SCHEMA skips Spark's validation here too, and the
+        // epoch writer has no merge hook — refuse mismatches loudly
+        require(info.schema().fieldNames.forall(table.schema().fieldNames.contains),
+          "merge-schema is not supported for streaming writes; evolve the " +
+            "schema first (ALTER TABLE ADD COLUMN)")
         new GraftStreamingWrite(table, info.queryId(), info.schema())
+      }
     }
   }
 }

@@ -293,6 +293,32 @@ object CatalogOps2 extends Pack {
         |ORDER BY _change_ordinal ASC NULLS FIRST, _change_type ASC NULLS FIRST,
         |  r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // merge-schema ingest: an evolving pipeline appends a frame with a
+    // column the table has never seen; the table follows metadata-only
+    // (fresh field id, nullable) and pre-existing rows read NULL. The
+    // oracle pins row counts and the new column's population/sum.
+    Decl("q_cat_mergeschema", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_ms")
+      spark.sql(s"CREATE TABLE $c.demo_ms.o (o_orderkey BIGINT) " +
+        "TBLPROPERTIES ('write.merge-schema'='true')")
+      val src = Tables(spark, dir, "orders")
+      src.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"))
+        .writeTo(s"$c.demo_ms.o").append()
+      src.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .writeTo(s"$c.demo_ms.o").option("merge-schema", "true").append()
+      spark.sql(graft.Dsl.expandOracle(
+        s"""SELECT COUNT(*) AS n_all, COUNT(o_totalprice) AS n_priced,
+           |  D4SUM(o_totalprice) AS total
+           |FROM $c.demo_ms.o""".stripMargin))
+    }, Some(
+      """SELECT COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS n_priced,
+        |  D4SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS total
+        |FROM orders""".stripMargin)),
+
     // create_changelog_view(compute_updates): the per-commit
     // delete+insert pairs of an UPDATE refined into
     // update_preimage/update_postimage rows keyed by the identifier
