@@ -528,7 +528,7 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
     // through the name mapping ([[Mor.readData]]); compaction rewrites
     // them as native files and restores the delegate fast path
     else if (prunedDeletes.nonEmpty || pruned.exists(_.nameMapped.contains(true)))
-      new MorScan(table, required, pruned, prunedDeletes, v1)
+      new MorScan(table, required, pruned, prunedDeletes, v1, options, pushedExprs)
     else SpjScan.tryBuild(table, options, required, pushedExprs, pruned, spark)
       // default: vectorized delegate + dynamic file pruning + streaming
       .getOrElse(new GraftStreamableScan(table, options, required, pushedExprs, pruned))
@@ -549,9 +549,22 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   * purely for scan efficiency.
   */
 class MorScan(table: GraftTable, required: StructType, files: Seq[DataFile],
-    deletes: Seq[DataFile], filters: Seq[Filter]) extends V1Scan {
+    deletes: Seq[DataFile], filters: Seq[Filter],
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap =
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+    pushedExprs: Seq[Expression] = Nil) extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** `readStream` on a table whose CURRENT snapshot routed the batch
+    * scan here (live MOR deletes or name-mapped imports) still gets
+    * the snapshot-chain tail — the stream itself enforces its own
+    * append-only rules per micro-batch window (genesis MOR deletes
+    * refuse loudly; imported files resolve through the name mapping),
+    * so the batch-path routing must not mask the streaming surface. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, options, required, pushedExprs)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new MorRelation(ctx, table, required, files, deletes, filters).asInstanceOf[T]
@@ -762,13 +775,16 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
       return (table, data0) // capability absent: Spark already validated
     // ACCEPT_ANY_SCHEMA also skips Spark's by-POSITION output
     // resolution, so `INSERT ... VALUES` arrives under synthetic names
-    // (col1, col2, …). A same-arity frame sharing NO name with the
-    // table is unambiguously positional — rename it; any name overlap
-    // means by-name intent and falls through to the checks below.
+    // (col1, col2, …). Only a same-arity frame whose EVERY column
+    // matches Spark's synthetic pattern (and shares no name with the
+    // table) is treated as positional — a genuine by-name frame whose
+    // columns were all renamed must NOT silently write into the old
+    // columns; it falls through to the merge/refuse checks below.
     val tcols = table.schema().fieldNames
     val data =
       if (data0.schema.fieldNames.length == tcols.length &&
-          !data0.schema.fieldNames.exists(tcols.contains))
+          !data0.schema.fieldNames.exists(tcols.contains) &&
+          data0.schema.fieldNames.forall(_.matches("col\\d+")))
         data0.toDF(tcols.toIndexedSeq: _*)
       else data0
     val requested = Seq("merge-schema", "mergeschema")

@@ -60,10 +60,13 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       case None => throw new IllegalArgumentException(s"no branch $b")
     }
   }
-  // rate limits: cap each trigger's admission (snapshot-granular —
-  // offsets stay contiguous seq ranges, so batches remain replayable).
-  // A huge backfill then drains as bounded micro-batches instead of
-  // one giant catch-up batch that overwhelms the state store.
+  // rate limits: cap each trigger's admission. The incremental tail
+  // stays snapshot-granular (offsets remain contiguous seq ranges,
+  // so batches stay replayable); the FRESH-START catch-up — where one
+  // "snapshot" is an aged table's entire retained state — additionally
+  // splits the genesis state at FILE granularity via (seq, fileIdx)
+  // offsets, so a 100 TB backlog drains as ⌈files/cap⌉ bounded
+  // micro-batches instead of one unbounded catch-up batch.
   private val maxFilesPerTrigger =
     Option(options.get("max-files-per-trigger")).map(_.toInt)
   private val maxRowsPerTrigger =
@@ -83,38 +86,94 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
 
   override def reportLatestOffset(): Offset = latestOffset()
 
+  /** The genesis snapshot's STATE in a stable order (sorted by path)
+    * so (seq, fileIdx) offsets slice it reproducibly across triggers,
+    * restarts, and checkpoint replays. Sequence numbers are dense and
+    * unique per table, so the seq lookup is unambiguous; a mid-drain
+    * expiry of the snapshot fails loudly (the slice indices would
+    * otherwise silently re-bind to different files). */
+  private def genesisList(meta: graft.meta.TableMeta, seq: Long): IndexedSeq[DataFile] = {
+    val s = meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
+      throw new IllegalStateException(
+        s"genesis catch-up snapshot (seq $seq) is no longer retained; " +
+          "retention must cover streaming lag"))
+    contributed(s, genesis = true).sortBy(_.path).toIndexedSeq
+  }
+
+  /** One trigger's admission from a file list under the rate caps:
+    * returns (exclusive end index, files consumed, rows consumed).
+    * Always admits at least one file when starting from `from`
+    * (progress guarantee) — a single file larger than
+    * max-rows-per-trigger gets a batch of its own. */
+  private def admit(list: IndexedSeq[DataFile], from: Int): (Int, Long, Long) = {
+    var i = from; var f = 0L; var r = 0L; var stop = false
+    while (i < list.size && !stop) {
+      val nf = f + 1; val nr = r + list(i).records
+      val exceeds = maxFilesPerTrigger.exists(m => nf > m) ||
+        maxRowsPerTrigger.exists(m => nr > m)
+      if (exceeds && i > from) stop = true
+      else { f = nf; r = nr; i += 1 }
+    }
+    (i, f, r)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startSeq = start.asInstanceOf[SeqOffset].seq
+    val st = start.asInstanceOf[SeqOffset]
     val meta = freshMeta
     val curSeq = availableNowCap.fold(headSeq(meta))(
       math.min(headSeq(meta), _))
     if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
-      return SeqOffset(curSeq)
-    val snaps = lineageWindow(meta, startSeq, curSeq)
-    val genesisId =
-      if (startSeq == 0) snaps.headOption.map(_.snapshotId) else None
-    var files = 0L; var rows = 0L; var end = startSeq
+      // uncapped: everything available, including any genesis remainder
+      return if (curSeq == st.seq && st.fileIdx < 0) st
+             else SeqOffset(math.max(curSeq, st.seq))
+    var files = 0L; var rows = 0L
+    var effStart = st.seq
+    if (st.fileIdx >= 0) {
+      // mid-genesis resume: keep draining the state snapshot file-wise
+      val list = genesisList(meta, st.seq)
+      val (next, f, r) = admit(list, st.fileIdx)
+      if (next < list.size) return SeqOffset(st.seq, next)
+      files += f; rows += r
+    } else if (st.seq == 0 && curSeq > 0) {
+      // fresh start: the oldest retained snapshot delivers STATE and
+      // is split at file granularity (see genesisList)
+      val snaps = lineageWindow(meta, 0, curSeq)
+      if (snaps.isEmpty) return st
+      val g = snaps.head
+      val list = genesisList(meta, g.sequenceNumber)
+      val (next, f, r) = admit(list, 0)
+      if (next < list.size) return SeqOffset(g.sequenceNumber, next)
+      files += f; rows += r
+      effStart = g.sequenceNumber
+    }
+    if (curSeq <= effStart)
+      return if (effStart != st.seq || st.fileIdx >= 0) SeqOffset(effStart) else st
+    // incremental tail: snapshot-granular — a snapshot that alone
+    // exceeds the cap still gets a batch of its own (progress
+    // guarantee), but never piggybacks on a trigger that already
+    // consumed budget
+    val snaps = lineageWindow(meta, effStart, curSeq)
+    var end = effStart
     var stop = false
     for (s <- snaps if !stop) {
-      val added =
-        if (genesisId.contains(s.snapshotId) || s.operation == "append")
-          contributed(s, genesisId.contains(s.snapshotId))
-        else Nil
+      val added = if (s.operation == "append") contributed(s, genesis = false) else Nil
       val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
         maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
-      // a single snapshot can't be split (offsets are seq numbers):
-      // always admit at least one, even if it alone exceeds the cap
-      if (exceeds && end > startSeq) stop = true
+      if (exceeds && (end > effStart || files > 0 || rows > 0)) stop = true
       else {
         files += added.size; rows += added.map(_.records).sum
         end = s.sequenceNumber
       }
     }
-    SeqOffset(end)
+    if (end == st.seq && st.fileIdx < 0) st else SeqOffset(end)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    SeqOffset(json.trim.stripPrefix("{\"seq\":").stripSuffix("}").trim.toLong)
+  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+))?\}""".r
+  override def deserializeOffset(json: String): Offset = json.trim match {
+    case OffsetRe(s, null) => SeqOffset(s.toLong)
+    case OffsetRe(s, i) => SeqOffset(s.toLong, i.toInt)
+    case other => throw new IllegalArgumentException(s"unreadable offset: $other")
+  }
 
   /** Snapshots in (startSeq, endSeq] that are ON MAIN LINEAGE.
     * `meta.snapshots` is the table's whole snapshot SET: branch
@@ -208,14 +267,30 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       table.ops.allFiles(s)
     }
 
-  private def filesBetween(startSeq: Long, endSeq: Long): Seq[DataFile] = {
+  private def filesBetween(start: SeqOffset, end: SeqOffset): Seq[DataFile] = {
+    if (end.seq < start.seq) return Nil
     val meta = freshMeta
+    if (end.fileIdx >= 0)
+      // mid-genesis batch: a contiguous slice of the oldest retained
+      // snapshot's state (start is the fresh-start origin, or an
+      // earlier slice of the SAME snapshot)
+      return genesisList(meta, end.seq).slice(math.max(start.fileIdx, 0), end.fileIdx)
+    if (start.fileIdx >= 0)
+      // final genesis slice plus the incremental tail in one batch
+      return genesisList(meta, start.seq).drop(start.fileIdx) ++
+        windowFiles(meta, start.seq, end.seq, stateAtStart = false)
+    windowFiles(meta, start.seq, end.seq, stateAtStart = start.seq == 0)
+  }
+
+  private def windowFiles(meta: graft.meta.TableMeta, startSeq: Long,
+      endSeq: Long, stateAtStart: Boolean): Seq[DataFile] = {
+    if (endSeq <= startSeq) return Nil
     val snaps = lineageWindow(meta, startSeq, endSeq)
     // the genesis snapshot (oldest of a fresh-start catch-up) delivers
     // STATE, which is well-defined whatever operation produced it —
     // the non-append check applies to the incremental tail only
     val genesisId =
-      if (startSeq == 0) snaps.headOption.map(_.snapshotId) else None
+      if (stateAtStart) snaps.headOption.map(_.snapshotId) else None
     val bad = snaps.filter(s => !genesisId.contains(s.snapshotId) &&
       s.operation != "append" && s.operation != "replace")
     if (bad.nonEmpty && !skipNonAppend)
@@ -231,29 +306,69 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       .flatMap(s => contributed(s, genesisId.contains(s.snapshotId)))
   }
 
-  private def delegate(files: Seq[DataFile]): Scan = {
+  /** Rename a schema's fields to their `add_files` import names and
+    * strip field-id metadata: the parquet reader then resolves by
+    * NAME, exactly how imported (field-id-less) files were written.
+    * Positionally identical to the input schema, so reader output
+    * binds to the stream's attributes unchanged. */
+  private def toImportNames(s: StructType): StructType = {
+    val byName = table.schema().fields.map(f => f.name -> f).toMap
+    StructType(s.fields.map { f0 =>
+      val f = byName.getOrElse(f0.name, f0)
+      val id = if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
+        f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt else -1
+      org.apache.spark.sql.types.StructField(
+        table.meta.nameMapping.getOrElse(id, f.name), f0.dataType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(graft.meta.TableMeta.FieldIdKey).build())
+    })
+  }
+
+  /** The vectorized parquet delegate for one resolution mode. Native
+    * files resolve columns by field id; files imported by `add_files`
+    * (`DataFile.nameMapped`) carry NO field ids and resolve through
+    * the table's frozen name mapping instead — the streaming analog of
+    * the batch path's [[Mor.readData]]. Filters are pushed only on the
+    * id-resolved side: a table that ever ran add_files reports every
+    * predicate residual ([[GraftScanBuilder.pushFilters]]), so Spark
+    * re-applies them above — the mapped side just loses row-group
+    * skipping, never rows. */
+  private def delegate(files: Seq[DataFile], mapped: Boolean): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
+    val (tblSchema, reqSchema) =
+      if (mapped) (toImportNames(table.schema()), toImportNames(required))
+      else (table.schema(), required)
     val sb = ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
-    sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
-    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
+      Some(tblSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (!mapped)
+      sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(reqSchema)
     sb.build()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val files = filesBetween(start.asInstanceOf[SeqOffset].seq,
-      end.asInstanceOf[SeqOffset].seq)
-    if (files.isEmpty) Array.empty
-    else delegate(files).toBatch.planInputPartitions()
+    val files = filesBetween(start.asInstanceOf[SeqOffset],
+      end.asInstanceOf[SeqOffset])
+    if (files.isEmpty) return Array.empty
+    val (nm, idful) = files.partition(_.nameMapped.contains(true))
+    val idParts = if (idful.isEmpty) Array.empty[InputPartition]
+      else delegate(idful, mapped = false).toBatch.planInputPartitions()
+    val nmParts = if (nm.isEmpty) Array.empty[InputPartition]
+      else delegate(nm, mapped = true).toBatch.planInputPartitions()
+    idParts.map(p => StreamTaggedPartition(p, mapped = false): InputPartition) ++
+      nmParts.map(p => StreamTaggedPartition(p, mapped = true))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val meta = freshMeta
     val head = branch.flatMap(b => meta.refs.get(b))
       .flatMap(r => meta.snapshot(r.snapshotId)).orElse(meta.currentSnapshot)
-    delegate(head.map(table.ops.allFiles).getOrElse(Nil)).toBatch
-      .createReaderFactory()
+    val (nm, idful) = head.map(table.ops.allFiles).getOrElse(Nil)
+      .partition(_.nameMapped.contains(true))
+    new StreamDispatchReaderFactory(
+      delegate(idful, mapped = false).toBatch.createReaderFactory(),
+      delegate(nm, mapped = true).toBatch.createReaderFactory())
   }
 
   override def commit(end: Offset): Unit = ()
@@ -261,8 +376,45 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def stop(): Unit = ()
 }
 
-case class SeqOffset(seq: Long) extends Offset {
-  override def json(): String = s"""{"seq":$seq}"""
+/** Streaming offset: `seq` = last fully-delivered commit sequence
+  * number; `fileIdx >= 0` marks a PARTIAL genesis catch-up — the first
+  * `fileIdx` files (path order) of the oldest retained snapshot's
+  * state have been delivered. Partial offsets arise only while a
+  * fresh start drains an aged table's retained state under
+  * max-files/rows-per-trigger; once the state snapshot completes,
+  * offsets are pure sequence numbers again. The JSON stays readable by
+  * and from pre-split checkpoints ({"seq":N} ⇔ fileIdx = -1). */
+case class SeqOffset(seq: Long, fileIdx: Int = -1) extends Offset {
+  override def json(): String =
+    if (fileIdx < 0) s"""{"seq":$seq}""" else s"""{"seq":$seq,"idx":$fileIdx}"""
+}
+
+/** Routes a micro-batch partition to the reader factory of its
+  * resolution mode (field-id native vs name-mapped import) — the two
+  * parquet delegates differ only in how column names bind, so their
+  * partitions coexist in one batch. */
+case class StreamTaggedPartition(inner: InputPartition, mapped: Boolean)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+class StreamDispatchReaderFactory(idful: PartitionReaderFactory,
+    nameMapped: PartitionReaderFactory) extends PartitionReaderFactory {
+  private def pick(p: InputPartition): (PartitionReaderFactory, InputPartition) = {
+    val t = p.asInstanceOf[StreamTaggedPartition]
+    (if (t.mapped) nameMapped else idful, t.inner)
+  }
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (f, ip) = pick(p); f.createReader(ip)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, ip) = pick(p); f.createColumnarReader(ip)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, ip) = pick(p); f.supportColumnarReads(ip)
+  }
 }
 
 /** The default batch scan: a thin harness over the vectorized parquet

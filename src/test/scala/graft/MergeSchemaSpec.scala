@@ -56,6 +56,32 @@ class MergeSchemaSpec extends AnyFunSuite {
     assert(t.meta.schemas.size >= 3, "each merge should append a schema generation")
   }
 
+  test("a fully-renamed by-name frame is never positionally mis-bound (synthetic col\\d+ names only)") {
+    freshWh("tcMs3")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcMs3.m")
+    spark.sql("CREATE TABLE tcMs3.m.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.merge-schema'='true')")
+    spark.sql("INSERT INTO tcMs3.m.t VALUES (1)")
+    // same arity + zero name overlap, but a GENUINE column name: this
+    // must evolve the schema, not silently write user_id values into
+    // `id` (the mis-bind the positional heuristic used to allow)
+    Seq(Tuple1(7L)).toDF("user_id")
+      .writeTo("tcMs3.m.t").option("merge-schema", "true").append()
+    assert(spark.table("tcMs3.m.t").schema.fieldNames.toSeq == Seq("id", "user_id"))
+    assert(spark.sql("SELECT id, user_id FROM tcMs3.m.t ORDER BY id NULLS LAST")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1L, null), Seq(null, 7L)))
+    // without the writer option the same frame is refused, never bound
+    val e = intercept[Exception] {
+      Seq(Tuple1(8L)).toDF("other").writeTo("tcMs3.m.t").append()
+    }
+    assert(e.getMessage.contains("merge-schema"), e.getMessage)
+    // synthetic positional VALUES (col1, col2, …) still resolve by position
+    spark.sql("INSERT INTO tcMs3.m.t VALUES (2, 9)")
+    assert(spark.sql("SELECT user_id FROM tcMs3.m.t WHERE id = 2")
+      .collect()(0).getLong(0) == 9L)
+  }
+
   test("mismatches stay loud: no silent drops, no narrowing, no dynamic/streaming merges") {
     freshWh("tcMs2")
     import spark.implicits._

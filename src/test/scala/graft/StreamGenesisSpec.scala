@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Genesis catch-up admission control: a FRESH stream over an aged
+  * table owes the entire retained state as its first deliverable —
+  * on a 100 TB table that must NOT be one unbounded micro-batch.
+  * (seq, fileIdx) offsets split the genesis state at file granularity
+  * under max-files/rows-per-trigger, replayably: every slice is a
+  * pure function of the retained metadata and the two offsets.
+  * Also pins streaming over `add_files`-imported (field-id-less)
+  * files, which resolve through the table's frozen name mapping.
+  */
+class StreamGenesisSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshWh(name: String): String = {
+    val wh = s"/tmp/graft_test_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.RelativeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  private def gt(cat: String, ns: String, t: String): graft.catalog.GraftTable =
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.RelativeCatalog]
+      .loadTable(Identifier.of(Array(ns), t))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+  /** 12 one-file appends (ids 0..59), then expire to ONE retained
+    * snapshot — the aged-table shape whose genesis state is 12 files
+    * that since-expired ancestors added. */
+  private def agedTable(cat: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE $cat.st")
+    spark.sql(s"CREATE TABLE $cat.st.t (id BIGINT)")
+    (0 until 12).foreach(i =>
+      spark.range(i * 5, i * 5 + 5).coalesce(1).writeTo(s"$cat.st.t").append())
+    // returns orphaned FILES (0 on a pure-append chain) — assert on
+    // the retained snapshot count instead
+    graft.catalog.Maintenance.expireSnapshots(gt(cat, "st", "t").ops,
+      keepLast = 1): Unit
+    val t = gt(cat, "st", "t")
+    assert(t.meta.snapshots.size == 1, s"setup: ${t.meta.snapshots.size} snapshots")
+    val snap = t.readSnapshot.get
+    assert(snap.dataFileCount == 12, s"setup: ${snap.dataFileCount} files")
+    assert(snap.parentId.isDefined, "setup: genesis must have an EXPIRED parent")
+  }
+
+  test("fresh stream over an aged table drains the genesis state in ceil(N/k) bounded batches") {
+    freshWh("tcGen")
+    agedTable("tcGen")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream
+      .option("max-files-per-trigger", "4")
+      .table("tcGen.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      // 12 one-file snapshots of state / 4 files per trigger = 3 batches
+      assert(got.size == 3, s"expected ceil(12/4)=3 batches, got ${got.map(_.size)}")
+      assert(got.forall(_.size == 20), s"each batch = 4 files x 5 rows: ${got.map(_.size)}")
+      // exactly-once: disjoint slices that union to the full state
+      assert(got.map(_.size).sum == got.flatten.toSet.size, "overlapping batches")
+      assert(got.flatten.toSet == (0L until 60L).toSet, "rows lost or invented")
+    } finally q.stop()
+  }
+
+  test("mid-genesis checkpoint resume: committed slices never replay, remainder arrives exactly") {
+    freshWh("tcGenR")
+    agedTable("tcGenR")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_genesis_ckpt").toString
+    val run1 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    // a long trigger interval isolates exactly ONE micro-batch before stop
+    val q1 = spark.readStream
+      .option("max-files-per-trigger", "4")
+      .table("tcGenR.st.t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("5 minutes"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) run1.synchronized { run1 += ids }
+        ()
+      })
+      .start()
+    try {
+      // wait for batch 0's COMMIT (offsets are written before the batch
+      // runs; the commit marker after) so the restart owes none of it
+      val commit0 = new java.io.File(s"$ckpt/commits/0")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!commit0.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(commit0.exists(), "batch 0 never committed")
+    } finally q1.stop()
+    val got1 = run1.synchronized { run1.toList }
+    assert(got1.size == 1 && got1.head.size == 20, s"run 1: ${got1.map(_.size)}")
+    // the checkpointed offset IS mid-genesis: (seq, fileIdx=4)
+    val off0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/offsets/0")), "UTF-8")
+    assert(off0.contains("\"idx\":4"), s"offset 0 not file-granular: $off0")
+
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = spark.readStream
+      .option("max-files-per-trigger", "4")
+      .table("tcGenR.st.t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) run2.synchronized { run2 += ids }
+        ()
+      })
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got2 = run2.synchronized { run2.toList }
+      assert(got2.map(_.size).sum == 40,
+        s"resume must deliver exactly the remaining 8 files: ${got2.map(_.size)}")
+      assert(got2.flatten.toSet.intersect(got1.head).isEmpty,
+        "committed genesis slice replayed after resume")
+      assert((got1.head ++ got2.flatten).toSet == (0L until 60L).toSet,
+        "rows lost across the restart")
+    } finally q2.stop()
+  }
+
+  test("Trigger.AvailableNow over an aged table: rate-limited drain equals the batch read, then stops") {
+    freshWh("tcGenAn")
+    agedTable("tcGenAn")
+    // live tail AFTER aging: genesis slices + incremental snapshots
+    (12 until 14).foreach(i =>
+      spark.range(i * 5, i * 5 + 5).coalesce(1).writeTo("tcGenAn.st.t").append())
+    val expected = spark.table("tcGenAn.st.t").collect().map(_.getLong(0)).toSet
+    assert(expected.size == 70)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream
+      .option("max-files-per-trigger", "4")
+      .table("tcGenAn.st.t")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    val got = batches.synchronized { batches.toList }
+    // stream drain == batch read: the strongest end-to-end equivalence
+    assert(got.flatten.toSet == expected, "stream drain != batch read")
+    assert(got.map(_.size).sum == expected.size, "duplicate delivery")
+    // and it actually drained bounded: 3 genesis slices + the tail
+    assert(got.size >= 4, s"genesis not split: ${got.map(_.size)}")
+    assert(got.forall(_.size <= 20), s"a batch exceeded 4 files: ${got.map(_.size)}")
+  }
+
+  test("uncapped fresh stream still delivers the genesis state as one batch") {
+    freshWh("tcGenU")
+    agedTable("tcGenU")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.table("tcGenU.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.count()
+        if (n > 0) batches.synchronized { batches += n }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.toList) == List(60L))
+    } finally q.stop()
+  }
+
+  test("streaming reads add_files-imported files through the name mapping (post-rename too)") {
+    val wh = freshWh("tcGenNm")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcGenNm.st")
+    spark.sql("CREATE TABLE tcGenNm.st.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcGenNm.st.t VALUES (1, 'native')")
+    // foreign files: plain Spark write, NO parquet field ids
+    Seq((10L, "imp_a"), (11L, "imp_b")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$wh/staged_in")
+    assert(graft.catalog.Maintenance.addFiles(spark,
+      gt("tcGenNm", "st", "t"), "staged_in") >= 1)
+    // post-import rename: imported files must resolve through the
+    // FROZEN mapping (id -> 'v'), native files by field id
+    spark.sql("ALTER TABLE tcGenNm.st.t RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO tcGenNm.st.t VALUES (2, 'native2')")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.table("tcGenNm.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val got = df.collect().map(r => (r.getLong(0), r.getString(1)))
+        rows.synchronized { rows ++= got }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows.synchronized(rows.toSet) == Set(
+        (1L, "native"), (10L, "imp_a"), (11L, "imp_b"), (2L, "native2")),
+        s"got ${rows.synchronized(rows.toSet)}")
+    } finally q.stop()
+
+    // and under rate limits: the mixed native+imported genesis splits
+    // into bounded slices with the same exact total
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q2 = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("tcGenNm.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = df.collect().length
+        if (n > 0) batches.synchronized { batches += n }
+        ()
+      })
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      assert(got.sum == 4, s"rate-limited mixed drain lost rows: $got")
+      assert(got.size >= 3, s"genesis not split at file granularity: $got")
+    } finally q2.stop()
+  }
+}
