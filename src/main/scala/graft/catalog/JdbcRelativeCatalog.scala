@@ -428,6 +428,12 @@ class JdbcRelativeCatalog extends RelativeCatalog {
       throw new NoSuchNamespaceException(ident.namespace())
     require(!metadataLocation.startsWith("/") && !metadataLocation.contains(":/"),
       s"metadata location must be warehouse-relative: $metadataLocation")
+    // '..' segments would let a path that PASSES the directory-prefix
+    // check below resolve OUTSIDE the identifier's derived directory —
+    // exactly the mismatch that check exists to refuse (add_files and
+    // migrate reject them the same way)
+    require(!metadataLocation.split('/').contains(".."),
+      s"metadata location must not contain '..' segments: $metadataLocation")
     val expectedDir = s"${tableLocation(ident)}/metadata/"
     require(metadataLocation.startsWith(expectedDir),
       s"metadata location $metadataLocation is outside the identifier's " +

@@ -312,6 +312,15 @@ object Procedures {
           s"source dir must be warehouse-relative: $srcDir")
         require(!srcDir.split('/').contains(".."),
           s"source dir must not contain '..' segments: $srcDir")
+        // a FAILED import rolls the created table back out with a
+        // recursive purge — a source dir nested under the new table's
+        // directory would be deleted with it, destroying the very
+        // files the zero-copy migrate was adopting. Refuse up front.
+        val tloc = cat.tableLocation(ident)
+        require(srcDir != tloc && !srcDir.startsWith(s"$tloc/"),
+          s"source dir $srcDir is inside the new table's directory $tloc; " +
+            "a failed migrate would purge the source files with the table — " +
+            "import from a sibling directory, or use add_files on an existing table")
         val abs = graft.meta.RelPaths.absolutize(cat.warehouse, srcDir)
         require(Io.exists(abs), s"source dir not found: $srcDir")
         // refuse k=v layouts BEFORE schema inference invents all-NULL

@@ -130,7 +130,7 @@ class RelativeCatalog extends TableCatalog with SupportsNamespaces with ViewCata
         (n.endsWith(".metadata.json") || n.endsWith(".metadata.json.gz"))
     }
 
-  protected def tableLocation(ident: Identifier): String =
+  def tableLocation(ident: Identifier): String =
     (ident.namespace().toSeq :+ ident.name()).mkString("/")
 
   protected def opsFor(ident: Identifier) =

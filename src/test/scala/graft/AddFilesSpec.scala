@@ -174,6 +174,13 @@ class AddFilesSpec extends AnyFunSuite {
       jcat.registerTable(Identifier.of(Array("r"), name), loc)
     // location outside the identifier's directory
     intercept[IllegalArgumentException] { reg("zz", "r/t/metadata/v2.metadata.json") }
+    // '..' segments that PASS the directory-prefix check but resolve
+    // outside the identifier's directory (refused on the segment, not
+    // the resolution, so the guard can't be confused)
+    val eDot = intercept[IllegalArgumentException] {
+      reg("zz2", "r/zz2/metadata/../../t/metadata/v2.metadata.json")
+    }
+    assert(eDot.getMessage.contains(".."), eDot.getMessage)
     // absolute location
     intercept[IllegalArgumentException] { reg("t", s"$wh/r/t/metadata/v2.metadata.json") }
     // unparseable version filename
@@ -268,6 +275,17 @@ class AddFilesSpec extends AnyFunSuite {
       Maintenance.addFiles(spark, gt("tcMig", "m", "t"), "landing/../../etc")
     }
     assert(e3.getMessage.contains(".."), e3.getMessage)
+    // a source dir NESTED under the new table's directory is refused
+    // up front: a failed import's rollback purges the table dir
+    // recursively and would destroy the adopted source files with it
+    Seq((1L, 5.0)).toDF("id", "score").write.parquet(s"$wh/m/bad2/raw")
+    val eNest = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => 'm/bad2/raw', tbl => 'm.bad2')").collect()
+    }
+    assert(eNest.getMessage.contains("inside the new table's directory"), eNest.getMessage)
+    assert(!spark.catalog.tableExists("tcMig.m.bad2"))
+    assert(new java.io.File(s"$wh/m/bad2/raw").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "refusal must not touch the source files")
     // hive-partitioned layout: partition values live in dir names, not
     // footers — inference would invent all-NULL columns; refused at
     // BOTH import entry points
