@@ -64,6 +64,13 @@ class JdbcRelativeCatalog extends RelativeCatalog {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     super.initialize(name, options)
+    // Derby writes derby.log into the JVM's working directory unless
+    // told otherwise, littering whatever directory the embedding app
+    // runs from. The property is read once at engine boot, so set it
+    // before the first connection if the app hasn't chosen a location.
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-derby.log")
     val uri = Option(options.get("uri"))
       .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
     val size = Option(options.get("pool-size")).map(_.toInt).getOrElse(4)

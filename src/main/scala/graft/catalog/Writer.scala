@@ -307,23 +307,45 @@ object Writer {
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
 
+  /** Above this many staged files the footer pass DISTRIBUTES over the
+    * cluster: a 1M-file 100 TB import's footer reads are executor
+    * work, not a 16-thread driver bottleneck. Below it the threaded
+    * driver pool wins (no job-scheduling overhead on the common
+    * few-hundred-file commit). */
+  val DistributedFooterThreshold: Int = 10000
+
   def collectStatsFromFooters(schema: StructType, warehouse: String,
-      stagingAbs: String, exactBoundCols: Set[String] = Set.empty): List[DataFile] = {
+      stagingAbs: String, exactBoundCols: Set[String] = Set.empty,
+      distributeAbove: Int = DistributedFooterThreshold): List[DataFile] = {
     val conf = Io.hadoopConf()
     val boundableNames = schema.fields.map(_.name).toSet
     val files = Io.walkFiles(stagingAbs).filter(_.endsWith(".parquet")).toList
-    // footer reads are independent and IO-bound: a 10k-file ingest
-    // commit should not pay them serially on the driver
-    val par = math.max(1, math.min(16, files.size))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val tasks = files.map(p => pool.submit(
-        new java.util.concurrent.Callable[DataFile] {
-          override def call(): DataFile =
-            statsOfFile(p, schema, warehouse, conf, boundableNames, exactBoundCols)
-        }))
-      tasks.map(_.get())
-    } finally pool.shutdown()
+    if (files.size > distributeAbove) {
+      // same per-file footer work, executor-side; collect preserves
+      // partition order, so the DataFile list is identical to the
+      // driver pool's (spec-pinned)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val parts = math.max(1, math.min(files.size / 256 + 1,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(files, parts)
+        .map(p => statsOfFile(p, schema, warehouse, serConf.value,
+          boundableNames, exactBoundCols))
+        .collect().toList
+    } else {
+      // footer reads are independent and IO-bound: a 10k-file ingest
+      // commit should not pay them serially on the driver
+      val par = math.max(1, math.min(16, files.size))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val tasks = files.map(p => pool.submit(
+          new java.util.concurrent.Callable[DataFile] {
+            override def call(): DataFile =
+              statsOfFile(p, schema, warehouse, conf, boundableNames, exactBoundCols)
+          }))
+        tasks.map(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   private def statsOfFile(p: String, schema: StructType,

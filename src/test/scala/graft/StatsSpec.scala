@@ -99,4 +99,32 @@ class StatsSpec extends AnyFunSuite {
 
     spark.sql(s"DROP NAMESPACE $c.s CASCADE")
   }
+
+  test("distributed footer-stat pass produces the identical DataFile list as the driver pool") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_stats_dist").toString
+    // a mixed-type staged set with nulls, strings, timestamps — the
+    // shapes whose bound encoding could diverge between the two paths
+    (0 until 24).foreach { i =>
+      Seq(
+        (i.toLong, if (i % 3 == 0) null else s"v$i", i * 1.5,
+          java.sql.Timestamp.valueOf(f"2026-01-${i % 28 + 1}%02d 10:00:00")),
+        (i.toLong + 100, s"w$i", i * -2.5,
+          java.sql.Timestamp.valueOf(f"2026-02-${i % 28 + 1}%02d 11:30:00")))
+        .toDF("id", "name", "score", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$wh/staged")
+    }
+    val schema = spark.read.parquet(s"$wh/staged").schema
+    val threaded = graft.catalog.Writer.collectStatsFromFooters(
+      schema, wh, s"$wh/staged")
+    val distributed = graft.catalog.Writer.collectStatsFromFooters(
+      schema, wh, s"$wh/staged", distributeAbove = 0)
+    assert(threaded.size == 24 * 2 || threaded.size >= 24,
+      s"setup: ${threaded.size} files")
+    assert(distributed == threaded,
+      "executor-side footer stats must equal the driver pool's byte-for-byte")
+    // sanity: the stats are real (bounds + null counts present)
+    assert(threaded.forall(f => f.records > 0 && f.minBound.contains("id")))
+    assert(threaded.exists(f => f.nullCount.get("name").exists(_ > 0)))
+  }
 }
