@@ -18,13 +18,13 @@ class MetaGrowthSpec extends AnyFunSuite {
   private val Chunks = 400
   private val PerChunk = 50
 
-  private def synthesize(): String = {
-    val wh = "/tmp/graft_test_metagrowth"
+  private def synthesize(chunks: Int = Chunks, suffix: String = ""): String = {
+    val wh = s"/tmp/graft_test_metagrowth$suffix"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     val loc = "p/bigt"
     val mdDir = s"$wh/$loc/metadata"
     Io.mkdirs(mdDir)
-    val manifests = (0 until Chunks).toList.map { c =>
+    val manifests = (0 until chunks).toList.map { c =>
       val files = (0 until PerChunk).toList.map { i =>
         DataFile(s"$loc/data/k=$c/f$i.parquet", 1000L, 1L << 20,
           partition = Map("k" -> c.toString),
@@ -38,14 +38,14 @@ class MetaGrowthSpec extends AnyFunSuite {
         minSeq = Some(c + 1L), maxSeq = Some(c + 1L), bytes = PerChunk.toLong << 20)
     }
     val intJson = org.apache.spark.sql.types.IntegerType.json
-    val meta0 = TableMeta(1, java.util.UUID.randomUUID().toString, loc, Chunks.toLong,
+    val meta0 = TableMeta(1, java.util.UUID.randomUUID().toString, loc, chunks.toLong,
       1723600000000L, 2, 0,
       List(SchemaDef(0, List(FieldDef(1, "k", intJson, required = false)))),
       0, List(PartSpec(0, List(PartField(1, 1000, "k", "identity")))),
       1000, 0, Nil,
       Map("write.metadata.manifest-chunk-size" -> PerChunk.toString),
       Some(1L),
-      List(Snapshot(1L, None, Chunks.toLong, 1723600000000L, "append",
+      List(Snapshot(1L, None, chunks.toLong, 1723600000000L, "append",
         Map.empty, files = Nil, manifests = manifests)),
       List(SnapshotLogEntry(1723600000000L, 1L)), Nil,
       Map("main" -> Ref(1L, "branch")))
@@ -179,6 +179,72 @@ class MetaGrowthSpec extends AnyFunSuite {
 
   private def RelPaths_abs(wh: String, p: String): String =
     graft.meta.RelPaths.absolutize(wh, p)
+
+  test("100-TB shape: 100 appends at 2000 chunks stay O(snapshots x inline-tail), commits bounded") {
+    // the extrapolated claim, measured: at ~2000 chunks a single
+    // inline stamp block is ~0.5 MB, so pre-list behavior would pay
+    // ~0.5 MB x 100 snapshots ≈ 50 MB of metadata.json and re-serialize
+    // the whole block on EVERY commit. With content-addressed lists the
+    // stamps live once per distinct chunk set and an ordinary append
+    // re-serializes only snapshot rows + inline tails.
+    val BigChunks = 2000
+    val wh = synthesize(BigChunks, suffix = "_2k")
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val ops = new TableOps(wh, "p/bigt")
+    var (v, meta) = ops.refresh().get
+    val inlineStampBytes = new java.io.File(s"$wh/p/bigt/metadata/v1.metadata.json").length
+
+    var noSpillCommitMs = List.empty[Double]
+    for (k <- 2 to 101) {
+      val snap = meta.currentSnapshot.get
+      val nf = (0 until 10).toList.map(i =>
+        DataFile(s"p/bigt/data/k=999/a$k-$i.parquet", 100L, 1L << 18,
+          partition = Map("k" -> "999"), minBound = Map("k" -> "999"),
+          maxBound = Map("k" -> "999"), seq = Some(BigChunks + k.toLong)))
+      val s2 = snap.copy(snapshotId = k.toLong, parentId = Some(snap.snapshotId),
+        sequenceNumber = BigChunks + k.toLong, files = snap.files ++ nf,
+        manifests = snap.manifests)
+      val m2 = meta.copy(lastSequenceNumber = BigChunks + k.toLong,
+        currentSnapshotId = Some(k.toLong), snapshots = meta.snapshots :+ s2,
+        snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(1723600000000L + k, k.toLong),
+        refs = Map("main" -> Ref(k.toLong, "branch")))
+      val t0 = System.nanoTime()
+      v = ops.commit(v, m2)
+      val ms = (System.nanoTime() - t0) / 1e6
+      // the inline tail spills every 5 appends (chunk size 50, 10
+      // files/append) — those commits legitimately rewrite one stamp
+      // list; measure the ORDINARY append separately
+      if (s2.files.size <= PerChunk) noSpillCommitMs :+= ms
+      meta = ops.refresh().get._2
+    }
+    val finalSize = new java.io.File(ops.existingMetadataFile(v).get).length
+    val listFiles = new java.io.File(s"$wh/p/bigt/metadata").listFiles()
+      .count(_.getName.startsWith("manifest-list-"))
+    info(f"101 snapshots x $BigChunks chunks: metadata ${finalSize / 1024} KB " +
+      f"(one inline stamp block = ${inlineStampBytes / 1024} KB; pre-list " +
+      f"would be ~${inlineStampBytes * 101L / (1024 * 1024)} MB), " +
+      f"$listFiles list files, median no-spill commit " +
+      f"${noSpillCommitMs.sorted.apply(noSpillCommitMs.size / 2)}%.0f ms")
+    // O(snapshots x inline-tail), NOT O(snapshots x chunks): at least
+    // 20x below the pre-list extrapolation (measured ~53x: 942 KB vs
+    // ~50 MB — the inline tails, ~25 files x 101 snapshots, dominate)
+    assert(finalSize < inlineStampBytes * 101L / 20,
+      s"metadata $finalSize bytes: stamps are repeating per snapshot again " +
+        s"(single-snapshot stamp block is $inlineStampBytes bytes)")
+    assert(finalSize < (2L << 20), s"metadata $finalSize bytes not O(snapshots x inline-tail)")
+    // distinct stamp sets: one per spill (~every 5 appends), not one per commit
+    assert(listFiles <= 22, s"expected ~21 distinct stamp lists, got $listFiles")
+    // commit serialization stays bounded at 2000 chunks: an ordinary
+    // append never re-serializes the stamp block
+    val medianMs = noSpillCommitMs.sorted.apply(noSpillCommitMs.size / 2)
+    assert(medianMs < 500, f"ordinary append commit median $medianMs%.0f ms at 2000 chunks")
+    // the whole table still materializes
+    ChunkCache.invalidateAll()
+    ManifestListCache.invalidateAll()
+    val snap = new TableOps(wh, "p/bigt").refresh().get._2.currentSnapshot.get
+    assert(snap.dataFileCount == BigChunks * PerChunk + 1000)
+  }
 
   test("orphan vacuum reclaims never-referenced manifest-list files, keeps live ones") {
     val wh = synthesize()
