@@ -37,6 +37,34 @@ object Bench {
       ms.addData(1L); q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => }
 
+    // Fixed-cost streaming CALIBRATION: a trivial 3-micro-batch
+    // MemoryStream replay whose wall time is pure micro-batch
+    // scheduling latency — the one cost every q_str_* row pays per
+    // batch and the documented weak axis of this bench (r15→r16: a
+    // +26.7 s drift confined to the streaming block took a side-run
+    // study to attribute to host scheduling). Measured with the
+    // in-suite protocol (untimed warm-up + min of 2) BEFORE and AFTER
+    // the suite; q_str rows normalized by the mean land in the
+    // artifact, so host-noise vs code-regression is decidable from
+    // BENCH_rN.json alone: calib moves with the host, code moves one id.
+    def streamCalib(): Double = {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      def once(): Double = {
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+        val q = ms.toDS().writeStream.format("noop").start()
+        val t0 = System.nanoTime()
+        try (1 to 3).foreach { i =>
+          ms.addData(i.toLong); q.processAllAvailable()
+        } finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { once(); Seq(once(), once()).min }
+      catch { case _: Throwable => -1.0 }
+    }
+    val calibPre = streamCalib()
+
     // optional args = subset of query names (dev iteration); no args = all
     val wanted = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -152,12 +180,23 @@ object Bench {
       .map { case (k, t) =>
         "\"" + k + "\":" + t.map(v => r3(v / inSuite(k))).getOrElse("null") }
       .mkString("{", ",", "}")
+    val calibPost = streamCalib()
+    val calibMean =
+      if (calibPre > 0 && calibPost > 0) (calibPre + calibPost) / 2 else -1.0
+    // q_str rows in units of the scheduling-latency control: stable
+    // across hosts when the code is unchanged, moves on one id when
+    // code regressed, moves EVERYWHERE (with the calib rows) when the
+    // host was noisy
+    val strNorm = ok.filter(_._1.startsWith("q_str_"))
+      .map { case (k, v, _, _, _, _) =>
+        "\"" + k + "\":" + (if (calibMean > 0) r3(v / calibMean) else "null") }
+      .mkString("{", ",", "}")
     // the full-precision record (plus heap/GC profiles) for direct reads
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
         results.map { case (k, v, _, f, _, _) =>
           "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
-      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck,"recheck_ratio":$recheckRatio}"""
+      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck,"recheck_ratio":$recheckRatio,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"q_str_per_calib":$strNorm}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -189,6 +228,6 @@ object Bench {
     println(
       s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
   }
 }
