@@ -662,6 +662,43 @@ object CatalogOps extends Pack {
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin)),
 
+    // Fresh-start genesis admission control: an AGED table (history
+    // expired to one snapshot) owes its entire retained state to a new
+    // stream — (seq, fileIdx) offsets drain it as bounded micro-batches
+    // under max-rows-per-trigger instead of one unbounded catch-up
+    // batch (the 100 TB cold-start path). The row REQUIRES the drain
+    // to arrive rate-limited (>= 3 non-empty batches), then oracles
+    // content exactness against the batch read.
+    Decl("q_str_genesis", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_gen")
+      spark.sql(s"CREATE TABLE $c.demo_gen.nat (n_nationkey INT, n_name STRING)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_src")
+      (0 until 5).foreach(i =>
+        spark.sql(s"INSERT INTO $c.demo_gen.nat SELECT n_nationkey, n_name " +
+          s"FROM nation_src WHERE n_nationkey % 5 = $i"))
+      spark.sql(s"CALL $c.system.expire_snapshots(tbl => 'demo_gen.nat', keep_last => 1)")
+      val name = s"graft_gen_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream
+        .option("max-rows-per-trigger", "5")
+        .table(s"$c.demo_gen.nat")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3, s"genesis state arrived in $fed batch(es) — not rate-limited")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest
