@@ -92,12 +92,23 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     * unique per table, so the seq lookup is unambiguous; a mid-drain
     * expiry of the snapshot fails loudly (the slice indices would
     * otherwise silently re-bind to different files). */
+  // the state list is immutable once the drain starts (snapshots are
+  // immutable); memoized so each trigger of a long drain pays O(1),
+  // not an O(files) re-sort. The retention check above stays per
+  // trigger — a mid-drain expiry must keep failing loudly.
+  @volatile private var genesisCache: Option[(Long, IndexedSeq[DataFile])] = None
   private def genesisList(meta: graft.meta.TableMeta, seq: Long): IndexedSeq[DataFile] = {
     val s = meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
         s"genesis catch-up snapshot (seq $seq) is no longer retained; " +
           "retention must cover streaming lag"))
-    contributed(s, genesis = true).sortBy(_.path).toIndexedSeq
+    genesisCache match {
+      case Some((cs, l)) if cs == seq => l
+      case _ =>
+        val l = contributed(s, genesis = true).sortBy(_.path).toIndexedSeq
+        genesisCache = Some((seq, l))
+        l
+    }
   }
 
   /** One trigger's admission from a file list under the rate caps:
