@@ -550,9 +550,11 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   */
 class MorScan(table: GraftTable, required: StructType, files: Seq[DataFile],
     deletes: Seq[DataFile], filters: Seq[Filter],
-    options: org.apache.spark.sql.util.CaseInsensitiveStringMap =
-      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
-    pushedExprs: Seq[Expression] = Nil) extends V1Scan {
+    // required, not defaulted: a caller that "forgot" them would get a
+    // micro-batch stream that silently ignores the user's branch and
+    // rate-limit options
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    pushedExprs: Seq[Expression]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -773,22 +775,24 @@ class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   private def mergeGate(data0: DataFrame): (GraftTable, DataFrame) = {
     if (!table.meta.properties.get("write.merge-schema").contains("true"))
       return (table, data0) // capability absent: Spark already validated
-    // ACCEPT_ANY_SCHEMA also skips Spark's by-POSITION output
-    // resolution, so `INSERT ... VALUES` arrives under synthetic names
-    // (col1, col2, …). Only a same-arity frame whose EVERY column
-    // matches Spark's synthetic pattern (and shares no name with the
-    // table) is treated as positional — a genuine by-name frame whose
-    // columns were all renamed must NOT silently write into the old
-    // columns; it falls through to the merge/refuse checks below.
-    val tcols = table.schema().fieldNames
-    val data =
-      if (data0.schema.fieldNames.length == tcols.length &&
-          !data0.schema.fieldNames.exists(tcols.contains) &&
-          data0.schema.fieldNames.forall(_.matches("col\\d+")))
-        data0.toDF(tcols.toIndexedSeq: _*)
-      else data0
     val requested = Seq("merge-schema", "mergeschema")
       .exists(k => Option(info.options.get(k)).exists(_.toBoolean))
+    // ACCEPT_ANY_SCHEMA also skips Spark's by-POSITION output
+    // resolution, so SQL `INSERT` — VALUES (synthetic col1, col2, …)
+    // AND `INSERT ... SELECT expr, …` — arrives under names that
+    // needn't match the table. SQL insert semantics ARE positional, and
+    // SQL cannot pass writer options, so a same-arity zero-overlap
+    // frame WITHOUT the merge-schema option keeps Spark's own
+    // by-position behavior (what a non-merge table would get). A frame
+    // WITH the option is an explicit DataFrame merge — by-name intent —
+    // so an all-renamed frame evolves the schema instead of silently
+    // writing into the old columns.
+    val tcols = table.schema().fieldNames
+    val data =
+      if (!requested && data0.schema.fieldNames.length == tcols.length &&
+          !data0.schema.fieldNames.exists(tcols.contains))
+        data0.toDF(tcols.toIndexedSeq: _*)
+      else data0
     val extra = data.schema.fieldNames
       .filterNot(table.schema().fieldNames.contains).toSeq
     if (!requested) {

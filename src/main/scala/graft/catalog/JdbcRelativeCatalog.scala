@@ -68,9 +68,13 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     // told otherwise, littering whatever directory the embedding app
     // runs from. The property is read once at engine boot, so set it
     // before the first connection if the app hasn't chosen a location.
+    // Per-process temp file, not a fixed shared name: a fixed /tmp
+    // path would collide across users (unwritable file) and interleave
+    // concurrent processes' diagnostics.
     if (System.getProperty("derby.stream.error.file") == null)
       System.setProperty("derby.stream.error.file",
-        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-derby.log")
+        java.nio.file.Files.createTempFile("graft-derby-", ".log")
+          .toAbsolutePath.toString)
     val uri = Option(options.get("uri"))
       .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
     val size = Option(options.get("pool-size")).map(_.toInt).getOrElse(4)

@@ -53,6 +53,34 @@ object Mor {
     * file-source relation BEFORE the union — where `_metadata`-derived
     * annotations ([[withPositions]]) must attach.
     */
+  /** The column NAME a field was imported under: its field id through
+    * the table's frozen name mapping, falling back to the current name
+    * for columns added after import. */
+  def importName(f: StructField, mapping: Map[Int, String]): String = {
+    val id = if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
+      f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt else -1
+    mapping.getOrElse(id, f.name)
+  }
+
+  /** A schema renamed to import names with field-id metadata stripped,
+    * so the parquet reader resolves by NAME — exactly how imported
+    * (field-id-less) files were written. Positionally identical to the
+    * input. `idSource` supplies each field's id metadata when the
+    * input fields may have lost it (a pruned/plan-derived schema);
+    * fields absent from it keep their own metadata. The ONE place both
+    * the batch ([[readData]]) and streaming name-mapped read paths
+    * derive their read schema from. */
+  def importSchema(s: StructType, idSource: StructType,
+      mapping: Map[Int, String]): StructType = {
+    val byName = idSource.fields.map(f => f.name -> f).toMap
+    StructType(s.fields.map { f0 =>
+      val f = byName.getOrElse(f0.name, f0)
+      StructField(importName(f, mapping), f0.dataType, nullable = true,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .remove(graft.meta.TableMeta.FieldIdKey).build())
+    })
+  }
+
   def readData(spark: SparkSession, warehouse: String, schema: StructType,
       files: Seq[DataFile], mapping: Map[Int, String] = Map.empty,
       perRead: DataFrame => DataFrame = identity): DataFrame = {
@@ -64,16 +92,8 @@ object Mor {
     val nmRead =
       if (mapped.isEmpty) None
       else Some {
-        val importNames = schema.fields.map { f =>
-          val id = if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
-            f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt else -1
-          mapping.getOrElse(id, f.name)
-        }
-        val readSchema = StructType(schema.fields.zip(importNames).map {
-          case (f, n) => StructField(n, f.dataType, nullable = true,
-            new MetadataBuilder().withMetadata(f.metadata)
-              .remove(graft.meta.TableMeta.FieldIdKey).build())
-        })
+        val importNames = schema.fields.map(importName(_, mapping))
+        val readSchema = importSchema(schema, schema, mapping)
         val raw = perRead(spark.read.schema(readSchema).parquet(absOf(mapped): _*))
         val extra = raw.columns.filterNot(readSchema.fieldNames.contains)
         raw.select((schema.fields.zip(importNames).map {

@@ -310,8 +310,12 @@ object Procedures {
         val spark = SparkSession.active
         require(!srcDir.startsWith("/") && !srcDir.contains(":/"),
           s"source dir must be warehouse-relative: $srcDir")
-        require(!srcDir.split('/').contains(".."),
-          s"source dir must not contain '..' segments: $srcDir")
+        // '.', '..', and empty ('//') segments are refused outright:
+        // absolutize does no normalization, so any of them would let a
+        // path that FAILS the string-prefix check below resolve inside
+        // the refused directory anyway
+        require(!srcDir.split('/').exists(s => s == ".." || s == "." || s.isEmpty),
+          s"source dir must not contain '..', '.', or empty segments: $srcDir")
         // a FAILED import rolls the created table back out with a
         // recursive purge — a source dir nested under the new table's
         // directory would be deleted with it, destroying the very

@@ -148,6 +148,14 @@ class SpjScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   override def toBatch: Batch = this
 
+  /** GraftTable always advertises MICRO_BATCH_READ, so every scan the
+    * builder can route to must serve `readStream` — a session that
+    * enabled storage-partitioned joins must not lose the streaming
+    * surface (same contract as [[MorScan]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, options, required, pushedExprs)
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(clustering.toArray, groups.size)
 

@@ -317,38 +317,25 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       .flatMap(s => contributed(s, genesisId.contains(s.snapshotId)))
   }
 
-  /** Rename a schema's fields to their `add_files` import names and
-    * strip field-id metadata: the parquet reader then resolves by
-    * NAME, exactly how imported (field-id-less) files were written.
-    * Positionally identical to the input schema, so reader output
-    * binds to the stream's attributes unchanged. */
-  private def toImportNames(s: StructType): StructType = {
-    val byName = table.schema().fields.map(f => f.name -> f).toMap
-    StructType(s.fields.map { f0 =>
-      val f = byName.getOrElse(f0.name, f0)
-      val id = if (f.metadata.contains(graft.meta.TableMeta.FieldIdKey))
-        f.metadata.getLong(graft.meta.TableMeta.FieldIdKey).toInt else -1
-      org.apache.spark.sql.types.StructField(
-        table.meta.nameMapping.getOrElse(id, f.name), f0.dataType, nullable = true,
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(graft.meta.TableMeta.FieldIdKey).build())
-    })
-  }
-
   /** The vectorized parquet delegate for one resolution mode. Native
     * files resolve columns by field id; files imported by `add_files`
     * (`DataFile.nameMapped`) carry NO field ids and resolve through
     * the table's frozen name mapping instead — the streaming analog of
-    * the batch path's [[Mor.readData]]. Filters are pushed only on the
-    * id-resolved side: a table that ever ran add_files reports every
-    * predicate residual ([[GraftScanBuilder.pushFilters]]), so Spark
-    * re-applies them above — the mapped side just loses row-group
-    * skipping, never rows. */
+    * the batch path's [[Mor.readData]], deriving its read schema from
+    * the same [[Mor.importSchema]] (positionally identical renames, so
+    * reader output binds to the stream's attributes unchanged).
+    * Filters are pushed only on the id-resolved side: a table that
+    * ever ran add_files reports every predicate residual
+    * ([[GraftScanBuilder.pushFilters]]), so Spark re-applies them
+    * above — the mapped side just loses row-group skipping, never
+    * rows. */
   private def delegate(files: Seq[DataFile], mapped: Boolean): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val (tblSchema, reqSchema) =
-      if (mapped) (toImportNames(table.schema()), toImportNames(required))
+      if (mapped)
+        (Mor.importSchema(table.schema(), table.schema(), table.meta.nameMapping),
+          Mor.importSchema(required, table.schema(), table.meta.nameMapping))
       else (table.schema(), required)
     val sb = ParquetTable(table.name(), spark, options, paths,
       Some(tblSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
@@ -377,9 +364,15 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       .flatMap(r => meta.snapshot(r.snapshotId)).orElse(meta.currentSnapshot)
     val (nm, idful) = head.map(table.ops.allFiles).getOrElse(Nil)
       .partition(_.nameMapped.contains(true))
-    new StreamDispatchReaderFactory(
-      delegate(idful, mapped = false).toBatch.createReaderFactory(),
-      delegate(nm, mapped = true).toBatch.createReaderFactory())
+    val idFactory = delegate(idful, mapped = false).toBatch.createReaderFactory()
+    // a table that never ran add_files (no name mapping) can never
+    // plan a mapped partition — don't pay a second scan build + conf
+    // broadcast per micro-batch for a delegate that can't be used
+    if (table.meta.nameMapping.isEmpty)
+      new StreamDispatchReaderFactory(idFactory, idFactory)
+    else
+      new StreamDispatchReaderFactory(idFactory,
+        delegate(nm, mapped = true).toBatch.createReaderFactory())
   }
 
   override def commit(end: Offset): Unit = ()

@@ -284,6 +284,18 @@ class AddFilesSpec extends AnyFunSuite {
     }
     assert(eNest.getMessage.contains("inside the new table's directory"), eNest.getMessage)
     assert(!spark.catalog.tableExists("tcMig.m.bad2"))
+    // '.' and '//' segments would dodge the string-prefix check while
+    // the filesystem still resolves inside the refused directory
+    val eDot = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => 'm/./bad2/raw', tbl => 'm.bad2')").collect()
+    }
+    assert(eDot.getMessage.contains("segments"), eDot.getMessage)
+    val eSlash = intercept[Exception] {
+      spark.sql("CALL tcMig.system.migrate(source_dir => 'm//bad2/raw', tbl => 'm.bad2')").collect()
+    }
+    assert(eSlash.getMessage.contains("segments"), eSlash.getMessage)
+    assert(new java.io.File(s"$wh/m/bad2/raw").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "bypass attempts must not touch the source")
     assert(new java.io.File(s"$wh/m/bad2/raw").listFiles()
       .exists(_.getName.endsWith(".parquet")), "refusal must not touch the source files")
     // hive-partitioned layout: partition values live in dir names, not

@@ -56,30 +56,38 @@ class MergeSchemaSpec extends AnyFunSuite {
     assert(t.meta.schemas.size >= 3, "each merge should append a schema generation")
   }
 
-  test("a fully-renamed by-name frame is never positionally mis-bound (synthetic col\\d+ names only)") {
+  test("explicit merge is by-name (all-renamed frame evolves); option-less SQL stays positional") {
     freshWh("tcMs3")
     import spark.implicits._
     spark.sql("CREATE NAMESPACE tcMs3.m")
     spark.sql("CREATE TABLE tcMs3.m.t (id BIGINT) " +
       "TBLPROPERTIES ('write.merge-schema'='true')")
     spark.sql("INSERT INTO tcMs3.m.t VALUES (1)")
-    // same arity + zero name overlap, but a GENUINE column name: this
-    // must evolve the schema, not silently write user_id values into
-    // `id` (the mis-bind the positional heuristic used to allow)
+    // same arity + zero name overlap, WITH the merge option: explicit
+    // DataFrame merge = by-name intent — must evolve the schema, not
+    // silently write user_id values into `id` (the mis-bind the old
+    // positional heuristic allowed)
     Seq(Tuple1(7L)).toDF("user_id")
       .writeTo("tcMs3.m.t").option("merge-schema", "true").append()
     assert(spark.table("tcMs3.m.t").schema.fieldNames.toSeq == Seq("id", "user_id"))
     assert(spark.sql("SELECT id, user_id FROM tcMs3.m.t ORDER BY id NULLS LAST")
       .collect().map(_.toSeq).toSeq == Seq(Seq(1L, null), Seq(null, 7L)))
-    // without the writer option the same frame is refused, never bound
-    val e = intercept[Exception] {
-      Seq(Tuple1(8L)).toDF("other").writeTo("tcMs3.m.t").append()
-    }
-    assert(e.getMessage.contains("merge-schema"), e.getMessage)
-    // synthetic positional VALUES (col1, col2, …) still resolve by position
+    // WITHOUT the option, SQL insert semantics are positional — and SQL
+    // cannot pass writer options, so expression-named INSERT ... SELECT
+    // (names like "(51 + 0)") must keep Spark's by-position behavior
+    spark.sql("INSERT INTO tcMs3.m.t SELECT 51 + 0, 90 + 9")
+    assert(spark.sql("SELECT user_id FROM tcMs3.m.t WHERE id = 51")
+      .collect()(0).getLong(0) == 99L)
+    // synthetic positional VALUES (col1, col2, …) too
     spark.sql("INSERT INTO tcMs3.m.t VALUES (2, 9)")
     assert(spark.sql("SELECT user_id FROM tcMs3.m.t WHERE id = 2")
       .collect()(0).getLong(0) == 9L)
+    // an ARITY-mismatched option-less frame is still refused loudly,
+    // never silently dropped
+    val e = intercept[Exception] {
+      Seq((3L, 4L, 5L)).toDF("x", "y", "z").writeTo("tcMs3.m.t").append()
+    }
+    assert(e.getMessage.contains("merge-schema"), e.getMessage)
   }
 
   test("mismatches stay loud: no silent drops, no narrowing, no dynamic/streaming merges") {

@@ -182,6 +182,35 @@ class StreamGenesisSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream survives the SPJ batch-scan route (preserveDataGrouping session)") {
+    freshWh("tcGenSpj")
+    spark.sql("CREATE NAMESPACE tcGenSpj.st")
+    spark.sql("CREATE TABLE tcGenSpj.st.t (id BIGINT, k INT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO tcGenSpj.st.t VALUES (1, 1), (2, 2)")
+    spark.conf.set(graft.catalog.SpjScan.PreserveGroupingKey, "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // the batch scan routes to SpjScan in this session — the
+      // streaming surface must still be served, not throw Spark's
+      // unsupported-stream error
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.table("tcGenSpj.st.t")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          got.synchronized { got ++= df.collect().map(_.getLong(0)) }
+          ()
+        })
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(got.synchronized(got.toSet) == Set(1L, 2L))
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(graft.catalog.SpjScan.PreserveGroupingKey)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("streaming reads add_files-imported files through the name mapping (post-rename too)") {
     val wh = freshWh("tcGenNm")
     import spark.implicits._
