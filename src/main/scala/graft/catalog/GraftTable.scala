@@ -620,6 +620,19 @@ class MetaScan(table: GraftTable, required: StructType, files: Seq[DataFile],
 
   override def readSchema(): StructType = required
 
+  /** The streaming delegate cannot serve `_file`/`_pos` (the parquet
+    * micro-batch reader has no metadata-column surface), so refuse
+    * with an actionable message instead of Spark's generic
+    * unsupported-stream error — same loud-routing contract as
+    * [[MorScan]]/[[SpjScan]], which CAN delegate. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"streaming read of ${table.name()} selects metadata column(s) " +
+        s"${required.fieldNames.filter(GraftTable.MetaColNames).mkString(", ")} — " +
+        "metadata columns are batch-only; drop them from the streaming " +
+        "projection (read them with a batch query instead)")
+
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new MetaRelation(ctx, table, required, files, deletes, filters).asInstanceOf[T]
 }

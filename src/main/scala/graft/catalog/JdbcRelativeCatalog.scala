@@ -71,10 +71,11 @@ class JdbcRelativeCatalog extends RelativeCatalog {
     // Per-process temp file, not a fixed shared name: a fixed /tmp
     // path would collide across users (unwritable file) and interleave
     // concurrent processes' diagnostics.
-    if (System.getProperty("derby.stream.error.file") == null)
-      System.setProperty("derby.stream.error.file",
-        java.nio.file.Files.createTempFile("graft-derby-", ".log")
-          .toAbsolutePath.toString)
+    if (System.getProperty("derby.stream.error.file") == null) {
+      val f = java.nio.file.Files.createTempFile("graft-derby-", ".log")
+      f.toFile.deleteOnExit() // don't relocate the litter, remove it
+      System.setProperty("derby.stream.error.file", f.toAbsolutePath.toString)
+    }
     val uri = Option(options.get("uri"))
       .getOrElse(s"jdbc:derby:$warehouse/.jdbc-catalog;create=true")
     val size = Option(options.get("pool-size")).map(_.toInt).getOrElse(4)

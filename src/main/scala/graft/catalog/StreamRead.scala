@@ -329,13 +329,14 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     * ([[GraftScanBuilder.pushFilters]]), so Spark re-applies them
     * above — the mapped side just loses row-group skipping, never
     * rows. */
-  private def delegate(files: Seq[DataFile], mapped: Boolean): Scan = {
+  private def delegate(files: Seq[DataFile], mapped: Boolean,
+      mapping: Map[Int, String]): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
     val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val (tblSchema, reqSchema) =
       if (mapped)
-        (Mor.importSchema(table.schema(), table.schema(), table.meta.nameMapping),
-          Mor.importSchema(required, table.schema(), table.meta.nameMapping))
+        (Mor.importSchema(table.schema(), table.schema(), mapping),
+          Mor.importSchema(required, table.schema(), mapping))
       else (table.schema(), required)
     val sb = ParquetTable(table.name(), spark, options, paths,
       Some(tblSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
@@ -346,14 +347,18 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // the FRESH mapping, not the load-time one: a first add_files can
+    // land mid-stream, and its files must plan against the mapping
+    // that import just froze
+    val mapping = freshMeta.nameMapping
     val files = filesBetween(start.asInstanceOf[SeqOffset],
       end.asInstanceOf[SeqOffset])
     if (files.isEmpty) return Array.empty
     val (nm, idful) = files.partition(_.nameMapped.contains(true))
     val idParts = if (idful.isEmpty) Array.empty[InputPartition]
-      else delegate(idful, mapped = false).toBatch.planInputPartitions()
+      else delegate(idful, mapped = false, mapping).toBatch.planInputPartitions()
     val nmParts = if (nm.isEmpty) Array.empty[InputPartition]
-      else delegate(nm, mapped = true).toBatch.planInputPartitions()
+      else delegate(nm, mapped = true, mapping).toBatch.planInputPartitions()
     idParts.map(p => StreamTaggedPartition(p, mapped = false): InputPartition) ++
       nmParts.map(p => StreamTaggedPartition(p, mapped = true))
   }
@@ -364,15 +369,18 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       .flatMap(r => meta.snapshot(r.snapshotId)).orElse(meta.currentSnapshot)
     val (nm, idful) = head.map(table.ops.allFiles).getOrElse(Nil)
       .partition(_.nameMapped.contains(true))
-    val idFactory = delegate(idful, mapped = false).toBatch.createReaderFactory()
-    // a table that never ran add_files (no name mapping) can never
-    // plan a mapped partition — don't pay a second scan build + conf
-    // broadcast per micro-batch for a delegate that can't be used
-    if (table.meta.nameMapping.isEmpty)
+    val idFactory =
+      delegate(idful, mapped = false, meta.nameMapping).toBatch.createReaderFactory()
+    // a table whose FRESH metadata has no name mapping cannot plan a
+    // mapped partition this batch — don't pay a second scan build +
+    // conf broadcast per micro-batch for a delegate that can't be
+    // used. Fresh, not load-time: a first add_files can land
+    // mid-stream (factories rebuild per micro-batch).
+    if (meta.nameMapping.isEmpty)
       new StreamDispatchReaderFactory(idFactory, idFactory)
     else
       new StreamDispatchReaderFactory(idFactory,
-        delegate(nm, mapped = true).toBatch.createReaderFactory())
+        delegate(nm, mapped = true, meta.nameMapping).toBatch.createReaderFactory())
   }
 
   override def commit(end: Offset): Unit = ()

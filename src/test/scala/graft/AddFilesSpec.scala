@@ -295,8 +295,6 @@ class AddFilesSpec extends AnyFunSuite {
     }
     assert(eSlash.getMessage.contains("segments"), eSlash.getMessage)
     assert(new java.io.File(s"$wh/m/bad2/raw").listFiles()
-      .exists(_.getName.endsWith(".parquet")), "bypass attempts must not touch the source")
-    assert(new java.io.File(s"$wh/m/bad2/raw").listFiles()
       .exists(_.getName.endsWith(".parquet")), "refusal must not touch the source files")
     // hive-partitioned layout: partition values live in dir names, not
     // footers — inference would invent all-NULL columns; refused at

@@ -119,8 +119,7 @@ class StatsSpec extends AnyFunSuite {
       schema, wh, s"$wh/staged")
     val distributed = graft.catalog.Writer.collectStatsFromFooters(
       schema, wh, s"$wh/staged", distributeAbove = 0)
-    assert(threaded.size == 24 * 2 || threaded.size >= 24,
-      s"setup: ${threaded.size} files")
+    assert(threaded.size == 24, s"setup: ${threaded.size} files (24 coalesced appends)")
     assert(distributed == threaded,
       "executor-side footer stats must equal the driver pool's byte-for-byte")
     // sanity: the stats are real (bounds + null counts present)

@@ -211,6 +211,35 @@ class StreamGenesisSpec extends AnyFunSuite {
     }
   }
 
+  test("a FIRST add_files landing mid-stream reads through the just-frozen mapping") {
+    val wh = freshWh("tcGenMid")
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE tcGenMid.st")
+    spark.sql("CREATE TABLE tcGenMid.st.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcGenMid.st.t VALUES (1, 'native')")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.table("tcGenMid.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        rows.synchronized { rows ++= df.collect().map(r => (r.getLong(0), r.getString(1))) }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      // the table had NO name mapping when the stream started; this
+      // import freezes one mid-stream, and the next micro-batch must
+      // plan/read against the FRESH mapping, not the load-time one
+      Seq((10L, "imp_mid")).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$wh/staged_mid")
+      assert(graft.catalog.Maintenance.addFiles(spark,
+        gt("tcGenMid", "st", "t"), "staged_mid") >= 1)
+      q.processAllAvailable()
+      assert(rows.synchronized(rows.toSet) ==
+        Set((1L, "native"), (10L, "imp_mid")), s"got ${rows.synchronized(rows.toSet)}")
+    } finally q.stop()
+  }
+
   test("streaming reads add_files-imported files through the name mapping (post-rename too)") {
     val wh = freshWh("tcGenNm")
     import spark.implicits._
