@@ -97,36 +97,47 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
     // getBatch(None, _) is a REPLAY. The explicit option overrides
     // both ways (an idempotent/net-state sink may opt in; a paranoid
     // append sink may opt out even for the fresh start).
+    // the checkpoint root, when metadataPath has the standard
+    // <ckpt>/sources/<i> layout (None = unrecognized layout)
+    val ckptRoot = Option(new org.apache.hadoop.fs.Path(metadataPath).getParent)
+      .filter(_.getName == "sources").flatMap(d => Option(d.getParent))
+    def ckptHas(rel: String): Boolean = ckptRoot.exists { ckpt =>
+      ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(ckpt, rel))
+    }
     val allowSynthetic = parameters.get("allow-synthetic-genesis") match {
       case Some(v) => v.toBoolean
       case None =>
-        // The sniff below trusts metadataPath = <ckpt>/sources/<i>. If
-        // the layout ever differs (Spark version change, wrapped
-        // source), the exists() probes would miss and the guard would
-        // silently fail OPEN — so an unrecognized layout instead fails
-        // SAFE: no synthetic genesis without the explicit opt-in (the
-        // genesis walk then refuses loudly, telling the user to set
+        // The sniff trusts metadataPath = <ckpt>/sources/<i>. If the
+        // layout ever differs (Spark version change, wrapped source),
+        // the exists() probes would miss and the guard would silently
+        // fail OPEN — so an unrecognized layout instead fails SAFE: no
+        // synthetic genesis without the explicit opt-in (the genesis
+        // walk then refuses loudly, telling the user to set
         // allow-synthetic-genesis if their sink really is idempotent).
-        val sourcesDir = Option(new org.apache.hadoop.fs.Path(metadataPath).getParent)
-        val ckptRoot = sourcesDir.filter(_.getName == "sources")
-          .flatMap(d => Option(d.getParent))
-        ckptRoot match {
-          case None => false
-          case Some(ckpt) =>
-            val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
-            val pendingGenesisReplay =
-              fs.exists(new org.apache.hadoop.fs.Path(ckpt, "offsets/0")) &&
-                !fs.exists(new org.apache.hadoop.fs.Path(ckpt, "commits/0"))
-            !pendingGenesisReplay
-        }
+        val pendingGenesisReplay = ckptHas("offsets/0") && !ckptHas("commits/0")
+        ckptRoot.isDefined && !pendingGenesisReplay
     }
-    new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic)
+    // Rate caps start DISARMED on a RESTART (any offsets written): a
+    // V1 source's getOffset that returns below the committed offset
+    // would regress the checkpoint and later re-deliver — so the first
+    // post-restart trigger is uncapped (it can only move forward) and
+    // getBatch re-arms the cap floor from the engine-supplied range.
+    // A FRESH stream has nothing to regress: caps arm immediately.
+    val isRestart = ckptRoot.isDefined && ckptHas("offsets")
+    new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
+      maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
+      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong),
+      initialCapFloor = if (isRestart) None else Some(startSeq))
   }
 }
 
 class GraftCdcSource(spark: SparkSession, ops: TableOps,
     initialMeta: TableMeta, startSeq: Long,
-    allowSyntheticGenesis: Boolean = true) extends Source {
+    allowSyntheticGenesis: Boolean = true,
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None,
+    initialCapFloor: Option[Long] = Some(0L)) extends Source {
 
   // schema is pinned at stream start: mid-stream schema evolution must
   // not silently reshape batches (restart the query to pick it up)
@@ -143,14 +154,72 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   override def schema: StructType = outSchema
 
+  // Rate-cap floor: the highest offset this run has handed to the
+  // engine (advanced by getBatch, which sees every range — replays
+  // included). None = restart whose committed position is unknown
+  // until the first getBatch: caps stay disarmed for that one trigger
+  // because a capped offset BELOW the committed one would regress the
+  // checkpoint and re-deliver (V1 sources have no start param in
+  // getOffset). A forward-only uncapped batch is always safe.
+  @volatile private var capFloor: Option[Long] = initialCapFloor
+
+  /** Main-lineage snapshots in (above, head], oldest first — the
+    * admissible units of a CDC batch (branch/WAP snapshots share the
+    * seq space but never enter a main tail). */
+  private def lineageAbove(meta: TableMeta, above: Long): List[graft.meta.Snapshot] = {
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val out = scala.collection.mutable.ListBuffer.empty[graft.meta.Snapshot]
+    var cur = meta.currentSnapshot
+    while (cur.exists(_.sequenceNumber > above)) {
+      out += cur.get
+      cur = cur.get.parentId.flatMap(byId.get)
+    }
+    out.toList.sortBy(_.sequenceNumber)
+  }
+
+  /** Admission control: cap each trigger at `max-commits-per-trigger`
+    * main-lineage commits and/or `max-rows-per-trigger` rows (exact
+    * added-row counts for appends from manifest stats; row-level
+    * commits admit as commits, their diff being O(change) regardless)
+    * — a backlog then drains as bounded, replayable micro-batches.
+    * Commit-granular on purpose: a CDC batch is a seq-range diff, so
+    * a commit is the smallest replayable unit (the fromSeq=0 genesis
+    * diff on an aged table is one such unit and cannot split — the
+    * table-tail source's (seq, fileIdx) offsets are the file-granular
+    * alternative for append-only tails). */
   override def getOffset: Option[OffsetV1] = {
-    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
-    if (cur <= startSeq) None else Some(LongOffset(cur))
+    val meta = freshMeta
+    val head = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    if (head <= startSeq) return None
+    val uncapped = maxCommitsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty
+    capFloor match {
+      case None => Some(LongOffset(head)) // restart: one uncapped, forward-only trigger
+      case _ if uncapped => Some(LongOffset(head))
+      case Some(f) =>
+        val base = math.max(f, startSeq)
+        if (head <= base) return Some(LongOffset(base))
+        var n = 0; var rows = 0L; var end = base; var stop = false
+        for (s <- lineageAbove(meta, base) if !stop) {
+          val r =
+            if (s.operation == "append")
+              ops.filesAtSeq(s, s.sequenceNumber)
+                .filter(_.seq.contains(s.sequenceNumber)).map(_.records).sum
+            else 0L
+          val exceeds = maxCommitsPerTrigger.exists(n + 1 > _) ||
+            maxRowsPerTrigger.exists(rows + r > _)
+          if (exceeds && n > 0) stop = true
+          else { n += 1; rows += r; end = s.sequenceNumber }
+        }
+        Some(LongOffset(end))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromSeq = start.map(seqOf).getOrElse(startSeq)
     val toSeq = seqOf(end)
+    // re-arm the rate caps: every range the engine constructs or
+    // replays passes through here, so max() is the committed frontier
+    capFloor = Some(math.max(capFloor.getOrElse(Long.MinValue), toSeq))
     val meta = freshMeta
     // enforce the pinned-schema contract: MicroBatchExecution aliases
     // batch output to the stream-start attributes BY POSITION, so a

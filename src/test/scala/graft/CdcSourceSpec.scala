@@ -93,6 +93,68 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
   }
 
+  test("graft-cdc admission control: a backlog drains as bounded per-commit batches; restart is forward-only") {
+    val wh = "/tmp/graft_test_cdcrate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcRt", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcRt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcRt.c")
+    spark.sql("CREATE TABLE tcCdcRt.c.t (id BIGINT, grp STRING)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO tcCdcRt.c.t SELECT id, 'a' FROM range(${i * 10}, ${i * 10 + 10})"))
+
+    // commit cap: a 4-commit backlog drains as 4 one-commit batches
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val ckpt = Files.createTempDirectory("graft_cdc_rate_ckpt").toString
+    def start(cap: String, v: String) = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .option(cap, v)
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start("max-commits-per-trigger", "1")
+    try {
+      q.processAllAvailable()
+      val byBatch = seen.asScala.toSeq.groupBy(_._3).toSeq.sortBy(_._1)
+      assert(byBatch.size == 4, s"expected 4 capped batches: ${byBatch.map(_._2.size)}")
+      assert(byBatch.forall(_._2.size == 10), s"each batch = one 10-row commit: ${byBatch.map(_._2.size)}")
+      assert(seen.asScala.map(_._1).toSeq.sorted == (0L until 40L), "rows lost or duplicated")
+    } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+
+    // RESTART with the cap: the first post-restart trigger is
+    // deliberately uncapped (a V1 capped offset below the committed
+    // one would regress the checkpoint) — both new commits arrive in
+    // one forward-only batch, exactly once, nothing re-delivered
+    (4 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO tcCdcRt.c.t SELECT id, 'b' FROM range(${i * 10}, ${i * 10 + 10})"))
+    seen.clear()
+    val q2 = start("max-commits-per-trigger", "1")
+    try {
+      q2.processAllAvailable()
+      assert(seen.asScala.map(_._1).toSeq.sorted == (40L until 60L),
+        s"restart must deliver exactly the two new commits: ${seen.asScala.toSeq}")
+    } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
+
+    // rows cap on a FRESH stream (new checkpoint): 6 commits x 10 rows
+    // at max-rows-per-trigger=20 -> 3 batches of 2 commits each
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q3 = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .option("max-rows-per-trigger", "20")
+      .load()
+      .writeStream.foreachBatch(collector(seen2))
+      .option("checkpointLocation", Files.createTempDirectory("graft_cdc_rate2_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val byBatch = seen2.asScala.toSeq.groupBy(_._3).toSeq.sortBy(_._1)
+      assert(byBatch.size == 3, s"expected 3 row-capped batches: ${byBatch.map(_._2.size)}")
+      assert(byBatch.forall(_._2.size == 20), s"each batch = 2 commits: ${byBatch.map(_._2.size)}")
+      assert(seen2.asScala.map(_._1).toSeq.sorted == (0L until 60L))
+    } finally { q3.stop(); graft.streaming.Hygiene.unload(q3.runId) }
+  }
+
   test("equality-delete commits stream as delete batches (the scan-free MOR path)") {
     val wh = "/tmp/graft_test_cdceq"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
