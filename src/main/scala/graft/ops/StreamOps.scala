@@ -581,6 +581,47 @@ object StreamOps extends Pack {
         |ORDER BY change_type ASC NULLS FIRST, event_type ASC NULLS FIRST,
         |  n ASC NULLS FIRST""".stripMargin)),
 
+    // CDC admission control e2e: a 5-commit backlog under
+    // max-commits-per-trigger=1 must drain as 5 bounded batches (the
+    // REQUIRE pins one commit = one batch = exactly its 5 rows), then
+    // the drained changelog must equal the batch read — content
+    // exactness oracled cross-engine. This is "catch up on a 100 TB
+    // table's change history without one unbounded batch".
+    Decl("q_str_cdcrate", (spark, dir) => {
+      val cname = s"graftcdr${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.RelativeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", s"/tmp/graft_wh_$cname")
+      spark.sql(s"DROP NAMESPACE IF EXISTS $cname.cdc CASCADE")
+      spark.sql(s"CREATE NAMESPACE $cname.cdc")
+      spark.sql(s"CREATE TABLE $cname.cdc.nat (n_nationkey INT, n_name STRING)")
+      spark.sql(s"CREATE TABLE $cname.cdc.log (n_nationkey INT, n_name STRING, batch_id BIGINT)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("cdcrate_nation_src")
+      (0 until 5).foreach(i =>
+        spark.sql(s"INSERT INTO $cname.cdc.nat SELECT n_nationkey, n_name " +
+          s"FROM cdcrate_nation_src WHERE n_nationkey % 5 = $i"))
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$cname.cdc.nat")
+        .option("max-commits-per-trigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col("n_nationkey"), col("n_name"), lit(id).as("batch_id"))
+            .writeTo(s"$cname.cdc.log").append()
+        }
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+      val sizes = spark.table(s"$cname.cdc.log")
+        .groupBy(col("batch_id")).count().collect().map(_.getLong(1))
+      require(sizes.length >= 5 && sizes.forall(_ <= 5),
+        s"backlog not rate-limited: batch sizes ${sizes.mkString(",")}")
+      spark.table(s"$cname.cdc.log")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
     // Streaming CDC upsert: each micro-batch first collapses to its
     // latest row per key (the mandatory pre-MERGE reduction — multiple
     // source matches per key would be ambiguous), then MERGEs into a
