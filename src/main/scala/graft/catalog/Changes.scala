@@ -269,9 +269,7 @@ object Changes {
       lazy val prevFiles = prev.map(ops.allFiles).getOrElse(Nil)
       lazy val snapFiles = ops.allFiles(snap)
       lazy val addedData =
-        if (snap.operation == "append")
-          ops.filesAtSeq(snap, snap.sequenceNumber)
-            .filter(_.seq.contains(snap.sequenceNumber))
+        if (snap.operation == "append") ops.addedFiles(snap)
         else {
           val prevPaths = prevFiles.map(_.path).toSet
           snapFiles.filterNot(f => prevPaths(f.path))

@@ -267,9 +267,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     * deletes can't be served append-only — loud fail, `$changes` is
     * the CDC spelling. */
   private def contributed(s: graft.meta.Snapshot, genesis: Boolean): Seq[DataFile] =
-    if (!genesis)
-      table.ops.filesAtSeq(s, s.sequenceNumber)
-        .filter(_.seq.contains(s.sequenceNumber))
+    if (!genesis) table.ops.addedFiles(s)
     else {
       if (s.deleteFiles.nonEmpty) throw new IllegalStateException(
         s"fresh stream start: oldest retained snapshot ${s.snapshotId} carries " +

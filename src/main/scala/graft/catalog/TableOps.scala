@@ -249,6 +249,13 @@ class TableOps(val warehouse: String, val tableLocation: String,
     s.manifests.filter(m => m.minSeq.forall(_ <= seq) && m.maxSeq.forall(_ >= seq))
       .flatMap(loadChunk) ++ s.files
 
+  /** The data files a snapshot ADDED (stamped with its own sequence
+    * number) — the shared definition every changelog/tail surface
+    * (table-tail stream, CDC source, `$changes`) derives "this
+    * commit's new rows" from. */
+  def addedFiles(s: Snapshot): List[DataFile] =
+    filesAtSeq(s, s.sequenceNumber).filter(_.seq.contains(s.sequenceNumber))
+
   /** Spill oversized inline tails to new manifest files (stamping each
     * chunk's pruning keys) and serialize. Returns the JSON and the
     * manifest files written by THIS call — the committer must delete

@@ -105,6 +105,16 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
         .exists(new org.apache.hadoop.fs.Path(ckpt, rel))
     }
+    // "an offset was WRITTEN", not "the offsets dir exists": the
+    // engine mkdirs the dir lazily but possibly before the first
+    // offset lands (and a long-running checkpoint purges offsets/0
+    // under minBatchesToRetain, so the 0-file probe alone is wrong
+    // the other way)
+    def ckptHasAnyOffset: Boolean = ckptRoot.exists { ckpt =>
+      val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+      val dir = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+      fs.exists(dir) && fs.listStatus(dir).nonEmpty
+    }
     val allowSynthetic = parameters.get("allow-synthetic-genesis") match {
       case Some(v) => v.toBoolean
       case None =>
@@ -118,13 +128,18 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
         val pendingGenesisReplay = ckptHas("offsets/0") && !ckptHas("commits/0")
         ckptRoot.isDefined && !pendingGenesisReplay
     }
-    // Rate caps start DISARMED on a RESTART (any offsets written): a
+    // Rate caps start DISARMED on a RESTART (any offset written): a
     // V1 source's getOffset that returns below the committed offset
-    // would regress the checkpoint and later re-deliver — so the first
-    // post-restart trigger is uncapped (it can only move forward) and
-    // getBatch re-arms the cap floor from the engine-supplied range.
-    // A FRESH stream has nothing to regress: caps arm immediately.
-    val isRestart = ckptRoot.isDefined && ckptHas("offsets")
+    // would regress the checkpoint and later re-deliver. In the normal
+    // case Spark's restart recovery re-invokes getBatch with the
+    // restored range (populateStartOffsets), which re-arms the cap
+    // floor at the committed position BEFORE the first new trigger —
+    // caps then apply immediately. The disarmed state is the
+    // structural fallback for paths where no recovery getBatch
+    // happens: that first trigger is uncapped but forward-only, never
+    // regressing. A FRESH stream has nothing to regress: caps arm
+    // immediately.
+    val isRestart = ckptHasAnyOffset
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
       maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
       maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong),
@@ -178,37 +193,50 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   }
 
   /** Admission control: cap each trigger at `max-commits-per-trigger`
-    * main-lineage commits and/or `max-rows-per-trigger` rows (exact
-    * added-row counts for appends from manifest stats; row-level
-    * commits admit as commits, their diff being O(change) regardless)
-    * — a backlog then drains as bounded, replayable micro-batches.
+    * main-lineage commits and/or `max-rows-per-trigger` rows — a
+    * backlog then drains as bounded, replayable micro-batches.
     * Commit-granular on purpose: a CDC batch is a seq-range diff, so
     * a commit is the smallest replayable unit (the fromSeq=0 genesis
     * diff on an aged table is one such unit and cannot split — the
     * table-tail source's (seq, fileIdx) offsets are the file-granular
-    * alternative for append-only tails). */
+    * alternative for append-only tails). Row accounting under the
+    * rows cap: appends count their EXACT added rows (manifest stats,
+    * chunk-cached, only loaded when the rows cap is set); a row-level
+    * commit's change-row count has no cheap upper bound (an equality
+    * delete's stats count predicates, not rows), so it admits and then
+    * CLOSES the batch — the cap can never be silently inert on
+    * row-level history; `replace` (compaction) emits nothing and
+    * passes through free. The admission walk is in-memory pointer
+    * chasing over RETAINED snapshots (bounded by the table's retention
+    * policy), already materialized by refresh. */
   override def getOffset: Option[OffsetV1] = {
     val meta = freshMeta
     val head = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
     if (head <= startSeq) return None
     val uncapped = maxCommitsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty
     capFloor match {
-      case None => Some(LongOffset(head)) // restart: one uncapped, forward-only trigger
+      case None => Some(LongOffset(head)) // restart fallback: one uncapped, forward-only trigger
       case _ if uncapped => Some(LongOffset(head))
       case Some(f) =>
         val base = math.max(f, startSeq)
         if (head <= base) return Some(LongOffset(base))
+        val countRows = maxRowsPerTrigger.isDefined
         var n = 0; var rows = 0L; var end = base; var stop = false
         for (s <- lineageAbove(meta, base) if !stop) {
+          val isAppend = s.operation == "append"
+          val isReplace = s.operation == "replace"
           val r =
-            if (s.operation == "append")
-              ops.filesAtSeq(s, s.sequenceNumber)
-                .filter(_.seq.contains(s.sequenceNumber)).map(_.records).sum
+            if (countRows && isAppend) ops.addedFiles(s).map(_.records).sum
             else 0L
           val exceeds = maxCommitsPerTrigger.exists(n + 1 > _) ||
             maxRowsPerTrigger.exists(rows + r > _)
           if (exceeds && n > 0) stop = true
-          else { n += 1; rows += r; end = s.sequenceNumber }
+          else {
+            n += 1; rows += r; end = s.sequenceNumber
+            // row-level commit under a rows cap: unknown change-row
+            // count — close the batch here (see doc above)
+            if (countRows && !isAppend && !isReplace) stop = true
+          }
         }
         Some(LongOffset(end))
     }

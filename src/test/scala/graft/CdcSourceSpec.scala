@@ -122,10 +122,13 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(seen.asScala.map(_._1).toSeq.sorted == (0L until 40L), "rows lost or duplicated")
     } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
 
-    // RESTART with the cap: the first post-restart trigger is
-    // deliberately uncapped (a V1 capped offset below the committed
-    // one would regress the checkpoint) — both new commits arrive in
-    // one forward-only batch, exactly once, nothing re-delivered
+    // RESTART with the cap: Spark's restart recovery re-invokes
+    // getBatch with the restored range, re-arming the cap floor at the
+    // committed position BEFORE the first new trigger — so the two new
+    // commits arrive as TWO capped batches, exactly once, nothing
+    // re-delivered. (If the engine ever skips that recovery call the
+    // structural fallback is one uncapped forward-only batch — never a
+    // checkpoint regression.)
     (4 until 6).foreach(i =>
       spark.sql(s"INSERT INTO tcCdcRt.c.t SELECT id, 'b' FROM range(${i * 10}, ${i * 10 + 10})"))
     seen.clear()
@@ -134,6 +137,10 @@ class CdcSourceSpec extends AnyFunSuite {
       q2.processAllAvailable()
       assert(seen.asScala.map(_._1).toSeq.sorted == (40L until 60L),
         s"restart must deliver exactly the two new commits: ${seen.asScala.toSeq}")
+      val byBatch2 = seen.asScala.toSeq.groupBy(_._3).toSeq.sortBy(_._1)
+      assert(byBatch2.size == 2 && byBatch2.forall(_._2.size == 10),
+        s"post-restart drain must stay capped (floor re-armed by the " +
+          s"recovery getBatch): ${byBatch2.map(_._2.size)}")
     } finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
 
     // rows cap on a FRESH stream (new checkpoint): 6 commits x 10 rows
@@ -153,6 +160,29 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(byBatch.forall(_._2.size == 20), s"each batch = 2 commits: ${byBatch.map(_._2.size)}")
       assert(seen2.asScala.map(_._1).toSeq.sorted == (0L until 60L))
     } finally { q3.stop(); graft.streaming.Hygiene.unload(q3.runId) }
+
+    // a ROW-LEVEL commit under a rows cap closes its batch (its
+    // change-row count has no cheap upper bound, so the cap must never
+    // be silently inert on row-level history): two COW deletes must
+    // land in two DIFFERENT batches even under a huge rows budget
+    spark.sql("DELETE FROM tcCdcRt.c.t WHERE id < 5")
+    spark.sql("DELETE FROM tcCdcRt.c.t WHERE id >= 55")
+    val seen3 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q4 = spark.readStream.format("graft-cdc")
+      .option("warehouse", wh).option("location", "c/t")
+      .option("max-rows-per-trigger", "1000000")
+      .load()
+      .writeStream.foreachBatch(collector(seen3))
+      .option("checkpointLocation", Files.createTempDirectory("graft_cdc_rate3_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q4.processAllAvailable()
+      val delBatches = seen3.asScala.toSeq.filter(_._2 == "delete")
+        .groupBy(r => if (r._1 < 5) "low" else "high")
+        .map { case (k, rs) => k -> rs.map(_._3).toSet }
+      assert(delBatches("low").intersect(delBatches("high")).isEmpty,
+        s"two row-level commits shared a batch under the rows cap: $delBatches")
+    } finally { q4.stop(); graft.streaming.Hygiene.unload(q4.runId) }
   }
 
   test("equality-delete commits stream as delete batches (the scan-free MOR path)") {
