@@ -164,6 +164,45 @@ class StreamGenesisSpec extends AnyFunSuite {
     assert(got.forall(_.size <= 20), s"a batch exceeded 4 files: ${got.map(_.size)}")
   }
 
+  test("genesis split under a ROWS cap with uneven files: every batch bounded or a single file") {
+    freshWh("tcGenRw")
+    spark.sql("CREATE NAMESPACE tcGenRw.st")
+    spark.sql("CREATE TABLE tcGenRw.st.t (id BIGINT)")
+    // uneven one-file commits: 3,7,2,9,1,4 rows (26 total); slice
+    // order is PATH order (uuid dirs), so assert the admission
+    // PROPERTY, not a specific grouping
+    val sizes = Seq(3, 7, 2, 9, 1, 4)
+    var next = 0L
+    sizes.foreach { n =>
+      spark.range(next, next + n).coalesce(1).writeTo("tcGenRw.st.t").append()
+      next += n
+    }
+    graft.catalog.Maintenance.expireSnapshots(
+      gt("tcGenRw", "st", "t").ops, keepLast = 1): Unit
+    assert(gt("tcGenRw", "st", "t").meta.snapshots.size == 1)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream
+      .option("max-rows-per-trigger", "10")
+      .table("tcGenRw.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      assert(got.flatten.sorted == (0L until 26L), s"rows lost/invented: ${got.map(_.size)}")
+      assert(got.flatten.size == 26, s"duplicate delivery: ${got.map(_.size)}")
+      // the cap property: a batch only exceeds 10 rows if it is ONE
+      // unsplittable file (no file here exceeds 10, so: all <= 10)
+      assert(got.forall(_.size <= 10), s"a batch exceeded the rows cap: ${got.map(_.size)}")
+      assert(got.size >= 3, s"26 rows / 10-cap must take >= 3 batches: ${got.map(_.size)}")
+    } finally q.stop()
+  }
+
   test("uncapped fresh stream still delivers the genesis state as one batch") {
     freshWh("tcGenU")
     agedTable("tcGenU")
