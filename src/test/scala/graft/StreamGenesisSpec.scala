@@ -194,8 +194,8 @@ class StreamGenesisSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val got = batches.synchronized { batches.toList }
-      assert(got.flatten.sorted == (0L until 26L), s"rows lost/invented: ${got.map(_.size)}")
-      assert(got.flatten.size == 26, s"duplicate delivery: ${got.map(_.size)}")
+      assert(got.flatten.sorted == (0L until 26L),
+        s"rows lost, invented, or duplicated: ${got.map(_.size)}")
       // the cap property: a batch only exceeds 10 rows if it is ONE
       // unsplittable file (no file here exceeds 10, so: all <= 10)
       assert(got.forall(_.size <= 10), s"a batch exceeded the rows cap: ${got.map(_.size)}")
