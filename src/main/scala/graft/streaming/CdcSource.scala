@@ -1,10 +1,12 @@
 package graft.streaming
 
-import graft.catalog.{Changes, TableOps}
-import graft.meta.TableMeta
+import graft.catalog.{Changes, Mor, TableOps}
+import graft.meta.{DataFile, Snapshot, TableMeta}
 import org.apache.spark.sql.{DataFrame, GraftStreamShim, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -16,21 +18,42 @@ import org.apache.spark.sql.types.StructType
   * ('insert' | 'delete') — where the DSv2 table-tail source
   * ([[graft.catalog.GraftMicroBatchStream]]) handles appends only.
   *
-  * Offsets are commit SEQUENCE NUMBERS, so a batch is exactly the
-  * change rows of the commits in (startSeq, endSeq], recomputed from
-  * the snapshot chain by [[Changes.between]] — replayable from
-  * metadata alone (exactly-once after a crash). If snapshot retention
-  * does NOT cover the stream's lag — the restart offset's snapshot or
-  * any chain ancestor has been expired — the batch THROWS instead of
-  * silently re-emitting or dropping changes, and a mid-stream schema
-  * change likewise fails the batch (restart to pick it up). The chain
-  * is parent-lineage-walked, so commits after a `rollbackTo` diff
-  * against their actual parent; rows from an abandoned lineage are
-  * not retracted. A FRESH stream's genesis batch may diff past an
-  * expired ancestor (synthetic genesis: the surviving state replays
-  * as inserts), but a checkpointed REPLAY of batch 0 keeps the loud
-  * truncation failure — option `allow-synthetic-genesis` overrides
-  * the checkpoint-derived default either way.
+  * API shape: a V1 [[Source]] that ALSO implements the DSv2 streaming
+  * admission traits ([[SupportsAdmissionControl]] — `latestOffset`
+  * with a START param, so rate caps never risk regressing a restored
+  * checkpoint — and [[SupportsTriggerAvailableNow]] for bounded
+  * drains). `MicroBatchExecution` dispatches on the traits before the
+  * V1 fallbacks, so both are first-class. This is deliberately NOT a
+  * pure DSv2 `MicroBatchStream`: a CDC batch for a row-level commit is
+  * a Catalyst PLAN (MOR anti-joins, state diffs), which only the V1
+  * `getBatch: DataFrame` contract can return — partition-planning
+  * APIs would force materializing those joins to files first. Spark's
+  * own Kafka connector and the Delta Lake source ship exactly this
+  * hybrid for the same reason.
+  *
+  * Offsets are commit SEQUENCE NUMBERS (`{"seq":N}`), so a batch is
+  * exactly the change rows of the commits in (startSeq, endSeq],
+  * recomputed from the snapshot chain by [[Changes.between]] —
+  * replayable from metadata alone (exactly-once after a crash). While
+  * a FRESH stream drains an aged table's retained state under
+  * `max-rows-per-trigger`, offsets extend to `{"seq":N,"idx":K}` — the
+  * first K files (stable path order) of the genesis state delivered —
+  * so a 100 TB catch-up arrives as bounded, checkpoint-resumable
+  * slices instead of one unbounded batch. Pre-split checkpoints (bare
+  * `LongOffset` numbers) keep parsing.
+  *
+  * If snapshot retention does NOT cover the stream's lag — the
+  * restart offset's snapshot or any chain ancestor has been expired —
+  * the batch THROWS instead of silently re-emitting or dropping
+  * changes, and a mid-stream schema change likewise fails the batch
+  * (restart to pick it up). The chain is parent-lineage-walked, so
+  * commits after a `rollbackTo` diff against their actual parent;
+  * rows from an abandoned lineage are not retracted. A FRESH stream's
+  * genesis batch may diff past an expired ancestor (synthetic genesis:
+  * the surviving state replays as inserts), but a checkpointed REPLAY
+  * of batch 0 keeps the loud truncation failure — option
+  * `allow-synthetic-genesis` overrides the checkpoint-derived default
+  * either way.
   * `start-seq` (default 0) sets the initial offset:
   * 0 replays the whole table as genesis inserts, the current seq at
   * start gives a "changes from now on" tail.
@@ -105,16 +128,6 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
         .exists(new org.apache.hadoop.fs.Path(ckpt, rel))
     }
-    // "an offset was WRITTEN", not "the offsets dir exists": the
-    // engine mkdirs the dir lazily but possibly before the first
-    // offset lands (and a long-running checkpoint purges offsets/0
-    // under minBatchesToRetain, so the 0-file probe alone is wrong
-    // the other way)
-    def ckptHasAnyOffset: Boolean = ckptRoot.exists { ckpt =>
-      val fs = ckpt.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
-      val dir = new org.apache.hadoop.fs.Path(ckpt, "offsets")
-      fs.exists(dir) && fs.listStatus(dir).nonEmpty
-    }
     val allowSynthetic = parameters.get("allow-synthetic-genesis") match {
       case Some(v) => v.toBoolean
       case None =>
@@ -128,22 +141,9 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
         val pendingGenesisReplay = ckptHas("offsets/0") && !ckptHas("commits/0")
         ckptRoot.isDefined && !pendingGenesisReplay
     }
-    // Rate caps start DISARMED on a RESTART (any offset written): a
-    // V1 source's getOffset that returns below the committed offset
-    // would regress the checkpoint and later re-deliver. In the normal
-    // case Spark's restart recovery re-invokes getBatch with the
-    // restored range (populateStartOffsets), which re-arms the cap
-    // floor at the committed position BEFORE the first new trigger —
-    // caps then apply immediately. The disarmed state is the
-    // structural fallback for paths where no recovery getBatch
-    // happens: that first trigger is uncapped but forward-only, never
-    // regressing. A FRESH stream has nothing to regress: caps arm
-    // immediately.
-    val isRestart = ckptHasAnyOffset
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
       maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
-      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong),
-      initialCapFloor = if (isRestart) None else Some(startSeq))
+      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong))
   }
 }
 
@@ -151,8 +151,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     initialMeta: TableMeta, startSeq: Long,
     allowSyntheticGenesis: Boolean = true,
     maxCommitsPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None,
-    initialCapFloor: Option[Long] = Some(0L)) extends Source {
+    maxRowsPerTrigger: Option[Long] = None) extends Source
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // schema is pinned at stream start: mid-stream schema evolution must
   // not silently reshape batches (restart the query to pick it up)
@@ -161,32 +161,57 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   private def freshMeta: TableMeta =
     ops.refresh().map(_._2).getOrElse(initialMeta)
 
-  private def seqOf(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
-  }
-
   override def schema: StructType = outSchema
 
-  // Rate-cap floor: the highest offset this run has handed to the
-  // engine (advanced by getBatch, which sees every range — replays
-  // included). None = restart whose committed position is unknown
-  // until the first getBatch: caps stay disarmed for that one trigger
-  // because a capped offset BELOW the committed one would regress the
-  // checkpoint and re-deliver (V1 sources have no start param in
-  // getOffset). A forward-only uncapped batch is always safe.
-  @volatile private var capFloor: Option[Long] = initialCapFloor
+  // ---- offsets ---------------------------------------------------
 
-  /** Main-lineage snapshots in (above, head], oldest first — the
+  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+))?\}""".r
+  private def parseOffset(json: String): CdcOffset = json.trim match {
+    case OffsetRe(s, null) => CdcOffset(s.toLong)
+    case OffsetRe(s, i) => CdcOffset(s.toLong, i.toInt)
+    // pre-split checkpoints stored bare LongOffset numbers
+    case other => CdcOffset(other.toLong)
+  }
+
+  override def initialOffset(): OffsetV2 = CdcOffset(startSeq)
+
+  override def deserializeOffset(json: String): OffsetV2 = parseOffset(json)
+
+  // ---- admission (latestOffset WITH a start param) ---------------
+
+  // Trigger.AvailableNow: pin the end of the backlog at start; batches
+  // then advance toward it (rate limits still apply per batch) and the
+  // query stops once it's reached — later commits wait for the next run
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    CdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  }
+
+  /** Never called: [[SupportsAdmissionControl]] routes the engine to
+    * `latestOffset(start, limit)` instead (which is the point — a V1
+    * `getOffset` has no start param, so a capped offset below the
+    * committed one would regress the checkpoint and re-deliver). */
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "graft-cdc implements SupportsAdmissionControl; latestOffset(start, limit) is used")
+
+  /** Main-lineage snapshots in (above, headCap], oldest first — the
     * admissible units of a CDC batch (branch/WAP snapshots share the
     * seq space but never enter a main tail). */
-  private def lineageAbove(meta: TableMeta, above: Long): List[graft.meta.Snapshot] = {
+  private def lineageAbove(meta: TableMeta, above: Long, headCap: Long): List[Snapshot] = {
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val out = scala.collection.mutable.ListBuffer.empty[graft.meta.Snapshot]
+    val out = scala.collection.mutable.ListBuffer.empty[Snapshot]
     var cur = meta.currentSnapshot
     while (cur.exists(_.sequenceNumber > above)) {
-      out += cur.get
+      if (cur.get.sequenceNumber <= headCap) out += cur.get
       cur = cur.get.parentId.flatMap(byId.get)
     }
     out.toList.sortBy(_.sequenceNumber)
@@ -195,12 +220,16 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   /** Admission control: cap each trigger at `max-commits-per-trigger`
     * main-lineage commits and/or `max-rows-per-trigger` rows — a
     * backlog then drains as bounded, replayable micro-batches.
-    * Commit-granular on purpose: a CDC batch is a seq-range diff, so
-    * a commit is the smallest replayable unit (the fromSeq=0 genesis
-    * diff on an aged table is one such unit and cannot split — the
-    * table-tail source's (seq, fileIdx) offsets are the file-granular
-    * alternative for append-only tails). Row accounting under the
-    * rows cap: appends count their EXACT added rows (manifest stats,
+    *
+    * The incremental tail is commit-granular (a CDC batch is a
+    * seq-range diff, so a commit is its smallest replayable unit); the
+    * fromSeq=0 GENESIS unit — an aged table's entire retained state —
+    * additionally splits at FILE granularity under the rows cap via
+    * (seq, fileIdx) offsets, so the catch-up drains as ⌈files/cap⌉
+    * bounded slices and later commits never piggyback on it (genesis
+    * rows are counted from the full state's manifest stats, never the
+    * undercounting added-files view). Row accounting under the rows
+    * cap: appends count their EXACT added rows (manifest stats,
     * chunk-cached, only loaded when the rows cap is set); a row-level
     * commit's change-row count has no cheap upper bound (an equality
     * delete's stats count predicates, not rows), so it admits and then
@@ -209,45 +238,159 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * passes through free. The admission walk is in-memory pointer
     * chasing over RETAINED snapshots (bounded by the table's retention
     * policy), already materialized by refresh. */
-  override def getOffset: Option[OffsetV1] = {
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val st = Option(start).map(o => parseOffset(o.json)).getOrElse(CdcOffset(startSeq))
     val meta = freshMeta
-    val head = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
-    if (head <= startSeq) return None
-    val uncapped = maxCommitsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty
-    capFloor match {
-      case None => Some(LongOffset(head)) // restart fallback: one uncapped, forward-only trigger
-      case _ if uncapped => Some(LongOffset(head))
-      case Some(f) =>
-        val base = math.max(f, startSeq)
-        if (head <= base) return Some(LongOffset(base))
-        val countRows = maxRowsPerTrigger.isDefined
-        var n = 0; var rows = 0L; var end = base; var stop = false
-        for (s <- lineageAbove(meta, base) if !stop) {
-          val isAppend = s.operation == "append"
-          val isReplace = s.operation == "replace"
-          val r =
-            if (countRows && isAppend) ops.addedFiles(s).map(_.records).sum
-            else 0L
-          val exceeds = maxCommitsPerTrigger.exists(n + 1 > _) ||
-            maxRowsPerTrigger.exists(rows + r > _)
-          if (exceeds && n > 0) stop = true
-          else {
-            n += 1; rows += r; end = s.sequenceNumber
-            // row-level commit under a rows cap: unknown change-row
-            // count — close the batch here (see doc above)
-            if (countRows && !isAppend && !isReplace) stop = true
-          }
-        }
-        Some(LongOffset(end))
+    val curHead = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val head = availableNowCap.fold(curHead)(math.min(curHead, _))
+
+    // mid-genesis drain: the next file slice of the state snapshot;
+    // once the state completes, remaining budget admits the tail
+    if (st.fileIdx >= 0) {
+      val list = genesisFiles(meta, st.seq)
+      val (next, rows) = admitFiles(list, st.fileIdx)
+      return if (next < list.size) CdcOffset(st.seq, next)
+      else CdcOffset(tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows))
+    }
+
+    val base = math.max(st.seq, startSeq)
+    if (head <= base) return if (start != null) start else null
+    if (maxCommitsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
+      return CdcOffset(head)
+
+    if (base == 0 && maxRowsPerTrigger.isDefined) {
+      // fresh-start genesis under a rows cap: the retained state is
+      // one seq but NOT one replayable unit — split it at file
+      // granularity (stable path order) so the catch-up is bounded
+      lineageAbove(meta, 0, head).headOption match {
+        case None => return if (start != null) start else null
+        case Some(g) =>
+          val list = genesisFiles(meta, g.sequenceNumber)
+          val (next, rows) = admitFiles(list, 0)
+          return if (next < list.size) CdcOffset(g.sequenceNumber, next)
+          else CdcOffset(tailEnd(meta, g.sequenceNumber, head, commits0 = 1, rows0 = rows))
+      }
+    }
+    CdcOffset(tailEnd(meta, base, head, commits0 = 0, rows0 = 0L))
+  }
+
+  /** One trigger's genesis admission under the rows cap: (exclusive
+    * end index, rows consumed). Always admits at least one file when
+    * starting from `from` (progress guarantee) — a single file larger
+    * than the cap gets a slice of its own. Rows are the files'
+    * manifest record counts: for a genesis state with live deletes
+    * this OVERCOUNTS delivered rows (conservative — a capped batch
+    * can only be smaller than its budget says). */
+  private def admitFiles(list: IndexedSeq[DataFile], from: Int): (Int, Long) = {
+    var i = from; var rows = 0L; var stop = false
+    while (i < list.size && !stop) {
+      val nr = rows + list(i).records
+      if (maxRowsPerTrigger.exists(nr > _) && i > from) stop = true
+      else { rows = nr; i += 1 }
+    }
+    (i, rows)
+  }
+
+  /** Commit-granular admission over the main lineage above `base`,
+    * with `commits0`/`rows0` budget already consumed (by a completed
+    * genesis slice). Returns the admitted end seq (== base when the
+    * budget is spent). */
+  private def tailEnd(meta: TableMeta, base: Long, head: Long,
+      commits0: Int, rows0: Long): Long = {
+    val countRows = maxRowsPerTrigger.isDefined
+    var n = commits0; var rows = rows0; var end = base; var stop = false
+    for (s <- lineageAbove(meta, base, head) if !stop) {
+      val isAppend = s.operation == "append"
+      val isReplace = s.operation == "replace"
+      val r =
+        if (countRows && isAppend) ops.addedFiles(s).map(_.records).sum
+        else 0L
+      val exceeds = maxCommitsPerTrigger.exists(n + 1 > _) ||
+        maxRowsPerTrigger.exists(rows + r > _)
+      if (exceeds && n > 0) stop = true
+      else {
+        n += 1; rows += r; end = s.sequenceNumber
+        // row-level commit under a rows cap: unknown change-row
+        // count — close the batch here (see doc above)
+        if (countRows && !isAppend && !isReplace) stop = true
+      }
+    }
+    end
+  }
+
+  // ---- genesis state slices ---------------------------------------
+
+  /** The genesis snapshot's STATE file list in stable path order, so
+    * (seq, fileIdx) offsets slice it reproducibly across triggers,
+    * restarts, and checkpoint replays. Memoized so each trigger of a
+    * long drain pays O(1), not an O(files) re-sort; released by
+    * [[commit]] once offsets return to pure seqs (the drain holds the
+    * O(files) DataFile list on the driver — same order as any Spark
+    * file-listing — and a post-release replay just recomputes it). A
+    * mid-drain expiry of the snapshot fails loudly: the slice indices
+    * would otherwise silently re-bind to different files. */
+  @volatile private var genesisCache: Option[(Long, IndexedSeq[DataFile])] = None
+
+  private def genesisSnap(meta: TableMeta, seq: Long): Snapshot =
+    meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
+      throw new IllegalStateException(
+        s"CDC genesis catch-up snapshot (seq $seq) is no longer retained; " +
+          "retention must cover streaming lag"))
+
+  private def genesisFiles(meta: TableMeta, seq: Long): IndexedSeq[DataFile] = {
+    val s = genesisSnap(meta, seq)
+    genesisCache match {
+      case Some((cs, l)) if cs == seq => l
+      case _ =>
+        val l = ops.allFiles(s).sortBy(_.path).toIndexedSeq
+        genesisCache = Some((seq, l))
+        l
     }
   }
 
+  /** Rows [from, until) of the genesis state (path-sorted files,
+    * deletes applied), tagged as ordinal-1 inserts — one bounded slice
+    * of a fresh stream's catch-up. Slice-local delete application is
+    * exact: position deletes bind to (file, pos) and equality deletes
+    * apply row-wise with per-file sequence scoping, so restricting to
+    * a file subset yields precisely that subset's surviving rows.
+    * The synthetic-genesis gate applies here exactly as in
+    * [[Changes.between]]: a truncated chain without the opt-in (a
+    * pending batch-0 REPLAY, or an explicit opt-out) refuses loudly. */
+  private def genesisSlice(meta: TableMeta, gseq: Long, from: Int, until: Int): DataFrame = {
+    val snap = genesisSnap(meta, gseq)
+    snap.parentId.filter(p => !meta.snapshots.exists(_.snapshotId == p)).foreach { p =>
+      if (!allowSyntheticGenesis) throw new IllegalStateException(
+        s"changelog chain is TRUNCATED under a genesis-batch REPLAY: snapshot " +
+          s"${snap.snapshotId} (seq ${snap.sequenceNumber}) has parent $p which " +
+          "is no longer retained, so the replayed slice could collapse " +
+          "already-delivered insert+delete pairs into net state — different " +
+          "rows than first delivered. Restart the stream with a fresh " +
+          "checkpoint, or opt in to net-state replay with option " +
+          "allow-synthetic-genesis=true if the sink is idempotent")
+    }
+    val all = genesisFiles(meta, gseq)
+    val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
+    val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    val base =
+      if (slice.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+      else {
+        val dels = snap.deleteFiles
+        val raw = Mor.readData(spark, ops.warehouse, dataSchema, slice, meta.nameMapping,
+          if (dels.nonEmpty) Mor.withPositions(_, ops.warehouse) else identity)
+        Mor.applyDeletes(spark, raw, ops.warehouse, dels, slice)
+      }
+    base.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_change_ordinal", lit(1))
+  }
+
+  // ---- batches -----------------------------------------------------
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val fromSeq = start.map(seqOf).getOrElse(startSeq)
-    val toSeq = seqOf(end)
-    // re-arm the rate caps: every range the engine constructs or
-    // replays passes through here, so max() is the committed frontier
-    capFloor = Some(math.max(capFloor.getOrElse(Long.MinValue), toSeq))
+    val st = start.map(o => parseOffset(o.json))
+    val en = parseOffset(end.json)
     val meta = freshMeta
     // enforce the pinned-schema contract: MicroBatchExecution aliases
     // batch output to the stream-start attributes BY POSITION, so a
@@ -259,18 +402,57 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         s"table schema changed mid-stream (was ${outSchema.simpleString}, " +
           s"now ${cur.simpleString}); restart the streaming query to pick " +
           "up the new schema")
-    val batch = Changes
-      .between(spark, ops.warehouse, ops, meta, fromSeq, toSeq,
-        allowSyntheticGenesis = allowSyntheticGenesis)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(outSchema.fields.map(_.copy(nullable = true)))))
+    val batch: DataFrame =
+      if (en.fileIdx >= 0) {
+        // a genesis slice batch (start is the stream origin or an
+        // earlier slice of the SAME snapshot)
+        val fromIdx = st.filter(p => p.seq == en.seq && p.fileIdx >= 0)
+          .map(_.fileIdx).getOrElse(0)
+        genesisSlice(meta, en.seq, fromIdx, en.fileIdx)
+      } else st.filter(_.fileIdx >= 0) match {
+        case Some(p) =>
+          // final genesis slice, plus any commits the trigger's
+          // remaining budget admitted (their ordinals shift past the
+          // slice's ordinal 1)
+          val lastSlice = genesisSlice(meta, p.seq, p.fileIdx, Int.MaxValue)
+          Changes.between(spark, ops.warehouse, ops, meta, p.seq, en.seq,
+              allowSyntheticGenesis = allowSyntheticGenesis)
+            .map(rest => lastSlice.unionAll(rest.withColumn(
+              "_change_ordinal", col("_change_ordinal") + lit(1))))
+            .getOrElse(lastSlice)
+        case None =>
+          Changes
+            .between(spark, ops.warehouse, ops, meta,
+              st.map(_.seq).getOrElse(startSeq), en.seq,
+              allowSyntheticGenesis = allowSyntheticGenesis)
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(outSchema.fields.map(_.copy(nullable = true)))))
+      }
     GraftStreamShim.streamingFrom(batch)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit =
+    // offsets back to pure seqs = the genesis drain is over: release
+    // the O(files) state list (a later recovery replay of a sliced
+    // range just recomputes it)
+    if (parseOffset(end.json).fileIdx < 0) genesisCache = None
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftCdcSource[${ops.tableDir}]"
+}
+
+/** CDC offset: `seq` = last fully-delivered commit sequence number;
+  * `fileIdx >= 0` marks a PARTIAL genesis catch-up — the first
+  * `fileIdx` files (path order) of the genesis state have been
+  * delivered. Partial offsets arise only while a fresh start drains an
+  * aged table's retained state under max-rows-per-trigger; once the
+  * state completes, offsets are pure sequence numbers again. Extends
+  * the V1 offset class (getBatch requires it) and thereby the DSv2
+  * one (admission control requires that); pre-split checkpoints
+  * (bare LongOffset numbers) parse via [[GraftCdcSource]]'s reader. */
+case class CdcOffset(seq: Long, fileIdx: Int = -1) extends OffsetV1 {
+  override def json(): String =
+    if (fileIdx < 0) s"""{"seq":$seq}""" else s"""{"seq":$seq,"idx":$fileIdx}"""
 }

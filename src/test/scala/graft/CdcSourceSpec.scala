@@ -122,13 +122,12 @@ class CdcSourceSpec extends AnyFunSuite {
       assert(seen.asScala.map(_._1).toSeq.sorted == (0L until 40L), "rows lost or duplicated")
     } finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
 
-    // RESTART with the cap: Spark's restart recovery re-invokes
-    // getBatch with the restored range, re-arming the cap floor at the
-    // committed position BEFORE the first new trigger — so the two new
-    // commits arrive as TWO capped batches, exactly once, nothing
-    // re-delivered. (If the engine ever skips that recovery call the
-    // structural fallback is one uncapped forward-only batch — never a
-    // checkpoint regression.)
+    // RESTART with the cap: SupportsAdmissionControl hands the
+    // restored checkpoint offset to latestOffset(start, limit) as the
+    // START param, so caps apply from the very first post-restart
+    // trigger — the two new commits arrive as TWO capped batches,
+    // exactly once, nothing re-delivered, structurally no way to
+    // regress the checkpoint.
     (4 until 6).foreach(i =>
       spark.sql(s"INSERT INTO tcCdcRt.c.t SELECT id, 'b' FROM range(${i * 10}, ${i * 10 + 10})"))
     seen.clear()
