@@ -200,49 +200,43 @@ object Changes {
           s"from it would re-emit or drop already-delivered changes; restart " +
           s"the stream from a retained snapshot (oldest retained seq: " +
           s"${meta.snapshots.map(_.sequenceNumber).minOption.getOrElse(0L)})")
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
     val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
       throw new IllegalArgumentException(s"no snapshot with sequence number $toSeq"))
-    val lineage = scala.collection.mutable.ListBuffer.empty[Snapshot]
-    var cursor: Option[Snapshot] = Some(toSnap)
+    // the walk is the shared kernel ([[TableMeta.lineageWindowFrom]]);
+    // the POLICY below — when a cut chain means synthetic genesis vs a
+    // loud failure — is the changelog's own
+    val w = meta.lineageWindowFrom(toSnap, fromSeq)
     // genesis replay whose chain hit an expired ancestor: the oldest
     // retained lineage snapshot gets diffed against empty instead
-    var syntheticGenesis = false
-    while (cursor.exists(_.sequenceNumber > fromSeq) && !syntheticGenesis) {
-      val s = cursor.get
-      lineage += s
-      cursor = s.parentId match {
-        case None =>
-          if (fromSeq > 0) throw new IllegalStateException(
-            s"changelog base (seq $fromSeq) is not an ancestor of the end " +
-              s"snapshot ${toSnap.snapshotId} (seq $toSeq): the history is " +
-              "not linear past it (rollback); restart the stream")
-          None
-        case Some(pid) => byId.get(pid) match {
-          case Some(p) => Some(p)
-          case None if fromSeq == 0 && allowSyntheticGenesis =>
-            // nothing delivered yet, so no re-emit/drop hazard: stop
-            // the walk and let s replay its full surviving state
-            syntheticGenesis = true
-            None
-          case None if fromSeq == 0 => throw new IllegalStateException(
-            s"changelog chain is TRUNCATED under a genesis-batch REPLAY: " +
-              s"snapshot ${s.snapshotId} (seq ${s.sequenceNumber}) has parent " +
-              s"$pid which is no longer retained, so the replayed batch 0 " +
-              "would collapse already-delivered insert+delete pairs into net " +
-              "state — different rows than first delivered. Restart the " +
-              "stream with a fresh checkpoint, or opt in to net-state replay " +
-              "with option allow-synthetic-genesis=true if the sink is " +
-              "idempotent")
-          case None => throw new IllegalStateException(
-            s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
-              s"${s.sequenceNumber}) has parent $pid which is no longer " +
-              s"retained — a replay from seq $fromSeq would silently drop the " +
-              "expired commits' rows; restart the stream from a retained snapshot")
-        }
-      }
+    val syntheticGenesis = w.truncatedParent match {
+      case None =>
+        if (w.base.isEmpty && fromSeq > 0) throw new IllegalStateException(
+          s"changelog base (seq $fromSeq) is not an ancestor of the end " +
+            s"snapshot ${toSnap.snapshotId} (seq $toSeq): the history is " +
+            "not linear past it (rollback); restart the stream")
+        false
+      case Some(pid) =>
+        val s = w.chain.head // the snapshot whose parent expired
+        if (fromSeq == 0 && allowSyntheticGenesis)
+          // nothing delivered yet, so no re-emit/drop hazard: let s
+          // replay its full surviving state
+          true
+        else if (fromSeq == 0) throw new IllegalStateException(
+          s"changelog chain is TRUNCATED under a genesis-batch REPLAY: " +
+            s"snapshot ${s.snapshotId} (seq ${s.sequenceNumber}) has parent " +
+            s"$pid which is no longer retained, so the replayed batch 0 " +
+            "would collapse already-delivered insert+delete pairs into net " +
+            "state — different rows than first delivered. Restart the " +
+            "stream with a fresh checkpoint, or opt in to net-state replay " +
+            "with option allow-synthetic-genesis=true if the sink is " +
+            "idempotent")
+        else throw new IllegalStateException(
+          s"changelog chain is TRUNCATED: snapshot ${s.snapshotId} (seq " +
+            s"${s.sequenceNumber}) has parent $pid which is no longer " +
+            s"retained — a replay from seq $fromSeq would silently drop the " +
+            "expired commits' rows; restart the stream from a retained snapshot")
     }
-    val chain = lineage.toList.reverse
+    val chain = w.chain
 
     val dataCols = dataSchema.fieldNames.map(col).toIndexedSeq
     def tag(df: DataFrame, typ: String, ord: Int): DataFrame =
@@ -250,7 +244,7 @@ object Changes {
         .withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
 
-    var prev: Option[Snapshot] = cursor
+    var prev: Option[Snapshot] = w.base
     val parts = chain.zipWithIndex.flatMap { case (snap, i) =>
       val ord = i + 1
       if (syntheticGenesis && i == 0) {

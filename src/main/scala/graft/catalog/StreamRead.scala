@@ -61,12 +61,16 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     }
   }
   // rate limits: cap each trigger's admission. The incremental tail
-  // stays snapshot-granular (offsets remain contiguous seq ranges,
-  // so batches stay replayable); the FRESH-START catch-up — where one
-  // "snapshot" is an aged table's entire retained state — additionally
-  // splits the genesis state at FILE granularity via (seq, fileIdx)
-  // offsets, so a 100 TB backlog drains as ⌈files/cap⌉ bounded
-  // micro-batches instead of one unbounded catch-up batch.
+  // is snapshot-granular while snapshots fit the caps (offsets remain
+  // contiguous seq ranges, so batches stay replayable) — and ANY
+  // admission unit that alone exceeds them splits at FILE granularity
+  // via (seq, fileIdx) offsets: the FRESH-START catch-up (an aged
+  // table's entire retained state, `{"seq":N,"idx":K}`) and likewise
+  // a single oversized append commit (e.g. one 10 TB batch insert,
+  // `{"seq":N,"idx":K,"unit":"added"}`), so a 100 TB backlog drains
+  // as ⌈files/cap⌉ bounded micro-batches instead of one unbounded
+  // catch-up batch. Only a single file larger than the cap is
+  // unsplittable (it gets a batch of its own).
   private val maxFilesPerTrigger =
     Option(options.get("max-files-per-trigger")).map(_.toInt)
   private val maxRowsPerTrigger =
@@ -86,27 +90,35 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  /** The genesis snapshot's STATE in a stable order (sorted by path)
-    * so (seq, fileIdx) offsets slice it reproducibly across triggers,
-    * restarts, and checkpoint replays. Sequence numbers are dense and
-    * unique per table, so the seq lookup is unambiguous; a mid-drain
-    * expiry of the snapshot fails loudly (the slice indices would
-    * otherwise silently re-bind to different files). */
-  // the state list is immutable once the drain starts (snapshots are
+  /** One admission UNIT's file list in a stable order (sorted by
+    * path) so (seq, fileIdx) offsets slice it reproducibly across
+    * triggers, restarts, and checkpoint replays: the genesis
+    * snapshot's full STATE (`added = false`) or an oversized append's
+    * ADDED set (`added = true`) — the offset carries which, because
+    * the same seq can legitimately be either depending on where the
+    * stream started. Sequence numbers are dense and unique per table,
+    * so the seq lookup is unambiguous; a mid-drain expiry of the
+    * snapshot fails loudly (the slice indices would otherwise
+    * silently re-bind to different files). */
+  // the unit list is immutable once the drain starts (snapshots are
   // immutable); memoized so each trigger of a long drain pays O(1),
-  // not an O(files) re-sort. The retention check above stays per
+  // not an O(files) re-sort, and RELEASED by commit() once offsets
+  // return to pure seqs (the memo pins an O(unit-files) DataFile list
+  // on the driver for the drain's duration — see STREAMING.md's
+  // memory envelope note). The retention check above stays per
   // trigger — a mid-drain expiry must keep failing loudly.
-  @volatile private var genesisCache: Option[(Long, IndexedSeq[DataFile])] = None
-  private def genesisList(meta: graft.meta.TableMeta, seq: Long): IndexedSeq[DataFile] = {
+  @volatile private var unitCache: Option[(Long, Boolean, IndexedSeq[DataFile])] = None
+  private def unitList(meta: graft.meta.TableMeta, seq: Long,
+      added: Boolean): IndexedSeq[DataFile] = {
     val s = meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
-        s"genesis catch-up snapshot (seq $seq) is no longer retained; " +
+        s"streaming catch-up snapshot (seq $seq) is no longer retained; " +
           "retention must cover streaming lag"))
-    genesisCache match {
-      case Some((cs, l)) if cs == seq => l
+    unitCache match {
+      case Some((cs, ca, l)) if cs == seq && ca == added => l
       case _ =>
-        val l = contributed(s, genesis = true).sortBy(_.path).toIndexedSeq
-        genesisCache = Some((seq, l))
+        val l = contributed(s, genesis = !added).sortBy(_.path).toIndexedSeq
+        unitCache = Some((seq, added, l))
         l
     }
   }
@@ -140,18 +152,19 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     var files = 0L; var rows = 0L
     var effStart = st.seq
     if (st.fileIdx >= 0) {
-      // mid-genesis resume: keep draining the state snapshot file-wise
-      val list = genesisList(meta, st.seq)
+      // mid-unit resume: keep draining the genesis state or the
+      // oversized append's added set file-wise
+      val list = unitList(meta, st.seq, st.added)
       val (next, f, r) = admit(list, st.fileIdx)
-      if (next < list.size) return SeqOffset(st.seq, next)
+      if (next < list.size) return SeqOffset(st.seq, next, st.added)
       files += f; rows += r
     } else if (st.seq == 0 && curSeq > 0) {
       // fresh start: the oldest retained snapshot delivers STATE and
-      // is split at file granularity (see genesisList)
+      // is split at file granularity (see unitList)
       val snaps = lineageWindow(meta, 0, curSeq)
       if (snaps.isEmpty) return st
       val g = snaps.head
-      val list = genesisList(meta, g.sequenceNumber)
+      val list = unitList(meta, g.sequenceNumber, added = false)
       val (next, f, r) = admit(list, 0)
       if (next < list.size) return SeqOffset(g.sequenceNumber, next)
       files += f; rows += r
@@ -159,10 +172,12 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     }
     if (curSeq <= effStart)
       return if (effStart != st.seq || st.fileIdx >= 0) SeqOffset(effStart) else st
-    // incremental tail: snapshot-granular — a snapshot that alone
-    // exceeds the cap still gets a batch of its own (progress
-    // guarantee), but never piggybacks on a trigger that already
-    // consumed budget
+    // incremental tail: snapshot-granular while snapshots fit the
+    // caps; an append that alone exceeds them SPLITS at file
+    // granularity when the trigger has consumed nothing yet (a
+    // trigger that already spent budget closes instead — a unit never
+    // piggybacks). Only a single over-cap FILE is unsplittable and
+    // gets a batch of its own (admit's progress guarantee).
     val snaps = lineageWindow(meta, effStart, curSeq)
     var end = effStart
     var stop = false
@@ -170,19 +185,27 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       val added = if (s.operation == "append") contributed(s, genesis = false) else Nil
       val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
         maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
-      if (exceeds && (end > effStart || files > 0 || rows > 0)) stop = true
-      else {
+      if (!exceeds) {
         files += added.size; rows += added.map(_.records).sum
         end = s.sequenceNumber
-      }
+      } else if (end == effStart && files == 0 && rows == 0 && added.nonEmpty) {
+        val list = unitList(meta, s.sequenceNumber, added = true)
+        val (next, f, r) = admit(list, 0)
+        if (next < list.size) return SeqOffset(s.sequenceNumber, next, added = true)
+        // the whole unit fit after all (one unsplittable file): admit
+        // it; the next iteration's exceeds check closes the batch
+        files += f; rows += r
+        end = s.sequenceNumber
+      } else stop = true
     }
     if (end == st.seq && st.fileIdx < 0) st else SeqOffset(end)
   }
 
-  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+))?\}""".r
+  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+)(,"unit":"added")?)?\}""".r
   override def deserializeOffset(json: String): Offset = json.trim match {
-    case OffsetRe(s, null) => SeqOffset(s.toLong)
-    case OffsetRe(s, i) => SeqOffset(s.toLong, i.toInt)
+    case OffsetRe(s, null, _) => SeqOffset(s.toLong)
+    case OffsetRe(s, i, null) => SeqOffset(s.toLong, i.toInt)
+    case OffsetRe(s, i, _) => SeqOffset(s.toLong, i.toInt, added = true)
     case other => throw new IllegalArgumentException(s"unreadable offset: $other")
   }
 
@@ -207,19 +230,10 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       throw new IllegalStateException(
         s"streaming batch end (seq $endSeq) has no retained snapshot; " +
           "retention must cover streaming lag"))
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val out = scala.collection.mutable.ListBuffer.empty[graft.meta.Snapshot]
-    var broken = false
-    var cur: Option[graft.meta.Snapshot] = Some(anchor)
-    while (cur.exists(_.sequenceNumber > startSeq)) {
-      val s = cur.get
-      out += s
-      cur = s.parentId match {
-        case None => None
-        case Some(p) => byId.get(p).orElse { broken = true; None }
-      }
-    }
-    val walked = out.map(_.snapshotId).toSet
+    // the walk is the shared kernel; the POLICY below (when a cut
+    // chain is fatal) is this source's own
+    val w = meta.lineageWindowFrom(anchor, startSeq)
+    val walked = w.chain.map(_.snapshotId).toSet
     val unclassified = meta.snapshots.filter(s =>
       s.sequenceNumber > startSeq && s.sequenceNumber <= endSeq &&
         !walked(s.snapshotId))
@@ -240,18 +254,18 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     // long-lived table unstreamable. The first batch is the retained
     // anchor lineage — the same initial-catch-up semantics the CDC
     // source's genesis handling defines.
-    // The only clean break is genesis (parentId=None, broken stays
-    // false) — which also covers a `snapshot`-procedure copy, whose
-    // single snapshot legitimately starts above seq 1.
-    if (broken && startSeq > 0 &&
-        (unclassified.nonEmpty || out.last.sequenceNumber > startSeq + 1))
+    // The only clean break is genesis (parentId=None, truncatedParent
+    // stays empty) — which also covers a `snapshot`-procedure copy,
+    // whose single snapshot legitimately starts above seq 1.
+    if (w.truncatedParent.isDefined && startSeq > 0 &&
+        (unclassified.nonEmpty || w.chain.head.sequenceNumber > startSeq + 1))
       throw new IllegalStateException(
         s"streaming lineage walk hit an expired parent below seq " +
-          s"${out.last.sequenceNumber} with offsets back to $startSeq still " +
+          s"${w.chain.head.sequenceNumber} with offsets back to $startSeq still " +
           s"owed (${unclassified.size} retained snapshot(s) unclassified): " +
           "cannot tell expired main history from unpublished branch/WAP " +
           "work — retention must cover streaming lag")
-    out.toList.sortBy(_.sequenceNumber)
+    w.chain
   }
 
   /** Files a snapshot contributes to its batch. Normally the files it
@@ -280,13 +294,14 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     if (end.seq < start.seq) return Nil
     val meta = freshMeta
     if (end.fileIdx >= 0)
-      // mid-genesis batch: a contiguous slice of the oldest retained
-      // snapshot's state (start is the fresh-start origin, or an
-      // earlier slice of the SAME snapshot)
-      return genesisList(meta, end.seq).slice(math.max(start.fileIdx, 0), end.fileIdx)
+      // mid-unit batch: a contiguous slice of the genesis state or an
+      // oversized append's added set (start is the unit's lower bound,
+      // or an earlier slice of the SAME unit)
+      return unitList(meta, end.seq, end.added)
+        .slice(if (start.seq == end.seq) math.max(start.fileIdx, 0) else 0, end.fileIdx)
     if (start.fileIdx >= 0)
-      // final genesis slice plus the incremental tail in one batch
-      return genesisList(meta, start.seq).drop(start.fileIdx) ++
+      // final unit slice plus the incremental tail in one batch
+      return unitList(meta, start.seq, start.added).drop(start.fileIdx) ++
         windowFiles(meta, start.seq, end.seq, stateAtStart = false)
     windowFiles(meta, start.seq, end.seq, stateAtStart = start.seq == 0)
   }
@@ -362,41 +377,58 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val meta = freshMeta
-    val head = branch.flatMap(b => meta.refs.get(b))
-      .flatMap(r => meta.snapshot(r.snapshotId)).orElse(meta.currentSnapshot)
-    val (nm, idful) = head.map(table.ops.allFiles).getOrElse(Nil)
-      .partition(_.nameMapped.contains(true))
+    // The factory needs schema / options / pushed filters — NOT paths:
+    // partitions carry their own files, so the delegates are built over
+    // an EMPTY path list. (They used to be built over the head
+    // snapshot's full file list, an O(head-files) manifest load per
+    // trigger that the factory never read — real driver work for
+    // nothing on a 1M-file table.)
+    val mapping = freshMeta.nameMapping
     val idFactory =
-      delegate(idful, mapped = false, meta.nameMapping).toBatch.createReaderFactory()
+      delegate(Nil, mapped = false, mapping).toBatch.createReaderFactory()
     // a table whose FRESH metadata has no name mapping cannot plan a
     // mapped partition this batch — don't pay a second scan build +
     // conf broadcast per micro-batch for a delegate that can't be
     // used. Fresh, not load-time: a first add_files can land
     // mid-stream (factories rebuild per micro-batch).
-    if (meta.nameMapping.isEmpty)
+    if (mapping.isEmpty)
       new StreamDispatchReaderFactory(idFactory, idFactory)
     else
       new StreamDispatchReaderFactory(idFactory,
-        delegate(nm, mapped = true, meta.nameMapping).toBatch.createReaderFactory())
+        delegate(Nil, mapped = true, mapping).toBatch.createReaderFactory())
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // offsets back to pure seqs = the catch-up drain is over: release
+    // the memoized O(unit-files) list (it held the drain's DataFile
+    // list on the driver; a later recovery replay of a sliced range
+    // just recomputes it)
+    end match {
+      case SeqOffset(_, idx, _) if idx < 0 => unitCache = None
+      case _ => ()
+    }
 
   override def stop(): Unit = ()
 }
 
 /** Streaming offset: `seq` = last fully-delivered commit sequence
-  * number; `fileIdx >= 0` marks a PARTIAL genesis catch-up — the first
-  * `fileIdx` files (path order) of the oldest retained snapshot's
-  * state have been delivered. Partial offsets arise only while a
-  * fresh start drains an aged table's retained state under
-  * max-files/rows-per-trigger; once the state snapshot completes,
-  * offsets are pure sequence numbers again. The JSON stays readable by
-  * and from pre-split checkpoints ({"seq":N} ⇔ fileIdx = -1). */
-case class SeqOffset(seq: Long, fileIdx: Int = -1) extends Offset {
+  * number; `fileIdx >= 0` marks a PARTIAL admission unit — the first
+  * `fileIdx` files (path order) of that unit have been delivered,
+  * where the unit is the oldest retained snapshot's full STATE
+  * (`added = false`, a fresh start's genesis catch-up) or a single
+  * oversized append's ADDED set (`added = true`). The flag is part of
+  * the offset because the same seq can be either depending on where
+  * the stream started, and a checkpoint replay must resolve the slice
+  * from metadata alone. Partial offsets arise only under
+  * max-files/rows-per-trigger; once the unit completes, offsets are
+  * pure sequence numbers again. The JSON stays readable by and from
+  * pre-split checkpoints ({"seq":N} ⇔ fileIdx = -1; {"seq":N,"idx":K}
+  * keeps meaning a genesis-state slice). */
+case class SeqOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false) extends Offset {
   override def json(): String =
-    if (fileIdx < 0) s"""{"seq":$seq}""" else s"""{"seq":$seq,"idx":$fileIdx}"""
+    if (fileIdx < 0) s"""{"seq":$seq}"""
+    else if (!added) s"""{"seq":$seq,"idx":$fileIdx}"""
+    else s"""{"seq":$seq,"idx":$fileIdx,"unit":"added"}"""
 }
 
 /** Routes a micro-batch partition to the reader factory of its

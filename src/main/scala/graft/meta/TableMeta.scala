@@ -196,6 +196,13 @@ final case class TableStats(
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 
+/** Result of [[TableMeta.lineageWindowFrom]]: `chain` oldest-first,
+  * `base` = the retained snapshot the walk stopped on (seq ≤ above),
+  * `truncatedParent` = the expired parent id that cut the chain.
+  * base and truncatedParent both None ⇔ the walk reached genesis. */
+final case class LineageWindow(chain: List[Snapshot], base: Option[Snapshot],
+    truncatedParent: Option[Long])
+
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 
 /** A named ref (branch | tag). `maxRefAgeMs` is the ref-level
@@ -275,6 +282,42 @@ final case class TableMeta(
 
   /** Main history: the lineage of the CURRENT snapshot. */
   def mainLineage: List[Snapshot] = lineageFrom(currentSnapshotId)
+
+  /** Bounded lineage walk — the one shared kernel behind every
+    * consumer that must answer "which commits are published history in
+    * (above, anchor]": the `$changes` diff ([[graft.catalog.Changes]]),
+    * the table-tail source's admission window, and the CDC source's
+    * admission walk. Each keeps its own POLICY for how a cut chain is
+    * handled (loud failure, synthetic genesis, silent stop), but the
+    * walk itself lives here so a lineage bug can only ever need one
+    * fix (round 16's branch-leak bug had to be fixed in two copies).
+    *
+    * Returns the snapshots reachable from `anchor` by `parentId` links
+    * with `sequenceNumber > above`, OLDEST FIRST, plus how the walk
+    * ended: `base` = the retained snapshot at/below `above` it stopped
+    * on (a diff's base state), `truncatedParent` = a parent id that is
+    * no longer retained (expiry cut the chain before `above` was
+    * reached). Both None = the walk reached genesis (parentId None).
+    * Cycle-guarded like [[lineageFrom]]. */
+  def lineageWindowFrom(anchor: Snapshot, above: Long): LineageWindow = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val out = scala.collection.mutable.ListBuffer.empty[Snapshot]
+    var truncated: Option[Long] = None
+    var cur: Option[Snapshot] = Some(anchor)
+    while (cur.exists(s => s.sequenceNumber > above && seen.add(s.snapshotId))) {
+      val s = cur.get
+      out += s
+      cur = s.parentId match {
+        case None => None
+        case Some(p) => byId.get(p) match {
+          case some @ Some(_) => some
+          case None => truncated = Some(p); None
+        }
+      }
+    }
+    LineageWindow(out.toList.reverse, cur, truncated)
+  }
 
   /** Parsed fallback name mapping — see [[TableMeta.NameMappingKey]]. */
   def nameMapping: Map[Int, String] = TableMeta.nameMappingFromProps(properties)

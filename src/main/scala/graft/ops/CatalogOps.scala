@@ -699,6 +699,95 @@ object CatalogOps extends Pack {
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // CDC fresh-start genesis admission control: the SAME aged-table
+    // catch-up as q_str_genesis but through the CHANGELOG source —
+    // a fresh graft-cdc stream owes the whole retained state as
+    // inserts, and under max-rows-per-trigger it must arrive as
+    // bounded file-granular slices ({"seq":N,"idx":K} offsets), never
+    // one unbounded genesis batch. The row REQUIRES the rate limit
+    // held (>= 3 non-empty batches, each within the cap), then
+    // oracles content exactness: every surviving row exactly once,
+    // insert-tagged.
+    Decl("q_str_cdcgenesis", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cgen")
+      spark.sql(s"CREATE TABLE $c.demo_cgen.nat (n_nationkey INT, n_name STRING)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("cgen_nation_src")
+      (0 until 5).foreach(i =>
+        spark.sql(s"INSERT INTO $c.demo_cgen.nat SELECT n_nationkey, n_name " +
+          s"FROM cgen_nation_src WHERE n_nationkey % 5 = $i"))
+      spark.sql(s"CALL $c.system.expire_snapshots(tbl => 'demo_cgen.nat', keep_last => 1)")
+      val name = s"graft_cgen_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$c.demo_cgen.nat")
+        .option("max-rows-per-trigger", "5")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.filter(_.numInputRows > 0)
+        require(fed.length >= 3,
+          s"CDC genesis state arrived in ${fed.length} batch(es) — not rate-limited")
+        require(fed.forall(_.numInputRows <= 5),
+          s"a CDC genesis batch exceeded the rows cap: ${fed.map(_.numInputRows).mkString(",")}")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.select(col("n_nationkey"), col("n_name"), col("_change_type"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name, 'insert' AS _change_type FROM nation
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // Oversized-append admission control: ONE append commit whose
+    // added file set exceeds max-files-per-trigger must drain as
+    // file-granular slices ({"seq":N,"idx":K,"unit":"added"} offsets)
+    // — the "someone lands a 10 TB backfill as one commit on a tailed
+    // table" path. The row REQUIRES the commit was really one snapshot
+    // and that it arrived split (>= 5 non-empty batches incl. the
+    // seed), then oracles content exactness against the batch read.
+    Decl("q_str_oversized", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_osz")
+      spark.sql(s"CREATE TABLE $c.demo_osz.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      spark.sql(s"INSERT INTO $c.demo_osz.cust VALUES (-1, 'seed')")
+      val name = s"graft_osz_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream
+        .option("max-files-per-trigger", "2")
+        .table(s"$c.demo_osz.cust")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable() // the 1-file seed
+        Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .filter(col("c_custkey") % 10 === 0)
+          .repartition(8)
+          .writeTo(s"$c.demo_osz.cust").append() // ONE commit, 8 files
+        require(spark.table(s"$c.demo_osz.`cust$$snapshots`").count() == 2,
+          "setup: the 8-file backfill must be ONE commit")
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 5,
+          s"oversized append arrived in $fed batch(es) — not split at file granularity")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.orderBy(col("c_custkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_mktsegment FROM (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -1, 'seed')
+        |ORDER BY c_custkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

@@ -205,17 +205,19 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   /** Main-lineage snapshots in (above, headCap], oldest first — the
     * admissible units of a CDC batch (branch/WAP snapshots share the
-    * seq space but never enter a main tail). */
-  private def lineageAbove(meta: TableMeta, above: Long, headCap: Long): List[Snapshot] = {
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val out = scala.collection.mutable.ListBuffer.empty[Snapshot]
-    var cur = meta.currentSnapshot
-    while (cur.exists(_.sequenceNumber > above)) {
-      if (cur.get.sequenceNumber <= headCap) out += cur.get
-      cur = cur.get.parentId.flatMap(byId.get)
+    * seq space but never enter a main tail). The walk is the shared
+    * kernel ([[TableMeta.lineageWindowFrom]]); a cut chain stops the
+    * walk silently here because admission only needs the RETAINED
+    * window — the data path ([[Changes.between]] / the genesis slice
+    * reader) owns the truncation policy and fails or synthesizes
+    * loudly there. */
+  private def lineageAbove(meta: TableMeta, above: Long, headCap: Long): List[Snapshot] =
+    meta.currentSnapshot match {
+      case None => Nil
+      case Some(anchor) =>
+        meta.lineageWindowFrom(anchor, above).chain
+          .filter(_.sequenceNumber <= headCap)
     }
-    out.toList.sortBy(_.sequenceNumber)
-  }
 
   /** Admission control: cap each trigger at `max-commits-per-trigger`
     * main-lineage commits and/or `max-rows-per-trigger` rows — a

@@ -209,4 +209,80 @@ class PlanningScaleSpec extends AnyFunSuite {
       s"new inline files must list without any chunk load (loaded ${ops2.chunkLoads})")
     ChunkCache.invalidateAll()
   }
+
+  test("genesis drain at 20k files: the state list materializes ONCE, every later trigger is O(1)") {
+    // the fresh-start catch-up memoization claim as a measured number:
+    // trigger 1 pays the one O(files) materialization + path sort
+    // (exactly Chunks chunk loads); every subsequent admission over
+    // the 400-file-per-trigger drain loads ZERO chunks and costs
+    // sub-millisecond driver time — a 100 TB genesis drains in
+    // thousands of triggers without re-listing the state each time
+    TestSpark.spark
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    val ops = new CountingOps(wh, "p/bigt")
+    val (v, meta) = ops.refresh().get
+    val table = new graft.catalog.GraftTable("planscale",
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("p"), "bigt"),
+      ops, meta, v)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("max-files-per-trigger", "400")
+    val stream = new graft.catalog.GraftMicroBatchStream(table,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+      table.schema(), Nil)
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+    ops.chunkLoads = 0
+    var off = stream.latestOffset(graft.catalog.SeqOffset(0L), limit)
+      .asInstanceOf[graft.catalog.SeqOffset]
+    assert(off == graft.catalog.SeqOffset(Chunks.toLong, 400),
+      s"first trigger must admit the first 400 state files: $off")
+    assert(ops.chunkLoads == Chunks,
+      s"the one allowed O(files) materialization loaded ${ops.chunkLoads} != $Chunks chunks")
+
+    ops.chunkLoads = 0
+    var triggers = 0
+    val t0 = System.nanoTime()
+    while (off.fileIdx >= 0 && triggers < 100) {
+      off = stream.latestOffset(off, limit).asInstanceOf[graft.catalog.SeqOffset]
+      triggers += 1
+    }
+    val drainMs = (System.nanoTime() - t0) / 1e6
+    assert(off == graft.catalog.SeqOffset(Chunks.toLong),
+      s"drain must end at the pure-seq offset: $off after $triggers triggers")
+    assert(triggers == Chunks * PerChunk / 400 - 1,
+      s"20k files / 400 per trigger: $triggers remaining triggers")
+    assert(ops.chunkLoads == 0,
+      s"memoized drain re-loaded ${ops.chunkLoads} chunks")
+    assert(drainMs < 2000,
+      f"$triggers O(1) admissions took $drainMs%.0f ms — not O(1) per trigger")
+    ChunkCache.invalidateAll()
+  }
+
+  test("streaming reader-factory creation materializes ZERO file lists on the 20k-file table") {
+    // a micro-batch's reader factory needs schema/options/filters, not
+    // paths (partitions carry their own files) — so building it must
+    // cost O(metadata.json), never an O(head-files) manifest load per
+    // trigger (it used to enumerate the head snapshot's full list)
+    TestSpark.spark // delegate construction needs an active session
+    val wh = synthesize()
+    ChunkCache.invalidateAll()
+    val ops = new CountingOps(wh, "p/bigt")
+    val (v, meta) = ops.refresh().get
+    val table = new graft.catalog.GraftTable("planscale",
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("p"), "bigt"),
+      ops, meta, v)
+    val stream = new graft.catalog.GraftMicroBatchStream(table,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()),
+      table.schema(), Nil)
+    ops.chunkLoads = 0
+    val t0 = System.nanoTime()
+    assert(stream.createReaderFactory() != null)
+    val factoryMs = (System.nanoTime() - t0) / 1e6
+    assert(ops.chunkLoads == 0,
+      s"factory creation materialized ${ops.chunkLoads} chunks of the head file list")
+    assert(factoryMs < 2000, f"factory creation took $factoryMs%.0f ms")
+    ChunkCache.invalidateAll()
+  }
 }

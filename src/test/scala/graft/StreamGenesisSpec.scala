@@ -203,6 +203,64 @@ class StreamGenesisSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a single oversized append commit splits at file granularity instead of one unbounded batch") {
+    // the 10-TB-batch-insert shape: ONE append snapshot whose added
+    // set exceeds the caps must drain as ⌈files/cap⌉ bounded slices
+    // ({"seq":N,"idx":K,"unit":"added"} offsets), not ride the
+    // progress guarantee as one giant micro-batch
+    freshWh("tcGenOsz")
+    spark.sql("CREATE NAMESPACE tcGenOsz.st")
+    spark.sql("CREATE TABLE tcGenOsz.st.t (id BIGINT)")
+    spark.sql("INSERT INTO tcGenOsz.st.t VALUES (0)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_osz_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def start() = spark.readStream
+      .option("max-files-per-trigger", "2")
+      .table("tcGenOsz.st.t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // one commit, 8 files, 40 rows — far over the 2-file cap
+      spark.range(100, 140).repartition(8).writeTo("tcGenOsz.st.t").append()
+      assert(gt("tcGenOsz", "st", "t").ops.refresh().get._2.snapshots.size == 2,
+        "setup: the 8-file insert must be ONE commit")
+      q.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      assert(got.size == 5, s"expected seed + ceil(8/2)=4 slices: ${got.map(_.size)}")
+      // repartition hashes rows unevenly across the 8 files, so pin
+      // the SLICE property (2 files each), not a uniform row count
+      assert(got.tail.forall(s => s.nonEmpty && s.size < 40),
+        s"a slice was empty or unbounded: ${got.map(_.size)}")
+      assert(got.tail.flatten.toSet == (100L until 140L).toSet, "rows lost or invented")
+      assert(got.tail.map(_.size).sum == got.tail.flatten.toSet.size, "overlapping slices")
+      val offs = new java.io.File(s"$ckpt/offsets").listFiles().map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      assert(offs.exists(_.contains(""""unit":"added"""")),
+        s"no added-unit offset written: ${offs.mkString(" | ")}")
+    } finally q.stop()
+
+    // mid-unit exactly-once across a RESTART: resume must deliver the
+    // remaining slices of the split append, never replay committed ones
+    spark.range(200, 240).repartition(8).writeTo("tcGenOsz.st.t").append()
+    batches.synchronized(batches.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      assert(got.map(_.size).sum == 40 && got.flatten.toSet == (200L until 240L).toSet,
+        s"restart drain wrong: ${got.map(_.size)}")
+      assert(got.size == 4, s"restart drain must stay split: ${got.map(_.size)}")
+    } finally q2.stop()
+  }
+
   test("uncapped fresh stream still delivers the genesis state as one batch") {
     freshWh("tcGenU")
     agedTable("tcGenU")
