@@ -1,0 +1,65 @@
+package graft.catalog
+
+import graft.meta.DataFile
+
+/** The shared unit-slice machinery behind both streaming sources'
+  * file-granular catch-up drains (the table tail's genesis/oversized-
+  * append split and the CDC source's genesis split): ONE memoized,
+  * path-sorted file list per in-flight admission unit, cap-bounded
+  * slice admission with the progress guarantee, and the end-of-drain
+  * release. Extracted so a fix to slice stability, the progress
+  * guarantee, or the release protocol can only ever need one edit —
+  * the same rationale as [[graft.meta.TableMeta.lineageWindowFrom]]
+  * for the lineage walks.
+  *
+  * The list is sorted by path so (seq, fileIdx) offsets slice it
+  * reproducibly across triggers, restarts, and checkpoint replays;
+  * it is immutable once a drain starts (snapshots are immutable).
+  * Memoization makes each trigger O(1) instead of an O(files)
+  * re-materialize + re-sort; `release()` (called when a pure-seq
+  * offset commits) frees the O(unit-files) driver memory, and a later
+  * replay of a sliced range just recomputes the list. Loaders keep
+  * their own retention checks — a mid-drain expiry must keep failing
+  * loudly with the caller's message.
+  */
+final class SliceDrain(maxFiles: Option[Int], maxRows: Option[Long]) {
+
+  // keyed by (seq, unit kind): the same seq can be a genesis STATE
+  // unit or an oversized append's ADDED unit depending on where the
+  // stream started, and the two lists differ
+  @volatile private var cache: Option[(Long, Boolean, IndexedSeq[DataFile])] = None
+
+  /** The unit's file list in stable path order, memoized per
+    * (seq, added). `load` materializes it on a miss (and is where the
+    * caller's retention check lives — it runs on every call). */
+  def list(seq: Long, added: Boolean)(load: => Seq[DataFile]): IndexedSeq[DataFile] =
+    cache match {
+      case Some((cs, ca, l)) if cs == seq && ca == added => l
+      case _ =>
+        val l = load.sortBy(_.path).toIndexedSeq
+        cache = Some((seq, added, l))
+        l
+    }
+
+  /** One trigger's admission from `list` starting at `from` under the
+    * caps: (exclusive end index, files consumed, rows consumed).
+    * Always admits at least one file when starting from `from`
+    * (progress guarantee) — a single file larger than the caps gets a
+    * slice of its own; files never split. Rows are manifest record
+    * counts: for a unit with live deletes this OVERCOUNTS delivered
+    * rows (conservative — a capped batch only ever undershoots its
+    * budget). */
+  def admit(list: IndexedSeq[DataFile], from: Int): (Int, Long, Long) = {
+    var i = from; var f = 0L; var r = 0L; var stop = false
+    while (i < list.size && !stop) {
+      val nf = f + 1; val nr = r + list(i).records
+      val exceeds = maxFiles.exists(m => nf > m) || maxRows.exists(m => nr > m)
+      if (exceeds && i > from) stop = true
+      else { f = nf; r = nr; i += 1 }
+    }
+    (i, f, r)
+  }
+
+  /** End of drain (a pure-seq offset committed): free the memo. */
+  def release(): Unit = cache = None
+}

@@ -99,45 +99,21 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     * stream started. Sequence numbers are dense and unique per table,
     * so the seq lookup is unambiguous; a mid-drain expiry of the
     * snapshot fails loudly (the slice indices would otherwise
-    * silently re-bind to different files). */
-  // the unit list is immutable once the drain starts (snapshots are
-  // immutable); memoized so each trigger of a long drain pays O(1),
-  // not an O(files) re-sort, and RELEASED by commit() once offsets
-  // return to pure seqs (the memo pins an O(unit-files) DataFile list
-  // on the driver for the drain's duration — see STREAMING.md's
-  // memory envelope note). The retention check above stays per
-  // trigger — a mid-drain expiry must keep failing loudly.
-  @volatile private var unitCache: Option[(Long, Boolean, IndexedSeq[DataFile])] = None
+    * silently re-bind to different files). Memoization, slice
+    * admission (progress guarantee incl.), and the end-of-drain
+    * release are the shared [[SliceDrain]] — commit() releases once
+    * offsets return to pure seqs (the memo pins an O(unit-files)
+    * DataFile list on the driver for the drain's duration — see
+    * STREAMING.md's memory envelope note). The retention check stays
+    * per trigger. */
+  private val drain = new SliceDrain(maxFilesPerTrigger, maxRowsPerTrigger)
   private def unitList(meta: graft.meta.TableMeta, seq: Long,
       added: Boolean): IndexedSeq[DataFile] = {
     val s = meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
         s"streaming catch-up snapshot (seq $seq) is no longer retained; " +
           "retention must cover streaming lag"))
-    unitCache match {
-      case Some((cs, ca, l)) if cs == seq && ca == added => l
-      case _ =>
-        val l = contributed(s, genesis = !added).sortBy(_.path).toIndexedSeq
-        unitCache = Some((seq, added, l))
-        l
-    }
-  }
-
-  /** One trigger's admission from a file list under the rate caps:
-    * returns (exclusive end index, files consumed, rows consumed).
-    * Always admits at least one file when starting from `from`
-    * (progress guarantee) — a single file larger than
-    * max-rows-per-trigger gets a batch of its own. */
-  private def admit(list: IndexedSeq[DataFile], from: Int): (Int, Long, Long) = {
-    var i = from; var f = 0L; var r = 0L; var stop = false
-    while (i < list.size && !stop) {
-      val nf = f + 1; val nr = r + list(i).records
-      val exceeds = maxFilesPerTrigger.exists(m => nf > m) ||
-        maxRowsPerTrigger.exists(m => nr > m)
-      if (exceeds && i > from) stop = true
-      else { f = nf; r = nr; i += 1 }
-    }
-    (i, f, r)
+    drain.list(seq, added)(contributed(s, genesis = !added))
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -155,7 +131,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       // mid-unit resume: keep draining the genesis state or the
       // oversized append's added set file-wise
       val list = unitList(meta, st.seq, st.added)
-      val (next, f, r) = admit(list, st.fileIdx)
+      val (next, f, r) = drain.admit(list, st.fileIdx)
       if (next < list.size) return SeqOffset(st.seq, next, st.added)
       files += f; rows += r
     } else if (st.seq == 0 && curSeq > 0) {
@@ -165,7 +141,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       if (snaps.isEmpty) return st
       val g = snaps.head
       val list = unitList(meta, g.sequenceNumber, added = false)
-      val (next, f, r) = admit(list, 0)
+      val (next, f, r) = drain.admit(list, 0)
       if (next < list.size) return SeqOffset(g.sequenceNumber, next)
       files += f; rows += r
       effStart = g.sequenceNumber
@@ -183,14 +159,15 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     var stop = false
     for (s <- snaps if !stop) {
       val added = if (s.operation == "append") contributed(s, genesis = false) else Nil
+      val addedRows = added.map(_.records).sum
       val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
-        maxRowsPerTrigger.exists(m => rows + added.map(_.records).sum > m)
+        maxRowsPerTrigger.exists(m => rows + addedRows > m)
       if (!exceeds) {
-        files += added.size; rows += added.map(_.records).sum
+        files += added.size; rows += addedRows
         end = s.sequenceNumber
       } else if (end == effStart && files == 0 && rows == 0 && added.nonEmpty) {
         val list = unitList(meta, s.sequenceNumber, added = true)
-        val (next, f, r) = admit(list, 0)
+        val (next, f, r) = drain.admit(list, 0)
         if (next < list.size) return SeqOffset(s.sequenceNumber, next, added = true)
         // the whole unit fit after all (one unsplittable file): admit
         // it; the next iteration's exceeds check closes the batch
@@ -404,7 +381,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     // list on the driver; a later recovery replay of a sliced range
     // just recomputes it)
     end match {
-      case SeqOffset(_, idx, _) if idx < 0 => unitCache = None
+      case SeqOffset(_, idx, _) if idx < 0 => drain.release()
       case _ => ()
     }
 

@@ -169,8 +169,15 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   private def parseOffset(json: String): CdcOffset = json.trim match {
     case OffsetRe(s, null) => CdcOffset(s.toLong)
     case OffsetRe(s, i) => CdcOffset(s.toLong, i.toInt)
-    // pre-split checkpoints stored bare LongOffset numbers
-    case other => CdcOffset(other.toLong)
+    case other =>
+      // pre-split checkpoints stored bare LongOffset numbers; anything
+      // else (corruption, a checkpoint from a different source) gets
+      // the diagnostic, not a raw NumberFormatException
+      try CdcOffset(other.toLong)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"unreadable graft-cdc offset: $other")
+      }
   }
 
   override def initialOffset(): OffsetV2 = CdcOffset(startSeq)
@@ -276,21 +283,14 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     CdcOffset(tailEnd(meta, base, head, commits0 = 0, rows0 = 0L))
   }
 
-  /** One trigger's genesis admission under the rows cap: (exclusive
-    * end index, rows consumed). Always admits at least one file when
-    * starting from `from` (progress guarantee) — a single file larger
-    * than the cap gets a slice of its own. Rows are the files'
-    * manifest record counts: for a genesis state with live deletes
-    * this OVERCOUNTS delivered rows (conservative — a capped batch
-    * can only be smaller than its budget says). */
+  /** One trigger's genesis admission under the rows cap (the CDC
+    * source has no files cap): (exclusive end index, rows consumed).
+    * Progress guarantee, memoization, and release are the shared
+    * [[graft.catalog.SliceDrain]]. */
+  private val drain = new graft.catalog.SliceDrain(None, maxRowsPerTrigger)
   private def admitFiles(list: IndexedSeq[DataFile], from: Int): (Int, Long) = {
-    var i = from; var rows = 0L; var stop = false
-    while (i < list.size && !stop) {
-      val nr = rows + list(i).records
-      if (maxRowsPerTrigger.exists(nr > _) && i > from) stop = true
-      else { rows = nr; i += 1 }
-    }
-    (i, rows)
+    val (next, _, rows) = drain.admit(list, from)
+    (next, rows)
   }
 
   /** Commit-granular admission over the main lineage above `base`,
@@ -324,15 +324,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   /** The genesis snapshot's STATE file list in stable path order, so
     * (seq, fileIdx) offsets slice it reproducibly across triggers,
-    * restarts, and checkpoint replays. Memoized so each trigger of a
-    * long drain pays O(1), not an O(files) re-sort; released by
-    * [[commit]] once offsets return to pure seqs (the drain holds the
-    * O(files) DataFile list on the driver — same order as any Spark
-    * file-listing — and a post-release replay just recomputes it). A
-    * mid-drain expiry of the snapshot fails loudly: the slice indices
-    * would otherwise silently re-bind to different files. */
-  @volatile private var genesisCache: Option[(Long, IndexedSeq[DataFile])] = None
-
+    * restarts, and checkpoint replays — memoization and the
+    * end-of-drain release are the shared [[graft.catalog.SliceDrain]]
+    * (released by [[commit]] once offsets return to pure seqs; the
+    * memo holds the O(files) DataFile list on the driver for the
+    * drain's duration, and a post-release replay just recomputes it).
+    * A mid-drain expiry of the snapshot fails loudly: the slice
+    * indices would otherwise silently re-bind to different files. */
   private def genesisSnap(meta: TableMeta, seq: Long): Snapshot =
     meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
@@ -341,13 +339,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   private def genesisFiles(meta: TableMeta, seq: Long): IndexedSeq[DataFile] = {
     val s = genesisSnap(meta, seq)
-    genesisCache match {
-      case Some((cs, l)) if cs == seq => l
-      case _ =>
-        val l = ops.allFiles(s).sortBy(_.path).toIndexedSeq
-        genesisCache = Some((seq, l))
-        l
-    }
+    drain.list(seq, added = false)(ops.allFiles(s))
   }
 
   /** Rows [from, until) of the genesis state (path-sorted files,
@@ -438,7 +430,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     // offsets back to pure seqs = the genesis drain is over: release
     // the O(files) state list (a later recovery replay of a sliced
     // range just recomputes it)
-    if (parseOffset(end.json).fileIdx < 0) genesisCache = None
+    if (parseOffset(end.json).fileIdx < 0) drain.release()
 
   override def stop(): Unit = ()
 

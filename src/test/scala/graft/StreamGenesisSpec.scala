@@ -247,7 +247,7 @@ class StreamGenesisSpec extends AnyFunSuite {
         s"no added-unit offset written: ${offs.mkString(" | ")}")
     } finally q.stop()
 
-    // mid-unit exactly-once across a RESTART: resume must deliver the
+    // exactly-once across a pure-seq RESTART: resume must deliver the
     // remaining slices of the split append, never replay committed ones
     spark.range(200, 240).repartition(8).writeTo("tcGenOsz.st.t").append()
     batches.synchronized(batches.clear())
@@ -259,6 +259,68 @@ class StreamGenesisSpec extends AnyFunSuite {
         s"restart drain wrong: ${got.map(_.size)}")
       assert(got.size == 4, s"restart drain must stay split: ${got.map(_.size)}")
     } finally q2.stop()
+
+    // MID-added-unit restart: stop with the checkpoint parked INSIDE a
+    // split append ({"seq":N,"idx":K,"unit":"added"} on disk), then
+    // resume — the committed slice must never replay and the rest of
+    // the unit must arrive exactly (this is the path where dropping
+    // the unit flag would re-bind slice indices to the genesis STATE
+    // list and deliver wrong rows)
+    spark.range(300, 340).repartition(8).writeTo("tcGenOsz.st.t").append()
+    def numericMax(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).map(_.map(_.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong))
+        .filter(_.nonEmpty).map(_.max).getOrElse(-1L)
+    val committedBefore = numericMax(s"$ckpt/commits")
+    batches.synchronized(batches.clear())
+    val q3 = spark.readStream
+      .option("max-files-per-trigger", "2")
+      .table("tcGenOsz.st.t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 minutes"))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      def newestCommit() = numericMax(s"$ckpt/commits")
+      while (newestCommit() <= committedBefore && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(newestCommit() > committedBefore, "first slice batch never committed")
+    } finally q3.stop()
+    val sliced = batches.synchronized { batches.toList }
+    assert(sliced.size == 1, s"5-minute trigger must isolate ONE slice: ${sliced.map(_.size)}")
+    val offJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/offsets/${numericMax(s"$ckpt/offsets")}")), "UTF-8")
+    assert(offJson.contains(""""idx":2""") && offJson.contains(""""unit":"added""""),
+      s"checkpoint not parked mid-added-unit: $offJson")
+    batches.synchronized(batches.clear())
+    val q4 = start()
+    try {
+      q4.processAllAvailable()
+      val rest = batches.synchronized { batches.toList }
+      assert(rest.flatten.toSet.intersect(sliced.head).isEmpty,
+        "committed added-unit slice replayed after resume")
+      assert(sliced.head ++ rest.flatten.toSet == (300L until 340L).toSet,
+        s"rows lost across the mid-unit restart: got ${(sliced.head ++ rest.flatten).size}")
+      assert(rest.size == 3, s"resume must drain the remaining 6 files as 3 slices: ${rest.map(_.size)}")
+    } finally q4.stop()
+
+    // and the offset JSON round-trips through the source's own parser
+    val stream = new graft.catalog.GraftMicroBatchStream(
+      gt("tcGenOsz", "st", "t"),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+      gt("tcGenOsz", "st", "t").schema(), Nil)
+    assert(stream.deserializeOffset("""{"seq":9,"idx":4,"unit":"added"}""") ==
+      graft.catalog.SeqOffset(9, 4, added = true))
+    assert(graft.catalog.SeqOffset(9, 4, added = true).json ==
+      """{"seq":9,"idx":4,"unit":"added"}""")
+    assert(stream.deserializeOffset("""{"seq":9,"idx":4}""") ==
+      graft.catalog.SeqOffset(9, 4))
   }
 
   test("uncapped fresh stream still delivers the genesis state as one batch") {
