@@ -166,7 +166,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
         files += added.size; rows += addedRows
         end = s.sequenceNumber
       } else if (end == effStart && files == 0 && rows == 0 && added.nonEmpty) {
-        val list = unitList(meta, s.sequenceNumber, added = true)
+        // seed the memo with the list already in hand — unitList would
+        // re-materialize and re-sort the same added set on the miss
+        val list = drain.list(s.sequenceNumber, added = true)(added)
         val (next, f, r) = drain.admit(list, 0)
         if (next < list.size) return SeqOffset(s.sequenceNumber, next, added = true)
         // the whole unit fit after all (one unsplittable file): admit

@@ -316,6 +316,14 @@ final case class TableMeta(
         }
       }
     }
+    // a tripped cycle guard leaves cur pointing INSIDE the cycle
+    // (seq > above) — returning it as `base` would hand consumers a
+    // contract-violating diff base and a silently wrong changelog.
+    // Cycles mean corrupt metadata (ids are timestamp-derived): loud.
+    if (cur.exists(s => s.sequenceNumber > above && seen(s.snapshotId)))
+      throw new IllegalStateException(
+        s"parentId CYCLE in snapshot metadata at ${cur.get.snapshotId} " +
+          s"(seq ${cur.get.sequenceNumber}) — the table metadata is corrupt")
     LineageWindow(out.toList.reverse, cur, truncated)
   }
 

@@ -143,7 +143,14 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
     }
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
       maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
-      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong))
+      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong),
+      // genesis SLICE batches ({"seq":g,"idx":K}) are deterministic
+      // replays by construction — pinned to one immutable snapshot,
+      // loud if it expires — so the checkpoint-sniffed pending-replay
+      // case must NOT refuse them (a capped fresh stream crashing
+      // before commits/0 would otherwise be permanently stuck); only
+      // the user's EXPLICIT opt-out does
+      syntheticOptOutExplicit = parameters.get("allow-synthetic-genesis").contains("false"))
   }
 }
 
@@ -151,7 +158,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     initialMeta: TableMeta, startSeq: Long,
     allowSyntheticGenesis: Boolean = true,
     maxCommitsPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None) extends Source
+    maxRowsPerTrigger: Option[Long] = None,
+    syntheticOptOutExplicit: Boolean = false) extends Source
   with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // schema is pinned at stream start: mid-stream schema evolution must
@@ -348,20 +356,24 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * exact: position deletes bind to (file, pos) and equality deletes
     * apply row-wise with per-file sequence scoping, so restricting to
     * a file subset yields precisely that subset's surviving rows.
-    * The synthetic-genesis gate applies here exactly as in
-    * [[Changes.between]]: a truncated chain without the opt-in (a
-    * pending batch-0 REPLAY, or an explicit opt-out) refuses loudly. */
+    * The gate differs from [[Changes.between]]'s on purpose: a SLICE
+    * replay is deterministic by construction (pinned to one immutable
+    * snapshot's path-sorted state; a mid-drain expiry of that snapshot
+    * fails loudly in [[genesisSnap]]), so the checkpoint-sniffed
+    * pending-replay case — which must refuse an unsplit `between(0,T)`
+    * recomputation because expiry can collapse its insert+delete
+    * pairs — does NOT refuse slices; only the user's EXPLICIT
+    * `allow-synthetic-genesis=false` does (their stated intent: never
+    * serve net state for expired history). */
   private def genesisSlice(meta: TableMeta, gseq: Long, from: Int, until: Int): DataFrame = {
     val snap = genesisSnap(meta, gseq)
     snap.parentId.filter(p => !meta.snapshots.exists(_.snapshotId == p)).foreach { p =>
-      if (!allowSyntheticGenesis) throw new IllegalStateException(
-        s"changelog chain is TRUNCATED under a genesis-batch REPLAY: snapshot " +
-          s"${snap.snapshotId} (seq ${snap.sequenceNumber}) has parent $p which " +
-          "is no longer retained, so the replayed slice could collapse " +
-          "already-delivered insert+delete pairs into net state — different " +
-          "rows than first delivered. Restart the stream with a fresh " +
-          "checkpoint, or opt in to net-state replay with option " +
-          "allow-synthetic-genesis=true if the sink is idempotent")
+      if (syntheticOptOutExplicit) throw new IllegalStateException(
+        s"changelog chain is TRUNCATED and allow-synthetic-genesis=false was " +
+          s"set: snapshot ${snap.snapshotId} (seq ${snap.sequenceNumber}) has " +
+          s"parent $p which is no longer retained, so this catch-up slice " +
+          "would serve net state for expired history. Remove the opt-out, or " +
+          "restart from a retained snapshot with start-seq")
     }
     val all = genesisFiles(meta, gseq)
     val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)

@@ -201,6 +201,46 @@ class CdcGenesisSplitSpec extends AnyFunSuite {
       s"drain not rate-limited: $sizes")
   }
 
+  test("a crash mid-genesis-drain never sticks the stream: slice replays are deterministic, only explicit opt-out refuses") {
+    // crash after offsets/0 ({"seq":g,"idx":K}) but before commits/0:
+    // the provider's pending-replay sniff flips allowSyntheticGenesis
+    // off, which must NOT refuse the recovery SLICE replay — a slice
+    // is pinned to one immutable snapshot (expiry of it fails loudly
+    // in its own check), unlike the unsplit between(0,T) recompute the
+    // sniff exists for. The explicit user opt-out still refuses.
+    freshWh("tcCdcGspC")
+    agedMorTable("tcCdcGspC")
+    val ops = gt("tcCdcGspC").ops
+    val meta = ops.refresh().get._2
+    val gseq = meta.currentSnapshot.get.sequenceNumber
+    val provider = new graft.streaming.GraftCdcSourceProvider
+    val params = Map("warehouse" -> ops.warehouse, "location" -> "st/t",
+      "max-rows-per-trigger" -> "20")
+    def mkPendingReplayCkpt(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_cdcgs_rep")
+      java.nio.file.Files.createDirectories(d.resolve("offsets"))
+      java.nio.file.Files.write(d.resolve("offsets/0"), "v1".getBytes): Unit
+      s"$d/sources/0"
+    }
+    def sliceRows(extra: (String, String)*): Long = {
+      val src = provider.createSource(spark.sqlContext, mkPendingReplayCkpt(),
+        None, "graft-cdc", params ++ extra)
+      src.getBatch(None, graft.streaming.CdcOffset(gseq, 2))
+        .queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+        }.head
+    }
+    // recovery slice replay works (2 files x 10 records, minus any
+    // slice-local deletes)
+    val n = sliceRows()
+    assert(n >= 18 && n <= 20, s"slice replay delivered $n rows")
+    // explicit opt-out keeps refusing net-state slices
+    val e = intercept[IllegalStateException] {
+      sliceRows("allow-synthetic-genesis" -> "false")
+    }
+    assert(e.getMessage.contains("allow-synthetic-genesis=false"), e.getMessage)
+  }
+
   test("offset migration: pre-split bare-number checkpoints and both JSON forms parse") {
     freshWh("tcCdcGspO")
     spark.sql("CREATE NAMESPACE tcCdcGspO.st")

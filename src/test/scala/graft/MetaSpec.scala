@@ -59,6 +59,46 @@ class MetaSpec extends AnyFunSuite {
     assert(TableMeta.fromJson(TableMeta.toJson(m)) == m)
   }
 
+  test("lineageWindowFrom: bounded walk, truncation report, loud parentId cycle") {
+    def snap(id: Long, parent: Option[Long], seq: Long) =
+      Snapshot(id, parent, seq, 0L, "append", Map.empty, Nil)
+    def meta(snaps: List[Snapshot]) = TableMeta(
+      formatVersion = 2, tableUuid = "u-lw", location = "ns/t",
+      lastSequenceNumber = snaps.map(_.sequenceNumber).max,
+      lastUpdatedMs = 0L, lastColumnId = 1, currentSchemaId = 0,
+      schemas = List(SchemaDef(0, List(FieldDef(1, "id", "\"long\"", required = false)))),
+      defaultSpecId = 0, partitionSpecs = List(PartSpec(0, Nil)),
+      lastPartitionId = 999, defaultSortOrderId = 0, sortOrders = Nil,
+      properties = Map.empty, currentSnapshotId = Some(snaps.last.snapshotId),
+      snapshots = snaps, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
+
+    // complete chain 1->2->3: window (1, 3] is [2, 3] oldest-first,
+    // base = snapshot 1, no truncation
+    val m = meta(List(snap(11, None, 1), snap(12, Some(11), 2), snap(13, Some(12), 3)))
+    val w = m.lineageWindowFrom(m.snapshot(13).get, 1)
+    assert(w.chain.map(_.snapshotId) == List(12, 13))
+    assert(w.base.map(_.snapshotId).contains(11) && w.truncatedParent.isEmpty)
+
+    // full walk to genesis: base and truncatedParent both empty
+    val w0 = m.lineageWindowFrom(m.snapshot(13).get, 0)
+    assert(w0.chain.size == 3 && w0.base.isEmpty && w0.truncatedParent.isEmpty)
+
+    // truncated: snapshot 12's parent expired
+    val mt = meta(List(snap(12, Some(11), 2), snap(13, Some(12), 3)))
+    val wt = mt.lineageWindowFrom(mt.snapshot(13).get, 0)
+    assert(wt.chain.map(_.snapshotId) == List(12, 13))
+    assert(wt.base.isEmpty && wt.truncatedParent.contains(11L))
+
+    // parentId CYCLE (corrupt metadata) must fail loudly, never hand
+    // back an in-cycle snapshot as the diff base (a silently wrong
+    // changelog) — ungated seq window still above `above`
+    val mc = meta(List(snap(21, Some(22), 4), snap(22, Some(21), 5)))
+    val e = intercept[IllegalStateException] {
+      mc.lineageWindowFrom(mc.snapshot(22).get, 2)
+    }
+    assert(e.getMessage.contains("CYCLE"), e.getMessage)
+  }
+
   test("spark schema mapping preserves names, types, nullability") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(
