@@ -30,8 +30,11 @@ final class SliceDrain(maxFiles: Option[Int], maxRows: Option[Long]) {
   @volatile private var cache: Option[(Long, Boolean, IndexedSeq[DataFile])] = None
 
   /** The unit's file list in stable path order, memoized per
-    * (seq, added). `load` materializes it on a miss (and is where the
-    * caller's retention check lives — it runs on every call). */
+    * (seq, added). `load` materializes it on a miss ONLY — the
+    * caller's per-trigger retention check must run BEFORE calling
+    * this (as both sources do), never inside the thunk, or
+    * memoization would skip it and a mid-drain expiry would silently
+    * re-bind slice indices instead of failing loudly. */
   def list(seq: Long, added: Boolean)(load: => Seq[DataFile]): IndexedSeq[DataFile] =
     cache match {
       case Some((cs, ca, l)) if cs == seq && ca == added => l

@@ -266,8 +266,10 @@ final case class TableMeta(
     * history?" question must use this walk, never a raw seq-range or
     * set scan (the rule `$changes`, the streaming source, WAP publish,
     * and `ancestors_of` all share). The walk stops at genesis or at an
-    * expired (absent) parent; cycle-guarded defensively (ids are
-    * timestamp-derived — a cycle means corrupt metadata). */
+    * expired (absent) parent; a parentId CYCLE fails loudly (ids are
+    * timestamp-derived — a cycle means corrupt metadata, and silently
+    * returning the in-cycle prefix as "complete" lineage could let
+    * expiry misclassify live snapshots as unreachable). */
   def lineageFrom(start: Option[Long]): List[Snapshot] = {
     val byId = snapshots.map(s => s.snapshotId -> s).toMap
     val out = List.newBuilder[Snapshot]
@@ -277,6 +279,10 @@ final case class TableMeta(
       out += cur.get
       cur = cur.get.parentId.flatMap(byId.get)
     }
+    if (cur.exists(s => seen(s.snapshotId)))
+      throw new IllegalStateException(
+        s"parentId CYCLE in snapshot metadata at ${cur.get.snapshotId} " +
+          s"(seq ${cur.get.sequenceNumber}) — the table metadata is corrupt")
     out.result()
   }
 

@@ -150,7 +150,10 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       // case must NOT refuse them (a capped fresh stream crashing
       // before commits/0 would otherwise be permanently stuck); only
       // the user's EXPLICIT opt-out does
-      syntheticOptOutExplicit = parameters.get("allow-synthetic-genesis").contains("false"))
+      // parsed like the main gate (toBoolean, case-insensitive) so
+      // "FALSE" opts out of slices and unsplit replays identically
+      syntheticOptOutExplicit =
+        parameters.get("allow-synthetic-genesis").exists(!_.toBoolean))
   }
 }
 

@@ -97,6 +97,12 @@ class MetaSpec extends AnyFunSuite {
       mc.lineageWindowFrom(mc.snapshot(22).get, 2)
     }
     assert(e.getMessage.contains("CYCLE"), e.getMessage)
+    // the unbounded sibling walk fails the same way — a silent
+    // in-cycle prefix could let expiry misclassify live snapshots
+    val e2 = intercept[IllegalStateException] { mc.lineageFrom(Some(22L)) }
+    assert(e2.getMessage.contains("CYCLE"), e2.getMessage)
+    // intact metadata is unaffected
+    assert(m.lineageFrom(Some(13L)).map(_.snapshotId) == List(13, 12, 11))
   }
 
   test("spark schema mapping preserves names, types, nullability") {
