@@ -323,6 +323,42 @@ class StreamGenesisSpec extends AnyFunSuite {
       graft.catalog.SeqOffset(9, 4))
   }
 
+  test("an oversized append on a BRANCH tail splits the same way (admission is lineage-agnostic)") {
+    // write-audit-publish read side under rate limits: the audit
+    // branch gets one 8-file commit; the branch tail must drain it as
+    // file-granular slices while main sees none of it
+    freshWh("tcGenOszB")
+    spark.sql("CREATE NAMESPACE tcGenOszB.st")
+    spark.sql("CREATE TABLE tcGenOszB.st.t (id BIGINT)")
+    spark.sql("INSERT INTO tcGenOszB.st.t VALUES (0)")
+    spark.sql("CALL tcGenOszB.system.create_ref(tbl => 'st.t', ref => 'audit', ref_type => 'branch')")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream
+      .option("branch", "audit")
+      .option("max-files-per-trigger", "2")
+      .table("tcGenOszB.st.t")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      })
+      .start()
+    try {
+      q.processAllAvailable() // the seed (on main lineage, pre-fork)
+      graft.catalog.Maintenance.appendToBranch(gt("tcGenOszB", "st", "t"),
+        spark.range(100, 140).repartition(8).toDF(), "audit")
+      q.processAllAvailable()
+      val got = batches.synchronized { batches.toList }
+      assert(got.size == 5, s"expected seed + 4 branch slices: ${got.map(_.size)}")
+      assert(got.tail.flatten.toSet == (100L until 140L).toSet &&
+        got.tail.map(_.size).sum == 40, s"branch slices wrong: ${got.map(_.size)}")
+      // main readers see none of the audit rows
+      assert(spark.table("tcGenOszB.st.t").collect().map(_.getLong(0)).toSet == Set(0L),
+        "audit-branch rows leaked to main")
+    } finally q.stop()
+  }
+
   test("uncapped fresh stream still delivers the genesis state as one batch") {
     freshWh("tcGenU")
     agedTable("tcGenU")
