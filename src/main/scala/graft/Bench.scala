@@ -150,33 +150,77 @@ object Bench {
     // temp views, shared context) after a GC quiesce, so a ratio > ~1
     // can only mean real suite-state inflation, not protocol skew.
     val inSuite = ok.map { case (k, v, _, _, _, _) => k -> v }.toMap
-    val recheckPairs = (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
-      .distinctBy(_._1)
-      .map { case (k, _, _, _, _, _) =>
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      val fresh = spark.newSession()
-      System.gc()
-      // a query that errors in the fresh session must report null,
-      // never its exception-throw time as a plausible fast run — the
-      // same failed-query rule the in-suite numbers follow
-      var failed = false
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(k)(fresh, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] recheck $k failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.drop(1)
-      graft.streaming.Hygiene.reset(spark)
-      (k, if (failed) None else Some(ts.min))
-    }
+    def recheckProtocol(names: Seq[String]): Seq[(String, Option[Double])] =
+      names.map { k =>
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        val fresh = spark.newSession()
+        System.gc()
+        // a query that errors in the fresh session must report null,
+        // never its exception-throw time as a plausible fast run — the
+        // same failed-query rule the in-suite numbers follow
+        var failed = false
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(k)(fresh, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] recheck $k failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.drop(1)
+        graft.streaming.Hygiene.reset(spark)
+        (k, if (failed) None else Some(ts.min))
+      }
+    val recheckPairs = recheckProtocol(
+      (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
+        .distinctBy(_._1).map(_._1))
     val recheck = recheckPairs
       .map { case (k, t) => "\"" + k + "\":" + t.map(r3).getOrElse("null") }
       .mkString("{", ",", "}")
     val recheckRatio = recheckPairs
+      .map { case (k, t) =>
+        "\"" + k + "\":" + t.map(v => r3(v / inSuite(k))).getOrElse("null") }
+      .mkString("{", ",", "}")
+    // Round-over-round MOVERS recheck: the slowest-5/fastest-5 sets
+    // can miss the queries that actually regressed vs the previous
+    // round (r18: q_tpch_q2 ×1.49 and q_tpch_q20 ×1.67 sat outside
+    // both the recheck set and the streaming per_calib rule, so the
+    // artifact couldn't self-diagnose them). When a committed
+    // BENCH_PREV.json (the previous round's full target/bench.json)
+    // sits beside the repo at the SAME sf, re-time the 5 largest
+    // per-query ratio movers with the identical fresh-session
+    // protocol: recheck ≈ in-suite ≈ ratio×prev → real change;
+    // recheck back near prev → in-suite number was suite/host noise.
+    // prev < 0.15 s ids are skipped (sub-noise-floor ratios).
+    def prevQueries(path: java.nio.file.Path): Map[String, Double] =
+      try {
+        if (!java.nio.file.Files.exists(path)) Map.empty
+        else {
+          val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir)
+          val i = s.indexOf("\"queries\":{")
+          if (!sfOk || i < 0) Map.empty
+          else {
+            val body = s.substring(i + 11, s.indexOf('}', i))
+            """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
+    val prev = prevQueries(java.nio.file.Paths.get("BENCH_PREV.json"))
+    val movers = ok.flatMap { case (k, v, _, _, _, _) =>
+      prev.get(k).filter(_ >= 0.15).map(p => (k, v / p)) }
+      .sortBy(-_._2).take(5)
+    val reusable = recheckPairs.toMap
+    val moverPairs = movers.map { case (k, _) =>
+      k -> reusable.getOrElse(k, recheckProtocol(Seq(k)).head._2) }
+    val moversVsPrev = movers
+      .map { case (k, r) => "\"" + k + "\":" + r3(r) }.mkString("{", ",", "}")
+    val recheckMovers = moverPairs
+      .map { case (k, t) => "\"" + k + "\":" + t.map(r3).getOrElse("null") }
+      .mkString("{", ",", "}")
+    val recheckMoversRatio = moverPairs
       .map { case (k, t) =>
         "\"" + k + "\":" + t.map(v => r3(v / inSuite(k))).getOrElse("null") }
       .mkString("{", ",", "}")
@@ -196,7 +240,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"queries":${
         results.map { case (k, v, _, f, _, _) =>
           "\"" + k + "\":" + (if (f) "null" else v.toString) }.mkString("{", ",", "}")
-      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck,"recheck_ratio":$recheckRatio,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"q_str_per_calib":$strNorm}"""
+      },"heap_mb":$heaps,"gc_ms":$gcs,"storage_mb":$storages,"recheck_after_suite":$recheck,"recheck_ratio":$recheckRatio,"movers_vs_prev":$moversVsPrev,"recheck_movers":$recheckMovers,"recheck_movers_ratio":$recheckMoversRatio,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"q_str_per_calib":$strNorm}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -228,6 +272,6 @@ object Bench {
     println(
       s"""{"metric":"all_queries","sf":"$sfDir","queries":$qs}""")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedList,"stream_calib_pre_sec":${r3(calibPre)},"stream_calib_post_sec":${r3(calibPost)},"movers_vs_prev":$moversVsPrev,"recheck_movers_ratio":$recheckMoversRatio,"queries":$top,"queries_note":"top 10 by time; full map in target/bench.json and the all_queries line"}""")
   }
 }

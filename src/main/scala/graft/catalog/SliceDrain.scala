@@ -22,7 +22,7 @@ import graft.meta.DataFile
   * their own retention checks — a mid-drain expiry must keep failing
   * loudly with the caller's message.
   */
-final class SliceDrain(maxFiles: Option[Int], maxRows: Option[Long]) {
+final class SliceDrain {
 
   // keyed by (seq, unit kind): the same seq can be a genesis STATE
   // unit or an oversized append's ADDED unit depending on where the
@@ -46,13 +46,17 @@ final class SliceDrain(maxFiles: Option[Int], maxRows: Option[Long]) {
 
   /** One trigger's admission from `list` starting at `from` under the
     * caps: (exclusive end index, files consumed, rows consumed).
-    * Always admits at least one file when starting from `from`
-    * (progress guarantee) — a single file larger than the caps gets a
-    * slice of its own; files never split. Rows are manifest record
-    * counts: for a unit with live deletes this OVERCOUNTS delivered
-    * rows (conservative — a capped batch only ever undershoots its
-    * budget). */
-  def admit(list: IndexedSeq[DataFile], from: Int): (Int, Long, Long) = {
+    * The caps are per-CALL, not per-drain: admission derives them from
+    * the engine-passed `ReadLimit` each trigger, so a `Trigger.Once`
+    * `allAvailable()` run and a capped `ProcessingTime` run share one
+    * memoized list. Always admits at least one file when starting from
+    * `from` (progress guarantee) — a single file larger than the caps
+    * gets a slice of its own; files never split. Rows are manifest
+    * record counts: for a unit with live deletes this OVERCOUNTS
+    * delivered rows (conservative — a capped batch only ever
+    * undershoots its budget). */
+  def admit(list: IndexedSeq[DataFile], from: Int,
+      maxFiles: Option[Int], maxRows: Option[Long]): (Int, Long, Long) = {
     var i = from; var f = 0L; var r = 0L; var stop = false
     while (i < list.size && !stop) {
       val nf = f + 1; val nr = r + list(i).records

@@ -86,9 +86,26 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     SeqOffset(availableNowCap.fold(cur)(math.min(cur, _)))
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Advertise the CONFIGURED caps (maxFiles/maxRows/composite) — not
+    * `allAvailable()` — so progress metrics and AvailableNow limits see
+    * the real rate limit; each trigger then derives its effective caps
+    * from the limit the engine passes BACK to `latestOffset(start,
+    * limit)`, which under Trigger.Once is `allAvailable()` = drain the
+    * whole backlog uncapped ([[graft.streaming.ReadLimits]]). */
+  override def getDefaultReadLimit: ReadLimit =
+    graft.streaming.ReadLimits.configured(maxFilesPerTrigger, maxRowsPerTrigger)
 
-  override def reportLatestOffset(): Offset = latestOffset()
+  /** While a file-granular drain is in flight the last planned end is
+    * a SLICE offset; reporting the head's pure seq beside it would mix
+    * offset forms in the progress metrics (lag readers compare
+    * latestOffset against endOffset), so report the slice until
+    * offsets return to pure seqs (see STREAMING.md's offset note). */
+  override def reportLatestOffset(): Offset = lastPlannedEnd match {
+    case Some(o) if o.fileIdx >= 0 => o
+    case _ => latestOffset()
+  }
+
+  @volatile private var lastPlannedEnd: Option[SeqOffset] = None
 
   /** One admission UNIT's file list in a stable order (sorted by
     * path) so (seq, fileIdx) offsets slice it reproducibly across
@@ -106,7 +123,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     * DataFile list on the driver for the drain's duration — see
     * STREAMING.md's memory envelope note). The retention check stays
     * per trigger. */
-  private val drain = new SliceDrain(maxFilesPerTrigger, maxRowsPerTrigger)
+  private val drain = new SliceDrain
   private def unitList(meta: graft.meta.TableMeta, seq: Long,
       added: Boolean): IndexedSeq[DataFile] = {
     val s = meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
@@ -117,11 +134,22 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val st = start.asInstanceOf[SeqOffset]
+    val end = planEnd(start.asInstanceOf[SeqOffset], limit)
+    lastPlannedEnd = Some(end)
+    end
+  }
+
+  private def planEnd(st: SeqOffset, limit: ReadLimit): SeqOffset = {
+    // effective caps come from the limit the engine PASSED, not the
+    // option fields: normal triggers hand back getDefaultReadLimit
+    // (== the configured caps), Trigger.Once hands allAvailable()
+    // (uncapped — the whole backlog in one batch, mid-drain included)
+    val (capFiles, capRows, _) = graft.streaming.ReadLimits.caps(
+      limit, maxFilesPerTrigger, maxRowsPerTrigger, None)
     val meta = freshMeta
     val curSeq = availableNowCap.fold(headSeq(meta))(
       math.min(headSeq(meta), _))
-    if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
+    if (capFiles.isEmpty && capRows.isEmpty)
       // uncapped: everything available, including any genesis remainder
       return if (curSeq == st.seq && st.fileIdx < 0) st
              else SeqOffset(math.max(curSeq, st.seq))
@@ -131,7 +159,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       // mid-unit resume: keep draining the genesis state or the
       // oversized append's added set file-wise
       val list = unitList(meta, st.seq, st.added)
-      val (next, f, r) = drain.admit(list, st.fileIdx)
+      val (next, f, r) = drain.admit(list, st.fileIdx, capFiles, capRows)
       if (next < list.size) return SeqOffset(st.seq, next, st.added)
       files += f; rows += r
     } else if (st.seq == 0 && curSeq > 0) {
@@ -141,7 +169,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       if (snaps.isEmpty) return st
       val g = snaps.head
       val list = unitList(meta, g.sequenceNumber, added = false)
-      val (next, f, r) = drain.admit(list, 0)
+      val (next, f, r) = drain.admit(list, 0, capFiles, capRows)
       if (next < list.size) return SeqOffset(g.sequenceNumber, next)
       files += f; rows += r
       effStart = g.sequenceNumber
@@ -160,8 +188,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     for (s <- snaps if !stop) {
       val added = if (s.operation == "append") contributed(s, genesis = false) else Nil
       val addedRows = added.map(_.records).sum
-      val exceeds = maxFilesPerTrigger.exists(m => files + added.size > m) ||
-        maxRowsPerTrigger.exists(m => rows + addedRows > m)
+      val exceeds = capFiles.exists(m => files + added.size > m) ||
+        capRows.exists(m => rows + addedRows > m)
       if (!exceeds) {
         files += added.size; rows += addedRows
         end = s.sequenceNumber
@@ -169,7 +197,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
         // seed the memo with the list already in hand — unitList would
         // re-materialize and re-sort the same added set on the miss
         val list = drain.list(s.sequenceNumber, added = true)(added)
-        val (next, f, r) = drain.admit(list, 0)
+        val (next, f, r) = drain.admit(list, 0, capFiles, capRows)
         if (next < list.size) return SeqOffset(s.sequenceNumber, next, added = true)
         // the whole unit fit after all (one unsplittable file): admit
         // it; the next iteration's exceeds check closes the batch

@@ -788,6 +788,62 @@ object CatalogOps extends Pack {
         |  SELECT -1, 'seed')
         |ORDER BY c_custkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // The CDC twin of q_str_oversized: the same one-commit 8-file
+    // backfill landing in a tailed table's CHANGELOG must drain as
+    // bounded insert slices ({"seq":N,"idx":K,"unit":"added"} offsets)
+    // under max-rows-per-trigger — never one unbounded CDC batch. The
+    // row REQUIRES the commit was really one snapshot and the rate
+    // limit held (>= 5 non-empty batches incl. the seed's genesis,
+    // each within the cap), then oracles content exactness.
+    Decl("q_str_cdcoversized", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cosz")
+      spark.sql(s"CREATE TABLE $c.demo_cosz.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      spark.sql(s"INSERT INTO $c.demo_cosz.cust VALUES (-1, 'seed')")
+      val name = s"graft_cosz_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      // a cap below one file's rows at every tested sf: each slice is
+      // then 1-2 files, so the drain splits at sf0.001 through sf0.1
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$c.demo_cosz.cust")
+        .option("max-rows-per-trigger", "4")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable() // the 1-row seed (genesis unit)
+        Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .filter(col("c_custkey") % 10 === 0)
+          .repartition(8)
+          .writeTo(s"$c.demo_cosz.cust").append() // ONE commit, 8 files
+        require(spark.table(s"$c.demo_cosz.`cust$$snapshots`").count() == 2,
+          "setup: the 8-file backfill must be ONE commit")
+        q.processAllAvailable()
+        val backfill = spark.table(s"$c.demo_cosz.cust").count() - 1
+        val fed = q.recentProgress.filter(_.numInputRows > 0)
+        require(fed.length >= 5,
+          s"oversized CDC append arrived in ${fed.length} batch(es) — not split")
+        // scale-robust bound: every batch is a strict subset of the
+        // backfill (at sf >= 0.1 one FILE already exceeds the rows cap
+        // and the progress guarantee admits it whole, so the cap
+        // itself is not the per-batch ceiling — file granularity is)
+        require(fed.forall(_.numInputRows < backfill),
+          s"a CDC batch carried the whole backfill: ${fed.map(_.numInputRows).mkString(",")}")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.select(col("c_custkey"), col("c_mktsegment"), col("_change_type"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_mktsegment, 'insert' AS _change_type FROM (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -1, 'seed')
+        |ORDER BY c_custkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

@@ -35,12 +35,15 @@ import org.apache.spark.sql.types.StructType
   * exactly the change rows of the commits in (startSeq, endSeq],
   * recomputed from the snapshot chain by [[Changes.between]] —
   * replayable from metadata alone (exactly-once after a crash). While
-  * a FRESH stream drains an aged table's retained state under
-  * `max-rows-per-trigger`, offsets extend to `{"seq":N,"idx":K}` — the
-  * first K files (stable path order) of the genesis state delivered —
-  * so a 100 TB catch-up arrives as bounded, checkpoint-resumable
-  * slices instead of one unbounded batch. Pre-split checkpoints (bare
-  * `LongOffset` numbers) keep parsing.
+  * an over-cap unit drains under `max-rows-per-trigger`, offsets
+  * extend to `{"seq":N,"idx":K}` — the first K files (stable path
+  * order) of the unit delivered — where the unit is a FRESH stream's
+  * genesis state over an aged table, or (with `"unit":"added"` in the
+  * offset) a single append commit whose added rows alone exceed the
+  * cap; so a 100 TB catch-up OR a one-commit 10 TB backfill arrives
+  * as bounded, checkpoint-resumable slices instead of one unbounded
+  * batch. Pre-split checkpoints (bare `LongOffset` numbers) keep
+  * parsing.
   *
   * If snapshot retention does NOT cover the stream's lag — the
   * restart offset's snapshot or any chain ancestor has been expired —
@@ -176,10 +179,11 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   // ---- offsets ---------------------------------------------------
 
-  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+))?\}""".r
+  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+)(,"unit":"added")?)?\}""".r
   private def parseOffset(json: String): CdcOffset = json.trim match {
-    case OffsetRe(s, null) => CdcOffset(s.toLong)
-    case OffsetRe(s, i) => CdcOffset(s.toLong, i.toInt)
+    case OffsetRe(s, null, _) => CdcOffset(s.toLong)
+    case OffsetRe(s, i, null) => CdcOffset(s.toLong, i.toInt)
+    case OffsetRe(s, i, _) => CdcOffset(s.toLong, i.toInt, added = true)
     case other =>
       // pre-split checkpoints stored bare LongOffset numbers; anything
       // else (corruption, a checkpoint from a different source) gets
@@ -206,12 +210,28 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     availableNowCap = Some(
       freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Advertise the CONFIGURED caps (maxRows and/or the custom
+    * commits-per-trigger limit) — not `allAvailable()` — so progress
+    * metrics see the real rate limit; each trigger's effective caps
+    * then come from the limit the engine passes BACK to
+    * `latestOffset(start, limit)`, which under Trigger.Once is
+    * `allAvailable()` = the whole backlog uncapped ([[ReadLimits]]). */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimits.configured(None, maxRowsPerTrigger, maxCommitsPerTrigger)
 
-  override def reportLatestOffset(): OffsetV2 = {
-    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
-    CdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  /** While a file-granular drain is in flight the last planned end is
+    * a SLICE offset; reporting the head's pure seq beside it would mix
+    * offset forms in the progress metrics (lag readers compare
+    * latestOffset against endOffset), so report the slice until
+    * offsets return to pure seqs (see STREAMING.md's offset note). */
+  override def reportLatestOffset(): OffsetV2 = lastPlannedEnd match {
+    case Some(o) if o.fileIdx >= 0 => o
+    case _ =>
+      val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+      CdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
   }
+
+  @volatile private var lastPlannedEnd: Option[CdcOffset] = None
 
   /** Never called: [[SupportsAdmissionControl]] routes the engine to
     * `latestOffset(start, limit)` instead (which is the point — a V1
@@ -241,14 +261,20 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * main-lineage commits and/or `max-rows-per-trigger` rows — a
     * backlog then drains as bounded, replayable micro-batches.
     *
-    * The incremental tail is commit-granular (a CDC batch is a
-    * seq-range diff, so a commit is its smallest replayable unit); the
-    * fromSeq=0 GENESIS unit — an aged table's entire retained state —
-    * additionally splits at FILE granularity under the rows cap via
-    * (seq, fileIdx) offsets, so the catch-up drains as ⌈files/cap⌉
-    * bounded slices and later commits never piggyback on it (genesis
-    * rows are counted from the full state's manifest stats, never the
-    * undercounting added-files view). Row accounting under the rows
+    * The incremental tail is commit-granular while commits fit the
+    * caps (a CDC batch is a seq-range diff, so a commit is its
+    * smallest REPLAYABLE unit); two unit kinds additionally split at
+    * FILE granularity under the rows cap — the fromSeq=0 GENESIS unit
+    * (an aged table's entire retained state, `{"seq":N,"idx":K}`
+    * offsets) and a single APPEND commit whose added rows alone exceed
+    * the cap (the one-commit 10 TB backfill,
+    * `{"seq":N,"idx":K,"unit":"added"}` offsets) — so either catch-up
+    * drains as ⌈files/cap⌉ bounded slices and later commits never
+    * piggyback on it (genesis rows are counted from the full state's
+    * manifest stats, never the undercounting added-files view). Only
+    * row-LEVEL commits stay unsplittable (their change rows are a
+    * plan, not files — see the batch-bound note in STREAMING.md).
+    * Row accounting under the rows
     * cap: appends count their EXACT added rows (manifest stats,
     * chunk-cached, only loaded when the rows cap is set); a row-level
     * commit's change-row count has no cheap upper bound (an equality
@@ -259,98 +285,154 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * chasing over RETAINED snapshots (bounded by the table's retention
     * policy), already materialized by refresh. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val end = planEnd(start, limit)
+    lastPlannedEnd = Option(end).map(o => parseOffset(o.json))
+    end
+  }
+
+  private def planEnd(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val st = Option(start).map(o => parseOffset(o.json)).getOrElse(CdcOffset(startSeq))
+    // effective caps come from the limit the engine PASSED, not the
+    // option fields: normal triggers hand back getDefaultReadLimit
+    // (== the configured caps), Trigger.Once hands allAvailable()
+    // (uncapped — the whole backlog in one batch, mid-drain included)
+    val (_, capRows, capCommits) = ReadLimits.caps(
+      limit, None, maxRowsPerTrigger, maxCommitsPerTrigger)
     val meta = freshMeta
     val curHead = meta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
     val head = availableNowCap.fold(curHead)(math.min(curHead, _))
 
-    // mid-genesis drain: the next file slice of the state snapshot;
-    // once the state completes, remaining budget admits the tail
+    // mid-drain: the next file slice of the in-flight unit (genesis
+    // state or an oversized append's added set); once the unit
+    // completes, remaining budget admits the tail
     if (st.fileIdx >= 0) {
-      val list = genesisFiles(meta, st.seq)
-      val (next, rows) = admitFiles(list, st.fileIdx)
-      return if (next < list.size) CdcOffset(st.seq, next)
-      else CdcOffset(tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows))
+      if (capRows.isEmpty && capCommits.isEmpty)
+        return CdcOffset(math.max(head, st.seq))
+      val list = unitFiles(meta, st.seq, st.added)
+      val (next, _, rows) = drain.admit(list, st.fileIdx, None, capRows)
+      return if (next < list.size) CdcOffset(st.seq, next, st.added)
+      else tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows, capCommits, capRows)
     }
 
     val base = math.max(st.seq, startSeq)
     if (head <= base) return if (start != null) start else null
-    if (maxCommitsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
+    if (capCommits.isEmpty && capRows.isEmpty)
       return CdcOffset(head)
 
-    if (base == 0 && maxRowsPerTrigger.isDefined) {
+    if (base == 0 && capRows.isDefined) {
       // fresh-start genesis under a rows cap: the retained state is
       // one seq but NOT one replayable unit — split it at file
       // granularity (stable path order) so the catch-up is bounded
       lineageAbove(meta, 0, head).headOption match {
         case None => return if (start != null) start else null
         case Some(g) =>
-          val list = genesisFiles(meta, g.sequenceNumber)
-          val (next, rows) = admitFiles(list, 0)
+          val list = unitFiles(meta, g.sequenceNumber, added = false)
+          val (next, _, rows) = drain.admit(list, 0, None, capRows)
           return if (next < list.size) CdcOffset(g.sequenceNumber, next)
-          else CdcOffset(tailEnd(meta, g.sequenceNumber, head, commits0 = 1, rows0 = rows))
+          else tailEnd(meta, g.sequenceNumber, head, commits0 = 1, rows0 = rows,
+            capCommits, capRows)
       }
     }
-    CdcOffset(tailEnd(meta, base, head, commits0 = 0, rows0 = 0L))
+    tailEnd(meta, base, head, commits0 = 0, rows0 = 0L, capCommits, capRows)
   }
 
-  /** One trigger's genesis admission under the rows cap (the CDC
-    * source has no files cap): (exclusive end index, rows consumed).
-    * Progress guarantee, memoization, and release are the shared
-    * [[graft.catalog.SliceDrain]]. */
-  private val drain = new graft.catalog.SliceDrain(None, maxRowsPerTrigger)
-  private def admitFiles(list: IndexedSeq[DataFile], from: Int): (Int, Long) = {
-    val (next, _, rows) = drain.admit(list, from)
-    (next, rows)
-  }
+  /** Unit-slice admission under the rows cap (the CDC source has no
+    * files cap): progress guarantee, memoization, and release are the
+    * shared [[graft.catalog.SliceDrain]]. */
+  private val drain = new graft.catalog.SliceDrain
 
   /** Commit-granular admission over the main lineage above `base`,
     * with `commits0`/`rows0` budget already consumed (by a completed
-    * genesis slice). Returns the admitted end seq (== base when the
-    * budget is spent). */
+    * unit slice). Returns the admitted end offset: a pure seq
+    * (== base when the budget is spent) — or, when the trigger's
+    * FIRST unit is an append whose added rows ALONE exceed the rows
+    * cap, a file-granular slice of that append's added set
+    * (`{"seq":N,"idx":K,"unit":"added"}`), so a one-commit 10 TB
+    * backfill landing mid-tail drains bounded exactly like the
+    * genesis state. Appends carry no delete files, so slices are
+    * exact insert-tagged subsets of the commit's rows. A trigger that
+    * already spent budget closes instead — a unit never piggybacks. */
   private def tailEnd(meta: TableMeta, base: Long, head: Long,
-      commits0: Int, rows0: Long): Long = {
-    val countRows = maxRowsPerTrigger.isDefined
+      commits0: Int, rows0: Long,
+      capCommits: Option[Int], capRows: Option[Long]): CdcOffset = {
+    val countRows = capRows.isDefined
     var n = commits0; var rows = rows0; var end = base; var stop = false
+    var slice: Option[CdcOffset] = None
     for (s <- lineageAbove(meta, base, head) if !stop) {
       val isAppend = s.operation == "append"
       val isReplace = s.operation == "replace"
-      val r =
-        if (countRows && isAppend) ops.addedFiles(s).map(_.records).sum
-        else 0L
-      val exceeds = maxCommitsPerTrigger.exists(n + 1 > _) ||
-        maxRowsPerTrigger.exists(rows + r > _)
+      lazy val addedList = ops.addedFiles(s)
+      val r = if (countRows && isAppend) addedList.map(_.records).sum else 0L
+      val exceeds = capCommits.exists(n + 1 > _) || capRows.exists(rows + r > _)
       if (exceeds && n > 0) stop = true
-      else {
+      else if (exceeds && isAppend && capRows.exists(r > _) && addedList.nonEmpty) {
+        // the trigger's FIRST unit is an over-cap append (n == 0 here
+        // — the n > 0 case stopped above): split its added set at
+        // file granularity, seeding the memo with the list in hand
+        val list = drain.list(s.sequenceNumber, added = true)(addedList)
+        val (next, _, rAdm) = drain.admit(list, 0, None, capRows)
+        if (next < list.size) {
+          slice = Some(CdcOffset(s.sequenceNumber, next, added = true))
+          stop = true
+        } else {
+          // the whole unit fit after all (one unsplittable file):
+          // admit it; the next iteration's exceeds check closes
+          n += 1; rows += rAdm; end = s.sequenceNumber
+        }
+      } else {
         n += 1; rows += r; end = s.sequenceNumber
         // row-level commit under a rows cap: unknown change-row
         // count — close the batch here (see doc above)
         if (countRows && !isAppend && !isReplace) stop = true
       }
     }
-    end
+    slice.getOrElse(CdcOffset(end))
   }
 
-  // ---- genesis state slices ---------------------------------------
+  // ---- unit slices (genesis state / oversized append) --------------
 
-  /** The genesis snapshot's STATE file list in stable path order, so
-    * (seq, fileIdx) offsets slice it reproducibly across triggers,
-    * restarts, and checkpoint replays — memoization and the
+  /** One admission UNIT's file list in stable path order — the genesis
+    * snapshot's full STATE (`added = false`) or an oversized append's
+    * ADDED set (`added = true`; the offset carries which, because the
+    * same seq can be either depending on where the stream started) —
+    * so (seq, fileIdx, unit) offsets slice it reproducibly across
+    * triggers, restarts, and checkpoint replays. Memoization and the
     * end-of-drain release are the shared [[graft.catalog.SliceDrain]]
     * (released by [[commit]] once offsets return to pure seqs; the
-    * memo holds the O(files) DataFile list on the driver for the
+    * memo holds the O(unit-files) DataFile list on the driver for the
     * drain's duration, and a post-release replay just recomputes it).
     * A mid-drain expiry of the snapshot fails loudly: the slice
     * indices would otherwise silently re-bind to different files. */
-  private def genesisSnap(meta: TableMeta, seq: Long): Snapshot =
+  private def unitSnap(meta: TableMeta, seq: Long): Snapshot =
     meta.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
-        s"CDC genesis catch-up snapshot (seq $seq) is no longer retained; " +
+        s"CDC catch-up snapshot (seq $seq) is no longer retained; " +
           "retention must cover streaming lag"))
 
-  private def genesisFiles(meta: TableMeta, seq: Long): IndexedSeq[DataFile] = {
-    val s = genesisSnap(meta, seq)
-    drain.list(seq, added = false)(ops.allFiles(s))
+  private def unitFiles(meta: TableMeta, seq: Long,
+      added: Boolean): IndexedSeq[DataFile] = {
+    val s = unitSnap(meta, seq)
+    drain.list(seq, added)(if (added) ops.addedFiles(s) else ops.allFiles(s))
+  }
+
+  /** Rows [from, until) of an oversized append's ADDED set (path-sorted
+    * files), tagged as ordinal-1 inserts — one bounded slice of the
+    * one-commit backfill. Exact by construction: an append commit
+    * carries no delete files and equality deletes only ever bind to
+    * strictly-older files, so a raw read of the slice IS the commit's
+    * rows for those files. No synthetic-genesis gate applies — this is
+    * not a fromSeq=0 diff, just a subset of one immutable commit. */
+  private def addedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame = {
+    val all = unitFiles(meta, seq, added = true)
+    val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
+    val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    val base =
+      if (slice.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+      else Mor.readData(spark, ops.warehouse, dataSchema, slice, meta.nameMapping)
+    base.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_change_ordinal", lit(1))
   }
 
   /** Rows [from, until) of the genesis state (path-sorted files,
@@ -369,7 +451,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * `allow-synthetic-genesis=false` does (their stated intent: never
     * serve net state for expired history). */
   private def genesisSlice(meta: TableMeta, gseq: Long, from: Int, until: Int): DataFrame = {
-    val snap = genesisSnap(meta, gseq)
+    val snap = unitSnap(meta, gseq)
     snap.parentId.filter(p => !meta.snapshots.exists(_.snapshotId == p)).foreach { p =>
       if (syntheticOptOutExplicit) throw new IllegalStateException(
         s"changelog chain is TRUNCATED and allow-synthetic-genesis=false was " +
@@ -378,7 +460,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           "would serve net state for expired history. Remove the opt-out, or " +
           "restart from a retained snapshot with start-seq")
     }
-    val all = genesisFiles(meta, gseq)
+    val all = unitFiles(meta, gseq, added = false)
     val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
     val base =
@@ -411,19 +493,23 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         s"table schema changed mid-stream (was ${outSchema.simpleString}, " +
           s"now ${cur.simpleString}); restart the streaming query to pick " +
           "up the new schema")
+    def unitSlice(seq: Long, added: Boolean, from: Int, until: Int): DataFrame =
+      if (added) addedSlice(meta, seq, from, until)
+      else genesisSlice(meta, seq, from, until)
     val batch: DataFrame =
       if (en.fileIdx >= 0) {
-        // a genesis slice batch (start is the stream origin or an
-        // earlier slice of the SAME snapshot)
-        val fromIdx = st.filter(p => p.seq == en.seq && p.fileIdx >= 0)
+        // a unit slice batch (start is the unit's lower bound or an
+        // earlier slice of the SAME unit)
+        val fromIdx = st.filter(p =>
+            p.seq == en.seq && p.fileIdx >= 0 && p.added == en.added)
           .map(_.fileIdx).getOrElse(0)
-        genesisSlice(meta, en.seq, fromIdx, en.fileIdx)
+        unitSlice(en.seq, en.added, fromIdx, en.fileIdx)
       } else st.filter(_.fileIdx >= 0) match {
         case Some(p) =>
-          // final genesis slice, plus any commits the trigger's
+          // final unit slice, plus any commits the trigger's
           // remaining budget admitted (their ordinals shift past the
           // slice's ordinal 1)
-          val lastSlice = genesisSlice(meta, p.seq, p.fileIdx, Int.MaxValue)
+          val lastSlice = unitSlice(p.seq, p.added, p.fileIdx, Int.MaxValue)
           Changes.between(spark, ops.warehouse, ops, meta, p.seq, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)
             .map(rest => lastSlice.unionAll(rest.withColumn(
@@ -453,15 +539,24 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 }
 
 /** CDC offset: `seq` = last fully-delivered commit sequence number;
-  * `fileIdx >= 0` marks a PARTIAL genesis catch-up — the first
-  * `fileIdx` files (path order) of the genesis state have been
-  * delivered. Partial offsets arise only while a fresh start drains an
-  * aged table's retained state under max-rows-per-trigger; once the
-  * state completes, offsets are pure sequence numbers again. Extends
-  * the V1 offset class (getBatch requires it) and thereby the DSv2
-  * one (admission control requires that); pre-split checkpoints
-  * (bare LongOffset numbers) parse via [[GraftCdcSource]]'s reader. */
-case class CdcOffset(seq: Long, fileIdx: Int = -1) extends OffsetV1 {
+  * `fileIdx >= 0` marks a PARTIAL admission unit — the first `fileIdx`
+  * files (path order) of that unit have been delivered, where the unit
+  * is the genesis snapshot's full STATE (`added = false`, a fresh
+  * stream's catch-up over an aged table) or a single oversized append
+  * commit's ADDED set (`added = true`, the one-commit 10 TB backfill
+  * landing mid-tail). The unit KIND is in the offset because the same
+  * seq can legitimately be either depending on where the stream
+  * started, and a checkpoint replay must resolve the slice from
+  * metadata alone. Partial offsets arise only under
+  * max-rows-per-trigger; once the unit completes, offsets are pure
+  * sequence numbers again. Extends the V1 offset class (getBatch
+  * requires it) and thereby the DSv2 one (admission control requires
+  * that); pre-split checkpoints (bare LongOffset numbers) parse via
+  * [[GraftCdcSource]]'s reader. */
+case class CdcOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false)
+  extends OffsetV1 {
   override def json(): String =
-    if (fileIdx < 0) s"""{"seq":$seq}""" else s"""{"seq":$seq,"idx":$fileIdx}"""
+    if (fileIdx < 0) s"""{"seq":$seq}"""
+    else if (!added) s"""{"seq":$seq,"idx":$fileIdx}"""
+    else s"""{"seq":$seq,"idx":$fileIdx,"unit":"added"}"""
 }

@@ -230,7 +230,9 @@ class PlanningScaleSpec extends AnyFunSuite {
     val stream = new graft.catalog.GraftMicroBatchStream(table,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
       table.schema(), Nil)
-    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    // the limit a real trigger passes back is the ADVERTISED one (the
+    // configured caps); allAvailable() would now rightly mean uncapped
+    val limit = stream.getDefaultReadLimit
 
     ops.chunkLoads = 0
     var off = stream.latestOffset(graft.catalog.SeqOffset(0L), limit)
@@ -257,6 +259,57 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(drainMs < 2000,
       f"$triggers O(1) admissions took $drainMs%.0f ms — not O(1) per trigger")
     ChunkCache.invalidateAll()
+  }
+
+  test("drain memo envelope: O(unit-files) driver bytes while draining, freed at release") {
+    // STREAMING.md's catch-up memory envelope as MEASURED numbers: the
+    // drain memo holds exactly ONE path-sorted DataFile list for the
+    // in-flight unit. At this spec's 20k-file scale: measure the
+    // retained bytes and the per-file constant (so a 10M-file genesis
+    // extrapolates to single-digit GBs, as documented), pin the memo
+    // hit (the by-name loader must NOT re-evaluate), and prove
+    // release() really frees the list — a weak reference is collected
+    // once the memo was the last strong holder.
+    val drain = new graft.catalog.SliceDrain
+    def mkFiles(): Seq[DataFile] = (0 until Chunks * PerChunk).map { i =>
+      val c = i / PerChunk
+      DataFile(s"p/bigt/data/k=$c/f${i % PerChunk}.parquet", records = 1000L,
+        bytes = 1L << 20, partition = Map("k" -> c.toString),
+        minBound = Map("k" -> c.toString), maxBound = Map("k" -> c.toString),
+        seq = Some(c + 1L))
+    }
+    // the strong references live in a nested frame that POPS before
+    // the collection check: an interpreted/JIT frame can keep dead
+    // locals (incl. expression temporaries) reachable until it exits,
+    // which would fail the weak-ref assert spuriously
+    def setupAndMeasure(): java.lang.ref.WeakReference[AnyRef] = {
+      val list = drain.list(7L, added = false)(mkFiles())
+      assert(list.size == Chunks * PerChunk)
+      assert(drain.list(7L, added = false)(
+        fail("memo miss re-materialized the in-flight unit")) eq list)
+      val bytes = org.apache.spark.util.SizeEstimator.estimate(list)
+      val perFile = bytes.toDouble / list.size
+      info(f"memo envelope: $bytes%,d bytes for ${list.size}%,d files ($perFile%.0f B/file)")
+      assert(perFile < 2048,
+        f"memo holds $perFile%.0f B/file — the O(unit-files) envelope constant regressed")
+      new java.lang.ref.WeakReference(list)
+    }
+    val weak = setupAndMeasure()
+    // every weak.get deref stays in ITS OWN popped frame too: the
+    // scalatest assert macro binds operand values to frame-local vals
+    // (for diagrammed errors), which would pin the list in the test
+    // body's frame and fail the collection check spuriously
+    def stillHeld(): Boolean = weak.get != null
+    System.gc()
+    assert(stillHeld(),
+      "memo must hold the unit list while the drain is in flight")
+    drain.release()
+    val deadline = System.currentTimeMillis() + 10000
+    while (stillHeld() && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(50)
+    }
+    assert(!stillHeld(),
+      "released memo still strongly held — a driver leak at 100 TB drain scale")
   }
 
   test("streaming reader-factory creation materializes ZERO file lists on the 20k-file table") {
