@@ -175,6 +175,12 @@ object Bench {
     val recheckPairs = recheckProtocol(
       (ok.sortBy(-_._2).take(5) ++ ok.sortBy(_._2).take(5))
         .distinctBy(_._1).map(_._1))
+    // calibPost is measured HERE — after the suite + the fixed
+    // slow/fast-10 rechecks, BEFORE the movers block — so the
+    // calibration protocol does the same amount of pre-measurement
+    // session churn every round regardless of whether BENCH_PREV.json
+    // exists or how many movers overlap the recheck set
+    val calibPost = streamCalib()
     val recheck = recheckPairs
       .map { case (k, t) => "\"" + k + "\":" + t.map(r3).getOrElse("null") }
       .mkString("{", ",", "}")
@@ -224,7 +230,6 @@ object Bench {
       .map { case (k, t) =>
         "\"" + k + "\":" + t.map(v => r3(v / inSuite(k))).getOrElse("null") }
       .mkString("{", ",", "}")
-    val calibPost = streamCalib()
     val calibMean =
       if (calibPre > 0 && calibPost > 0) (calibPre + calibPost) / 2 else -1.0
     // q_str rows in units of the scheduling-latency control: stable

@@ -208,13 +208,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
     if (end == st.seq && st.fileIdx < 0) st else SeqOffset(end)
   }
 
-  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+)(,"unit":"added")?)?\}""".r
-  override def deserializeOffset(json: String): Offset = json.trim match {
-    case OffsetRe(s, null, _) => SeqOffset(s.toLong)
-    case OffsetRe(s, i, null) => SeqOffset(s.toLong, i.toInt)
-    case OffsetRe(s, i, _) => SeqOffset(s.toLong, i.toInt, added = true)
-    case other => throw new IllegalArgumentException(s"unreadable offset: $other")
-  }
+  override def deserializeOffset(json: String): Offset =
+    SliceOffsets.parse(json).map { case (s, i, a) => SeqOffset(s, i, a) }
+      .getOrElse(throw new IllegalArgumentException(s"unreadable offset: ${json.trim}"))
 
   /** Snapshots in (startSeq, endSeq] that are ON MAIN LINEAGE.
     * `meta.snapshots` is the table's whole snapshot SET: branch
@@ -367,6 +363,11 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // also recorded here (not just in latestOffset): a restart REPLAYS
+    // the uncommitted batch from the offset log without planning a new
+    // end, and reportLatestOffset must keep the one-format contract
+    // for that batch's progress row too
+    lastPlannedEnd = Some(end.asInstanceOf[SeqOffset])
     // the FRESH mapping, not the load-time one: a first add_files can
     // land mid-stream, and its files must plan against the mapping
     // that import just froze
@@ -432,10 +433,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   * pre-split checkpoints ({"seq":N} ⇔ fileIdx = -1; {"seq":N,"idx":K}
   * keeps meaning a genesis-state slice). */
 case class SeqOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false) extends Offset {
-  override def json(): String =
-    if (fileIdx < 0) s"""{"seq":$seq}"""
-    else if (!added) s"""{"seq":$seq,"idx":$fileIdx}"""
-    else s"""{"seq":$seq,"idx":$fileIdx,"unit":"added"}"""
+  override def json(): String = SliceOffsets.render(seq, fileIdx, added)
 }
 
 /** Routes a micro-batch partition to the reader factory of its

@@ -179,21 +179,20 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   // ---- offsets ---------------------------------------------------
 
-  private val OffsetRe = """\{"seq":(\d+)(?:,"idx":(\d+)(,"unit":"added")?)?\}""".r
-  private def parseOffset(json: String): CdcOffset = json.trim match {
-    case OffsetRe(s, null, _) => CdcOffset(s.toLong)
-    case OffsetRe(s, i, null) => CdcOffset(s.toLong, i.toInt)
-    case OffsetRe(s, i, _) => CdcOffset(s.toLong, i.toInt, added = true)
-    case other =>
-      // pre-split checkpoints stored bare LongOffset numbers; anything
-      // else (corruption, a checkpoint from a different source) gets
-      // the diagnostic, not a raw NumberFormatException
-      try CdcOffset(other.toLong)
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"unreadable graft-cdc offset: $other")
+  private def parseOffset(json: String): CdcOffset =
+    graft.catalog.SliceOffsets.parse(json)
+      .map { case (s, i, a) => CdcOffset(s, i, a) }
+      .getOrElse {
+        // pre-split checkpoints stored bare LongOffset numbers;
+        // anything else (corruption, a checkpoint from a different
+        // source) gets the diagnostic, not a raw NumberFormatException
+        try CdcOffset(json.trim.toLong)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"unreadable graft-cdc offset: ${json.trim}")
+        }
       }
-  }
 
   override def initialOffset(): OffsetV2 = CdcOffset(startSeq)
 
@@ -415,25 +414,36 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     drain.list(seq, added)(if (added) ops.addedFiles(s) else ops.allFiles(s))
   }
 
-  /** Rows [from, until) of an oversized append's ADDED set (path-sorted
-    * files), tagged as ordinal-1 inserts — one bounded slice of the
-    * one-commit backfill. Exact by construction: an append commit
-    * carries no delete files and equality deletes only ever bind to
-    * strictly-older files, so a raw read of the slice IS the commit's
-    * rows for those files. No synthetic-genesis gate applies — this is
-    * not a fromSeq=0 diff, just a subset of one immutable commit. */
-  private def addedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame = {
-    val all = unitFiles(meta, seq, added = true)
+  /** Rows [from, until) of a unit's path-sorted file list, with the
+    * given delete files applied, tagged as ordinal-1 inserts — the
+    * read-and-tag scaffolding both unit kinds share (a one-sided edit
+    * here would make genesis and added slices disagree on row shape
+    * within one stream). */
+  private def sliceRead(meta: TableMeta, all: IndexedSeq[DataFile],
+      from: Int, until: Int, dels: Seq[DataFile]): DataFrame = {
     val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
     val base =
       if (slice.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-      else Mor.readData(spark, ops.warehouse, dataSchema, slice, meta.nameMapping)
+      else {
+        val raw = Mor.readData(spark, ops.warehouse, dataSchema, slice, meta.nameMapping,
+          if (dels.nonEmpty) Mor.withPositions(_, ops.warehouse) else identity)
+        Mor.applyDeletes(spark, raw, ops.warehouse, dels, slice)
+      }
     base.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_change_ordinal", lit(1))
   }
+
+  /** One bounded slice of an oversized append's ADDED set. Exact by
+    * construction: an append commit carries no delete files and
+    * equality deletes only ever bind to strictly-older files, so a
+    * raw read of the slice IS the commit's rows for those files. No
+    * synthetic-genesis gate applies — this is not a fromSeq=0 diff,
+    * just a subset of one immutable commit. */
+  private def addedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame =
+    sliceRead(meta, unitFiles(meta, seq, added = true), from, until, Nil)
 
   /** Rows [from, until) of the genesis state (path-sorted files,
     * deletes applied), tagged as ordinal-1 inserts — one bounded slice
@@ -460,21 +470,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           "would serve net state for expired history. Remove the opt-out, or " +
           "restart from a retained snapshot with start-seq")
     }
-    val all = unitFiles(meta, gseq, added = false)
-    val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
-    val dataSchema = TableMeta.schemaToSpark(meta.schema)
-    val base =
-      if (slice.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-      else {
-        val dels = snap.deleteFiles
-        val raw = Mor.readData(spark, ops.warehouse, dataSchema, slice, meta.nameMapping,
-          if (dels.nonEmpty) Mor.withPositions(_, ops.warehouse) else identity)
-        Mor.applyDeletes(spark, raw, ops.warehouse, dels, slice)
-      }
-    base.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .withColumn("_change_type", lit("insert"))
-      .withColumn("_change_ordinal", lit(1))
+    sliceRead(meta, unitFiles(meta, gseq, added = false), from, until,
+      snap.deleteFiles)
   }
 
   // ---- batches -----------------------------------------------------
@@ -482,6 +479,11 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val st = start.map(o => parseOffset(o.json))
     val en = parseOffset(end.json)
+    // also recorded here (not just in latestOffset): a restart REPLAYS
+    // the uncommitted batch from the offset log without planning a new
+    // end, and reportLatestOffset must keep the one-format contract
+    // for that batch's progress row too
+    lastPlannedEnd = Some(en)
     val meta = freshMeta
     // enforce the pinned-schema contract: MicroBatchExecution aliases
     // batch output to the stream-start attributes BY POSITION, so a
@@ -556,7 +558,5 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 case class CdcOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false)
   extends OffsetV1 {
   override def json(): String =
-    if (fileIdx < 0) s"""{"seq":$seq}"""
-    else if (!added) s"""{"seq":$seq,"idx":$fileIdx}"""
-    else s"""{"seq":$seq,"idx":$fileIdx,"unit":"added"}"""
+    graft.catalog.SliceOffsets.render(seq, fileIdx, added)
 }

@@ -40,23 +40,40 @@ object ReadLimits {
     * Trigger.Once contract). A limit kind this source never advertises
     * (`minRows`, `maxBytes`, a future addition) falls back to the
     * configured caps — fail-safe: an unrecognized request must never
-    * silently drop the user's rate limit. */
+    * silently drop the user's rate limit. The fail-safe covers
+    * composites too: ONE unrecognized member fails the whole composite
+    * back to the configured caps (the member could have been the
+    * strictest cap — decoding only the recognized ones would drop it,
+    * and a composite of ONLY unrecognized kinds would otherwise decode
+    * to fully uncapped). */
   def caps(limit: ReadLimit, cfgFiles: Option[Int], cfgRows: Option[Long],
       cfgCommits: Option[Int]): (Option[Int], Option[Long], Option[Int]) =
     limit match {
       case null => (cfgFiles, cfgRows, cfgCommits)
-      case _: ReadAllAvailable => (None, None, None)
       case c: CompositeReadLimit =>
-        c.getReadLimits.foldLeft(
-          (Option.empty[Int], Option.empty[Long], Option.empty[Int])) { (acc, l) =>
-          val (f, r, n) = caps(l, None, None, None)
-          (acc._1.orElse(f), acc._2.orElse(r), acc._3.orElse(n))
+        val decoded = c.getReadLimits.map(decodeOne)
+        if (decoded.exists(_.isEmpty)) (cfgFiles, cfgRows, cfgCommits)
+        else decoded.flatten.foldLeft(
+          (Option.empty[Int], Option.empty[Long], Option.empty[Int])) { (acc, d) =>
+          (acc._1.orElse(d._1), acc._2.orElse(d._2), acc._3.orElse(d._3))
         }
-      case f: ReadMaxFiles => (Some(f.maxFiles), None, None)
-      case r: ReadMaxRows => (None, Some(r.maxRows), None)
-      case CommitsPerTrigger(n) => (None, None, Some(n))
-      case _ => (cfgFiles, cfgRows, cfgCommits)
+      case other =>
+        decodeOne(other).getOrElse((cfgFiles, cfgRows, cfgCommits))
     }
+
+  /** One non-composite limit kind → its cap contribution; None =
+    * unrecognized (incl. a nested composite, which is never
+    * advertised). `allAvailable` is recognized and contributes no cap
+    * — inside a composite that member relaxes nothing the others
+    * don't, standalone the caller gets fully uncapped. */
+  private def decodeOne(
+      l: ReadLimit): Option[(Option[Int], Option[Long], Option[Int])] = l match {
+    case _: ReadAllAvailable => Some((None, None, None))
+    case f: ReadMaxFiles => Some((Some(f.maxFiles), None, None))
+    case r: ReadMaxRows => Some((None, Some(r.maxRows), None))
+    case CommitsPerTrigger(n) => Some((None, None, Some(n)))
+    case _ => None
+  }
 }
 
 /** `max-commits-per-trigger` in ReadLimit form: [[ReadLimit]] is an

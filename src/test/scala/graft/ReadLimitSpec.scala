@@ -51,6 +51,13 @@ class ReadLimitSpec extends AnyFunSuite {
     assert(ReadLimits.caps(null, Some(3), Some(7L), Some(2)) == (Some(3), Some(7L), Some(2)))
     assert(ReadLimits.caps(ReadLimit.minRows(5L, 1000L), Some(3), Some(7L), None) ==
       (Some(3), Some(7L), None))
+    // composite fail-safe: ONE unrecognized member fails the WHOLE
+    // composite back to the configured caps (that member could have
+    // been the strictest cap; and a composite of only unrecognized
+    // kinds must never decode to fully uncapped)
+    assert(ReadLimits.caps(
+      ReadLimit.compositeLimit(Array(ReadLimit.maxRows(7L), ReadLimit.minRows(5L, 1000L))),
+      Some(3), Some(100L), Some(2)) == (Some(3), Some(100L), Some(2)))
   }
 
   test("CDC source advertises its configured caps and honors an engine-passed allAvailable mid-backlog") {
