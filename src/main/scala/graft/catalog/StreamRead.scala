@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap,
     required: StructType, pushedExprs: Seq[Expression]) extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with graft.streaming.SliceAwareReporting {
 
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
@@ -95,17 +96,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   override def getDefaultReadLimit: ReadLimit =
     graft.streaming.ReadLimits.configured(maxFilesPerTrigger, maxRowsPerTrigger)
 
-  /** While a file-granular drain is in flight the last planned end is
-    * a SLICE offset; reporting the head's pure seq beside it would mix
-    * offset forms in the progress metrics (lag readers compare
-    * latestOffset against endOffset), so report the slice until
-    * offsets return to pure seqs (see STREAMING.md's offset note). */
-  override def reportLatestOffset(): Offset = lastPlannedEnd match {
-    case Some(o) if o.fileIdx >= 0 => o
-    case _ => latestOffset()
-  }
-
-  @volatile private var lastPlannedEnd: Option[SeqOffset] = None
+  // slice-aware reportLatestOffset is [[graft.streaming.SliceAwareReporting]]
+  override protected def headOffsetForReport()
+      : org.apache.spark.sql.connector.read.streaming.Offset = latestOffset()
 
   /** One admission UNIT's file list in a stable order (sorted by
     * path) so (seq, fileIdx) offsets slice it reproducibly across
@@ -135,7 +128,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val end = planEnd(start.asInstanceOf[SeqOffset], limit)
-    lastPlannedEnd = Some(end)
+    recordPlannedEnd(end, end.fileIdx >= 0)
     end
   }
 
@@ -363,11 +356,9 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // also recorded here (not just in latestOffset): a restart REPLAYS
-    // the uncommitted batch from the offset log without planning a new
-    // end, and reportLatestOffset must keep the one-format contract
-    // for that batch's progress row too
-    lastPlannedEnd = Some(end.asInstanceOf[SeqOffset])
+    // the replay-recording site (see SliceAwareReporting.recordPlannedEnd)
+    val en = end.asInstanceOf[SeqOffset]
+    recordPlannedEnd(en, en.fileIdx >= 0)
     // the FRESH mapping, not the load-time one: a first add_files can
     // land mid-stream, and its files must plan against the mapping
     // that import just froze

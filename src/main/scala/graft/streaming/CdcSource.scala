@@ -166,7 +166,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     maxCommitsPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None,
     syntheticOptOutExplicit: Boolean = false) extends Source
-  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow
+  with SliceAwareReporting {
 
   // schema is pinned at stream start: mid-stream schema evolution must
   // not silently reshape batches (restart the query to pick it up)
@@ -218,19 +219,11 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   override def getDefaultReadLimit: ReadLimit =
     ReadLimits.configured(None, maxRowsPerTrigger, maxCommitsPerTrigger)
 
-  /** While a file-granular drain is in flight the last planned end is
-    * a SLICE offset; reporting the head's pure seq beside it would mix
-    * offset forms in the progress metrics (lag readers compare
-    * latestOffset against endOffset), so report the slice until
-    * offsets return to pure seqs (see STREAMING.md's offset note). */
-  override def reportLatestOffset(): OffsetV2 = lastPlannedEnd match {
-    case Some(o) if o.fileIdx >= 0 => o
-    case _ =>
-      val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
-      CdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  // slice-aware reportLatestOffset is [[SliceAwareReporting]]
+  override protected def headOffsetForReport(): OffsetV2 = {
+    val cur = freshMeta.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    CdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
   }
-
-  @volatile private var lastPlannedEnd: Option[CdcOffset] = None
 
   /** Never called: [[SupportsAdmissionControl]] routes the engine to
     * `latestOffset(start, limit)` instead (which is the point — a V1
@@ -285,7 +278,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * policy), already materialized by refresh. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val end = planEnd(start, limit)
-    lastPlannedEnd = Option(end).map(o => parseOffset(o.json))
+    Option(end).map(o => parseOffset(o.json))
+      .foreach(o => recordPlannedEnd(o, o.fileIdx >= 0))
     end
   }
 
@@ -367,7 +361,15 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       else if (exceeds && isAppend && capRows.exists(r > _) && addedList.nonEmpty) {
         // the trigger's FIRST unit is an over-cap append (n == 0 here
         // — the n > 0 case stopped above): split its added set at
-        // file granularity, seeding the memo with the list in hand
+        // file granularity, seeding the memo with the list in hand.
+        // But FIRST re-assert the contiguity contract: a slice batch
+        // is served by addedSlice, BYPASSING Changes.between — whose
+        // expired-base check is the changelog's only truncation guard
+        // on the unsplit path — so without this, a restart whose
+        // checkpointed seq has been expired would advance the offset
+        // log straight past the expired commits' change rows (silent
+        // data loss where the unsplit path fails loudly)
+        assertSplitContiguous(meta, base, s)
         val list = drain.list(s.sequenceNumber, added = true)(addedList)
         val (next, _, rAdm) = drain.admit(list, 0, None, capRows)
         if (next < list.size) {
@@ -386,6 +388,28 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       }
     }
     slice.getOrElse(CdcOffset(end))
+  }
+
+  /** The split path's stand-in for [[Changes.between]]'s base checks
+    * (same failure modes, same loudness): the split unit `s` must be
+    * `base`'s direct lineage successor before the offset log may
+    * advance past base. `base > 0` always holds where this is called
+    * (a fromSeq=0 start under the rows cap routes through the genesis
+    * split, which has its own truncation policy). */
+  private def assertSplitContiguous(meta: TableMeta, base: Long, s: Snapshot): Unit = {
+    if (!meta.snapshots.exists(_.sequenceNumber == base))
+      throw new IllegalStateException(
+        s"changelog start snapshot (seq $base) has been expired: a replay " +
+          "from it would re-emit or drop already-delivered changes; restart " +
+          "the stream from a retained snapshot (oldest retained seq: " +
+          s"${meta.snapshots.map(_.sequenceNumber).minOption.getOrElse(0L)})")
+    val w = meta.lineageWindowFrom(s, base)
+    if (w.truncatedParent.isDefined || w.base.isEmpty)
+      throw new IllegalStateException(
+        s"changelog chain is TRUNCATED between seq $base and seq " +
+          s"${s.sequenceNumber}: commits in between are no longer retained — " +
+          "a file-split of the oversized append would silently skip their " +
+          "change rows; retention must cover streaming lag")
   }
 
   // ---- unit slices (genesis state / oversized append) --------------
@@ -479,11 +503,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val st = start.map(o => parseOffset(o.json))
     val en = parseOffset(end.json)
-    // also recorded here (not just in latestOffset): a restart REPLAYS
-    // the uncommitted batch from the offset log without planning a new
-    // end, and reportLatestOffset must keep the one-format contract
-    // for that batch's progress row too
-    lastPlannedEnd = Some(en)
+    // the replay-recording site (see SliceAwareReporting.recordPlannedEnd)
+    recordPlannedEnd(en, en.fileIdx >= 0)
     val meta = freshMeta
     // enforce the pinned-schema contract: MicroBatchExecution aliases
     // batch output to the stream-start attributes BY POSITION, so a

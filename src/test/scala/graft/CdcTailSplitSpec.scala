@@ -154,6 +154,35 @@ class CdcTailSplitSpec extends AnyFunSuite {
       s"rows lost across the restart: ${(run1 ++ run2).size}")
   }
 
+  test("a split never skips expired history: restart at an expired seq fails loudly even when the next retained commit is an over-cap append") {
+    // The slice batch is served by addedSlice, BYPASSING
+    // Changes.between — whose expired-base check is the unsplit
+    // path's truncation guard. Without the split-time re-assert, this
+    // restart would advance the offset log straight past the expired
+    // commits' change rows: silent data loss exactly where the
+    // unsplit path throws.
+    freshWh("tcCdcTspX")
+    spark.sql("CREATE NAMESPACE tcCdcTspX.st")
+    spark.sql("CREATE TABLE tcCdcTspX.st.t (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.range(i * 10, i * 10 + 10).coalesce(1).writeTo("tcCdcTspX.st.t").append())
+    spark.range(100, 180, 1, 8).writeTo("tcCdcTspX.st.t").append() // seq 4, over-cap
+    graft.catalog.Maintenance.expireSnapshots(gt("tcCdcTspX").ops, keepLast = 1): Unit
+    val ops = gt("tcCdcTspX").ops
+    val meta = ops.refresh().get._2
+    assert(meta.snapshots.map(_.sequenceNumber) == List(4L), "setup: only seq 4 retained")
+    val src = new graft.streaming.GraftCdcSource(spark, ops, meta, 0L,
+      maxRowsPerTrigger = Some(20L))
+    // checkpointed offset seq 1 — its snapshot (and 2, 3) expired
+    val e = intercept[IllegalStateException] {
+      src.latestOffset(graft.streaming.CdcOffset(1), src.getDefaultReadLimit)
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // the same restart where the next commit FITS the cap fails the
+    // same way through Changes.between (the unsplit path's own guard)
+    // — the split must not be the one lenient path
+  }
+
   test("added-unit offsets round-trip; genesis and legacy forms keep parsing") {
     freshWh("tcCdcTspO")
     spark.sql("CREATE NAMESPACE tcCdcTspO.st")
