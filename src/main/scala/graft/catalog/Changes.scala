@@ -188,18 +188,39 @@ object Changes {
     * its checkpoint shows an uncommitted batch 0 pending replay, so
     * the genesis replay fails as loudly as any other truncated replay.
     */
-  def between(spark: SparkSession, warehouse: String, ops: TableOps,
-      meta: TableMeta, fromSeq: Long, toSeq: Long,
-      allowSyntheticGenesis: Boolean = true): Option[DataFrame] = {
-    val dataSchema = TableMeta.schemaToSpark(meta.schema)
-    val mapping = meta.nameMapping
-    if (toSeq <= fromSeq) return None
+  /** Loud replay-base guards, shared by [[between]] and the CDC
+    * split path ([[graft.streaming.GraftCdcSource]]'s
+    * `assertSplitContiguous`) — a slice batch bypasses [[between]],
+    * so its guard must be the SAME code, not a synchronized copy
+    * (the r16 two-copy-drift lesson, same rationale as
+    * [[graft.meta.TableMeta.lineageWindowFrom]]). */
+  def requireRetainedBase(meta: TableMeta, fromSeq: Long): Unit =
     if (fromSeq > 0 && !meta.snapshots.exists(_.sequenceNumber == fromSeq))
       throw new IllegalStateException(
         s"changelog start snapshot (seq $fromSeq) has been expired: a replay " +
           s"from it would re-emit or drop already-delivered changes; restart " +
           s"the stream from a retained snapshot (oldest retained seq: " +
           s"${meta.snapshots.map(_.sequenceNumber).minOption.getOrElse(0L)})")
+
+  /** The non-linear-history (rollback) diagnosis: the walk from
+    * `endSnap` reached genesis without passing `fromSeq`, so the base
+    * is retained but not an ANCESTOR — a retention message would send
+    * the operator chasing the wrong knob. */
+  def requireLinearBase(w: graft.meta.LineageWindow, fromSeq: Long,
+      endSnap: Snapshot): Unit =
+    if (w.base.isEmpty && fromSeq > 0)
+      throw new IllegalStateException(
+        s"changelog base (seq $fromSeq) is not an ancestor of the end " +
+          s"snapshot ${endSnap.snapshotId} (seq ${endSnap.sequenceNumber}): " +
+          "the history is not linear past it (rollback); restart the stream")
+
+  def between(spark: SparkSession, warehouse: String, ops: TableOps,
+      meta: TableMeta, fromSeq: Long, toSeq: Long,
+      allowSyntheticGenesis: Boolean = true): Option[DataFrame] = {
+    val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    val mapping = meta.nameMapping
+    if (toSeq <= fromSeq) return None
+    requireRetainedBase(meta, fromSeq)
     val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
       throw new IllegalArgumentException(s"no snapshot with sequence number $toSeq"))
     // the walk is the shared kernel ([[TableMeta.lineageWindowFrom]]);
@@ -210,10 +231,7 @@ object Changes {
     // retained lineage snapshot gets diffed against empty instead
     val syntheticGenesis = w.truncatedParent match {
       case None =>
-        if (w.base.isEmpty && fromSeq > 0) throw new IllegalStateException(
-          s"changelog base (seq $fromSeq) is not an ancestor of the end " +
-            s"snapshot ${toSnap.snapshotId} (seq $toSeq): the history is " +
-            "not linear past it (rollback); restart the stream")
+        requireLinearBase(w, fromSeq, toSnap)
         false
       case Some(pid) =>
         val s = w.chain.head // the snapshot whose parent expired

@@ -25,22 +25,23 @@ import graft.meta.DataFile
 final class SliceDrain {
 
   // keyed by (seq, unit kind): the same seq can be a genesis STATE
-  // unit or an oversized append's ADDED unit depending on where the
-  // stream started, and the two lists differ
-  @volatile private var cache: Option[(Long, Boolean, IndexedSeq[DataFile])] = None
+  // unit, an oversized append's ADDED unit, or a row-level commit's
+  // materialized ROWS unit depending on where the stream started and
+  // its options, and the lists differ
+  @volatile private var cache: Option[(Long, String, IndexedSeq[DataFile])] = None
 
   /** The unit's file list in stable path order, memoized per
-    * (seq, added). `load` materializes it on a miss ONLY — the
+    * (seq, kind). `load` materializes it on a miss ONLY — the
     * caller's per-trigger retention check must run BEFORE calling
     * this (as both sources do), never inside the thunk, or
     * memoization would skip it and a mid-drain expiry would silently
     * re-bind slice indices instead of failing loudly. */
-  def list(seq: Long, added: Boolean)(load: => Seq[DataFile]): IndexedSeq[DataFile] =
+  def list(seq: Long, kind: String)(load: => Seq[DataFile]): IndexedSeq[DataFile] =
     cache match {
-      case Some((cs, ca, l)) if cs == seq && ca == added => l
+      case Some((cs, ck, l)) if cs == seq && ck == kind => l
       case _ =>
         val l = load.sortBy(_.path).toIndexedSeq
-        cache = Some((seq, added, l))
+        cache = Some((seq, kind, l))
         l
     }
 

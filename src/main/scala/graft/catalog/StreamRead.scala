@@ -123,7 +123,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       throw new IllegalStateException(
         s"streaming catch-up snapshot (seq $seq) is no longer retained; " +
           "retention must cover streaming lag"))
-    drain.list(seq, added)(contributed(s, genesis = !added))
+    drain.list(seq, if (added) SliceOffsets.UnitAdded else SliceOffsets.UnitState)(
+      contributed(s, genesis = !added))
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -189,7 +190,7 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
       } else if (end == effStart && files == 0 && rows == 0 && added.nonEmpty) {
         // seed the memo with the list already in hand — unitList would
         // re-materialize and re-sort the same added set on the miss
-        val list = drain.list(s.sequenceNumber, added = true)(added)
+        val list = drain.list(s.sequenceNumber, SliceOffsets.UnitAdded)(added)
         val (next, f, r) = drain.admit(list, 0, capFiles, capRows)
         if (next < list.size) return SeqOffset(s.sequenceNumber, next, added = true)
         // the whole unit fit after all (one unsplittable file): admit
@@ -202,7 +203,13 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   }
 
   override def deserializeOffset(json: String): Offset =
-    SliceOffsets.parse(json).map { case (s, i, a) => SeqOffset(s, i, a) }
+    SliceOffsets.parse(json)
+      .collect {
+        // the "rows" unit is CDC-only; a table-tail checkpoint can
+        // never contain it, so it is as unreadable here as garbage
+        case (s, i, SliceOffsets.UnitState) => SeqOffset(s, i)
+        case (s, i, SliceOffsets.UnitAdded) => SeqOffset(s, i, added = true)
+      }
       .getOrElse(throw new IllegalArgumentException(s"unreadable offset: ${json.trim}"))
 
   /** Snapshots in (startSeq, endSeq] that are ON MAIN LINEAGE.
@@ -424,7 +431,8 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   * pre-split checkpoints ({"seq":N} ⇔ fileIdx = -1; {"seq":N,"idx":K}
   * keeps meaning a genesis-state slice). */
 case class SeqOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false) extends Offset {
-  override def json(): String = SliceOffsets.render(seq, fileIdx, added)
+  override def json(): String = SliceOffsets.render(seq, fileIdx,
+    if (added) SliceOffsets.UnitAdded else SliceOffsets.UnitState)
 }
 
 /** Routes a micro-batch partition to the reader factory of its

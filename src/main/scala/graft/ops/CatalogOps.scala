@@ -844,6 +844,51 @@ object CatalogOps extends Pack {
         |  SELECT -1, 'seed')
         |ORDER BY c_custkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
 
+    // Row-level (COW) CDC admission control under split-row-level:
+    // a copy-on-write DELETE's change rows are a PLAN, not files —
+    // the one CDC unit that stays unbounded by default. With the
+    // opt-in, the source materializes the diff once under the
+    // stream's checkpoint and drains it as {"seq","idx","unit":"rows"}
+    // slices. The row REQUIRES the drain arrived rate-limited (>= 3
+    // non-empty batches, each within the cap), then oracles content
+    // exactness: exactly the deleted keys, delete-tagged.
+    Decl("q_str_cdcrowsplit", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_crls")
+      spark.sql(s"CREATE TABLE $c.demo_crls.nat (n_nationkey INT, n_name STRING)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("crls_nation_src")
+      spark.sql(s"INSERT INTO $c.demo_crls.nat SELECT n_nationkey, n_name " +
+        "FROM crls_nation_src")                                     // seq 1
+      spark.sql(s"DELETE FROM $c.demo_crls.nat WHERE n_nationkey < 15") // seq 2, COW
+      val name = s"graft_crls_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$c.demo_crls.nat")
+        .option("start-seq", "1")
+        .option("max-rows-per-trigger", "5")
+        .option("split-row-level", "true")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.filter(_.numInputRows > 0)
+        require(fed.length >= 3,
+          s"COW delete arrived in ${fed.length} batch(es) — not row-split")
+        require(fed.forall(_.numInputRows <= 5),
+          s"a batch exceeded the rows cap: ${fed.map(_.numInputRows).mkString(",")}")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.select(col("n_nationkey"), col("n_name"), col("_change_type"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name, 'delete' AS _change_type FROM nation
+        |WHERE n_nationkey < 15
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

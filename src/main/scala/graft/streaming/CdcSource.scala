@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.catalog.{Changes, Mor, TableOps}
+import graft.catalog.{Changes, Mor, SliceOffsets, TableOps}
 import graft.meta.{DataFile, Snapshot, TableMeta}
 import org.apache.spark.sql.{DataFrame, GraftStreamShim, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
@@ -40,10 +40,12 @@ import org.apache.spark.sql.types.StructType
   * order) of the unit delivered — where the unit is a FRESH stream's
   * genesis state over an aged table, or (with `"unit":"added"` in the
   * offset) a single append commit whose added rows alone exceed the
-  * cap; so a 100 TB catch-up OR a one-commit 10 TB backfill arrives
-  * as bounded, checkpoint-resumable slices instead of one unbounded
-  * batch. Pre-split checkpoints (bare `LongOffset` numbers) keep
-  * parsing.
+  * cap, or (with `"unit":"rows"`, under the `split-row-level` opt-in)
+  * a row-level commit's MATERIALIZED change rows; so a 100 TB
+  * catch-up, a one-commit 10 TB backfill, or a table-wide COW MERGE
+  * arrives as bounded, checkpoint-resumable slices instead of one
+  * unbounded batch. Pre-split checkpoints (bare `LongOffset` numbers)
+  * keep parsing.
   *
   * If snapshot retention does NOT cover the stream's lag — the
   * restart offset's snapshot or any chain ancestor has been expired —
@@ -144,9 +146,21 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
         val pendingGenesisReplay = ckptHas("offsets/0") && !ckptHas("commits/0")
         ckptRoot.isDefined && !pendingGenesisReplay
     }
+    val splitRowLevel = parameters.get("split-row-level").exists(_.toBoolean)
+    val maxRows = parameters.get("max-rows-per-trigger").map(_.toLong)
+    if (splitRowLevel)
+      require(maxRows.isDefined,
+        "graft-cdc option split-row-level requires max-rows-per-trigger " +
+          "(the cap is what sizes the materialized slice files)")
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
       maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
-      maxRowsPerTrigger = parameters.get("max-rows-per-trigger").map(_.toLong),
+      maxRowsPerTrigger = maxRows,
+      splitRowLevel = splitRowLevel,
+      // the spill root lives INSIDE the stream's own checkpoint source
+      // dir, so its lifecycle is the checkpoint's (Kafka keeps its own
+      // source metadata there the same way) and two streams can never
+      // share or clobber each other's materialized units
+      rowLevelSpillRoot = Some(s"$metadataPath/graft-rowlevel"),
       // genesis SLICE batches ({"seq":g,"idx":K}) are deterministic
       // replays by construction — pinned to one immutable snapshot,
       // loud if it expires — so the checkpoint-sniffed pending-replay
@@ -165,7 +179,9 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     allowSyntheticGenesis: Boolean = true,
     maxCommitsPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    syntheticOptOutExplicit: Boolean = false) extends Source
+    syntheticOptOutExplicit: Boolean = false,
+    splitRowLevel: Boolean = false,
+    rowLevelSpillRoot: Option[String] = None) extends Source
   with SupportsAdmissionControl with SupportsTriggerAvailableNow
   with SliceAwareReporting {
 
@@ -182,7 +198,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   private def parseOffset(json: String): CdcOffset =
     graft.catalog.SliceOffsets.parse(json)
-      .map { case (s, i, a) => CdcOffset(s, i, a) }
+      .map { case (s, i, u) => CdcOffset(s, i, u) }
       .getOrElse {
         // pre-split checkpoints stored bare LongOffset numbers;
         // anything else (corruption, a checkpoint from a different
@@ -263,10 +279,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * `{"seq":N,"idx":K,"unit":"added"}` offsets) — so either catch-up
     * drains as ⌈files/cap⌉ bounded slices and later commits never
     * piggyback on it (genesis rows are counted from the full state's
-    * manifest stats, never the undercounting added-files view). Only
-    * row-LEVEL commits stay unsplittable (their change rows are a
-    * plan, not files — see the batch-bound note in STREAMING.md).
-    * Row accounting under the rows
+    * manifest stats, never the undercounting added-files view).
+    * Row-LEVEL commits have no file list to slice (their change rows
+    * are a PLAN); by default they admit-and-close, and under the
+    * `split-row-level` opt-in they too drain bounded — the diff is
+    * materialized ONCE under the stream's checkpoint and its files
+    * slice via `{"seq":N,"idx":K,"unit":"rows"}` offsets (see the
+    * batch-bound note in STREAMING.md). Row accounting under the rows
     * cap: appends count their EXACT added rows (manifest stats,
     * chunk-cached, only loaded when the rows cap is set); a row-level
     * commit's change-row count has no cheap upper bound (an equality
@@ -301,9 +320,19 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     if (st.fileIdx >= 0) {
       if (capRows.isEmpty && capCommits.isEmpty)
         return CdcOffset(math.max(head, st.seq))
-      val list = unitFiles(meta, st.seq, st.added)
+      if (st.unit == SliceOffsets.UnitRows) {
+        // materialized row-level unit: slices pack whole spill files up
+        // to the rows cap (footer-exact counts; no file exceeds the cap
+        // — maxRecordsPerFile bounded the write). No tail piggyback:
+        // the drain's budget accounting ends with the unit
+        val list = rowUnitList(st.seq)
+        val (next, _, _) = drain.admit(list, st.fileIdx, None, capRows)
+        return if (next < list.size) CdcOffset(st.seq, next, SliceOffsets.UnitRows)
+        else CdcOffset(st.seq)
+      }
+      val list = unitFiles(meta, st.seq, st.unit)
       val (next, _, rows) = drain.admit(list, st.fileIdx, None, capRows)
-      return if (next < list.size) CdcOffset(st.seq, next, st.added)
+      return if (next < list.size) CdcOffset(st.seq, next, st.unit)
       else tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows, capCommits, capRows)
     }
 
@@ -319,7 +348,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       lineageAbove(meta, 0, head).headOption match {
         case None => return if (start != null) start else null
         case Some(g) =>
-          val list = unitFiles(meta, g.sequenceNumber, added = false)
+          val list = unitFiles(meta, g.sequenceNumber, SliceOffsets.UnitState)
           val (next, _, rows) = drain.admit(list, 0, None, capRows)
           return if (next < list.size) CdcOffset(g.sequenceNumber, next)
           else tailEnd(meta, g.sequenceNumber, head, commits0 = 1, rows0 = rows,
@@ -370,15 +399,37 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         // log straight past the expired commits' change rows (silent
         // data loss where the unsplit path fails loudly)
         assertSplitContiguous(meta, base, s)
-        val list = drain.list(s.sequenceNumber, added = true)(addedList)
+        val list = drain.list(s.sequenceNumber, SliceOffsets.UnitAdded)(addedList)
         val (next, _, rAdm) = drain.admit(list, 0, None, capRows)
         if (next < list.size) {
-          slice = Some(CdcOffset(s.sequenceNumber, next, added = true))
+          slice = Some(CdcOffset(s.sequenceNumber, next, SliceOffsets.UnitAdded))
           stop = true
         } else {
           // the whole unit fit after all (one unsplittable file):
           // admit it; the next iteration's exceeds check closes
           n += 1; rows += rAdm; end = s.sequenceNumber
+        }
+      } else if (countRows && !isAppend && !isReplace && splitRowLevel && n == 0) {
+        // row-level commit as the trigger's FIRST unit (n == 0
+        // explicitly: with budget already spent it is instead admitted
+        // into the mixed batch and closes it, the pre-split shape)
+        // with the split-row-level opt-in: materialize the commit's
+        // change rows ONCE — bounded
+        // files via maxRecordsPerFile = the rows cap — and drain them
+        // as {"seq":N,"idx":K,"unit":"rows"} slices. All of
+        // Changes.between's own guards (expired base, truncation,
+        // rollback) run inside the materialization, so this path is
+        // exactly as loud as the unsplit one.
+        val list = rowUnitMaterialize(meta, end, s, capRows.get)
+        val (next, _, _) = drain.admit(list, 0, None, capRows)
+        if (next >= list.size) {
+          // the whole diff fits one batch (small or empty commit):
+          // admit-and-close as before — getBatch's between() path
+          // delivers it, the spill dir is just unused insurance
+          n += 1; end = s.sequenceNumber; stop = true
+        } else {
+          slice = Some(CdcOffset(s.sequenceNumber, next, SliceOffsets.UnitRows))
+          stop = true
         }
       } else {
         n += 1; rows += r; end = s.sequenceNumber
@@ -391,25 +442,25 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   }
 
   /** The split path's stand-in for [[Changes.between]]'s base checks
-    * (same failure modes, same loudness): the split unit `s` must be
-    * `base`'s direct lineage successor before the offset log may
+    * — the SAME guard code, not a synchronized copy
+    * ([[Changes.requireRetainedBase]] / [[Changes.requireLinearBase]]),
+    * plus the split's own truncation message: the split unit `s` must
+    * be `base`'s direct lineage successor before the offset log may
     * advance past base. `base > 0` always holds where this is called
     * (a fromSeq=0 start under the rows cap routes through the genesis
     * split, which has its own truncation policy). */
   private def assertSplitContiguous(meta: TableMeta, base: Long, s: Snapshot): Unit = {
-    if (!meta.snapshots.exists(_.sequenceNumber == base))
-      throw new IllegalStateException(
-        s"changelog start snapshot (seq $base) has been expired: a replay " +
-          "from it would re-emit or drop already-delivered changes; restart " +
-          "the stream from a retained snapshot (oldest retained seq: " +
-          s"${meta.snapshots.map(_.sequenceNumber).minOption.getOrElse(0L)})")
+    Changes.requireRetainedBase(meta, base)
     val w = meta.lineageWindowFrom(s, base)
-    if (w.truncatedParent.isDefined || w.base.isEmpty)
+    if (w.truncatedParent.isDefined)
       throw new IllegalStateException(
         s"changelog chain is TRUNCATED between seq $base and seq " +
           s"${s.sequenceNumber}: commits in between are no longer retained — " +
           "a file-split of the oversized append would silently skip their " +
           "change rows; retention must cover streaming lag")
+    // base retained but not an ancestor of s (rollback): a retention
+    // message would misdiagnose — use the data path's rollback wording
+    Changes.requireLinearBase(w, base, s)
   }
 
   // ---- unit slices (genesis state / oversized append) --------------
@@ -433,9 +484,10 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           "retention must cover streaming lag"))
 
   private def unitFiles(meta: TableMeta, seq: Long,
-      added: Boolean): IndexedSeq[DataFile] = {
+      unit: String): IndexedSeq[DataFile] = {
     val s = unitSnap(meta, seq)
-    drain.list(seq, added)(if (added) ops.addedFiles(s) else ops.allFiles(s))
+    drain.list(seq, unit)(
+      if (unit == SliceOffsets.UnitAdded) ops.addedFiles(s) else ops.allFiles(s))
   }
 
   /** Rows [from, until) of a unit's path-sorted file list, with the
@@ -467,7 +519,117 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * synthetic-genesis gate applies — this is not a fromSeq=0 diff,
     * just a subset of one immutable commit. */
   private def addedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame =
-    sliceRead(meta, unitFiles(meta, seq, added = true), from, until, Nil)
+    sliceRead(meta, unitFiles(meta, seq, SliceOffsets.UnitAdded), from, until, Nil)
+
+  // ---- materialized row-level units (opt-in split-row-level) -------
+
+  private def hadoopFs(path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def rowUnitDir(seq: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(rowLevelSpillRoot.getOrElse(
+      throw new IllegalStateException(
+        "split-row-level needs a spill root (stream the source through " +
+          "readStream so the checkpoint provides one)")), s"seq-$seq")
+
+  /** Materialize a row-level commit's change rows ONCE (idempotent:
+    * an existing dir — e.g. a crash between materialization and the
+    * offset log — is reused, never rewritten) and return the
+    * path-sorted file list. The write caps every file at
+    * `maxRecordsPerFile = cap`, so a one-file-per-trigger drain is
+    * rows-bounded WITHOUT per-file stats; temp-write + rename makes
+    * the dir's existence atomic. This runs the diff the unsplit batch
+    * would have run — same cost, paid once, spilled to the stream's
+    * own checkpoint dir instead of handed to the sink unbounded. */
+  private def rowUnitMaterialize(meta: TableMeta, base: Long, s: Snapshot,
+      cap: Long): IndexedSeq[DataFile] =
+    drain.list(s.sequenceNumber, SliceOffsets.UnitRows) {
+      val dir = rowUnitDir(s.sequenceNumber)
+      val fs = hadoopFs(dir)
+      if (!fs.exists(dir)) {
+        Changes.between(spark, ops.warehouse, ops, meta, base, s.sequenceNumber,
+            allowSyntheticGenesis = allowSyntheticGenesis) match {
+          case None => () // empty diff: no dir, empty list below
+          case Some(df) =>
+            val tmp = new org.apache.hadoop.fs.Path(
+              dir.getParent, s"${dir.getName}.tmp-${java.util.UUID.randomUUID()}")
+            df.write.option("maxRecordsPerFile", cap.toString)
+              .mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(tmp, dir))
+              throw new IllegalStateException(
+                s"could not publish materialized row-level unit at $dir")
+        }
+      }
+      listRowUnit(dir)
+    }
+
+  /** The already-materialized unit's file list — for mid-drain
+    * triggers and batch replays. NEVER re-materializes: the diff
+    * plan's row-to-file assignment is not deterministic across
+    * recomputations, so re-binding slice indices to a fresh write
+    * would silently change slice contents — a lost dir fails loudly
+    * instead (the checkpoint was tampered with; restart the stream). */
+  private def rowUnitList(seq: Long): IndexedSeq[DataFile] =
+    drain.list(seq, SliceOffsets.UnitRows) {
+      val dir = rowUnitDir(seq)
+      if (!hadoopFs(dir).exists(dir))
+        throw new IllegalStateException(
+          s"materialized row-level unit for seq $seq is gone from $dir " +
+            "(checkpoint tampered with?); its slice offsets cannot be " +
+            "re-bound — restart the stream with a fresh checkpoint")
+      listRowUnit(dir)
+    }
+
+  private def listRowUnit(dir: org.apache.hadoop.fs.Path): Seq[DataFile] = {
+    val fs = hadoopFs(dir)
+    if (!fs.exists(dir)) Nil
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        // ABSOLUTE paths on purpose: these are spill files under the
+        // checkpoint, not warehouse-relative table files. Records are
+        // footer-exact (our own spill, no deletes), read once per
+        // drain (the list is memoized) — O(spill files) driver IO,
+        // bounded by ceil(diff rows / cap) + the diff's partition count
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val records = try r.getRecordCount finally r.close()
+          DataFile(st.getPath.toString, records = records, bytes = st.getLen)
+        }
+    }
+  }
+
+  /** Files [from, until) of the materialized unit, read back verbatim
+    * (the change tags and ordinal were written by the diff itself). */
+  private def rowSlice(seq: Long, from: Int, until: Int): DataFrame = {
+    val all = rowUnitList(seq)
+    val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
+    if (slice.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(outSchema.fields.map(_.copy(nullable = true))))
+    else
+      spark.read.parquet(slice.map(_.path): _*)
+        .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Spill dirs for units at or below the committed seq are fully
+    * delivered and can never be replayed (only the last uncommitted
+    * batch replays) — delete them. */
+  private def releaseRowUnits(upToSeq: Long): Unit =
+    rowLevelSpillRoot.foreach { root =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = hadoopFs(rootPath)
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("seq-") &&
+              scala.util.Try(n.stripPrefix("seq-").toLong).toOption.exists(_ <= upToSeq))
+            fs.delete(st.getPath, true): Unit
+        }
+    }
 
   /** Rows [from, until) of the genesis state (path-sorted files,
     * deletes applied), tagged as ordinal-1 inserts — one bounded slice
@@ -494,7 +656,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           "would serve net state for expired history. Remove the opt-out, or " +
           "restart from a retained snapshot with start-seq")
     }
-    sliceRead(meta, unitFiles(meta, gseq, added = false), from, until,
+    sliceRead(meta, unitFiles(meta, gseq, SliceOffsets.UnitState), from, until,
       snap.deleteFiles)
   }
 
@@ -516,23 +678,26 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         s"table schema changed mid-stream (was ${outSchema.simpleString}, " +
           s"now ${cur.simpleString}); restart the streaming query to pick " +
           "up the new schema")
-    def unitSlice(seq: Long, added: Boolean, from: Int, until: Int): DataFrame =
-      if (added) addedSlice(meta, seq, from, until)
-      else genesisSlice(meta, seq, from, until)
+    def unitSlice(seq: Long, unit: String, from: Int, until: Int): DataFrame =
+      unit match {
+        case SliceOffsets.UnitRows => rowSlice(seq, from, until)
+        case SliceOffsets.UnitAdded => addedSlice(meta, seq, from, until)
+        case _ => genesisSlice(meta, seq, from, until)
+      }
     val batch: DataFrame =
       if (en.fileIdx >= 0) {
         // a unit slice batch (start is the unit's lower bound or an
         // earlier slice of the SAME unit)
         val fromIdx = st.filter(p =>
-            p.seq == en.seq && p.fileIdx >= 0 && p.added == en.added)
+            p.seq == en.seq && p.fileIdx >= 0 && p.unit == en.unit)
           .map(_.fileIdx).getOrElse(0)
-        unitSlice(en.seq, en.added, fromIdx, en.fileIdx)
+        unitSlice(en.seq, en.unit, fromIdx, en.fileIdx)
       } else st.filter(_.fileIdx >= 0) match {
         case Some(p) =>
           // final unit slice, plus any commits the trigger's
           // remaining budget admitted (their ordinals shift past the
           // slice's ordinal 1)
-          val lastSlice = unitSlice(p.seq, p.added, p.fileIdx, Int.MaxValue)
+          val lastSlice = unitSlice(p.seq, p.unit, p.fileIdx, Int.MaxValue)
           Changes.between(spark, ops.warehouse, ops, meta, p.seq, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)
             .map(rest => lastSlice.unionAll(rest.withColumn(
@@ -550,11 +715,18 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     GraftStreamShim.streamingFrom(batch)
   }
 
-  override def commit(end: OffsetV1): Unit =
-    // offsets back to pure seqs = the genesis drain is over: release
-    // the O(files) state list (a later recovery replay of a sliced
-    // range just recomputes it)
-    if (parseOffset(end.json).fileIdx < 0) drain.release()
+  override def commit(end: OffsetV1): Unit = {
+    // offsets back to pure seqs = the drain is over: release the
+    // O(files) memo (a later recovery replay of a metadata-backed
+    // sliced range just recomputes it) and delete fully-delivered
+    // materialized row-level units (those CANNOT be recomputed, but
+    // only the last uncommitted batch ever replays)
+    val en = parseOffset(end.json)
+    if (en.fileIdx < 0) {
+      drain.release()
+      if (splitRowLevel) releaseRowUnits(en.seq)
+    }
+  }
 
   override def stop(): Unit = ()
 
@@ -576,8 +748,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   * requires it) and thereby the DSv2 one (admission control requires
   * that); pre-split checkpoints (bare LongOffset numbers) parse via
   * [[GraftCdcSource]]'s reader. */
-case class CdcOffset(seq: Long, fileIdx: Int = -1, added: Boolean = false)
+case class CdcOffset(seq: Long, fileIdx: Int = -1, unit: String = "")
   extends OffsetV1 {
   override def json(): String =
-    graft.catalog.SliceOffsets.render(seq, fileIdx, added)
+    graft.catalog.SliceOffsets.render(seq, fileIdx, unit)
 }

@@ -191,9 +191,12 @@ class CdcTailSplitSpec extends AnyFunSuite {
     val ops = new graft.catalog.TableOps("/tmp/graft_test_tcCdcTspO", "st/t")
     val src = new graft.streaming.GraftCdcSource(spark, ops, ops.refresh().get._2, 0L)
     import graft.streaming.CdcOffset
-    assert(CdcOffset(7, 3, added = true).json == """{"seq":7,"idx":3,"unit":"added"}""")
+    assert(CdcOffset(7, 3, "added").json == """{"seq":7,"idx":3,"unit":"added"}""")
     assert(src.deserializeOffset("""{"seq":7,"idx":3,"unit":"added"}""") ==
-      CdcOffset(7, 3, added = true))
+      CdcOffset(7, 3, "added"))
+    assert(CdcOffset(7, 3, "rows").json == """{"seq":7,"idx":3,"unit":"rows"}""")
+    assert(src.deserializeOffset("""{"seq":7,"idx":3,"unit":"rows"}""") ==
+      CdcOffset(7, 3, "rows"))
     assert(src.deserializeOffset("""{"seq":7,"idx":3}""") == CdcOffset(7, 3))
     assert(src.deserializeOffset("""{"seq":7}""") == CdcOffset(7))
     assert(src.deserializeOffset("5") == CdcOffset(5))

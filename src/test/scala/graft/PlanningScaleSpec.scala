@@ -283,9 +283,9 @@ class PlanningScaleSpec extends AnyFunSuite {
     // locals (incl. expression temporaries) reachable until it exits,
     // which would fail the weak-ref assert spuriously
     def setupAndMeasure(): java.lang.ref.WeakReference[AnyRef] = {
-      val list = drain.list(7L, added = false)(mkFiles())
+      val list = drain.list(7L, graft.catalog.SliceOffsets.UnitState)(mkFiles())
       assert(list.size == Chunks * PerChunk)
-      assert(drain.list(7L, added = false)(
+      assert(drain.list(7L, graft.catalog.SliceOffsets.UnitState)(
         fail("memo miss re-materialized the in-flight unit")) eq list)
       val bytes = org.apache.spark.util.SizeEstimator.estimate(list)
       val perFile = bytes.toDouble / list.size
