@@ -323,12 +323,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       if (st.unit == SliceOffsets.UnitRows) {
         // materialized row-level unit: slices pack whole spill files up
         // to the rows cap (footer-exact counts; no file exceeds the cap
-        // — maxRecordsPerFile bounded the write). No tail piggyback:
-        // the drain's budget accounting ends with the unit
+        // — maxRecordsPerFile bounded the write); a final slice with
+        // leftover budget admits the tail, like the other unit kinds
         val list = rowUnitList(st.seq)
-        val (next, _, _) = drain.admit(list, st.fileIdx, None, capRows)
+        val (next, _, rows) = drain.admit(list, st.fileIdx, None, capRows)
         return if (next < list.size) CdcOffset(st.seq, next, SliceOffsets.UnitRows)
-        else CdcOffset(st.seq)
+        else tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows,
+          capCommits, capRows)
       }
       val list = unitFiles(meta, st.seq, st.unit)
       val (next, _, rows) = drain.admit(list, st.fileIdx, None, capRows)
@@ -421,13 +422,15 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         // rollback) run inside the materialization, so this path is
         // exactly as loud as the unsplit one.
         val list = rowUnitMaterialize(meta, end, s, capRows.get)
-        val (next, _, _) = drain.admit(list, 0, None, capRows)
-        if (next >= list.size) {
-          // the whole diff fits one batch (small or empty commit):
-          // admit-and-close as before — getBatch's between() path
-          // delivers it, the spill dir is just unused insurance
+        if (list.isEmpty) {
+          // empty diff: nothing to slice — admit-and-close (between
+          // recomputes the empty batch)
           n += 1; end = s.sequenceNumber; stop = true
         } else {
+          // even a diff that fits ONE batch is delivered from the
+          // spilled files (next == list.size then): the spill is the
+          // diff's single execution, not insurance beside a recompute
+          val (next, _, _) = drain.admit(list, 0, None, capRows)
           slice = Some(CdcOffset(s.sequenceNumber, next, SliceOffsets.UnitRows))
           stop = true
         }
@@ -465,10 +468,12 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 
   // ---- unit slices (genesis state / oversized append) --------------
 
-  /** One admission UNIT's file list in stable path order — the genesis
-    * snapshot's full STATE (`added = false`) or an oversized append's
-    * ADDED set (`added = true`; the offset carries which, because the
-    * same seq can be either depending on where the stream started) —
+  /** One metadata-backed admission UNIT's file list in stable path
+    * order — the genesis snapshot's full STATE (`unit = ""`) or an
+    * oversized append's ADDED set (`unit = "added"`; the offset
+    * carries which, because the same seq can be either depending on
+    * where the stream started; the materialized `"rows"` unit has its
+    * own loader, [[rowUnitList]]) —
     * so (seq, fileIdx, unit) offsets slice it reproducibly across
     * triggers, restarts, and checkpoint replays. Memoization and the
     * end-of-drain release are the shared [[graft.catalog.SliceDrain]]
@@ -625,9 +630,14 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       if (fs.exists(rootPath))
         fs.listStatus(rootPath).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith("seq-") &&
+          // orphaned tmp dirs (a crash between write and rename) are
+          // never referenced — materialization is single-threaded with
+          // commit on the stream's thread and always writes a FRESH
+          // tmp — so every tmp is sweepable garbage
+          val dead = n.contains(".tmp-") ||
+            (n.startsWith("seq-") &&
               scala.util.Try(n.stripPrefix("seq-").toLong).toOption.exists(_ <= upToSeq))
-            fs.delete(st.getPath, true): Unit
+          if (dead) fs.delete(st.getPath, true): Unit
         }
     }
 
@@ -715,16 +725,28 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     GraftStreamShim.streamingFrom(batch)
   }
 
+  @volatile private var prevCommittedEnd: Option[CdcOffset] = None
+
   override def commit(end: OffsetV1): Unit = {
     // offsets back to pure seqs = the drain is over: release the
     // O(files) memo (a later recovery replay of a metadata-backed
-    // sliced range just recomputes it) and delete fully-delivered
-    // materialized row-level units (those CANNOT be recomputed, but
-    // only the last uncommitted batch ever replays)
+    // sliced range just recomputes it)
     val en = parseOffset(end.json)
-    if (en.fileIdx < 0) {
-      drain.release()
-      if (splitRowLevel) releaseRowUnits(en.seq)
+    if (en.fileIdx < 0) drain.release()
+    if (splitRowLevel) {
+      // Materialized units CANNOT be recomputed, and Spark REPLAYS the
+      // last committed batch's (start, end) pair through getBatch on
+      // every restart (MicroBatchExecution.populateStartOffsets) — so
+      // a unit dir is deletable only when NEITHER offset of the
+      // now-last-committed batch references it. The batch's start is
+      // the PREVIOUS commit's end; after a restart that end is unknown
+      // and this commit deletes nothing (bounded leftovers — at most
+      // the in-flight unit — swept by the next commit).
+      def ref(o: CdcOffset): Long = if (o.fileIdx >= 0) o.seq else Long.MaxValue
+      prevCommittedEnd.foreach { prev =>
+        releaseRowUnits(math.min(math.min(ref(prev), ref(en)), en.seq + 1) - 1)
+      }
+      prevCommittedEnd = Some(en)
     }
   }
 
@@ -736,15 +758,17 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
 /** CDC offset: `seq` = last fully-delivered commit sequence number;
   * `fileIdx >= 0` marks a PARTIAL admission unit — the first `fileIdx`
   * files (path order) of that unit have been delivered, where the unit
-  * is the genesis snapshot's full STATE (`added = false`, a fresh
-  * stream's catch-up over an aged table) or a single oversized append
-  * commit's ADDED set (`added = true`, the one-commit 10 TB backfill
-  * landing mid-tail). The unit KIND is in the offset because the same
-  * seq can legitimately be either depending on where the stream
-  * started, and a checkpoint replay must resolve the slice from
-  * metadata alone. Partial offsets arise only under
-  * max-rows-per-trigger; once the unit completes, offsets are pure
-  * sequence numbers again. Extends the V1 offset class (getBatch
+  * is the genesis snapshot's full STATE (`unit = ""`, a fresh
+  * stream's catch-up over an aged table), a single oversized append
+  * commit's ADDED set (`unit = "added"`, the one-commit 10 TB backfill
+  * landing mid-tail), or a row-level commit's MATERIALIZED change rows
+  * (`unit = "rows"`, under the split-row-level opt-in). The unit KIND
+  * is in the offset because the same seq can legitimately be any of
+  * them depending on where the stream started and its options, and a
+  * checkpoint replay must resolve the slice from the offset plus
+  * metadata (or the persisted spill) alone. Partial offsets arise only
+  * under max-rows-per-trigger; once the unit completes, offsets are
+  * pure sequence numbers again. Extends the V1 offset class (getBatch
   * requires it) and thereby the DSv2 one (admission control requires
   * that); pre-split checkpoints (bare LongOffset numbers) parse via
   * [[GraftCdcSource]]'s reader. */

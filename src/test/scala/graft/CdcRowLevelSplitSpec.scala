@@ -140,6 +140,44 @@ class CdcRowLevelSplitSpec extends AnyFunSuite {
       s"rows lost across the restart: ${(run1 ++ run2).size}")
   }
 
+  test("restart after a COMPLETED rows drain keeps working: the committed final batch's replay still finds its unit") {
+    // The scenario that would brick the checkpoint if commit() deleted
+    // the spill dir eagerly: Spark's populateStartOffsets re-invokes
+    // getBatch on the LAST COMMITTED batch at every restart, and after
+    // a completed drain that batch's start offset names the rows unit.
+    freshWh("tcCdcRlsRb")
+    cowTable("tcCdcRlsRb")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcrlsrb_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, Long)]()
+    def start() = spark.readStream.format("graft-cdc")
+      .option("table", "tcCdcRlsRb.st.t")
+      .option("start-seq", "1")
+      .option("max-rows-per-trigger", "10")
+      .option("split-row-level", "true")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally { q1.stop(); graft.streaming.Hygiene.unload(q1.runId) }
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_._1).toSet == (0L until 30L).toSet, "drain incomplete")
+
+    // new traffic lands while the stream is down; the restart must
+    // replay the committed final batch (needs the unit dir), then
+    // deliver exactly the new commit
+    spark.sql("INSERT INTO tcCdcRlsRb.st.t VALUES (777)")
+    seen.clear()
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally { q2.stop(); graft.streaming.Hygiene.unload(q2.runId) }
+    assert(seen.asScala.toSet.map((r: (Long, String, Int, Long)) => (r._1, r._2)) ==
+      Set((777L, "insert")),
+      s"resume after a completed drain must deliver exactly the new commit: " +
+        s"${seen.asScala.toList}")
+  }
+
   test("unit lifecycle on the source directly: slices, loud lost-dir failure, commit deletes the delivered unit") {
     freshWh("tcCdcRlsU")
     cowTable("tcCdcRlsU")
@@ -167,10 +205,23 @@ class CdcRowLevelSplitSpec extends AnyFunSuite {
       if (cur.fileIdx >= 0) slices += 1
     }
     assert(cur == CdcOffset(2), s"drain must end pure-seq: $cur")
-    assert(slices >= 2, s"30 rows at cap 10 must take >= 3 triggers ($slices slices + final)")
-    // commit of the pure-seq offset deletes the fully-delivered unit
-    src.commit(CdcOffset(2))
-    assert(!unitDir.exists(), "delivered unit must be deleted at commit")
+    // 30 rows at cap 10 = 3 bounded deliveries: >= 2 mid-drain slice
+    // OFFSETS plus the final slice riding the pure-seq batch — a
+    // broken admit() packing 15+ rows per slice would emit only 1
+    assert(slices >= 2,
+      s"30 rows at cap 10 must emit >= 2 mid-drain slice offsets ($slices)")
+    // replay-safe deletion: the unit survives every commit whose batch
+    // (start = previous end, end = this one) still references it —
+    // Spark REPLAYS the last committed batch through getBatch on
+    // restart, so deleting eagerly would brick the checkpoint
+    src.commit(firstSlice)        // first commit after (re)start: sweep nothing
+    assert(unitDir.isDirectory)
+    src.commit(CdcOffset(2))      // batch (slice, pure-2) still references unit 2
+    assert(unitDir.isDirectory,
+      "unit referenced by the last committed batch must survive its commit")
+    src.commit(CdcOffset(3))      // batch (pure-2, pure-3) references nothing
+    assert(!unitDir.exists(),
+      "unit must be deleted once no replayable batch references it")
 
     // a LOST dir mid-drain fails loudly instead of re-materializing
     // (slice indices cannot re-bind to a fresh nondeterministic write)
