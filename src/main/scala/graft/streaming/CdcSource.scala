@@ -324,7 +324,9 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         // materialized row-level unit: slices pack whole spill files up
         // to the rows cap (footer-exact counts; no file exceeds the cap
         // — maxRecordsPerFile bounded the write); a final slice with
-        // leftover budget admits the tail, like the other unit kinds
+        // leftover budget admits APPEND tail commits (budgeted by
+        // manifest stats) — a row-level successor defers to its own
+        // trigger and splits (see tailEnd)
         val list = rowUnitList(st.seq)
         val (next, _, rows) = drain.admit(list, st.fileIdx, None, capRows)
         return if (next < list.size) CdcOffset(st.seq, next, SliceOffsets.UnitRows)
@@ -410,10 +412,16 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           // admit it; the next iteration's exceeds check closes
           n += 1; rows += rAdm; end = s.sequenceNumber
         }
-      } else if (countRows && !isAppend && !isReplace && splitRowLevel && n == 0) {
-        // row-level commit as the trigger's FIRST unit (n == 0
-        // explicitly: with budget already spent it is instead admitted
-        // into the mixed batch and closes it, the pre-split shape)
+      } else if (countRows && !isAppend && !isReplace && splitRowLevel && n > 0) {
+        // under the opt-in a row-level commit NEVER piggybacks a
+        // trigger that already spent budget — its change-row count is
+        // unbudgeted (r = 0 above), so admit-and-close here would be
+        // the exact unbounded batch the opt-in exists to prevent
+        // (e.g. a 10M-row MERGE right behind a completed drain).
+        // Deferred one trigger, it becomes the FIRST unit and splits.
+        stop = true
+      } else if (countRows && !isAppend && !isReplace && splitRowLevel) {
+        // row-level commit as the trigger's FIRST unit
         // with the split-row-level opt-in: materialize the commit's
         // change rows ONCE — bounded
         // files via maxRecordsPerFile = the rows cap — and drain them
@@ -726,6 +734,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   }
 
   @volatile private var prevCommittedEnd: Option[CdcOffset] = None
+  @volatile private var sweptFloor: Long = Long.MinValue
 
   override def commit(end: OffsetV1): Unit = {
     // offsets back to pure seqs = the drain is over: release the
@@ -743,8 +752,18 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       // and this commit deletes nothing (bounded leftovers — at most
       // the in-flight unit — swept by the next commit).
       def ref(o: CdcOffset): Long = if (o.fileIdx >= 0) o.seq else Long.MaxValue
-      prevCommittedEnd.foreach { prev =>
-        releaseRowUnits(math.min(math.min(ref(prev), ref(en)), en.seq + 1) - 1)
+      val floor = prevCommittedEnd match {
+        case Some(prev) => math.min(math.min(ref(prev), ref(en)), en.seq + 1) - 1
+        case None => -1L // unknown prev: no UNIT deletable, tmps still are
+      }
+      // one spill-root listing per floor ADVANCE, not per commit (a
+      // 1000-slice drain would otherwise LIST the checkpoint fs every
+      // micro-batch for an unchanged floor); the session's first sweep
+      // (floor -1) deletes no unit but clears orphaned tmp dirs, so a
+      // crash's leftovers go even under one-commit-per-session usage
+      if (sweptFloor == Long.MinValue || floor > sweptFloor) {
+        releaseRowUnits(floor)
+        sweptFloor = floor
       }
       prevCommittedEnd = Some(en)
     }

@@ -14,8 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * micro-batch the size of the commit. Replay safety comes from the
   * PERSISTED files (never recomputed mid-drain — the diff's
   * row-to-file assignment is not deterministic across recomputations;
-  * a lost dir fails loudly), and fully-delivered units are deleted at
-  * commit. Default behavior (no option) stays admit-and-close. */
+  * a lost dir fails loudly), and cleanup is replay-safe: a unit is
+  * deleted only once neither offset of the last COMMITTED batch
+  * references it (Spark re-runs that batch's getBatch at every
+  * restart). Default behavior (no option) stays admit-and-close. */
 class CdcRowLevelSplitSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -176,6 +178,39 @@ class CdcRowLevelSplitSpec extends AnyFunSuite {
       Set((777L, "insert")),
       s"resume after a completed drain must deliver exactly the new commit: " +
         s"${seen.asScala.toList}")
+  }
+
+  test("back-to-back row-level commits each split as their OWN unit — one never piggybacks another's trigger") {
+    // the unbounded-batch regression guard: a row-level commit's
+    // change-row count is unbudgeted, so admitting one into a trigger
+    // that already spent budget (e.g. the final slice of the PREVIOUS
+    // commit's drain) would deliver it whole — the exact batch the
+    // opt-in exists to prevent. It must defer one trigger and split.
+    freshWh("tcCdcRlsB")
+    cowTable("tcCdcRlsB")                                    // seq 2: 30 deletes
+    spark.sql("DELETE FROM tcCdcRlsB.st.t WHERE id >= 50")   // seq 3: 10 deletes
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, Long)]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", "tcCdcRlsB.st.t")
+      .option("start-seq", "1")
+      .option("max-rows-per-trigger", "10")
+      .option("split-row-level", "true")
+      .load()
+      .writeStream.foreachBatch(collector(seen))
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+    import scala.jdk.CollectionConverters._
+    val byBatch = seen.asScala.toSeq.groupBy(_._4).toSeq.sortBy(_._1).map(_._2)
+    assert(byBatch.forall(_.size <= 10),
+      s"a batch exceeded the rows cap: ${byBatch.map(_.size)}")
+    assert(byBatch.forall(b =>
+        b.forall(_._1 < 30) || b.forall(_._1 >= 50)),
+      s"a batch mixed two row-level commits' rows: ${byBatch.map(_.map(_._1))}")
+    assert(seen.asScala.forall(r => r._2 == "delete" && r._3 == 1),
+      "every slice is an ordinal-1 delete of its own commit")
+    assert(seen.asScala.map(_._1).toSet ==
+      ((0L until 30L) ++ (50L until 60L)).toSet, "rows lost or duplicated")
   }
 
   test("unit lifecycle on the source directly: slices, loud lost-dir failure, commit deletes the delivered unit") {
