@@ -214,10 +214,22 @@ object Bench {
           }
         }
       } catch { case _: Throwable => Map.empty }
-    val prev = prevQueries(java.nio.file.Paths.get("BENCH_PREV.json"))
-    val movers = ok.flatMap { case (k, v, _, _, _, _) =>
+    val prevPath = java.nio.file.Paths.get("BENCH_PREV.json")
+    val prev = prevQueries(prevPath)
+    // a silently-skipped movers recheck must be distinguishable from
+    // no-previous-round: the fallback-to-empty hides parse drift
+    if (java.nio.file.Files.exists(prevPath) && prev.isEmpty)
+      System.err.println("[bench] BENCH_PREV.json present but yielded no " +
+        s"queries for sf=$sfDir (sf mismatch or parse drift) — movers " +
+        "self-diagnosis skipped")
+    val ranked = ok.flatMap { case (k, v, _, _, _, _) =>
       prev.get(k).filter(_ >= 0.15).map(p => (k, v / p)) }
-      .sortBy(-_._2).take(5)
+      .sortBy(-_._2)
+    // every >1.4x mover gets re-timed (r19: x1.51 and x1.45 movers sat
+    // just outside the fixed five slots — the same one-notch-smaller
+    // blind spot r18 hit), capped at 10; always at least the top 5 so
+    // quiet rounds keep their round-over-round context
+    val movers = ranked.take(math.min(10, math.max(5, ranked.count(_._2 > 1.4))))
     val reusable = recheckPairs.toMap
     val moverPairs = movers.map { case (k, _) =>
       k -> reusable.getOrElse(k, recheckProtocol(Seq(k)).head._2) }

@@ -6,6 +6,8 @@ package graft.catalog
   * `{"seq":N,"idx":K}` = the first K files (stable path order) of
   * seq N's genesis-STATE unit delivered; `{"seq":N,"idx":K,
   * "unit":"added"}` = same for an oversized append's ADDED unit;
+  * `{"seq":N,"idx":K,"unit":"deleted"}` = same for an oversized MOR
+  * position-delete commit's added DELETE-FILE set (CDC only);
   * `{"seq":N,"idx":K,"unit":"rows"}` = same for a row-level commit's
   * MATERIALIZED change-row unit (CDC only, opt-in `split-row-level`).
   * Checkpoint compatibility depends on render and parse staying
@@ -19,8 +21,9 @@ object SliceOffsets {
   val UnitState = ""
   val UnitAdded = "added"
   val UnitRows = "rows"
+  val UnitDeleted = "deleted"
 
-  private val Re = """\{"seq":(\d+)(?:,"idx":(\d+)(?:,"unit":"(added|rows)")?)?\}""".r
+  private val Re = """\{"seq":(\d+)(?:,"idx":(\d+)(?:,"unit":"(added|rows|deleted)")?)?\}""".r
 
   def render(seq: Long, fileIdx: Int, unit: String): String =
     if (fileIdx < 0) s"""{"seq":$seq}"""

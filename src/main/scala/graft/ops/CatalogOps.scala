@@ -889,6 +889,109 @@ object CatalogOps extends Pack {
         |WHERE n_nationkey < 15
         |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // MOR row-level CDC admission: a position-delete file's manifest
+    // record count IS its delete-row count, so an over-cap MOR
+    // position-delete commit slices by its added DELETE-FILE set
+    // ({"seq","idx","unit":"deleted"} offsets) — bounded batches with
+    // NO materialization spill and NO opt-in, unlike the COW twin
+    // (q_str_cdcrowsplit). The row REQUIRES the drain arrived
+    // rate-limited (>= 3 bounded delete batches), then oracles content
+    // exactness: exactly the deleted keys, delete-tagged.
+    Decl("q_str_cdcmorsplit", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cms")
+      spark.sql(s"CREATE TABLE $c.demo_cms.nat (n_nationkey INT, n_name STRING) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      // range-clustered insert: keys < 15 land in exactly 3 of the 5
+      // files, so the MOR delete references 3 parent files
+      Tables(spark, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"))
+        .repartitionByRange(5, col("n_nationkey"))
+        .writeTo(s"$c.demo_cms.nat").append()                        // seq 1
+      // the delete writer range-clusters entries by referenced file;
+      // AQE would coalesce this 15-row shuffle to ONE delete file and
+      // leave nothing to slice — disable coalescing for the DELETE only
+      val k = "spark.sql.adaptive.coalescePartitions.enabled"
+      val coalesce = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try spark.sql(s"DELETE FROM $c.demo_cms.nat WHERE n_nationkey < 15") // seq 2, MOR
+      finally spark.conf.set(k, coalesce)
+      require(spark.table(s"$c.demo_cms.`nat$$snapshots`").count() == 2,
+        "setup: insert + ONE MOR delete commit")
+      val name = s"graft_cms_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$c.demo_cms.nat")
+        .option("start-seq", "1")
+        .option("max-rows-per-trigger", "5")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.filter(_.numInputRows > 0)
+        require(fed.length >= 3,
+          s"MOR delete arrived in ${fed.length} batch(es) — not delete-file-split")
+        require(fed.forall(_.numInputRows <= 5),
+          s"a batch exceeded the rows cap: ${fed.map(_.numInputRows).mkString(",")}")
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.select(col("n_nationkey"), col("n_name"), col("_change_type"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name, 'delete' AS _change_type FROM nation
+        |WHERE n_nationkey < 15
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming update images: compute-updates + identifier-columns
+    // refines each micro-batch's identifier-keyed delete+insert pairs
+    // into update_preimage/update_postimage — the streaming spelling
+    // of create_changelog_view(compute_updates), same kernel as
+    // q_cat_changelog_updates. A COW UPDATE rewrites whole files, so
+    // the oracle also proves carry-over cancellation: untouched
+    // rewritten rows (keys >= 10) must NOT surface.
+    Decl("q_str_cdcupdates", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val c = cat(spark, dir)
+      freshNs(spark, c, "demo_cup")
+      spark.sql(s"CREATE TABLE $c.demo_cup.nat (n_nationkey INT, n_name STRING)")
+      Tables(spark, dir, "nation").createOrReplaceTempView("cup_nation_src")
+      spark.sql(s"INSERT INTO $c.demo_cup.nat SELECT n_nationkey, n_name " +
+        "FROM cup_nation_src")                                        // seq 1
+      spark.sql(s"UPDATE $c.demo_cup.nat SET n_name = concat(n_name, '_U') " +
+        "WHERE n_nationkey < 10")                                     // seq 2, COW
+      val name = s"graft_cup_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$c.demo_cup.nat")
+        .option("start-seq", "1")
+        .option("compute-updates", "true")
+        .option("identifier-columns", "n_nationkey")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val out = try {
+        q.processAllAvailable()
+        spark.table(name).localCheckpoint()
+      } finally {
+        q.stop()
+        graft.streaming.Hygiene.unload(q.runId)
+        spark.catalog.dropTempView(name)
+      }
+      out.select(col("n_nationkey"), col("n_name"), col("_change_type"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("n_name").asc_nulls_first,
+          col("_change_type").asc_nulls_first)
+    }, Some(
+      """SELECT n_nationkey, n_name, _change_type FROM (
+        |  SELECT n_nationkey, n_name, 'update_preimage' AS _change_type
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '_U', 'update_postimage'
+        |  FROM nation WHERE n_nationkey < 10)
+        |ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST,
+        |  _change_type ASC NULLS FIRST""".stripMargin)),
+
     // Incremental append scan: only rows added AFTER the start
     // snapshot reach the scan (O(increment), not O(table)) — the
     // "process what's new since yesterday" read a 100 TB ingest

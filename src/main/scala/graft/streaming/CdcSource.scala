@@ -40,9 +40,11 @@ import org.apache.spark.sql.types.StructType
   * order) of the unit delivered — where the unit is a FRESH stream's
   * genesis state over an aged table, or (with `"unit":"added"` in the
   * offset) a single append commit whose added rows alone exceed the
-  * cap, or (with `"unit":"rows"`, under the `split-row-level` opt-in)
-  * a row-level commit's MATERIALIZED change rows; so a 100 TB
-  * catch-up, a one-commit 10 TB backfill, or a table-wide COW MERGE
+  * cap, or (with `"unit":"deleted"`) an over-cap MOR position-delete
+  * commit's added delete-file set, or (with `"unit":"rows"`, under
+  * the `split-row-level` opt-in) a row-level commit's MATERIALIZED
+  * change rows; so a 100 TB catch-up, a one-commit 10 TB backfill, a
+  * table-wide MOR DELETE, or a table-wide COW MERGE
   * arrives as bounded, checkpoint-resumable slices instead of one
   * unbounded batch. Pre-split checkpoints (bare `LongOffset` numbers)
   * keep parsing.
@@ -152,6 +154,31 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       require(maxRows.isDefined,
         "graft-cdc option split-row-level requires max-rows-per-trigger " +
           "(the cap is what sizes the materialized slice files)")
+    // compute-updates: per micro-batch, refine identifier-keyed
+    // delete+insert pairs into update_preimage/update_postimage — the
+    // streaming spelling of create_changelog_view(compute_updates),
+    // same kernel ([[Changes.computeUpdates]]). Safe under every
+    // slice kind EXCEPT the materialized rows unit: genesis/added
+    // slices are insert-only, deleted slices come from commits that
+    // added no data (delete-only), and unsplit commits arrive whole —
+    // so pairs never straddle a batch boundary. A rows-unit slice CAN
+    // split a commit's delete+insert pair across two batches, and
+    // per-batch refinement would then mislabel the halves as plain
+    // deletes/inserts — the combination is refused.
+    val computeUpdates = parameters.get("compute-updates").exists(_.toBoolean)
+    val idCols = parameters.get("identifier-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (computeUpdates) {
+      require(idCols.nonEmpty,
+        "graft-cdc option compute-updates requires identifier-columns " +
+          "(comma-separated; Iceberg's identifier-field contract — they must " +
+          "identify a row within one commit)")
+      require(!splitRowLevel,
+        "graft-cdc: compute-updates cannot be combined with split-row-level — " +
+          "a materialized row-level unit's delete+insert pairs can split " +
+          "across slice boundaries, and per-batch refinement would mislabel " +
+          "the halves as plain deletes/inserts; drop one of the options")
+    }
     new GraftCdcSource(ctx.sparkSession, ops, loadMeta(ops), startSeq, allowSynthetic,
       maxCommitsPerTrigger = parameters.get("max-commits-per-trigger").map(_.toInt),
       maxRowsPerTrigger = maxRows,
@@ -170,7 +197,8 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       // parsed like the main gate (toBoolean, case-insensitive) so
       // "FALSE" opts out of slices and unsplit replays identically
       syntheticOptOutExplicit =
-        parameters.get("allow-synthetic-genesis").exists(!_.toBoolean))
+        parameters.get("allow-synthetic-genesis").exists(!_.toBoolean),
+      updateIdCols = if (computeUpdates) Some(idCols) else None)
   }
 }
 
@@ -181,7 +209,8 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     maxRowsPerTrigger: Option[Long] = None,
     syntheticOptOutExplicit: Boolean = false,
     splitRowLevel: Boolean = false,
-    rowLevelSpillRoot: Option[String] = None) extends Source
+    rowLevelSpillRoot: Option[String] = None,
+    updateIdCols: Option[Seq[String]] = None) extends Source
   with SupportsAdmissionControl with SupportsTriggerAvailableNow
   with SliceAwareReporting {
 
@@ -280,18 +309,25 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * drains as ⌈files/cap⌉ bounded slices and later commits never
     * piggyback on it (genesis rows are counted from the full state's
     * manifest stats, never the undercounting added-files view).
-    * Row-LEVEL commits have no file list to slice (their change rows
-    * are a PLAN); by default they admit-and-close, and under the
-    * `split-row-level` opt-in they too drain bounded — the diff is
-    * materialized ONCE under the stream's checkpoint and its files
-    * slice via `{"seq":N,"idx":K,"unit":"rows"}` offsets (see the
-    * batch-bound note in STREAMING.md). Row accounting under the rows
-    * cap: appends count their EXACT added rows (manifest stats,
-    * chunk-cached, only loaded when the rows cap is set); a row-level
-    * commit's change-row count has no cheap upper bound (an equality
-    * delete's stats count predicates, not rows), so it admits and then
-    * CLOSES the batch — the cap can never be silently inert on
-    * row-level history; `replace` (compaction) emits nothing and
+    * Row-LEVEL commits split three ways. A MOR commit that removes no
+    * data files and adds only POSITION deletes is BUDGETED exactly —
+    * a position-delete file's manifest record count IS its delete-row
+    * count ([[morBudget]]) — so bounded MOR traffic packs into capped
+    * triggers like appends, and a position-delete-ONLY commit that
+    * alone exceeds the cap slices by its added DELETE-FILE set
+    * (`{"seq":N,"idx":K,"unit":"deleted"}` offsets: change rows bind
+    * to (parent file, pos), so a delete-file subset is an exact
+    * replayable slice — a table-wide MOR DELETE drains bounded with
+    * no spill). Everything else — COW, equality deletes, over-cap
+    * MIXED MOR — has no cheap row count or no single file set to
+    * slice: by default it admits-and-CLOSES the batch (the cap is
+    * never silently inert), and under the `split-row-level` opt-in it
+    * too drains bounded — the diff is materialized ONCE under the
+    * stream's checkpoint and its files slice via
+    * `{"seq":N,"idx":K,"unit":"rows"}` offsets (see the batch-bound
+    * note in STREAMING.md). Appends count their EXACT added rows
+    * (manifest stats, chunk-cached, only loaded when the rows cap is
+    * set); `replace` (compaction) emits nothing and
     * passes through free. The admission walk is in-memory pointer
     * chasing over RETAINED snapshots (bounded by the table's retention
     * policy), already materialized by refresh. */
@@ -386,8 +422,19 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     for (s <- lineageAbove(meta, base, head) if !stop) {
       val isAppend = s.operation == "append"
       val isReplace = s.operation == "replace"
+      val isRowLevel = !isAppend && !isReplace
       lazy val addedList = ops.addedFiles(s)
-      val r = if (countRows && isAppend) addedList.map(_.records).sum else 0L
+      // a row-level commit's exact change-row budget when metadata
+      // gives one cheaply (MOR position-delete traffic — the spelling
+      // STREAMING.md recommends for bounded row-level streams); None =
+      // COW or equality deletes, whose change-row count has no cheap
+      // upper bound
+      val mor: Option[(Long, Seq[DataFile])] =
+        if (countRows && isRowLevel) morBudget(meta, s, addedList) else None
+      val r =
+        if (!countRows) 0L
+        else if (isAppend) addedList.map(_.records).sum
+        else mor.map(_._1).getOrElse(0L)
       val exceeds = capCommits.exists(n + 1 > _) || capRows.exists(rows + r > _)
       if (exceeds && n > 0) stop = true
       else if (exceeds && isAppend && capRows.exists(r > _) && addedList.nonEmpty) {
@@ -412,17 +459,44 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           // admit it; the next iteration's exceeds check closes
           n += 1; rows += rAdm; end = s.sequenceNumber
         }
-      } else if (countRows && !isAppend && !isReplace && splitRowLevel && n > 0) {
-        // under the opt-in a row-level commit NEVER piggybacks a
-        // trigger that already spent budget — its change-row count is
-        // unbudgeted (r = 0 above), so admit-and-close here would be
-        // the exact unbounded batch the opt-in exists to prevent
-        // (e.g. a 10M-row MERGE right behind a completed drain).
-        // Deferred one trigger, it becomes the FIRST unit and splits.
+      } else if (exceeds && capRows.exists(r > _) &&
+          mor.exists(_._2.nonEmpty) && addedList.isEmpty) {
+        // the trigger's FIRST unit is an over-cap MOR commit that is
+        // position-delete-ONLY (budgeted, no added data files): slice
+        // its added DELETE-FILE set — the change rows bind to
+        // (parent file, pos), so a delete-file subset is an exact
+        // replayable slice and a table-wide MOR DELETE drains bounded
+        // WITHOUT the split-row-level materialization spill. Same
+        // contiguity re-assertion as the added split: deletedSlice
+        // bypasses Changes.between's truncation guards.
+        assertSplitContiguous(meta, base, s)
+        val list = drain.list(s.sequenceNumber, SliceOffsets.UnitDeleted)(mor.get._2)
+        val (next, _, rAdm) = drain.admit(list, 0, None, capRows)
+        if (next < list.size) {
+          slice = Some(CdcOffset(s.sequenceNumber, next, SliceOffsets.UnitDeleted))
+          stop = true
+        } else {
+          // one unsplittable delete file: admit whole; next
+          // iteration's exceeds check closes
+          n += 1; rows += rAdm; end = s.sequenceNumber
+        }
+      } else if (countRows && isRowLevel && mor.isEmpty && splitRowLevel && n > 0) {
+        // under the opt-in an UNBUDGETED row-level commit NEVER
+        // piggybacks a trigger that already spent budget — its
+        // change-row count is unknown (r = 0 above), so
+        // admit-and-close here would be the exact unbounded batch the
+        // opt-in exists to prevent (e.g. a 10M-row MERGE right behind
+        // a completed drain). Deferred one trigger, it becomes the
+        // FIRST unit and splits. A BUDGETED (MOR) commit that fits
+        // the remaining budget rides like an append; one that
+        // doesn't was deferred by the exceeds check above.
         stop = true
-      } else if (countRows && !isAppend && !isReplace && splitRowLevel) {
-        // row-level commit as the trigger's FIRST unit
-        // with the split-row-level opt-in: materialize the commit's
+      } else if (countRows && isRowLevel && splitRowLevel &&
+          (mor.isEmpty || exceeds)) {
+        // row-level commit as the trigger's FIRST unit with the
+        // split-row-level opt-in, either unbudgetable (COW/equality)
+        // or over-cap MIXED MOR (added data AND deletes — two file
+        // sets, no single-set slice): materialize the commit's
         // change rows ONCE — bounded
         // files via maxRecordsPerFile = the rows cap — and drain them
         // as {"seq":N,"idx":K,"unit":"rows"} slices. All of
@@ -444,12 +518,51 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         }
       } else {
         n += 1; rows += r; end = s.sequenceNumber
-        // row-level commit under a rows cap: unknown change-row
-        // count — close the batch here (see doc above)
-        if (countRows && !isAppend && !isReplace) stop = true
+        // row-level commit under a rows cap: a BUDGETED (MOR
+        // position-delete) commit that fits packs like an append —
+        // several small MOR deletes share one capped trigger; an
+        // UNBUDGETED one (COW/equality — unknown change-row count) or
+        // an over-cap MIXED one (no single-file-set slice, no opt-in)
+        // closes the batch here, so the cap is never silently inert
+        if (countRows && isRowLevel && (mor.isEmpty || exceeds)) stop = true
       }
     }
     slice.getOrElse(CdcOffset(end))
+  }
+
+  /** A row-level commit's EXACT change-row budget when the metadata
+    * gives one cheaply, paired with its added position-delete file
+    * list: a MOR commit that removes no data files and whose added
+    * delete files are all POSITION deletes changes at most (added
+    * data records) + (added position-delete entries) rows. A
+    * position-delete file's manifest record count IS its (file, pos)
+    * entry count — one delete row each; entries whose target was
+    * already dead emit nothing, so the budget conservatively
+    * OVERCOUNTS (the same contract as [[graft.catalog.SliceDrain]]'s
+    * admit). None — no cheap bound — when the commit removes data
+    * files (COW: the paired delete rows come from a state diff), adds
+    * EQUALITY deletes (their stats count predicates, not matched
+    * rows), or its parent has been expired (no delete-list diff).
+    * Cost: O(added files via the seq-pruned chunk walk) + an
+    * O(delete-list) path diff (delete volume is compaction-bounded);
+    * no data read, no chunk load — removal detection is count
+    * arithmetic on `dataFileCount`, which never loads chunks, and is
+    * exact because seq stamps are unique per commit. */
+  private def morBudget(meta: TableMeta, s: Snapshot,
+      added: Seq[DataFile]): Option[(Long, Seq[DataFile])] = {
+    val prev: Option[Snapshot] = s.parentId match {
+      case None => None
+      case Some(p) => meta.snapshots.find(_.snapshotId == p) match {
+        case None => return None // parent expired: no cheap delete diff
+        case some => some
+      }
+    }
+    if (prev.map(_.dataFileCount).getOrElse(0) + added.size != s.dataFileCount)
+      return None // data files removed: COW, not budgetable from stats
+    val prevDels = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    val addedDels = s.deleteFiles.filterNot(d => prevDels(d.path))
+    if (addedDels.exists(Mor.isEquality)) return None
+    Some((added.map(_.records).sum + addedDels.map(_.records).sum, addedDels))
   }
 
   /** The split path's stand-in for [[Changes.between]]'s base checks
@@ -467,7 +580,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       throw new IllegalStateException(
         s"changelog chain is TRUNCATED between seq $base and seq " +
           s"${s.sequenceNumber}: commits in between are no longer retained — " +
-          "a file-split of the oversized append would silently skip their " +
+          "a file-split of the oversized commit would silently skip their " +
           "change rows; retention must cover streaming lag")
     // base retained but not an ancestor of s (rollback): a retention
     // message would misdiagnose — use the data path's rollback wording
@@ -477,10 +590,12 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   // ---- unit slices (genesis state / oversized append) --------------
 
   /** One metadata-backed admission UNIT's file list in stable path
-    * order — the genesis snapshot's full STATE (`unit = ""`) or an
-    * oversized append's ADDED set (`unit = "added"`; the offset
-    * carries which, because the same seq can be either depending on
-    * where the stream started; the materialized `"rows"` unit has its
+    * order — the genesis snapshot's full STATE (`unit = ""`), an
+    * oversized append's ADDED set (`unit = "added"`), or an oversized
+    * MOR position-delete commit's added DELETE-FILE set
+    * (`unit = "deleted"`; the offset carries which, because the same
+    * seq can be any of them depending on where the stream started;
+    * the materialized `"rows"` unit has its
     * own loader, [[rowUnitList]]) —
     * so (seq, fileIdx, unit) offsets slice it reproducibly across
     * triggers, restarts, and checkpoint replays. Memoization and the
@@ -499,9 +614,34 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   private def unitFiles(meta: TableMeta, seq: Long,
       unit: String): IndexedSeq[DataFile] = {
     val s = unitSnap(meta, seq)
-    drain.list(seq, unit)(
-      if (unit == SliceOffsets.UnitAdded) ops.addedFiles(s) else ops.allFiles(s))
+    drain.list(seq, unit)(unit match {
+      case SliceOffsets.UnitAdded => ops.addedFiles(s)
+      case SliceOffsets.UnitDeleted => addedPosDeletes(meta, s)
+      case _ => ops.allFiles(s)
+    })
   }
+
+  /** The position-delete files commit `s` ADDED — the `unit:"deleted"`
+    * slice list, recomputed as the delete-list diff against the
+    * parent. Loud when the parent has been expired mid-drain: the
+    * slice indices would otherwise silently re-bind to a different
+    * list. */
+  private def addedPosDeletes(meta: TableMeta, s: Snapshot): Seq[DataFile] = {
+    val prevDels = morParentLoud(meta, s)
+      .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    s.deleteFiles.filterNot(d => prevDels(d.path)).filterNot(Mor.isEquality)
+  }
+
+  /** The parent snapshot a `unit:"deleted"` drain diffs and reads
+    * against — LOUD when expired mid-drain (the delete-list diff and
+    * the alive-before read both need it; a silent None would emit an
+    * empty batch where truncation must fail). */
+  private def morParentLoud(meta: TableMeta, s: Snapshot): Option[Snapshot] =
+    s.parentId.map(p => meta.snapshots.find(_.snapshotId == p).getOrElse(
+      throw new IllegalStateException(
+        s"CDC catch-up snapshot (seq ${s.sequenceNumber})'s parent ($p) is no " +
+          "longer retained; its delete-file slices cannot be re-bound — " +
+          "retention must cover streaming lag")))
 
   /** Rows [from, until) of a unit's path-sorted file list, with the
     * given delete files applied, tagged as ordinal-1 inserts — the
@@ -533,6 +673,52 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * just a subset of one immutable commit. */
   private def addedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame =
     sliceRead(meta, unitFiles(meta, seq, SliceOffsets.UnitAdded), from, until, Nil)
+
+  /** Delete rows produced by files [from, until) of an over-cap MOR
+    * position-delete commit's ADDED delete-file set (path order) —
+    * the same read [[Changes.between]]'s position-delete fast path
+    * runs, restricted to the slice's entries: parent-state rows the
+    * slice's (file, pos) entries hit, minus rows already dead BEFORE
+    * the commit, minus rows an EARLIER slice's entries already
+    * delivered (two delete files in one commit may name the same
+    * position; without the earlier-slice anti-join a duplicated
+    * entry would emit twice where the unsplit batch emits once).
+    * Exact and replayable: entries bind to (parent file, pos) —
+    * immutable coordinates of an immutable snapshot. Per slice this
+    * reads only the parent files the slice's entries reference, so a
+    * trickle of deletes over a 100 TB table stays O(touched files). */
+  private def deletedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame = {
+    val s = unitSnap(meta, seq)
+    val all = unitFiles(meta, seq, SliceOffsets.UnitDeleted)
+    val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
+    val dataSchema = TableMeta.schemaToSpark(meta.schema)
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(outSchema.fields.map(_.copy(nullable = true))))
+    if (slice.isEmpty) return empty
+    val prev = morParentLoud(meta, s)
+    val prevFiles = prev.map(ops.allFiles).getOrElse(Nil)
+    val delSet = Mor.deleteSet(spark, ops.warehouse, slice)
+    // bounded driver collect: distinct referenced parent paths — the
+    // same pattern as the unsplit fast path, O(slice's target files)
+    val referenced = delSet.select(col("__gf")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val refFiles = prevFiles.filter(f => referenced(f.path))
+    if (refFiles.isEmpty) return empty
+    val raw = Mor.readData(spark, ops.warehouse, dataSchema, refFiles,
+      meta.nameMapping, Mor.withPositions(_, ops.warehouse))
+    // rows dead BEFORE this commit must not re-die in it (the same
+    // aliveBefore rule as the unsplit fast path)
+    val aliveBefore = Mor.applyDeletesKeepPositions(spark, raw, ops.warehouse,
+      prev.map(_.deleteFiles).getOrElse(Nil), refFiles)
+    val hit = aliveBefore.join(delSet, Seq("__gf", "__gp"), "left_semi")
+    val dedup =
+      if (from == 0) hit
+      else hit.join(Mor.deleteSet(spark, ops.warehouse, all.slice(0, from)),
+        Seq("__gf", "__gp"), "left_anti")
+    dedup.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_change_type", lit("delete"))
+      .withColumn("_change_ordinal", lit(1))
+  }
 
   // ---- materialized row-level units (opt-in split-row-level) -------
 
@@ -568,10 +754,29 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
               dir.getParent, s"${dir.getName}.tmp-${java.util.UUID.randomUUID()}")
             df.write.option("maxRecordsPerFile", cap.toString)
               .mode("overwrite").parquet(tmp.toString)
+            // record the cap that sized these files: a crash between
+            // materialization and the offset-log write leaves the dir
+            // for REUSE on restart, possibly under a different
+            // max-rows-per-trigger (warned below)
+            fs.create(new org.apache.hadoop.fs.Path(tmp, s"_graft_cap_$cap"),
+              true).close()
             if (!fs.rename(tmp, dir))
               throw new IllegalStateException(
                 s"could not publish materialized row-level unit at $dir")
         }
+      } else {
+        // crash-window reuse (never rewritten — the diff's row-to-file
+        // assignment is nondeterministic): when the recorded cap
+        // differs from the current one, slices of THIS unit pack to
+        // the old cap — bounded rate-limit softness, surfaced loudly
+        fs.listStatus(dir).map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith("_graft_cap_") =>
+            n.stripPrefix("_graft_cap_").toLong }
+          .filter(_ != cap)
+          .foreach(c => System.err.println(
+            s"[graft-cdc] reusing materialized row-level unit at $dir sized " +
+              s"by max-rows-per-trigger=$c (current: $cap); slices of this " +
+              "one unit pack to the recorded cap"))
       }
       listRowUnit(dir)
     }
@@ -598,20 +803,35 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     if (!fs.exists(dir)) Nil
     else {
       val conf = spark.sessionState.newHadoopConf()
-      fs.listStatus(dir).toSeq
+      val stats = fs.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        // ABSOLUTE paths on purpose: these are spill files under the
-        // checkpoint, not warehouse-relative table files. Records are
-        // footer-exact (our own spill, no deletes), read once per
-        // drain (the list is memoized) — O(spill files) driver IO,
-        // bounded by ceil(diff rows / cap) + the diff's partition count
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val records = try r.getRecordCount finally r.close()
-          DataFile(st.getPath.toString, records = records, bytes = st.getLen)
-        }
+      // ABSOLUTE paths on purpose: these are spill files under the
+      // checkpoint, not warehouse-relative table files. Records are
+      // footer-exact (our own spill, no deletes), read once per
+      // drain (the list is memoized) — O(spill files) driver IO,
+      // bounded by ceil(diff rows / cap) + the diff's partition count
+      def read(st: org.apache.hadoop.fs.FileStatus): DataFile = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val records = try r.getRecordCount finally r.close()
+        DataFile(st.getPath.toString, records = records, bytes = st.getLen)
+      }
+      if (stats.size <= 100) stats.map(read)
+      else {
+        // a 10M-row diff at a small cap is thousands of footers:
+        // read them on a bounded pool — drain-START latency only,
+        // the memoized result is identical to the sequential read
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              stats.map(st => scala.concurrent.Future(read(st)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
     }
   }
 
@@ -700,6 +920,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       unit match {
         case SliceOffsets.UnitRows => rowSlice(seq, from, until)
         case SliceOffsets.UnitAdded => addedSlice(meta, seq, from, until)
+        case SliceOffsets.UnitDeleted => deletedSlice(meta, seq, from, until)
         case _ => genesisSlice(meta, seq, from, until)
       }
     val batch: DataFrame =
@@ -730,7 +951,18 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
               spark.sparkContext.emptyRDD[Row],
               StructType(outSchema.fields.map(_.copy(nullable = true)))))
       }
-    GraftStreamShim.streamingFrom(batch)
+    // compute-updates refinement, skipped for mid-unit SLICE batches
+    // (type-pure single-commit subsets — pairing is a no-op there, and
+    // the two window passes would shuffle a 100 TB catch-up batch per
+    // slice for nothing). Final-slice + tail batches refine: the tail
+    // commits can carry pairs, and ordinal partitioning keeps the
+    // slice's rows inert. The shim wraps the plan behind a LogicalRDD,
+    // so the window nodes stay batch-childed for the streaming checker.
+    val refined = updateIdCols match {
+      case Some(ids) if en.fileIdx < 0 => Changes.computeUpdates(batch, ids)
+      case _ => batch
+    }
+    GraftStreamShim.streamingFrom(refined)
   }
 
   @volatile private var prevCommittedEnd: Option[CdcOffset] = None
@@ -742,7 +974,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     // sliced range just recomputes it)
     val en = parseOffset(end.json)
     if (en.fileIdx < 0) drain.release()
-    if (splitRowLevel) {
+    // gate on the spill ROOT, not the current opt-in: restarting the
+    // same checkpoint with split-row-level removed must still sweep a
+    // previously materialized unit and orphaned tmp dirs, or they
+    // strand under sources/<i>/graft-rowlevel for the checkpoint's
+    // life (on a never-spilled checkpoint this is one fs.exists per
+    // floor advance — no LIST)
+    if (rowLevelSpillRoot.isDefined) {
       // Materialized units CANNOT be recomputed, and Spark REPLAYS the
       // last committed batch's (start, end) pair through getBatch on
       // every restart (MicroBatchExecution.populateStartOffsets) — so
@@ -780,7 +1018,9 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   * is the genesis snapshot's full STATE (`unit = ""`, a fresh
   * stream's catch-up over an aged table), a single oversized append
   * commit's ADDED set (`unit = "added"`, the one-commit 10 TB backfill
-  * landing mid-tail), or a row-level commit's MATERIALIZED change rows
+  * landing mid-tail), an over-cap MOR position-delete commit's added
+  * DELETE-FILE set (`unit = "deleted"`, the table-wide MOR DELETE), or
+  * a row-level commit's MATERIALIZED change rows
   * (`unit = "rows"`, under the split-row-level opt-in). The unit KIND
   * is in the offset because the same seq can legitimately be any of
   * them depending on where the stream started and its options, and a

@@ -268,4 +268,34 @@ class CdcRowLevelSplitSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cannot be re-bound"), e.getMessage)
   }
+
+  test("a unit records the cap that sized it; restarting WITHOUT the opt-in still sweeps leftovers") {
+    freshWh("tcCdcRlsS")
+    cowTable("tcCdcRlsS")
+    val ops = new graft.catalog.TableOps("/tmp/graft_test_tcCdcRlsS", "st/t")
+    val spill = java.nio.file.Files.createTempDirectory("graft_rls_sweep").toString
+    val src = new graft.streaming.GraftCdcSource(spark, ops, ops.refresh().get._2, 1L,
+      maxRowsPerTrigger = Some(10L), splitRowLevel = true,
+      rowLevelSpillRoot = Some(spill))
+    src.latestOffset(CdcOffset(1), src.getDefaultReadLimit): Unit // materializes
+    val unitDir = new java.io.File(s"$spill/seq-2")
+    assert(unitDir.isDirectory, "unit not materialized")
+    // the cap that sized the spill files is recorded beside them —
+    // a crash-window reuse under a DIFFERENT max-rows-per-trigger is
+    // then detectable (slices pack to the recorded cap, warned)
+    assert(unitDir.listFiles().exists(_.getName == "_graft_cap_10"),
+      s"cap marker missing: ${unitDir.listFiles().map(_.getName).toList}")
+
+    // restart the SAME checkpoint with split-row-level REMOVED: the
+    // sweep is gated on the spill root existing, not on the current
+    // opt-in, so the stranded unit still gets cleaned up once no
+    // replayable batch references it
+    val src2 = new graft.streaming.GraftCdcSource(spark, ops, ops.refresh().get._2, 1L,
+      maxRowsPerTrigger = Some(10L), splitRowLevel = false,
+      rowLevelSpillRoot = Some(spill))
+    src2.commit(CdcOffset(2))   // first commit after restart: sweeps nothing
+    src2.commit(CdcOffset(3))   // batch (pure-2, pure-3) references no unit
+    assert(!unitDir.exists(),
+      "a unit stranded by removing the opt-in must still be swept")
+  }
 }
