@@ -686,7 +686,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * Exact and replayable: entries bind to (parent file, pos) —
     * immutable coordinates of an immutable snapshot. Per slice this
     * reads only the parent files the slice's entries reference, so a
-    * trickle of deletes over a 100 TB table stays O(touched files). */
+    * trickle of deletes over a 100 TB table stays O(touched files).
+    * The earlier-slice anti-join re-reads earlier delete ENTRIES
+    * (two columns, never parents) — O(drain²·cap) entries worst case
+    * over a whole drain, pre-filtered to this slice's referenced
+    * parents so parquet pushdown skips non-colliding row groups; an
+    * entry-to-first-file index would trade that for a full-unit read
+    * per restart, which is the same total cost paid earlier. */
   private def deletedSlice(meta: TableMeta, seq: Long, from: Int, until: Int): DataFrame = {
     val s = unitSnap(meta, seq)
     val all = unitFiles(meta, seq, SliceOffsets.UnitDeleted)
@@ -713,8 +719,17 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     val hit = aliveBefore.join(delSet, Seq("__gf", "__gp"), "left_semi")
     val dedup =
       if (from == 0) hit
-      else hit.join(Mor.deleteSet(spark, ops.warehouse, all.slice(0, from)),
-        Seq("__gf", "__gp"), "left_anti")
+      else {
+        val earlier = Mor.deleteSet(spark, ops.warehouse, all.slice(0, from))
+        // entries for parents this slice never reads can't collide
+        // with `hit` (every hit row has __gf ∈ referenced) — filter
+        // them out before the anti-join so the pushed file_path
+        // predicate skips whole row groups of the earlier delete
+        // files; skipped when the IN-list would bloat the plan
+        val pruned = if (referenced.size <= 200)
+          earlier.where(col("__gf").isin(referenced.toSeq: _*)) else earlier
+        hit.join(pruned, Seq("__gf", "__gp"), "left_anti")
+      }
     dedup.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("_change_type", lit("delete"))
       .withColumn("_change_ordinal", lit(1))

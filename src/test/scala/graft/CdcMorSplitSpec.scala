@@ -242,4 +242,76 @@ class CdcMorSplitSpec extends AnyFunSuite {
     assert(o == CdcOffset(2),
       s"an equality-delete commit must admit-and-close as a pure seq, got $o")
   }
+
+  test("property fuzz: a capped CDC drain over random append/MOR-delete histories equals the unsplit batch changelog") {
+    // one property covers the whole r20 admission surface at once:
+    // budgeted packing, the deleted-unit split, the added-unit split,
+    // genesis, and their interleavings. For ANY history of appends and
+    // MOR position deletes (every commit budgetable), a drain under
+    // max-rows-per-trigger must (a) emit exactly the batch changelog's
+    // (id, v, type) multiset and (b) keep every batch within
+    // max(cap, largest single unit file) — the progress guarantee
+    // admits one file minimum, so an unsplittable over-cap file IS the
+    // documented bound, not a violation
+    import scala.jdk.CollectionConverters._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val cat = s"tcCdcZf$seed"
+      val wh = freshWh(cat)
+      spark.sql(s"CREATE NAMESPACE $cat.st")
+      spark.sql(s"CREATE TABLE $cat.st.t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      val cap = 10 + rnd.nextInt(11) // 10..20: some appends exceed it
+      var hi = 0L
+      (1 to 6).foreach { i =>
+        if (i == 1 || rnd.nextInt(10) < 6 || hi == 0) {
+          val n = 4 + rnd.nextInt(37) // files of <= 10 rows each
+          spark.range(hi, hi + n, 1, ((n + 9) / 10).toInt)
+            .selectExpr("id", "id * 7 AS v").writeTo(s"$cat.st.t").append()
+          hi += n
+        } else multiDeleteFiles {
+          spark.sql(s"DELETE FROM $cat.st.t WHERE id % ${2 + rnd.nextInt(4)} = 0")
+        }
+      }
+      val ops = new graft.catalog.TableOps(wh, "st/t")
+      val meta = ops.refresh().get._2
+      val cur = meta.currentSnapshot.get.sequenceNumber
+      val expected = graft.catalog.Changes
+        .between(spark, wh, ops, meta, 0L, cur).get
+        .groupBy("id", "v", "_change_type").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$cat.st.t")
+        .option("max-rows-per-trigger", cap.toString)
+        .load()
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            df.collect().foreach(r => seen.add((r.getAs[Long]("id"),
+              r.getAs[Long]("v"), r.getAs[String]("_change_type"), batchId)))
+            (): Unit
+        }
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+      val drained = seen.asScala.toSeq
+        .groupBy(t => (t._1, t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+      assert(drained == expected,
+        s"seed=$seed cap=$cap: drained multiset != batch changelog — " +
+          s"missing=${(expected.toSet -- drained.toSet).take(5)} " +
+          s"extra=${(drained.toSet -- expected.toSet).take(5)}")
+      val maxUnitFile = meta.snapshots.flatMap(s =>
+        ops.addedFiles(s).map(_.records) ++
+          s.deleteFiles.filterNot(graft.catalog.Mor.isEquality).map(_.records))
+        .maxOption.getOrElse(0L)
+      val bound = math.max(cap.toLong, maxUnitFile)
+      val sizes = seen.asScala.toSeq.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.values.forall(_ <= bound),
+        s"seed=$seed cap=$cap: a batch exceeded max(cap, largest unit file " +
+          s"$maxUnitFile): ${sizes.toSeq.sortBy(_._1)}")
+      assert(sizes.size >= (expected.values.sum.toDouble / bound).ceil.toInt,
+        s"seed=$seed: fewer batches than the bound admits")
+    }
+  }
 }
