@@ -225,12 +225,27 @@ object LlmOps5 extends Pack {
     // lookup-table scoring + exact re-rank) — see [[ivfPqTopK]].
     // Oracled via the same RECALL invariant as q_llm_simsearch_ivf:
     // recall@5 >= 0.6 per query and >= 0.8 aggregate vs the exact
-    // brute-force top-k at nprobe=8 are cross-engine facts; the raw
+    // brute-force top-k at nprobe=10 are cross-engine facts; the raw
     // ADC ranking (codebook-dependent) stays spec-bounded in Llm5Spec.
+    // Scale calibration (measured at sf0.001/0.01/0.1 = 500/500/2000
+    // vectors): the fixed rerank=40 window held the per-query bound at
+    // the two gate fixtures but dipped to 2/5 on one sf0.1 query —
+    // 4x the density in the same space shrinks true-neighbor distance
+    // gaps below the PQ quantization error, so the ADC ranking pushes
+    // true neighbors past a fixed window (probing MORE lists did not
+    // fix it; widening the EXACT re-rank window did, and it is
+    // monotone — the re-rank picks top-k by true distance from a
+    // superset). The window now scales with corpus size (n/5, floor
+    // 40, cap 4000 — the cap is the 100 TB story: past that you grow
+    // nlist ~ sqrt(n) to keep buckets and ADC error flat instead of
+    // growing the window), and nprobe rides at 10/16.
     Decl("q_llm_simsearch_ivfpq", (spark, dir) => {
       val exact = graft.ops.LlmOps.decls.find(_.name == "q_llm_simsearch").get
         .fn(spark, dir).select(col("q_id"), col("vec_id"))
-      val approx = ivfPqTopK(spark, dir, nprobe = 8).select(col("q_id"), col("vec_id"))
+      val n = Tables(spark, dir, "embeddings").count() // parquet-stat count
+      val win = math.min(4000L, math.max(40L, n / 5)).toInt
+      val approx = ivfPqTopK(spark, dir, nprobe = 10, rerank = win)
+        .select(col("q_id"), col("vec_id"))
       RecallInvariant(exact, approx,
         queryIds = Tables(spark, dir, "embeddings")
           .filter(col("vec_id") < 5).select(col("vec_id").as("q_id")),
