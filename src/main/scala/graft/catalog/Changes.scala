@@ -91,8 +91,21 @@ object Changes {
     *     `update_preimage` and inserts `update_postimage`; unmatched
     *     rows keep their raw type. Identifier columns must identify a
     *     row within one commit (Iceberg's identifier-field contract).
-    */
-  def computeUpdates(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    *
+    * `minOrdinal` leaves rows with `_change_ordinal < minOrdinal`
+    * untouched — no cancel, no pairing, no identifier check. The CDC
+    * source passes 2 for a from-zero batch: its ordinal 1 is either
+    * the table's FIRST commit (inserts into an empty table — nothing
+    * to pair) or the SYNTHETIC genesis state (multiple expired
+    * commits collapsed to one insert-only ordinal), and the
+    * per-commit identifier-uniqueness check is meaningless on a
+    * collapsed ordinal — two live rows sharing identifier values
+    * across DIFFERENT commits are not a per-commit violation, and
+    * raising there would permanently brick a fresh stream's batch 0.
+    * Batch callers (ordinals are always real commits) keep the
+    * default 1 = refine everything. */
+  def computeUpdates(df: DataFrame, idCols: Seq[String],
+      minOrdinal: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(idCols.nonEmpty, "compute_updates needs identifier_columns")
     val dataCols = df.columns.filterNot(c =>
@@ -107,13 +120,14 @@ object Changes {
     val wId = Window.partitionBy((idCols :+ "_change_ordinal").map(col): _*)
     def n(t: String, w: org.apache.spark.sql.expressions.WindowSpec) =
       sum(when(col("_change_type") === t, 1).otherwise(0)).over(w)
+    val active = col("_change_ordinal") >= minOrdinal
     df
       .withColumn("__rn", row_number().over(wAllTyped))
       .withColumn("__pairs",
-        least(n("insert", wAll), n("delete", wAll)))
+        when(active, least(n("insert", wAll), n("delete", wAll))).otherwise(0))
       .filter(col("__rn") > col("__pairs")) // cancel carry-over pairs
-      .withColumn("__ni", n("insert", wId))
-      .withColumn("__nd", n("delete", wId))
+      .withColumn("__ni", when(active, n("insert", wId)).otherwise(0))
+      .withColumn("__nd", when(active, n("delete", wId)).otherwise(0))
       // identifier contract (Iceberg's rule): within one commit the
       // identifier columns name AT MOST one surviving row per side —
       // an unbalanced pairing (2 inserts vs 1 delete) would emit a

@@ -402,6 +402,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     * shared [[graft.catalog.SliceDrain]]. */
   private val drain = new graft.catalog.SliceDrain
 
+  /** Per-drain memo of a `unit:"deleted"` drain's parent file list
+    * (the O(table-files) chunk walk [[deletedSlice]] reads against) —
+    * its own field rather than a [[SliceDrain]] entry because the
+    * drain memo is single-slot and alternating keys would thrash it.
+    * Cleared with the drain memo in [[commit]]. */
+  @volatile private var parentFilesMemo: Option[(Long, Seq[graft.meta.DataFile])] = None
+
   /** Commit-granular admission over the main lineage above `base`,
     * with `commits0`/`rows0` budget already consumed (by a completed
     * unit slice). Returns the admitted end offset: a pure seq
@@ -559,8 +566,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     }
     if (prev.map(_.dataFileCount).getOrElse(0) + added.size != s.dataFileCount)
       return None // data files removed: COW, not budgetable from stats
-    val prevDels = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
-    val addedDels = s.deleteFiles.filterNot(d => prevDels(d.path))
+    val addedDels = addedDeleteDiff(prev, s)
     if (addedDels.exists(Mor.isEquality)) return None
     Some((added.map(_.records).sum + addedDels.map(_.records).sum, addedDels))
   }
@@ -621,16 +627,29 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     })
   }
 
+  /** The output-schema empty frame (nullable fields — unioned batch
+    * legs must agree on nullability). */
+  private def emptyOut: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(outSchema.fields.map(_.copy(nullable = true))))
+
+  /** The delete files commit `s` ADDED over its parent — ONE
+    * definition of the delete-list diff, shared by [[morBudget]]
+    * (admission) and [[addedPosDeletes]] (the replay path), so the
+    * seeded drain memo and a checkpoint replay can never desync on
+    * what the `unit:"deleted"` list contains. */
+  private def addedDeleteDiff(prev: Option[Snapshot], s: Snapshot): Seq[DataFile] = {
+    val prevDels = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    s.deleteFiles.filterNot(d => prevDels(d.path))
+  }
+
   /** The position-delete files commit `s` ADDED — the `unit:"deleted"`
     * slice list, recomputed as the delete-list diff against the
     * parent. Loud when the parent has been expired mid-drain: the
     * slice indices would otherwise silently re-bind to a different
     * list. */
-  private def addedPosDeletes(meta: TableMeta, s: Snapshot): Seq[DataFile] = {
-    val prevDels = morParentLoud(meta, s)
-      .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
-    s.deleteFiles.filterNot(d => prevDels(d.path)).filterNot(Mor.isEquality)
-  }
+  private def addedPosDeletes(meta: TableMeta, s: Snapshot): Seq[DataFile] =
+    addedDeleteDiff(morParentLoud(meta, s), s).filterNot(Mor.isEquality)
 
   /** The parent snapshot a `unit:"deleted"` drain diffs and reads
     * against — LOUD when expired mid-drain (the delete-list diff and
@@ -698,24 +717,35 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     val all = unitFiles(meta, seq, SliceOffsets.UnitDeleted)
     val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
     val dataSchema = TableMeta.schemaToSpark(meta.schema)
-    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      StructType(outSchema.fields.map(_.copy(nullable = true))))
-    if (slice.isEmpty) return empty
+    if (slice.isEmpty) return emptyOut
     val prev = morParentLoud(meta, s)
-    val prevFiles = prev.map(ops.allFiles).getOrElse(Nil)
+    // the parent's full file list is per-DRAIN state, not per-slice:
+    // memoized beside the drain memo (cleared with it in commit) so a
+    // K-slice drain walks the O(table-files) chunk list once, not K×
+    val prevFiles = parentFilesMemo match {
+      case Some((ps, l)) if ps == seq => l
+      case _ =>
+        val l = prev.map(ops.allFiles).getOrElse(Nil)
+        parentFilesMemo = Some((seq, l)); l
+    }
     val delSet = Mor.deleteSet(spark, ops.warehouse, slice)
     // bounded driver collect: distinct referenced parent paths — the
     // same pattern as the unsplit fast path, O(slice's target files)
     val referenced = delSet.select(col("__gf")).distinct()
       .collect().map(_.getString(0)).toSet
     val refFiles = prevFiles.filter(f => referenced(f.path))
-    if (refFiles.isEmpty) return empty
+    if (refFiles.isEmpty) return emptyOut
     val raw = Mor.readData(spark, ops.warehouse, dataSchema, refFiles,
       meta.nameMapping, Mor.withPositions(_, ops.warehouse))
     // rows dead BEFORE this commit must not re-die in it (the same
-    // aliveBefore rule as the unsplit fast path)
+    // aliveBefore rule as the unsplit fast path) — pruned to the
+    // delete files whose bounds/keys can touch the slice's parents,
+    // so a slice never re-reads the parent's whole historical delete
+    // set (the unsplit path pays that read once; a K-slice drain
+    // would otherwise pay it K times)
     val aliveBefore = Mor.applyDeletesKeepPositions(spark, raw, ops.warehouse,
-      prev.map(_.deleteFiles).getOrElse(Nil), refFiles)
+      Mor.relevantDeletes(prev.map(_.deleteFiles).getOrElse(Nil), refFiles),
+      refFiles)
     val hit = aliveBefore.join(delSet, Seq("__gf", "__gp"), "left_semi")
     val dedup =
       if (from == 0) hit
@@ -855,9 +885,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
   private def rowSlice(seq: Long, from: Int, until: Int): DataFrame = {
     val all = rowUnitList(seq)
     val slice = all.slice(from, math.min(until.toLong, all.size.toLong).toInt)
-    if (slice.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(outSchema.fields.map(_.copy(nullable = true))))
+    if (slice.isEmpty) emptyOut
     else
       spark.read.parquet(slice.map(_.path): _*)
         .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -938,6 +966,27 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         case SliceOffsets.UnitDeleted => deletedSlice(meta, seq, from, until)
         case _ => genesisSlice(meta, seq, from, until)
       }
+    // compute-updates refinement is applied ONLY to the parts of a
+    // batch whose ordinals are real, whole commits — the tail. Slice
+    // rows (mid-unit AND the final slice) stay raw: genesis/added/
+    // deleted slices are type-pure single-commit subsets where pairing
+    // is a no-op and the two window passes would shuffle a 100 TB
+    // catch-up batch for nothing — and a rows-unit slice (possible on
+    // a restart that swapped split-row-level for compute-updates on an
+    // in-flight drain) can cut a commit's pair across batches, where
+    // refining the final slice would cancel carry-over rows the
+    // earlier slices already delivered raw. A from-zero batch refines
+    // from ordinal 2: its ordinal 1 is the first commit or the
+    // synthetic genesis state — insert-only either way, and the
+    // per-commit identifier-uniqueness check is meaningless on a
+    // COLLAPSED ordinal (two live rows sharing identifier values
+    // across different commits are legal; raising would brick a fresh
+    // stream's batch 0 permanently). The shim wraps the plan behind a
+    // LogicalRDD, so the window nodes stay batch-childed for the
+    // streaming checker.
+    def refine(df: DataFrame, minOrdinal: Int = 1): DataFrame =
+      updateIdCols.map(ids =>
+        Changes.computeUpdates(df, ids, minOrdinal)).getOrElse(df)
     val batch: DataFrame =
       if (en.fileIdx >= 0) {
         // a unit slice batch (start is the unit's lower bound or an
@@ -950,34 +999,22 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
         case Some(p) =>
           // final unit slice, plus any commits the trigger's
           // remaining budget admitted (their ordinals shift past the
-          // slice's ordinal 1)
+          // slice's ordinal 1); only the tail refines
           val lastSlice = unitSlice(p.seq, p.unit, p.fileIdx, Int.MaxValue)
           Changes.between(spark, ops.warehouse, ops, meta, p.seq, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)
-            .map(rest => lastSlice.unionAll(rest.withColumn(
+            .map(rest => lastSlice.unionAll(refine(rest).withColumn(
               "_change_ordinal", col("_change_ordinal") + lit(1))))
             .getOrElse(lastSlice)
         case None =>
+          val lower = math.max(st.map(_.seq).getOrElse(startSeq), startSeq)
           Changes
-            .between(spark, ops.warehouse, ops, meta,
-              st.map(_.seq).getOrElse(startSeq), en.seq,
+            .between(spark, ops.warehouse, ops, meta, lower, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)
-            .getOrElse(spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row],
-              StructType(outSchema.fields.map(_.copy(nullable = true)))))
+            .map(df => refine(df, minOrdinal = if (lower == 0) 2 else 1))
+            .getOrElse(emptyOut)
       }
-    // compute-updates refinement, skipped for mid-unit SLICE batches
-    // (type-pure single-commit subsets — pairing is a no-op there, and
-    // the two window passes would shuffle a 100 TB catch-up batch per
-    // slice for nothing). Final-slice + tail batches refine: the tail
-    // commits can carry pairs, and ordinal partitioning keeps the
-    // slice's rows inert. The shim wraps the plan behind a LogicalRDD,
-    // so the window nodes stay batch-childed for the streaming checker.
-    val refined = updateIdCols match {
-      case Some(ids) if en.fileIdx < 0 => Changes.computeUpdates(batch, ids)
-      case _ => batch
-    }
-    GraftStreamShim.streamingFrom(refined)
+    GraftStreamShim.streamingFrom(batch)
   }
 
   @volatile private var prevCommittedEnd: Option[CdcOffset] = None
@@ -988,7 +1025,7 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     // O(files) memo (a later recovery replay of a metadata-backed
     // sliced range just recomputes it)
     val en = parseOffset(end.json)
-    if (en.fileIdx < 0) drain.release()
+    if (en.fileIdx < 0) { drain.release(); parentFilesMemo = None }
     // gate on the spill ROOT, not the current opt-in: restarting the
     // same checkpoint with split-row-level removed must still sweep a
     // previously materialized unit and orphaned tmp dirs, or they

@@ -105,6 +105,34 @@ class CdcUpdatesSpec extends AnyFunSuite {
     assert(seen.asScala.map(_._4).toSet.size >= 4, "genesis did not slice")
   }
 
+  test("a from-zero batch never identifier-checks ordinal 1: duplicate ids across collapsed genesis commits stream as inserts, a tail UPDATE still refines") {
+    // two commits insert the SAME identifier value (legal per commit;
+    // a table-level duplicate), then expiry collapses them into the
+    // synthetic genesis state — ONE insert-only ordinal carrying both
+    // rows. The per-commit uniqueness check must not fire there (it
+    // would brick batch 0 of every fresh compute-updates stream over
+    // such a table, permanently — each restart recomputes the same
+    // batch); the tail commit's real pair must still refine.
+    freshWh("tCdcUpD")
+    spark.sql("CREATE NAMESPACE tCdcUpD.st")
+    spark.sql("CREATE TABLE tCdcUpD.st.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO tCdcUpD.st.t VALUES (7, 'a')")          // seq 1
+    spark.sql("INSERT INTO tCdcUpD.st.t VALUES (7, 'b')")          // seq 2
+    val ops = new graft.catalog.TableOps("/tmp/graft_test_tCdcUpD", "st/t")
+    graft.catalog.Maintenance.expireSnapshots(ops, keepLast = 1)   // collapse 1+2
+    spark.sql("UPDATE tCdcUpD.st.t SET v = 'c' WHERE v = 'a'")     // seq 3: real pair
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = updatesStream("tCdcUpD", seen)
+    try q.processAllAvailable()
+    finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.map(r => (r._1, r._2, r._3)).toSet
+    assert(rows == Set(
+      (7L, "a", "insert"), (7L, "b", "insert"),        // collapsed genesis, unrefined
+      (7L, "a", "update_preimage"), (7L, "c", "update_postimage")), // the tail pair
+      s"from-zero refinement wrong: $rows")
+  }
+
   test("option validation: identifier-columns required; split-row-level refused") {
     freshWh("tCdcUpV")
     spark.sql("CREATE NAMESPACE tCdcUpV.st")
