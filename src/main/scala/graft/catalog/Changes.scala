@@ -112,6 +112,15 @@ object Changes {
       c == "_change_type" || c == "_change_ordinal").toIndexedSeq
     val missing = idCols.filterNot(dataCols.contains)
     require(missing.isEmpty, s"identifier columns not in schema: ${missing.mkString(", ")}")
+    if (minOrdinal > 1)
+      // split, not gate: a changelog frame is a UNION of per-commit
+      // legs tagged with LITERAL ordinals, so these filters constant-
+      // fold and prune whole legs — the exempt rows (a genesis
+      // catch-up's bulk) never enter the two window shuffles at all,
+      // where an expression gate would shuffle them for a no-op
+      return df.filter(col("_change_ordinal") < minOrdinal)
+        .unionAll(computeUpdates(
+          df.filter(col("_change_ordinal") >= minOrdinal), idCols))
     val wAll = Window.partitionBy(
       (dataCols :+ "_change_ordinal").map(col): _*)
     val wAllTyped = Window.partitionBy(
@@ -120,14 +129,13 @@ object Changes {
     val wId = Window.partitionBy((idCols :+ "_change_ordinal").map(col): _*)
     def n(t: String, w: org.apache.spark.sql.expressions.WindowSpec) =
       sum(when(col("_change_type") === t, 1).otherwise(0)).over(w)
-    val active = col("_change_ordinal") >= minOrdinal
     df
       .withColumn("__rn", row_number().over(wAllTyped))
       .withColumn("__pairs",
-        when(active, least(n("insert", wAll), n("delete", wAll))).otherwise(0))
+        least(n("insert", wAll), n("delete", wAll)))
       .filter(col("__rn") > col("__pairs")) // cancel carry-over pairs
-      .withColumn("__ni", when(active, n("insert", wId)).otherwise(0))
-      .withColumn("__nd", when(active, n("delete", wId)).otherwise(0))
+      .withColumn("__ni", n("insert", wId))
+      .withColumn("__nd", n("delete", wId))
       // identifier contract (Iceberg's rule): within one commit the
       // identifier columns name AT MOST one surviving row per side —
       // an unbalanced pairing (2 inserts vs 1 delete) would emit a
@@ -143,6 +151,18 @@ object Changes {
             col("_change_type") === "insert", "update_postimage")
           .otherwise(col("_change_type")))
       .drop("__rn", "__pairs", "__ni", "__nd")
+  }
+
+  /** The delete files `snap` ADDED over `prev` — the ONE definition
+    * of the added-delete-list diff, shared by the changelog read
+    * below, CDC admission ([[graft.streaming.GraftCdcSource]]'s
+    * morBudget), and the `unit:"deleted"` replay path
+    * (addedPosDeletes): the three must never disagree on what counts
+    * as an added delete file, or a checkpoint replay could re-bind
+    * slice indices to a different list than admission seeded. */
+  def addedDeleteFiles(prev: Option[Snapshot], snap: Snapshot): Seq[DataFile] = {
+    val prevDels = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    snap.deleteFiles.filterNot(d => prevDels(d.path))
   }
 
   /** Materialized state of one snapshot: its files minus its deletes
@@ -305,8 +325,7 @@ object Changes {
         prevFiles.exists(f => !snapPaths(f.path))
       }
       val prevDeleteFiles = prev.map(_.deleteFiles).getOrElse(Nil)
-      val prevDels = prevDeleteFiles.map(_.path).toSet
-      val addedDels = snap.deleteFiles.filterNot(d => prevDels(d.path))
+      val addedDels = addedDeleteFiles(prev, snap)
       def readAdded: Seq[DataFrame] =
         if (addedData.isEmpty) Nil
         else Seq(tag(

@@ -633,15 +633,13 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(outSchema.fields.map(_.copy(nullable = true))))
 
-  /** The delete files commit `s` ADDED over its parent — ONE
-    * definition of the delete-list diff, shared by [[morBudget]]
-    * (admission) and [[addedPosDeletes]] (the replay path), so the
-    * seeded drain memo and a checkpoint replay can never desync on
-    * what the `unit:"deleted"` list contains. */
-  private def addedDeleteDiff(prev: Option[Snapshot], s: Snapshot): Seq[DataFile] = {
-    val prevDels = prev.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
-    s.deleteFiles.filterNot(d => prevDels(d.path))
-  }
+  /** The delete files commit `s` ADDED over its parent — delegates to
+    * the ONE shared definition ([[Changes.addedDeleteFiles]], which
+    * the changelog read itself uses), so admission's seeded drain
+    * memo, a checkpoint replay, and the unsplit data path can never
+    * desync on what the `unit:"deleted"` list contains. */
+  private def addedDeleteDiff(prev: Option[Snapshot], s: Snapshot): Seq[DataFile] =
+    Changes.addedDeleteFiles(prev, s)
 
   /** The position-delete files commit `s` ADDED — the `unit:"deleted"`
     * slice list, recomputed as the delete-list diff against the
@@ -1003,11 +1001,20 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
           val lastSlice = unitSlice(p.seq, p.unit, p.fileIdx, Int.MaxValue)
           Changes.between(spark, ops.warehouse, ops, meta, p.seq, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)
-            .map(rest => lastSlice.unionAll(refine(rest).withColumn(
-              "_change_ordinal", col("_change_ordinal") + lit(1))))
+            // shift BEFORE refining so an identifier-violation message
+            // names the ordinal the batch actually delivers
+            .map(rest => lastSlice.unionAll(refine(rest.withColumn(
+              "_change_ordinal", col("_change_ordinal") + lit(1)))))
             .getOrElse(lastSlice)
         case None =>
-          val lower = math.max(st.map(_.seq).getOrElse(startSeq), startSeq)
+          // the engine-given start verbatim — never re-clamped to
+          // start-seq: Spark replays the last committed batch's
+          // (start, end) pair on restart, and a later start-seq
+          // raised over an existing checkpoint must not silently
+          // skip the commits in between (planEnd's base clamp only
+          // shapes FUTURE planning; like Kafka's startingOffsets,
+          // the option is where a stream WITHOUT state begins)
+          val lower = st.map(_.seq).getOrElse(startSeq)
           Changes
             .between(spark, ops.warehouse, ops, meta, lower, en.seq,
               allowSyntheticGenesis = allowSyntheticGenesis)

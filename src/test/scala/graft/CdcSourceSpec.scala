@@ -529,6 +529,37 @@ class CdcSourceSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("getBatch honors the engine-given start verbatim: a start-seq raised over a checkpoint never skips the commits in between") {
+    // Kafka's startingOffsets semantic: the option is where a stream
+    // WITHOUT state begins; once offsets are checkpointed, the
+    // engine's (start, end) pair wins. Spark also REPLAYS the last
+    // committed batch through getBatch on restart — re-clamping the
+    // start to a raised start-seq would silently drop rows there
+    // (between(raisedSeq, oldEnd) can even invert to an empty batch).
+    val wh = "/tmp/graft_test_cdcss"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcSs", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcSs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcSs.c")
+    spark.sql("CREATE TABLE tcCdcSs.c.t (id BIGINT)")
+    spark.sql("INSERT INTO tcCdcSs.c.t VALUES (1)")  // seq 1
+    spark.sql("INSERT INTO tcCdcSs.c.t VALUES (2)")  // seq 2
+    spark.sql("INSERT INTO tcCdcSs.c.t VALUES (3)")  // seq 3
+    val ops = new TableOps(wh, "c/t")
+    // start-seq=3 on a source whose checkpoint says batch (1, 3]:
+    // the engine-given pair must deliver commits 2 AND 3
+    val src = new graft.streaming.GraftCdcSource(spark, ops, ops.refresh().get._2, 3L)
+    val df = src.getBatch(Some(graft.streaming.CdcOffset(1)), graft.streaming.CdcOffset(3))
+    // the frame is streaming-flagged (getBatch's contract): execute it
+    // through the LogicalRDD seam, the same way CdcGenesisSplitSpec does
+    val got = df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.head
+      .map(r => (r.getLong(0), r.getUTF8String(1).toString)).collect().toSet
+    assert(got == Set((2L, "insert"), (3L, "insert")),
+      s"raised start-seq must not re-clamp a replayed batch: $got")
+  }
+
   test("post-rollback commits diff against their actual parent (lineage walk)") {
     val wh = "/tmp/graft_test_cdcrb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
