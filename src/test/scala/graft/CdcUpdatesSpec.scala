@@ -133,6 +133,74 @@ class CdcUpdatesSpec extends AnyFunSuite {
       s"from-zero refinement wrong: $rows")
   }
 
+  test("property fuzz: a capped compute-updates drain over random append/UPDATE histories equals the batch compute_updates ground truth") {
+    // the refinement's batching-independence property: pairing is
+    // local to (identifier, ordinal) and every admission shape
+    // delivers a commit's pairs in ONE batch, so HOWEVER the rate
+    // limit chunks the history — packed appends, budgeted MOR
+    // updates, admit-and-closed COW updates, sliced over-cap appends
+    // (insert-only, refinement no-op) — the drained (id, v, type)
+    // multiset must equal one batch-side computeUpdates over the
+    // whole range (ordinal 1 exempt on both sides: the stream's
+    // from-zero rule and minOrdinal = 2 agree by construction)
+    import scala.jdk.CollectionConverters._
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      val cat = s"tCdcUpF$seed"
+      val wh = freshWh(cat)
+      val mor = seed % 2 == 0
+      spark.sql(s"CREATE NAMESPACE $cat.st")
+      spark.sql(s"CREATE TABLE $cat.st.t (id BIGINT, v BIGINT)" +
+        (if (mor) " TBLPROPERTIES ('write.update.mode'='merge-on-read')" else ""))
+      var hi = 0L
+      (1 to 6).foreach { i =>
+        if (i == 1 || rnd.nextInt(10) < 5 || hi == 0) {
+          val n = 4 + rnd.nextInt(27)
+          spark.range(hi, hi + n, 1, ((n + 9) / 10).toInt)
+            .selectExpr("id", "id * 3 AS v").writeTo(s"$cat.st.t").append()
+          hi += n
+        } else
+          // i is in the SET expression so repeated updates of one id
+          // produce distinct post-images (pairing stays per-commit)
+          spark.sql(s"UPDATE $cat.st.t SET v = v + ${1000 * i} " +
+            s"WHERE id % ${2 + rnd.nextInt(4)} = 0")
+      }
+      val ops = new graft.catalog.TableOps(wh, "st/t")
+      val meta = ops.refresh().get._2
+      val cur = meta.currentSnapshot.get.sequenceNumber
+      val expected = graft.catalog.Changes.computeUpdates(
+          graft.catalog.Changes.between(spark, wh, ops, meta, 0L, cur).get,
+          Seq("id"), minOrdinal = 2)
+        .groupBy("id", "v", "_change_type").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      assert(expected.keys.exists(_._3 == "update_preimage"),
+        s"seed=$seed: degenerate history, no update pair to check")
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+      val collect4 = (df: org.apache.spark.sql.DataFrame, batchId: Long) => {
+        df.collect().foreach(r => seen.add((r.getAs[Long]("id"),
+          r.getAs[Long]("v").toString, r.getAs[String]("_change_type"), batchId)))
+        (): Unit
+      }
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", s"$cat.st.t")
+        .option("compute-updates", "true")
+        .option("identifier-columns", "id")
+        .option("max-rows-per-trigger", (10 + rnd.nextInt(11)).toString)
+        .load()
+        .writeStream.foreachBatch(collect4)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
+      val drained = seen.asScala.toSeq
+        .groupBy(t => (t._1, t._2.toLong, t._3)).map { case (k, v) => k -> v.size.toLong }
+      assert(drained == expected,
+        s"seed=$seed mor=$mor: drained multiset != batch compute_updates — " +
+          s"missing=${(expected.toSet -- drained.toSet).take(5)} " +
+          s"extra=${(drained.toSet -- expected.toSet).take(5)}")
+    }
+  }
+
   test("option validation: identifier-columns required; split-row-level refused") {
     freshWh("tCdcUpV")
     spark.sql("CREATE NAMESPACE tCdcUpV.st")
