@@ -116,7 +116,51 @@ class GraftCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val ops = tableOps(ctx, parameters)
-    val startSeq = parameters.get("start-seq").map(_.toLong).getOrElse(0L)
+    // Pin the stream's start under the checkpoint at FIRST run: batch
+    // 0's start offset is not in Spark's offset log (a restart replays
+    // it as getBatch(None, end0)), so the effective start must be
+    // immutable for the checkpoint's life or changing the option would
+    // replay a DIFFERENT batch 0 than the one committed — Kafka
+    // persists its initial partition offsets for exactly this reason.
+    // On an existing checkpoint a changed option warns and is ignored
+    // (like startingOffsets: it says where a stream WITHOUT state
+    // begins). Same tmp+rename publish assumption as the C12 commit
+    // protocol and the row-level spill.
+    val startSeq = {
+      val opt = parameters.get("start-seq").map(_.toLong).getOrElse(0L)
+      val dir = new org.apache.hadoop.fs.Path(metadataPath)
+      val pin = new org.apache.hadoop.fs.Path(dir, "graft-start-seq")
+      val fs = dir.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+      def read(): Long = {
+        val in = fs.open(pin)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+      if (fs.exists(pin)) {
+        val persisted = read()
+        if (parameters.contains("start-seq") && persisted != opt)
+          System.err.println(s"[graft-cdc] start-seq=$opt ignored: this " +
+            s"checkpoint pinned start-seq=$persisted at first run (the " +
+            "option only applies to a stream without state; use a fresh " +
+            "checkpoint to start elsewhere)")
+        persisted
+      } else {
+        fs.mkdirs(dir)
+        // sweep a crashed write's orphan tmp (never referenced: the
+        // rename below is the only publish)
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith(".graft-start-seq.tmp-"))
+          .foreach(fs.delete(_, false))
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".graft-start-seq.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(opt.toString.getBytes("UTF-8")) finally out.close()
+        if (fs.rename(tmp, pin)) opt
+        else if (fs.exists(pin)) { fs.delete(tmp, false); read() } // lost a race
+        else throw new IllegalStateException(
+          s"could not pin start-seq under the checkpoint at $pin")
+      }
+    }
     // Synthetic genesis (diffing past an expired ancestor on a
     // fromSeq=0 batch) is only deterministic-safe on a FRESH stream:
     // a checkpointed stream replaying batch 0 must see the same rows
@@ -375,7 +419,14 @@ class GraftCdcSource(spark: SparkSession, ops: TableOps,
       else tailEnd(meta, st.seq, head, commits0 = 1, rows0 = rows, capCommits, capRows)
     }
 
-    val base = math.max(st.seq, startSeq)
+    // the engine-given start verbatim, matching getBatch: st already
+    // fell back to startSeq when the engine passed none (fresh
+    // stream), and re-clamping a CHECKPOINTED start to a raised
+    // start-seq would desync planning from delivery — the slice path
+    // would serve only the split unit and advance the offset log past
+    // the unclamped commits (silent loss), and the pure-seq path
+    // would admit rows its budget never counted
+    val base = st.seq
     if (head <= base) return if (start != null) start else null
     if (capCommits.isEmpty && capRows.isEmpty)
       return CdcOffset(head)

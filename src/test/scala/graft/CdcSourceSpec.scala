@@ -560,6 +560,56 @@ class CdcSourceSpec extends AnyFunSuite {
       s"raised start-seq must not re-clamp a replayed batch: $got")
   }
 
+  test("planEnd plans from the engine-given start, not the start-seq option: admission and delivery agree") {
+    // the planning twin of the getBatch pin above: if planEnd clamped
+    // its base to a raised start-seq, the slice path would advance the
+    // offset log past the unclamped commits getBatch would have
+    // delivered (silent loss), and the pure-seq path would admit rows
+    // its budget never counted
+    val wh = "/tmp/graft_test_cdcpb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.tcCdcPb", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcPb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcPb.c")
+    spark.sql("CREATE TABLE tcCdcPb.c.t (id BIGINT)")
+    spark.sql("INSERT INTO tcCdcPb.c.t VALUES (1)")  // seq 1
+    spark.sql("INSERT INTO tcCdcPb.c.t VALUES (2)")  // seq 2
+    spark.sql("INSERT INTO tcCdcPb.c.t VALUES (3)")  // seq 3
+    val ops = new TableOps(wh, "c/t")
+    // option says 3, checkpointed start says 1: the next trigger under
+    // max-commits-per-trigger=1 must admit commit 2 — walking from the
+    // ENGINE's offset — not jump to the option and return seq 3's
+    val src = new graft.streaming.GraftCdcSource(spark, ops, ops.refresh().get._2, 3L,
+      maxCommitsPerTrigger = Some(1))
+    val planned = src.latestOffset(graft.streaming.CdcOffset(1), src.getDefaultReadLimit)
+    assert(planned == graft.streaming.CdcOffset(2),
+      s"planning must start at the engine-given seq 1 and admit commit 2: $planned")
+  }
+
+  test("start-seq pins to the checkpoint at first run; a changed option on restart is ignored") {
+    val wh = "/tmp/graft_test_cdcpin"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_cdcpin_ckpt"))
+    spark.conf.set("spark.sql.catalog.tcCdcPn", "graft.catalog.RelativeCatalog")
+    spark.conf.set("spark.sql.catalog.tcCdcPn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE tcCdcPn.c")
+    spark.sql("CREATE TABLE tcCdcPn.c.t (id BIGINT)")
+    spark.sql("INSERT INTO tcCdcPn.c.t VALUES (1)")
+    spark.sql("INSERT INTO tcCdcPn.c.t VALUES (2)")
+    val provider = new graft.streaming.GraftCdcSourceProvider
+    val md = "/tmp/graft_cdcpin_ckpt/sources/0"
+    def mk(params: (String, String)*) = provider.createSource(spark.sqlContext,
+      md, None, "graft-cdc", Map("table" -> "tcCdcPn.c.t") ++ params)
+    assert(mk("start-seq" -> "2").initialOffset() == graft.streaming.CdcOffset(2))
+    // a raised/changed option on the SAME checkpoint is ignored (batch
+    // 0's start is not in Spark's offset log — its replay must not
+    // depend on the current option value)
+    assert(mk("start-seq" -> "1").initialOffset() == graft.streaming.CdcOffset(2),
+      "a changed start-seq must not re-bind an existing checkpoint")
+    assert(mk().initialOffset() == graft.streaming.CdcOffset(2),
+      "a dropped start-seq must not re-bind an existing checkpoint")
+  }
+
   test("post-rollback commits diff against their actual parent (lineage walk)") {
     val wh = "/tmp/graft_test_cdcrb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))

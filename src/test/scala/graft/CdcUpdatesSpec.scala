@@ -27,7 +27,8 @@ class CdcUpdatesSpec extends AnyFunSuite {
   private def collector(seen: java.util.Queue[(Long, String, String, Long)]) =
     (df: org.apache.spark.sql.DataFrame, batchId: Long) => {
       df.collect().foreach(r => seen.add((r.getAs[Long]("id"),
-        r.getAs[String]("v"), r.getAs[String]("_change_type"), batchId)))
+        String.valueOf(r.get(r.fieldIndex("v"))), // v as text: STRING and BIGINT tables share the helper
+        r.getAs[String]("_change_type"), batchId)))
       (): Unit
     }
 
@@ -177,19 +178,8 @@ class CdcUpdatesSpec extends AnyFunSuite {
       assert(expected.keys.exists(_._3 == "update_preimage"),
         s"seed=$seed: degenerate history, no update pair to check")
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
-      val collect4 = (df: org.apache.spark.sql.DataFrame, batchId: Long) => {
-        df.collect().foreach(r => seen.add((r.getAs[Long]("id"),
-          r.getAs[Long]("v").toString, r.getAs[String]("_change_type"), batchId)))
-        (): Unit
-      }
-      val q = spark.readStream.format("graft-cdc")
-        .option("table", s"$cat.st.t")
-        .option("compute-updates", "true")
-        .option("identifier-columns", "id")
-        .option("max-rows-per-trigger", (10 + rnd.nextInt(11)).toString)
-        .load()
-        .writeStream.foreachBatch(collect4)
-        .outputMode("append").start()
+      val q = updatesStream(cat, seen,
+        "max-rows-per-trigger" -> (10 + rnd.nextInt(11)).toString)
       try q.processAllAvailable()
       finally { q.stop(); graft.streaming.Hygiene.unload(q.runId) }
       val drained = seen.asScala.toSeq
