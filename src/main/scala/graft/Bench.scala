@@ -19,6 +19,14 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Split-sizing note (OPTIMIZATION_r21.md, "measured and rejected"):
+      // lowering spark.sql.files.openCostInBytes / AQE minPartitionSize
+      // to widen tiny-input scans was tried and REVERTED — every fixture
+      // parquet is a single row group, so extra splits produce footer-
+      // only no-op tasks (q_tpch_q1 scan stage wall 0.87 s → 1.75 s at
+      // 32 splits) and post-shuffle stages inflate task-constant CPU.
+      // Defaults stay; at 100 TB row groups abound and the stock
+      // bytes-per-core formula already adapts.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -461,25 +461,12 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
   private var pushedPreds: Array[Predicate] = Array.empty
   private var required: StructType = table.schema()
 
-  // inline tail only — enough for the pushdown PROBE delegate (it
-  // consults the schema, never the file index); the real candidate
-  // set is chunk-pruned at build() time against the pushed filters
-  private def probeFiles: Seq[DataFile] =
-    filesOverride.getOrElse(table.readSnapshot.map(_.files).getOrElse(Nil))
-
   // an incremental (append-only) range has no applicable deletes:
   // position/equality deletes committed at seq ≤ start only target
   // files that already existed then, never files added after it
   private def liveDeletes: Seq[DataFile] =
     if (filesOverride.isDefined) Nil
     else table.readSnapshot.map(_.deleteFiles).getOrElse(Nil)
-
-  private def mkDelegate(files: Seq[DataFile]): ScanBuilder = {
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
-  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
@@ -495,9 +482,13 @@ class GraftScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
       // pushdown happens below the anti-join
       filters
     } else {
-      // compute residuals + pushed predicates on a throwaway delegate;
+      // compute residuals + pushed predicates on a SCHEMA-ONLY probe
+      // delegate (opt round 21: the old ParquetTable probe force-listed
+      // the snapshot's whole file set — an 80-task job per scan past
+      // the 32-path parallel-listing threshold — just to read schema);
       // the real (pruned) delegate is built at build() time
-      val probe = mkDelegate(probeFiles)
+      val probe = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+        .probeScanBuilder(spark, options, table.schema())
       val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
       pushedPreds = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
       residual

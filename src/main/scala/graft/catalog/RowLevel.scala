@@ -116,9 +116,13 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
       if (rtCols.nonEmpty)
         return new GroupFilterScan(table, options, required, affected, untouched, rtCols, op)
     }
-    val affectedAbs = affected.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    val paths =
-      if (deletes.isEmpty && !hasMapped) affectedAbs
+    // sized from the manifest: native files carry exact committed
+    // lengths; the scratch branch below just wrote its files, so one
+    // listing of the scratch dir replaces ParquetTable's per-path
+    // re-listing of the whole affected set
+    val knownFiles: Seq[(String, Long)] =
+      if (deletes.isEmpty && !hasMapped)
+        affected.map(f => (RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes))
       else {
         // merge-on-read table: the rewrite must not resurrect deleted
         // rows, but the row-level planner can't serve a V1 fallback
@@ -141,10 +145,13 @@ class RowLevelScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap,
             org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata))
             .toIndexedSeq: _*)
           .write.mode("overwrite").parquet(scratch.toString)
-        Seq(scratch.toString)
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+            Files.list(scratch).iterator()).asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.toString, Files.size(p))).toSeq.sortBy(_._1)
       }
-    val delegate = ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val delegate = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+      .parquetScanBuilder(spark, options, table.schema(), knownFiles)
     delegate.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(required)
     delegate.build()
@@ -246,9 +253,9 @@ class GroupFilterScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   private def delegate: Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    val sb = ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val sb = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+      .parquetScanBuilder(spark, options, table.schema(),
+        files.map(f => (RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes)))
     sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(required)
     sb.build()
@@ -826,9 +833,9 @@ class FileGroupScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   private def delegate(f: DataFile): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val sb = ParquetTable(table.name(), spark, options,
-      Seq(RelPaths.absolutize(table.ops.warehouse, f.path)),
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val sb = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+      .parquetScanBuilder(spark, options, table.schema(),
+        Seq((RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes)))
     sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(dataSchema)
     sb.build()

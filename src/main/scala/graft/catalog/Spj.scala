@@ -161,9 +161,9 @@ class SpjScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   private def delegate(files: Seq[DataFile]): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    val sb = ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val sb = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+      .parquetScanBuilder(spark, options, table.schema(),
+        files.map(f => (RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes)))
     sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
     sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
     sb.build()

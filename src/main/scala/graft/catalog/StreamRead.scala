@@ -348,14 +348,14 @@ class GraftMicroBatchStream(table: GraftTable, options: CaseInsensitiveStringMap
   private def delegate(files: Seq[DataFile], mapped: Boolean,
       mapping: Map[Int, String]): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
     val (tblSchema, reqSchema) =
       if (mapped)
         (Mor.importSchema(table.schema(), table.schema(), mapping),
           Mor.importSchema(required, table.schema(), mapping))
       else (table.schema(), required)
-    val sb = ParquetTable(table.name(), spark, options, paths,
-      Some(tblSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val sb = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+      .parquetScanBuilder(spark, options, tblSchema,
+        files.map(f => (RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes)))
     if (!mapped)
       sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
     sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(reqSchema)
@@ -488,15 +488,31 @@ class GraftStreamableScan(table: GraftTable, options: CaseInsensitiveStringMap,
 
   @volatile private var files: Seq[DataFile] = initialFiles
 
+  // memo keyed on the exact `files` value the delegate was built for:
+  // a runtime filter swaps `files` and invalidates it, so "rebuilt per
+  // partition-planning call" (the runtime-filter contract) still holds,
+  // while the common plan→execute sequence builds the delegate ONCE
+  // instead of once per planInputPartitions / createReaderFactory /
+  // estimateStatistics call (opt round 21 — each rebuild re-listed the
+  // file set through ParquetTable's InMemoryFileIndex)
+  @volatile private var delegateMemo: (Seq[DataFile], Scan) = null
+
   /** Post-runtime-filter view of the delegate (tests inspect it). */
   def batchDelegate: Scan = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val paths = files.map(f => RelPaths.absolutize(table.ops.warehouse, f.path))
-    val sb = ParquetTable(table.name(), spark, options, paths,
-      Some(table.schema()), classOf[ParquetFileFormat]).newScanBuilder(options)
-    sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
-    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
-    sb.build()
+    val fs = files
+    val memo = delegateMemo
+    if (memo != null && (memo._1 eq fs)) memo._2
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val sb = org.apache.spark.sql.execution.datasources.GraftManifestIndex
+        .parquetScanBuilder(spark, options, table.schema(),
+          fs.map(f => (RelPaths.absolutize(table.ops.warehouse, f.path), f.bytes)))
+      sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+      sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(required)
+      val built = sb.build()
+      delegateMemo = (fs, built)
+      built
+    }
   }
 
   def scannedFileCount: Int = files.size

@@ -373,10 +373,21 @@ object Aggs extends Pack {
     // exact side and pins the bound as a literal TRUE, so an HLL
     // regression (wrong hashing, wrong merge) fails the DuckDB gate,
     // not just a local spec.
+    // Perf shape (opt round 21, guide §2.3): countDistinct beside
+    // approx_count_distinct in ONE agg makes Catalyst plan the
+    // non-distinct HLL as a partial sketch PER DISTINCT KEY — the
+    // exchange carried 410 columns of HLL register state per
+    // (flag, orderkey) row (measured: 12 MB shuffle, 11-49 s of task
+    // time merging sketch buffers). Dedup the keys first, then count +
+    // sketch the deduped keys: HLL is duplicate-insensitive, so the
+    // estimate (and the exact count) are bit-identical, while the
+    // exchange carries 2 narrow columns and exactly 3 sketches exist.
     Decl("q_agg_hll_inv", (spark, dir) =>
       Tables(spark, dir, "lineitem")
+        .select($("l_returnflag"), $("l_orderkey"))
+        .distinct()
         .groupBy($("l_returnflag"))
-        .agg(countDistinct($("l_orderkey")).as("exact_orders"),
+        .agg(count($("l_orderkey")).as("exact_orders"),
           approx_count_distinct($("l_orderkey"), 0.02).as("est"))
         .select($("l_returnflag"), $("exact_orders"),
           (abs($("est") - $("exact_orders")).cast("double") <=
