@@ -72,13 +72,21 @@ object Probe {
       catch { case e: Throwable => println(s"[probe] warmup failed: $e") }
       graft.streaming.Hygiene.reset(spark); System.gc()
       stages.clear(); batches.clear()
-      // timed run
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      val tPlan = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      println(f"[probe] $name build=${(tPlan - t0) / 1e9}%.3fs exec=${(t1 - tPlan) / 1e9}%.3fs total=${(t1 - t0) / 1e9}%.3fs")
+      // two timed runs, min (the bench's own protocol); stages/batches
+      // from the last run
+      var df: org.apache.spark.sql.DataFrame = null
+      val runs = (1 to 2).map { _ =>
+        graft.streaming.Hygiene.reset(spark); System.gc()
+        stages.clear(); batches.clear()
+        val t0 = System.nanoTime()
+        df = fn(spark, sfDir)
+        val tPlan = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        ((tPlan - t0) / 1e9, (t1 - tPlan) / 1e9, (t1 - t0) / 1e9)
+      }
+      val best = runs.minBy(_._3)
+      println(f"[probe] $name build=${best._1}%.3fs exec=${best._2}%.3fs total=${best._3}%.3fs (runs: ${runs.map(r => f"${r._3}%.3f").mkString(", ")})")
       // formatted plan of the RETURNED frame (the declared query)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

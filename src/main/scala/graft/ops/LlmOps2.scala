@@ -261,6 +261,10 @@ object LlmOps2 extends Pack {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // Carry the previous label in-row so convergence needs a cheap
       // filter over the checkpointed result, not a self-join.
+      // (Opt r21 note: dropping this mid-round checkpoint and letting
+      // the jump join consume `propagated` twice was measured 2-3x
+      // SLOWER — ReuseExchange does not dedupe the two occurrences
+      // across the outer-join plan, so the propagate join ran twice.)
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
@@ -336,7 +340,10 @@ object LlmOps2 extends Pack {
       val famText = concat_ws(" ",
         (0 until 20).map(k =>
           concat(lit("fam"), col("id").cast("string"), lit(s"_w$k"))): _*)
-      val base = spark.range(10).select(col("id"), famText.as("text"))
+      // 10 rows in ONE partition: a bare spark.range defaults to
+      // defaultParallelism partitions, and 4 planted unions of it gave
+      // the minhash scan stage 129 tasks, 124 of them empty (opt r21)
+      val base = spark.range(0, 10, 1, 1).select(col("id"), famText.as("text"))
       val planted = Seq(100000L, 110000L, 120000L, 130000L).map(off =>
         base.select((col("id") + off).as("doc_id"), col("text")))
       val input = planted.foldLeft(docs)(_ unionByName _)

@@ -484,14 +484,18 @@ object LlmOps5 extends Pack {
         explode(expr(
           "transform(sequence(0, size(toks)-12, 1), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 12))))")).as("gm"))
       .distinct()
-    // df gate BEFORE the self-join: one keyed count, then an inner
-    // join back on gm — the self-join below can never see a bucket
-    // larger than maxGramDf rows
-    val eligible = g.groupBy(col("gm"))
-      .agg(count(lit(1)).as("df"))
+    // df gate BEFORE the self-join: a gm-keyed window count (the
+    // oracle's own QUALIFY spelling), so the self-join below can never
+    // see a bucket larger than maxGramDf rows. Opt round 21: this was
+    // an agg + join-back on gm, which evaluated the gram explode twice
+    // (measured: two identical 0.93 s scan stages — the agg branch and
+    // the join branch shared no exchange); the window computes df
+    // in-row off ONE exchange, and its gm partitioning is exactly what
+    // the self-join needs next.
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("gm"))
+    val gk = g.withColumn("df", count(lit(1)).over(wdf))
       .filter(col("df") >= 2 && col("df") <= maxGramDf)
-      .select(col("gm"))
-    val gk = g.join(eligible, "gm")
+      .select(col("doc_id"), col("gm"))
     val e = gk.as("x").join(gk.as("y"),
         col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()

@@ -158,7 +158,7 @@ object LlmOps9 extends Pack {
           ("corpus", s, None: Option[String], None: Option[String],
             None: Option[Long], true, true))
       val planted = contract(trainBpeOn(
-        spark.range(32).select(lit("abcdefghijk").as("text")), 10)._1,
+        spark.range(0, 32, 1, 1).select(lit("abcdefghijk").as("text")), 10)._1,
         "planted", pinAll = true)
       (planted ++ corpus)
         .toDF("part", "step", "lhs", "rhs", "pair_count", "mono_ok", "wf_ok")
@@ -223,7 +223,7 @@ object LlmOps9 extends Pack {
       }
       val (cW, cC, cT, cSum) = stats(trainBpe(spark, dir, 10))
       val (pW, pC, pT, pSum) = stats(trainBpeOn(
-        spark.range(32).select(lit("abcdefghijk").as("text")), 10))
+        spark.range(0, 32, 1, 1).select(lit("abcdefghijk").as("text")), 10))
       def cpt(chars: Long, toks: Long): Double = BigDecimal(chars.toDouble / toks)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       import spark.implicits._
