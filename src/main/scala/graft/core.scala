@@ -22,6 +22,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred file schema per path. Schema inference is a footer-read
+    * job Spark submits on EVERY bare `spark.read.parquet(path)` — one
+    * 30–50 ms driver round-trip per table per query build (guide §6:
+    * metadata work on the driver). The fixture files are immutable for
+    * a process lifetime, and a schema is data-independent metadata —
+    * caching it changes no result, it only pre-declares what inference
+    * would re-derive. (The engine's own catalog tables already plan
+    * from manifest metadata; this is the same idea for the raw
+    * fixture reads.) */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
@@ -30,7 +47,7 @@ object Tables {
       // TIMESTAMP(MICROS) ntz. Dispatch on the actual file schema so
       // either fixture vintage yields the same timestamp_ntz column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = read(spark, s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts",
@@ -39,7 +56,7 @@ object Tables {
           df.withColumn("ts", col("ts").cast("timestamp_ntz"))
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      read(spark, s"$dir/$name.parquet")
     }
 }
 
@@ -50,13 +67,38 @@ object Tables {
   */
 object Dsl {
   /** Exact pre-aggregation numeric: decimal(18,6) sums identically in
-    * Spark and DuckDB regardless of addition order. */
-  def dec(c: Column): Column = c.cast("decimal(18,6)")
+    * Spark and DuckDB regardless of addition order. Built as
+    * [[graft.functions.FastCastDec]] — bit-identical to
+    * `.cast("decimal(18,6)")` (the embedded real Cast takes every
+    * non-trivial case) without the per-row Double.toString+BigDecimal
+    * detour in the hot path. */
+  def dec(c: Column): Column = fastDec(c, 18, 6)
 
   /** Narrow decimal for factors in [0,1] (discount/tax): keeps chained
     * decimal multiplication within 38 digits of precision in BOTH
     * engines, so no engine-specific scale truncation kicks in. */
-  def frac(c: Column): Column = c.cast("decimal(8,6)")
+  def frac(c: Column): Column = fastDec(c, 8, 6)
+
+  private def fastDec(c: Column, p: Int, s: Int): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(graft.functions.FastCastDec(
+      GraftColumnShim.expression(c), p, s,
+      org.apache.spark.sql.catalyst.expressions.EvalMode
+        .fromSQLConf(org.apache.spark.sql.internal.SQLConf.get).toString))
+  }
+
+  /** `a * b` for decimal columns — bit-identical to the `*` operator
+    * (the embedded real Multiply takes every non-trivial case) without
+    * the per-row BigDecimal multiply when both unscaled values fit in
+    * longs ([[graft.functions.FastDecMul]]). */
+  def mul(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    GraftColumnShim.column(graft.functions.FastDecMul(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.fromSQLConf(conf).toString,
+      conf.decimalOperationsAllowPrecisionLoss))
+  }
 
   /** Final output shape for money-like aggregates: exact decimal(18,4)
     * value (order-independent, identical in both engines), then a last

@@ -20,8 +20,13 @@ object Aggs extends Pack {
       .agg(
         d4(sum(dec(col("l_quantity")))).as("sum_qty"),
         d4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        d4(sum(dec(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)"))).as("sum_disc_price"),
-        d4(sum(dec(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)")
+        d4(sum(Dsl.mul(dec(col("l_extendedprice")),
+          (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)")))).as("sum_disc_price"),
+        // outer × stays `*`: the scale-18 product never fits a long,
+        // so FastDecMul would only add its wrapper to the same
+        // BigDecimal multiply
+        d4(sum(Dsl.mul(dec(col("l_extendedprice")),
+          (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)"))
           * (lit(1) + frac(col("l_tax"))).cast("decimal(7,6)"))).as("sum_charge"),
         d4(sum(dec(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -526,9 +531,11 @@ object Aggs extends Pack {
       val y = dec($("l_extendedprice"))
       val n = count(lit(1)).cast("double")
       val sx = sum(x).cast("double");  val sy = sum(y).cast("double")
-      val sxx = sum((x * x).cast("decimal(38,12)")).cast("double")
+      // x·x and x·y fit a long unscaled (qty ≤ 50, price ≤ 1.05e5 at
+      // scale 6 → ≤ 5.3e18); y·y (price²) never does — plain `*` there
+      val sxx = sum(Dsl.mul(x, x).cast("decimal(38,12)")).cast("double")
       val syy = sum((y * y).cast("decimal(38,12)")).cast("double")
-      val sxy = sum((x * y).cast("decimal(38,12)")).cast("double")
+      val sxy = sum(Dsl.mul(x, y).cast("decimal(38,12)")).cast("double")
       Tables(spark, dir, "lineitem")
         .groupBy($("l_returnflag"))
         .agg(round((n * sxy - sx * sy) /
@@ -563,9 +570,9 @@ object Aggs extends Pack {
       Tables(spark, dir, "lineitem")
         .groupBy($("l_returnflag"))
         .agg(
-          d4(sum(dec($("l_extendedprice")) * dec($("l_quantity")))).as("sum_pq"),
+          d4(sum(Dsl.mul(dec($("l_extendedprice")), dec($("l_quantity"))))).as("sum_pq"),
           d4(sum(dec($("l_quantity")))).as("sum_q"),
-          round(sum(dec($("l_extendedprice")) * dec($("l_quantity"))).cast("double") /
+          round(sum(Dsl.mul(dec($("l_extendedprice")), dec($("l_quantity")))).cast("double") /
             sum(dec($("l_quantity"))).cast("double"), 6).as("weighted_avg_price"))
         .orderBy($("l_returnflag").asc_nulls_first),
       Some(

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object TpchOps extends Pack {
 
-  private def revenue = dec(col("l_extendedprice")) *
-    (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)")
+  // Dsl.mul: bit-identical to `*` (FastDecSpec), long-multiply fast path
+  private def revenue = graft.Dsl.mul(dec(col("l_extendedprice")),
+    (lit(1) - frac(col("l_discount"))).cast("decimal(7,6)"))
 
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,6)) * " +
@@ -70,7 +71,7 @@ object TpchOps extends Pack {
           frac(col("l_discount")).between(
             expr("CAST(0.05 AS DECIMAL(8,6))"), expr("CAST(0.07 AS DECIMAL(8,6))")) &&
           col("l_quantity") < 24)
-        .agg(d4(sum(dec(col("l_extendedprice")) * frac(col("l_discount"))))
+        .agg(d4(sum(graft.Dsl.mul(dec(col("l_extendedprice")), frac(col("l_discount")))))
           .as("revenue"),
           count(lit(1)).as("n_items")),
       Some(
@@ -530,7 +531,7 @@ object TpchOps extends Pack {
     // part before broadcast, and profit stays exact-decimal.
     Decl("q_tpch_q9", (spark, dir) => {
       val amount = revenue -
-        dec(col("p_retailprice")) * dec(col("l_quantity"))
+        graft.Dsl.mul(dec(col("p_retailprice")), dec(col("l_quantity")))
       val part = Tables(spark, dir, "part")
         .filter(col("p_name").contains("red"))
         .select(col("p_partkey"), col("p_retailprice"))
