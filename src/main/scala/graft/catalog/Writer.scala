@@ -167,11 +167,21 @@ object Writer {
     // default (no sampling pass, no skew sensitivity). Fanout keeps
     // files partition-local either way.
     val rangeMode = meta.properties.get("write.distribution-mode").contains("range")
+    // the clustering exchange is PINNED to the session's shuffle
+    // partition count (REPARTITION_BY_NUM) so AQE cannot coalesce it:
+    // the fanout writer below rolls a new file per partition key, so
+    // output file count is fixed by the key set regardless of task
+    // count — coalescing a small insert to one task buys nothing and
+    // serializes every per-file writer open/flush (measured: an
+    // 84-month insert wrote its 84 files in ONE 1.0 s task; 32-way it
+    // is ~0.1 s). At scale the pinned count is the ops-tuned
+    // spark.sql.shuffle.partitions, exactly the non-coalesced plan.
+    val shufN = spark.sessionState.conf.numShufflePartitions
     val clustered =
       if (specExprs.nonEmpty)
-        if (rangeMode) aligned.repartitionByRange((specExprs ++ sortCols).toIndexedSeq: _*)
-        else aligned.repartition(specExprs: _*)
-      else if (rangeMode && sortCols.nonEmpty) aligned.repartitionByRange(sortCols: _*)
+        if (rangeMode) aligned.repartitionByRange(shufN, (specExprs ++ sortCols).toIndexedSeq: _*)
+        else aligned.repartition(shufN, specExprs: _*)
+      else if (rangeMode && sortCols.nonEmpty) aligned.repartitionByRange(shufN, sortCols: _*)
       else aligned
     val sorted =
       if (specExprs.nonEmpty)
