@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Decl, Dsl, Pack, Tables}
 import graft.Dsl.{d4, dec, frac}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.2 "Aggregations").
@@ -67,6 +67,53 @@ object Aggs extends Pack {
     val kurt = s"ROUND($m4 / ($m2 * $m2) - 3, 6)"
   }
 
+  /** Exact Spark `percentile(v, p)` over a pre-counted (group, value,
+    * freq) frame, as a cum-count window (opt round 22, guide §2) — no
+    * per-group value→count object map, no single-threaded boxed merge;
+    * the plan is codegen aggregates plus one window sort. Replicates
+    * `Percentile`'s eval double for double: position = p·(N−1) with
+    * N = Σfreq; the covering rows of floor(position)/ceil(position)
+    * in the frequency-expanded ascending multiset interpolate as
+    * (hi−pos)·lowerVal + (pos−lo)·higherVal, with the same-value and
+    * integral-position short-circuits (PercentileCumSpec fuzzes the
+    * equivalence against the native aggregate). Values are compared
+    * and interpolated as doubles; null values are skipped like the
+    * native aggregate (a group with only null values is absent from
+    * the output — callers left-join if they must keep it). Note the
+    * count-frame groupBy has already normalized -0.0 to 0.0, so the
+    * SQL `=` short-circuit cannot diverge from the native key-equals.
+    * Returns one row per group: (rf, pct). */
+  def exactPercentileViaCumCount(cnts0: DataFrame, g: Column, v: Column,
+      c: Column, p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = cnts0.filter(v.isNotNull)
+      .select(g.as("rf"), v.cast("double").as("v"), c.as("c"))
+    // ROWS (not RANGE) cum: strictly increasing per row, so exactly one
+    // row covers any 0-based position regardless of tie order — and a
+    // covering row's v IS the multiset's value at that position
+    val wCum = Window.partitionBy(col("rf")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("rf"))
+    val cum = cnts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .withColumn("pos", lit(p) * (col("tot") - lit(1L)).cast("double"))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+    def covers(idx: Column) = col("cum") - col("c") <= idx && col("cum") >= idx + 1
+    val isLo = covers(col("lo"))
+    val isHi = covers(col("hi"))
+    cum.filter(isLo || isHi)
+      .groupBy(col("rf"))
+      .agg(min(when(isLo, col("v"))).as("lv"),
+        min(when(isHi, col("v"))).as("hv"),
+        max(col("pos")).as("pos"), max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("rf"),
+        when(col("hi") === col("lo") || col("lv") === col("hv"), col("lv"))
+          .otherwise((col("hi").cast("double") - col("pos")) * col("lv") +
+            (col("pos") - col("lo").cast("double")) * col("hv")).as("pct"))
+  }
+
   def decls: Seq[Decl] = Seq(
     Decl("q_agg_group", q1, Some(q1Sql)),
 
@@ -87,13 +134,22 @@ object Aggs extends Pack {
         |  D4(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount)) AS avg_disc
         |FROM lineitem""".stripMargin)),
 
+    // Two multi-column COUNT(DISTINCT)s in one aggregate plan as
+    // Expand ×3 — every fact row tripled into the exchange (16 MB,
+    // the scan stage's whole cost). Split per distinct set (opt round
+    // 22, guide §2.3 dedupe-first): a single-distinct aggregate plans
+    // WITHOUT Expand (partial agg keyed (group, distinct-cols) dedups
+    // map-side), so each branch shuffles only its distinct tuples and
+    // the 3-row-per-branch results broadcast-join back on the group.
     Decl("q_agg_distinct", (spark, dir) => {
       val li = Tables(spark, dir, "lineitem")
-      li.groupBy($("l_returnflag"))
-        .agg(
-          countDistinct($("l_orderkey")).as("n_orders"),
-          countDistinct($("l_partkey"), $("l_suppkey")).as("n_part_supp"),
+      val ords = li.groupBy($("l_returnflag"))
+        .agg(countDistinct($("l_orderkey")).as("n_orders"),
           count(lit(1)).as("n_rows"))
+      val pairs = li.groupBy($("l_returnflag").as("rf2"))
+        .agg(countDistinct($("l_partkey"), $("l_suppkey")).as("n_part_supp"))
+      ords.join(broadcast(pairs), $("l_returnflag") <=> $("rf2"))
+        .select($("l_returnflag"), $("n_orders"), $("n_part_supp"), $("n_rows"))
         .orderBy($("l_returnflag").asc_nulls_first)
     }, Some(
       """SELECT l_returnflag,
@@ -217,13 +273,45 @@ object Aggs extends Pack {
         |FROM p
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
-    Decl("q_agg_percentile", (spark, dir) =>
-      Tables(spark, dir, "lineitem")
-        .groupBy($("l_returnflag"))
-        .agg(
-          d4(round(expr("percentile(l_quantity, 0.5)"), 4)).as("median_qty"),
-          d4(round(expr("percentile(l_extendedprice, 0.9)"), 4)).as("p90_price"))
-        .orderBy($("l_returnflag").asc_nulls_first),
+    // Exact percentiles, computed distributed (opt round 22, guide §2):
+    // plain percentile() is a TypedImperativeAggregate whose partial
+    // builds a value→count OpenHashMap over EVERY row in the (single
+    // row group ⇒ single) scan task, ships the serialized maps
+    // (5.4 MB here) and merges + sorts them single-threaded per group
+    // — ~0.8 s of boxed-object work for the near-unique price column.
+    // Rewrite: ONE codegen count by (flag, qty, price) feeds both
+    // percentiles — the 50-value qty through percentile(v, p, freq)
+    // (the same aggregate code over tiny per-value maps, identical by
+    // construction), the near-unique price through
+    // [[exactPercentileViaCumCount]], a cum-count window replicating
+    // Spark's interpolation double-for-double (PercentileCumSpec
+    // fuzzes the equivalence). No object maps remain on the
+    // high-cardinality path.
+    Decl("q_agg_percentile", (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      // per-branch counts: each pass scans only its 2 columns (column
+      // pruning), and the qty branch's exchange is ~|distinct qty|·3
+      // rows, so its percentile map is trivial
+      val qty = li
+        .groupBy($("l_returnflag").as("rf"), $("l_quantity"))
+        .agg(count(lit(1)).as("freq"))
+        .groupBy($("rf"))
+        .agg(d4(round(expr("percentile(l_quantity, 0.5, freq)"), 4)).as("median_qty"))
+      val price = exactPercentileViaCumCount(
+        li.groupBy($("l_returnflag").as("rf"), $("l_extendedprice"))
+          .agg(count(lit(1)).as("freq")),
+        col("rf"), col("l_extendedprice"), col("freq"), 0.9)
+      qty.join(broadcast(price.select($("rf").as("rf2"), $("pct").as("p90"))),
+          $("rf") <=> $("rf2"), "left")
+        .select($("rf").as("l_returnflag"), $("median_qty"),
+          d4(round($("p90"), 4)).as("p90_price"))
+        // group-cardinality rows: pinning them to one materialized
+        // partition stops the global sort's range-sampling pass from
+        // re-evaluating the aggregate stages (AQE only materializes at
+        // exchanges, so orderBy directly over the agg ran them twice)
+        .repartition(1)
+        .orderBy($("l_returnflag").asc_nulls_first)
+    },
       Some(
         """SELECT l_returnflag,
           |  D4(QUANTILE_CONT(l_quantity, 0.5)) AS median_qty,

@@ -83,13 +83,27 @@ object StreamOps extends Pack {
     * memory sink; returns the materialized sink table. The sink's temp
     * view is dropped before returning (result is localCheckpoint-ed
     * first), so suite runs don't accumulate sink state.
+    *
+    * `sentinel` (opt round 22, guide §5 "fewer/cheaper commits"): the
+    * far-future sentinel row exists ONLY to advance the watermark so
+    * append-mode windows flush. Queries without a watermark flush
+    * dependency (Complete/Update mode, stateless append) emit their
+    * full result from the data batches alone, and every declared
+    * result filters the sentinel row out anyway — so for them the
+    * sentinel wave was one extra micro-batch (plus its no-data
+    * follow-up) of pure state-store-commit overhead per query. Where
+    * it IS needed it is linked INTO the first wave: the watermark is
+    * computed at end-of-batch from the max event time seen, so one
+    * data batch + one no-data flush batch yields the same emitted set
+    * as the old three-batch (events, sentinel, flush) replay.
     */
   private def streamed(spark: SparkSession, dir: String,
-      mode: OutputMode, twice: Boolean = false)(
+      mode: OutputMode, twice: Boolean = false, sentinel: Boolean = false)(
       build: Dataset[Ev] => DataFrame): DataFrame = {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_stream_src")
     linkWave(src, eventsSrc(spark, dir), "w0")
+    if (sentinel) linkWave(src, sentinelSrc(spark), "w0-sentinel")
     val name = s"graft_stream_${n.incrementAndGet()}"
     // state-store overhead is per (partition × micro-batch): run the
     // bounded replay with fewer state partitions than the batch default
@@ -102,8 +116,6 @@ object StreamOps extends Pack {
     try {
       q.processAllAvailable()
       if (twice) { linkWave(src, eventsSrc(spark, dir), "w1"); q.processAllAvailable() }
-      linkWave(src, sentinelSrc(spark), "zz-sentinel")
-      q.processAllAvailable()
     } finally {
       q.stop()
       // drop THIS query's state-store providers (keyed by runId, so
@@ -122,9 +134,19 @@ object StreamOps extends Pack {
   }
 
   /** Two independent file-source streams over the same replay payload
-    * (separate sources, separate offsets — both see every wave and the
-    * sentinel), for stream-stream joins. Same sink/cleanup protocol as
-    * [[streamed]].
+    * (separate sources, separate offsets — both see every wave), for
+    * stream-stream joins. Same sink/cleanup protocol as [[streamed]].
+    *
+    * No sentinel: inner stream-stream joins emit matches in the batch
+    * where both sides are present; the watermark only bounds state
+    * EVICTION, which a bounded replay never depends on. `shufN` caps
+    * the state partition count: the join keeps 4 state stores per
+    * partition per side, so at 8 partitions every micro-batch paid 32
+    * store load/commit round-trips for a watermark-bounded state that
+    * is tiny per key — 2 partitions measured −0.6 s on the replay
+    * (r21 sweep) with the SAME plan shape. Production streams size
+    * this by state volume, not by the replay harness's constant
+    * (override: spark.graft.stream.join.partitions).
     */
   private def streamed2(spark: SparkSession, dir: String)(
       build: (Dataset[Ev], Dataset[Ev]) => DataFrame): DataFrame = {
@@ -132,15 +154,14 @@ object StreamOps extends Pack {
     val src = Files.createTempDirectory("graft_stream_src2")
     linkWave(src, eventsSrc(spark, dir), "w0")
     val name = s"graft_stream_${n.incrementAndGet()}"
+    val shufN = spark.conf.getOption("spark.graft.stream.join.partitions").getOrElse("2")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", shufN)
     def mkStream = spark.readStream.schema(Encoders.product[Ev].schema)
       .parquet(src.toString).as[Ev]
     val q = build(mkStream, mkStream).writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
     try {
-      q.processAllAvailable()
-      linkWave(src, sentinelSrc(spark), "zz-sentinel")
       q.processAllAvailable()
     } finally {
       q.stop()
@@ -233,7 +254,7 @@ object StreamOps extends Pack {
     // Session windows (5-minute gap) per user. Streamed in append mode
     // with a watermark; the sentinel closes the final sessions.
     Decl("q_str_session", (spark, dir) =>
-      streamed(spark, dir, OutputMode.Append()) { ds =>
+      streamed(spark, dir, OutputMode.Append(), sentinel = true) { ds =>
         // watermarks require TIMESTAMP (not NTZ); session is UTC so the
         // values are identical — cast in, cast the window bounds back out
         ds.withColumn("ts", col("ts").cast("timestamp"))
@@ -271,7 +292,7 @@ object StreamOps extends Pack {
     // sentinel closes all real windows, so the emitted set equals the
     // batch result (no late data in a single ordered replay).
     Decl("q_str_watermark", (spark, dir) =>
-      streamed(spark, dir, OutputMode.Append()) { ds =>
+      streamed(spark, dir, OutputMode.Append(), sentinel = true) { ds =>
         ds.withColumn("ts", col("ts").cast("timestamp"))
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))

@@ -674,15 +674,23 @@ object TpchOps extends Pack {
     // null-safe anti join. Part filters push to the scan; the
     // distinct pair reduction is the only fact shuffle.
     Decl("q_tpch_q16", (spark, dir) => {
-      val ps = Tables(spark, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // Opt round 22 (guide §2.4): the (l_partkey, l_suppkey) DISTINCT
+      // was a full fact exchange that COUNT(DISTINCT l_suppkey) makes
+      // redundant — deduping pairs never changes which suppkeys appear
+      // under a (brand, type, size) profile, and the complaint anti
+      // join filters by suppkey alone. Raw lineitem now broadcast-joins
+      // the FILTERED part dim first (rows drop before any exchange),
+      // and the single remaining shuffle carries the map-side-deduped
+      // (brand, type, size, suppkey) tuples of the distinct aggregate.
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
       val part = Tables(spark, dir, "part")
         .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
           col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
       val complaints = Tables(spark, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-      ps.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -756,13 +764,25 @@ object TpchOps extends Pack {
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAY"))
         .select(col("l_orderkey"), col("l_suppkey"))
         .distinct()
-      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      // Opt round 22 (guide §2.3/§3): both EXISTS probes are per-order
+      // predicates, so they reduce to per-order aggregates instead of
+      // joins against row sets. "Another supplier exists" ⟺ the order
+      // has ≥2 distinct suppliers ⟺ min(l_suppkey) ≠ max(l_suppkey) —
+      // a map-side partial agg that shuffles one narrow row per
+      // orderkey where the old semi-join shuffled and sorted EVERY
+      // lineitem pair row. "No other late supplier" ⟺ the order's late
+      // pair count is exactly 1 — a window count over the SAME
+      // orderkey exchange the multi-supplier join needs next, replacing
+      // the anti self-join of late against itself.
+      val multi = li.groupBy(col("l_orderkey").as("o2"))
+        .agg(min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+        .filter(col("smin") =!= col("smax"))
+        .select(col("o2"))
+      val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
       late
-        .join(others, col("l_orderkey") === col("o2") &&
-          col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("o3") &&
-          col("l_suppkey") =!= col("s3"), "left_anti")
+        .withColumn("nlate", count(lit(1)).over(wOrd))
+        .filter(col("nlate") === 1).drop("nlate")
+        .join(multi, col("l_orderkey") === col("o2"), "left_semi")
         .join(broadcast(Tables(spark, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))

@@ -225,12 +225,19 @@ class PlanShapeSpec extends AnyFunSuite {
       pScans.head.metadata.getOrElse("PushedFilters", "?"))
   }
 
-  test("q_tpch_q21: exists/not-exists plan as keyed semi+anti joins, never nested-loop") {
+  test("q_tpch_q21: exists/not-exists as per-order aggregates + semi join, never nested-loop") {
+    // opt round 22: the "another supplier" EXISTS is a per-order
+    // min≠max aggregate semi-joined back (one narrow row per orderkey
+    // through the fact shuffle, not every pair row), and the "no other
+    // late supplier" NOT EXISTS is a count window over late itself —
+    // the anti self-join is gone by construction
     val p = plan("q_tpch_q21")
-    assert(p.contains("LeftSemi"), s"other-supplier EXISTS must be a semi join:\n${p.take(2000)}")
-    assert(p.contains("LeftAnti"), s"no-other-late NOT EXISTS must be an anti join:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"), s"multi-supplier EXISTS must be a semi join:\n${p.take(2000)}")
+    assert(p.contains("Window"), s"no-other-late must be the late-count window:\n${p.take(2000)}")
+    assert(!p.contains("LeftAnti"),
+      s"the anti self-join must be replaced by the window count:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"inequality must ride the orderkey equi-join, not a loop:\n${p.take(2000)}")
+      s"probes must ride orderkey equi-joins, not a loop:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"), s"bounded head must not global-sort:\n${p.take(2000)}")
   }
 
