@@ -261,14 +261,18 @@ object LlmOps2 extends Pack {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // Carry the previous label in-row so convergence needs a cheap
       // filter over the checkpointed result, not a self-join.
-      // (Opt r21 note: dropping this mid-round checkpoint and letting
-      // the jump join consume `propagated` twice was measured 2-3x
-      // SLOWER — ReuseExchange does not dedupe the two occurrences
-      // across the outer-join plan, so the propagate join ran twice.)
+      // (Opt r21 note: dropping this mid-round materialization and
+      // letting the jump join consume `propagated` twice was measured
+      // 2-3x SLOWER — ReuseExchange does not dedupe the two
+      // occurrences across the outer-join plan, so the propagate join
+      // ran twice. Opt r22: persist() instead of an eager checkpoint —
+      // both jump-join legs read the one cached copy, single eval, and
+      // the separate checkpoint JOB per round disappears; stepped's
+      // checkpoint below still truncates the round's lineage.)
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .transform(IterCheckpoint.apply)
+        .persist()
       // pointer jumping: label ← label-of-label (labels are node ids,
       // so the self-join always resolves; coalesce guards the root,
       // whose label is itself and needs no jump)

@@ -469,6 +469,17 @@ object LlmOps5 extends Pack {
     * chain). */
   def dupClusters(docs: DataFrame, maxGramDf: Int = MaxGramDf,
       maxRounds: Int = 50): DataFrame = {
+    LlmOps2.duplicateGroups(dupEdges(docs, maxGramDf), maxRounds)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .select(col("group").as("root"), col("n_docs"), col("max_doc"))
+      .orderBy(col("root").asc_nulls_first)
+  }
+
+  /** The candidate near-dup edges of [[dupClusters]] (exposed so specs
+    * can assert the pre-closure shape: one gram explode, bounded
+    * window). */
+  private[graft] def dupEdges(docs: DataFrame, maxGramDf: Int = MaxGramDf): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     // grams are keyed by xxhash64 the moment they exist (the
     // substrdedup lesson): every downstream shuffle — the per-doc
@@ -477,13 +488,22 @@ object LlmOps5 extends Pack {
     // strings. A 64-bit collision merging two distinct grams is a
     // ~n²/2⁶⁴ event (≪ 10⁻⁶ even at 10⁹ distinct grams — and at most
     // one spurious df/edge, not a wrong closure).
+    // the gm exchange the window needs is made EXPLICIT (repartition)
+    // so the viral-count aggregate below can consume the IDENTICAL
+    // exchange subtree — AQE's runtime stage reuse then materializes
+    // the explode+dedup once for both consumers. (An anti-join placed
+    // above the dedup instead gets pushed BELOW it by the optimizer,
+    // splitting the two subtrees and re-running the explode — the
+    // round-21 double-scan this spelling exists to avoid.)
     val g = docs
       .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 12)
-      .select(col("doc_id"),
+      .filter(size(col("toks")) >= 12 && col("doc_id").isNotNull)
+      .select(
         explode(expr(
-          "transform(sequence(0, size(toks)-12, 1), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 12))))")).as("gm"))
+          "transform(sequence(0, size(toks)-12, 1), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 12))))")).as("gm"),
+        col("doc_id"))
       .distinct()
+      .repartition(col("gm"))
     // df gate BEFORE the self-join: a gm-keyed window count (the
     // oracle's own QUALIFY spelling), so the self-join below can never
     // see a bucket larger than maxGramDf rows. Opt round 21: this was
@@ -492,23 +512,26 @@ object LlmOps5 extends Pack {
     // the join branch shared no exchange); the window computes df
     // in-row off ONE exchange, and its gm partitioning is exactly what
     // the self-join needs next.
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("gm"))
-    val gk = g.withColumn("df", count(lit(1)).over(wdf))
+    // Opt round 22 (viral-gram guard): the window buffers each gm
+    // group BEFORE its filter runs, so one boilerplate mega-gram
+    // (df ≫ maxGramDf) would sort-and-spill its whole bucket in one
+    // task just to be discarded. The exact viral set (df > maxGramDf)
+    // is tiny by nature — boilerplate grams — counted off the SAME
+    // explicit exchange (stage-reused, see above) and broadcast
+    // anti-joined between the exchange and the window, so the window's
+    // per-group buffer is bounded by maxGramDf rows at ANY corpus size
+    // (Llm5Spec pins the shape and the single explode; the broadcast
+    // join preserves the gm partitioning, so no exchange is added).
+    val eligible = g.groupBy(col("gm").as("egm")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxGramDf)
+      .select(col("egm"))
+    val gk = g.join(eligible, col("gm") === col("egm"))
       .select(col("doc_id"), col("gm"))
-    val e = gk.as("x").join(gk.as("y"),
+    // the closure then runs through [[LlmOps2.duplicateGroups]]'
+    // pointer-jumping min-label propagation (O(log diameter) rounds)
+    gk.as("x").join(gk.as("y"),
         col("x.gm") === col("y.gm") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    // closure via the shared pointer-jumping CC ([[LlmOps2.duplicateGroups]]):
-    // min-label + label-of-label per round → O(log diameter) rounds
-    // instead of the O(diameter) one-hop propagation this used to run,
-    // with the same loud failure when the round budget is exhausted
-    // (never a silent partial closure).
-    LlmOps2.duplicateGroups(e, maxRounds)
-      .groupBy(col("group"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
-      .select(col("group").as("root"), col("n_docs"), col("max_doc"))
-      .orderBy(col("root").asc_nulls_first)
   }
 
   /** Train the m per-subspace codebooks concurrently — Lloyd over a

@@ -224,4 +224,38 @@ class Llm5Spec extends AnyFunSuite {
     val ok = ops.LlmOps5.dupClusters(docs).collect()
     assert(ok.length == 1 && ok(0).getLong(1) == 6L)
   }
+
+  test("dupClusters viral guard: df gate is a streamed join, no window buffering, shared subtree") {
+    import spark.implicits._
+    // opt round 22: the df gate is an aggregate (bounded per-gram
+    // state, spillable hash map) joined back to the gram rows — a
+    // streamed join whose per-key buffered state is ONE eligible-set
+    // row per gram — instead of a count() window, whose WindowExec
+    // buffered an entire gm bucket before the filter ran (a
+    // boilerplate mega-gram = one task sorting and spilling the whole
+    // bucket just to discard it). The edges plan must therefore show
+    // NO Window. The aggregate branch and the join's row branch are
+    // kept textually identical up to the dedup exchange (column
+    // order, null filters) so AQE's runtime stage reuse materializes
+    // the gram explode ONCE — the round-21 double-scan regression
+    // this spelling exists to avoid (probe evidence: one 2.7 MB
+    // explode stage, two readers).
+    val header = (0 until 12).map(i => s"meg$i").mkString(" ")
+    val docs = (0 until 300).map(i => (i.toLong, s"$header ${uniqueText(i)}"))
+      .toDF("doc_id", "text")
+    val e = ops.LlmOps5.dupEdges(docs)
+    val plan = e.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"),
+      s"df gate must not buffer gm buckets in a window:\n${plan.take(3000)}")
+    // both branches' dedup exchanges must canonicalize identically for
+    // stage reuse: same keys, same order, same filters
+    val dedupExchanges = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning(gm") && l.contains("doc_id"))
+      .map(_.replaceAll("#\\d+L?", "").replaceAll("plan_id=\\d+", "")).toSeq
+    assert(dedupExchanges.nonEmpty && dedupExchanges.distinct.size == 1,
+      s"dedup exchanges must canonicalize identically for stage reuse:\n$dedupExchanges")
+    // the mega-gram makes no edges at all
+    assert(e.count() == 0L)
+  }
 }
