@@ -21,9 +21,8 @@ import scala.jdk.CollectionConverters._
   * The replay payload never touches the driver: events are normalized
   * once per sf-dir by a distributed batch write, each query's stream
   * source directory is populated with HARDLINKS to those part files,
-  * and replay waves / the watermark sentinel arrive as new files picked
-  * up by the file source — exactly how a production file-drop ingest
-  * works. At 100 TB the same plan streams from object storage with
+  * and replay waves arrive as new files picked up by the file source
+  * — exactly how a production file-drop ingest works. At 100 TB the same plan streams from object storage with
   * `maxFilesPerTrigger` pacing; nothing here is driver-resident.
   *
   * Scale notes: all stateful ops key their state by a high-cardinality
@@ -56,9 +55,11 @@ object StreamOps extends Pack {
       out
     })
 
-  /** One-row sentinel far past every real event: linked in as the LAST
-    * file so its micro-batch advances the watermark and append-mode
-    * windows flush deterministically. */
+  /** One-row sentinel far past every real event: linked into the
+    * FIRST wave of the queries that need a watermark flush (the
+    * watermark is computed at end-of-batch from the max event time
+    * seen, so one data batch + one no-data batch flushes every real
+    * append-mode window deterministically). */
   private def sentinelSrc(spark: SparkSession): String =
     normCache.getOrElseUpdate("sentinel", {
       import spark.implicits._
