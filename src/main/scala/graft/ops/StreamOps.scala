@@ -158,6 +158,13 @@ object StreamOps extends Pack {
     val shufN = spark.conf.getOption("spark.graft.stream.join.partitions").getOrElse("2")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shufN)
+    // inner-join matches are fully emitted by the data batches; the
+    // no-data micro-batch that follows a watermark advance exists only
+    // to EVICT state, which a bounded replay that stops right after
+    // never reads again — skip its 0.5-0.7 s of store commits
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
     def mkStream = spark.readStream.schema(Encoders.product[Ev].schema)
       .parquet(src.toString).as[Ev]
     val q = build(mkStream, mkStream).writeStream
@@ -168,6 +175,7 @@ object StreamOps extends Pack {
       q.stop()
       graft.streaming.Hygiene.unload(q.runId)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(noDataKey, prevNoData)
     }
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
