@@ -261,18 +261,19 @@ object LlmOps2 extends Pack {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // Carry the previous label in-row so convergence needs a cheap
       // filter over the checkpointed result, not a self-join.
-      // (Opt r21 note: dropping this mid-round materialization and
-      // letting the jump join consume `propagated` twice was measured
-      // 2-3x SLOWER — ReuseExchange does not dedupe the two
-      // occurrences across the outer-join plan, so the propagate join
-      // ran twice. Opt r22: persist() instead of an eager checkpoint —
-      // both jump-join legs read the one cached copy, single eval, and
-      // the separate checkpoint JOB per round disappears; stepped's
-      // checkpoint below still truncates the round's lineage.)
+      // (Opt r21 note: dropping this mid-round checkpoint and letting
+      // the jump join consume `propagated` twice was measured 2-3x
+      // SLOWER — ReuseExchange does not dedupe the two occurrences
+      // across the outer-join plan, so the propagate join ran twice.
+      // Opt r22 note: a plain persist() instead — one less job per
+      // round — measured parity at sf0.1 AND made the
+      // IterCheckpointSpec block-loss chaos test flaky, so the eager
+      // checkpoint stays: under continuous block eviction the round's
+      // state must be re-READABLE, not merely re-computable.)
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+        .transform(IterCheckpoint.apply)
       // pointer jumping: label ← label-of-label (labels are node ids,
       // so the self-join always resolves; coalesce guards the root,
       // whose label is itself and needs no jump)
